@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps each implemented operator from SURVEY.md §2 to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+twin the driver hash-compares against at sf=0.01. Implementations live
+in ``soil_data_development_tools___arcmap_spark``.
 """
 
 from __future__ import annotations
@@ -13,26 +12,59 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from soil_data_development_tools___arcmap_spark import queries as Q
+from soil_data_development_tools___arcmap_spark.oracles import ORACLES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the SDV dominant-condition aggregation (DCD with
+    DCP-override + tiebreak + pct renormalization) — the heart of the
+    reference's rating engine — on sf0.001."""
+    return Q.sdv_dcd(spark, SF_SMOKE)
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # SDV component-level aggregation family (SURVEY §2.4)
+    "sdv_dcp_numeric": Q.sdv_dcp_numeric,
+    "sdv_dcp_categorical": Q.sdv_dcp_categorical,
+    "sdv_dcp_tiebreak_higher": Q.sdv_dcp_tiebreak_higher,
+    "sdv_dcd": Q.sdv_dcd,
+    "sdv_wta": Q.sdv_wta,
+    "sdv_maxmin_max": Q.sdv_maxmin_max,
+    "sdv_limiting_most": Q.sdv_limiting_most,
+    "sdv_pp_sum": Q.sdv_pp_sum,
+    "sdv_aggregate1": Q.sdv_aggregate1,
+    # horizon-level (depth-weighted) family
+    "sdv_hz_wta_sum": Q.sdv_hz_wta_sum,
+    "sdv_hz_wta_wta": Q.sdv_hz_wta_wta,
+    "sdv_hz_dcp_wta": Q.sdv_hz_dcp_wta,
+    "sdv_hz_maxmin_wta": Q.sdv_hz_maxmin_wta,
+    # month-level family
+    "sdv_mo_wta": Q.sdv_mo_wta,
+    "sdv_mo_maxmin_wrap": Q.sdv_mo_maxmin_wrap,
+    "sdv_dtwt_dcp": Q.sdv_dtwt_dcp,
+    # Valu1 pipeline (SURVEY §2.5)
+    "valu1_aws_ranges": Q.valu1_aws_ranges,
+    "valu1_first_restriction": Q.valu1_first_restriction,
+    # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)
+    "merge_dedup": Q.merge_dedup,
+    "distinct_scan": Q.distinct_scan,
+    "dominant_member_tool": Q.dominant_member_tool,
+    "acreage_report": Q.acreage_report,
+    "count_reconciliation": Q.count_reconciliation,
+    "validate_depth_gaps": Q.validate_depth_gaps,
+    # analytic benchmarks
+    "q1_pricing_summary": Q.q1_pricing_summary,
+    "q3_shipping_priority": Q.q3_shipping_priority,
+    "q5_local_supplier": Q.q5_local_supplier,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: v for k, v in ORACLES.items() if k in _QUERIES}

@@ -1,0 +1,245 @@
+"""Component-level SDV aggregation operators.
+
+Each operator collapses a denormalized rating table (one row per
+group-member, e.g. mapunit-component) to one rating per group. The
+reference implements these as sort-order-dependent cursor loops
+(gSSURGO_CreateSoilMap.py:4810-8305); here each is a window/groupBy
+pipeline — partial (map-side) aggregation, no global sort, no Python
+UDFs, deterministic tiebreaks.
+
+Scale notes: every groupBy/window below shuffles once on the group key.
+The group key (mukey analog) is high-cardinality and roughly uniform in
+SSURGO, so no salting is needed; AQE skew-join/partition-coalescing is
+enabled by the session factory for when it isn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tiebreak import RatingSpec, domain_rank_expr, member_order, rating_order_expr
+
+
+def _weight(spec: RatingSpec) -> Column:
+    return F.col(spec.weight_col)
+
+
+def agg_mapunit_passthrough(
+    df: DataFrame, spec: RatingSpec, precision: int | None = None
+) -> DataFrame:
+    """Aggregate1 — map-unit-level attribute passthrough with rounding
+    to ``attributeprecision`` (gSSURGO_CreateSoilMap.py:4720-4807)."""
+    rating = spec.rating()
+    if precision is not None:
+        rating = F.round(rating, precision)
+    return df.select(*spec.group_cols, rating.alias(spec.out_col))
+
+
+def agg_dcp(df: DataFrame, spec: RatingSpec, keep_weight: bool = True) -> DataFrame:
+    """AggregateCo_DCP — dominant component (gSSURGO_CreateSoilMap.py:4810-4984).
+
+    First row per group under ORDER BY weight DESC, rating tiebreak,
+    member key — a row_number window, not the reference's global sort.
+    """
+    w = Window.partitionBy(*spec.group_cols).orderBy(
+        _weight(spec).desc_nulls_last(), rating_order_expr(spec), *member_order(spec)
+    )
+    out = [*spec.group_cols] + ([spec.weight_col] if keep_weight else [])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*out, spec.rating().alias(spec.out_col))
+    )
+
+
+def agg_dcd(
+    df: DataFrame,
+    spec: RatingSpec,
+    dcp_override: bool = True,
+    normalize_pct: bool = True,
+) -> DataFrame:
+    """AggregateCo_DCD — dominant condition (gSSURGO_CreateSoilMap.py:5564-5891).
+
+    Sum weight per rating value within the group; the rating with the
+    largest summed weight wins (tiebreak by rating order). Two extras
+    from the reference:
+
+    - DCP-override: if the single dominant component holds >= 50 weight,
+      its rating wins outright (:5764-5781).
+    - Output weight normalized to 100 * pct / totalPct (:5786-5805).
+    """
+    rating = spec.rating().alias("__rating")
+    by_rating = df.groupBy(*spec.group_cols, rating).agg(
+        F.sum(_weight(spec)).alias("__sum_w"),
+        # deterministic member representative for total ordering
+        F.min(F.col(spec.member_col)).alias("__member"),
+    )
+    order_spec = RatingSpec(
+        rating_col="__rating",
+        group_cols=spec.group_cols,
+        member_col="__member",
+        weight_col="__sum_w",
+        tiebreak_higher=spec.tiebreak_higher,
+        domain=spec.domain,
+        domain_reversed=spec.domain_reversed,
+    )
+    w = Window.partitionBy(*spec.group_cols).orderBy(
+        F.col("__sum_w").desc_nulls_last(),
+        rating_order_expr(order_spec),
+        F.col("__member").asc(),
+    )
+    total_w = Window.partitionBy(*spec.group_cols)
+    picked = (
+        by_rating.withColumn("__total", F.sum("__sum_w").over(total_w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    # 100*pct/total rounded half-up in pure integer arithmetic
+    # ((200p + t) div 2t) — exact, engine-independent.
+    pct = (
+        F.expr("(200 * __sum_w + __total) div (2 * __total)")
+        if normalize_pct
+        else F.col("__sum_w")
+    )
+    dcd = picked.select(
+        *spec.group_cols,
+        pct.cast("int").alias(spec.weight_col),
+        F.col("__rating").alias(spec.out_col),
+    )
+    if not dcp_override:
+        return dcd
+    # DCP winner with >= 50 weight overrides the condition winner.
+    dcp = agg_dcp(df, spec).select(
+        *spec.group_cols,
+        F.col(spec.weight_col).alias("__dcp_w"),
+        F.col(spec.out_col).alias("__dcp_r"),
+    )
+    joined = dcd.join(dcp, on=spec.group_cols, how="left")
+    return joined.select(
+        *spec.group_cols,
+        F.col(spec.weight_col),
+        F.when(F.col("__dcp_w") >= 50, F.col("__dcp_r"))
+        .otherwise(F.col(spec.out_col))
+        .alias(spec.out_col),
+    )
+
+
+def agg_wta(
+    df: DataFrame,
+    spec: RatingSpec,
+    exclude_values: list | None = None,
+    precision: int | None = None,
+    clamp: tuple[float, float] | None = None,
+) -> DataFrame:
+    """AggregateCo_WTA — weighted average (gSSURGO_CreateSoilMap.py:7981-8202).
+
+    sum(weight*rating)/sum(weight) per group. Null policy: ``zero_nulls``
+    (bZero) coalesces null ratings to 0; otherwise null-rating rows are
+    excluded from BOTH sums (:8034-8094). ``exclude_values`` drops
+    sentinel ratings (e.g. the 201 null-replacement) from the weighted
+    average. ``clamp`` reproduces the NCCPI forced [0,1] range
+    (:8177-8179).
+    """
+    rating = spec.rating()
+    if spec.zero_nulls:
+        rating = F.coalesce(rating, F.lit(0))
+    cond = rating.isNotNull()
+    if exclude_values:
+        cond = cond & ~rating.isin(exclude_values)
+    num = F.sum(F.when(cond, _weight(spec) * rating)).alias("__num")
+    den = F.sum(F.when(cond, _weight(spec))).alias("__den")
+    out = F.col("__num") / F.col("__den")
+    if clamp is not None:
+        lo, hi = clamp
+        out = F.least(F.greatest(out, F.lit(lo)), F.lit(hi))
+    if precision is not None:
+        out = F.round(out, precision)
+    return (
+        df.groupBy(*spec.group_cols)
+        .agg(num, den)
+        .select(
+            *spec.group_cols,
+            F.col("__den").alias(spec.weight_col),
+            out.alias(spec.out_col),
+        )
+    )
+
+
+def agg_maxmin(df: DataFrame, spec: RatingSpec, maximum: bool = True) -> DataFrame:
+    """AggregateCo_MaxMin — per-group min or max rating
+    (gSSURGO_CreateSoilMap.py:5230-5561). Ordinal ratings compare by
+    domain index; the reported weight is that of the extreme row
+    (ties: heaviest, then member key)."""
+    key = domain_rank_expr(spec) if spec.domain is not None else spec.rating()
+    order = key.desc_nulls_last() if maximum else key.asc_nulls_last()
+    w = Window.partitionBy(*spec.group_cols).orderBy(
+        order, _weight(spec).desc_nulls_last(), *member_order(spec)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*spec.group_cols, spec.weight_col, spec.rating().alias(spec.out_col))
+    )
+
+
+def agg_limiting(df: DataFrame, spec: RatingSpec, most: bool = True) -> DataFrame:
+    """AggregateCo_Limiting — Most/Least Limiting
+    (gSSURGO_CreateSoilMap.py:4988-5227).
+
+    Min (most limiting) or max (least) DOMAIN INDEX across the group's
+    members, skipping 'Not rated' rows unless they are all the group
+    has (:5115-5121, :5166-5171); reports the weight of the limiting
+    class (summed over members sharing it).
+    """
+    assert spec.domain is not None, "Limiting requires an ordinal domain"
+    rank = domain_rank_expr(spec)
+    nr_rank = len(spec.domain) + 1
+    df2 = df.withColumn("__rank", rank)
+    # 'Not rated' sorts last for MOST limiting and for LEAST limiting
+    # alike — a real class always beats it; __is_nr breaks that tie.
+    is_nr = (F.col("__rank") >= nr_rank).cast("int")
+    order = F.col("__rank").asc() if most else F.col("__rank").desc()
+    w = Window.partitionBy(*spec.group_cols).orderBy(
+        is_nr.asc(), order, _weight(spec).desc_nulls_last(), *member_order(spec)
+    )
+    picked = (
+        df2.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *spec.group_cols,
+            F.col("__rank").alias("__limit_rank"),
+            spec.rating().alias(spec.out_col),
+        )
+    )
+    # weight of the limiting class = sum of weights of members at that rank
+    class_w = df2.groupBy(*spec.group_cols, "__rank").agg(
+        F.sum(_weight(spec)).alias(spec.weight_col)
+    )
+    return (
+        picked.join(class_w, on=spec.group_cols, how="left")
+        .where(F.col("__limit_rank") == F.col("__rank"))
+        .select(*spec.group_cols, spec.weight_col, spec.out_col)
+    )
+
+
+def agg_pp_sum(
+    df: DataFrame,
+    spec: RatingSpec,
+    target_values: list,
+    parent: DataFrame | None = None,
+) -> DataFrame:
+    """AggregateCo_PP_SUM — percent present
+    (gSSURGO_CreateSoilMap.py:8205-8305): sum weight over rows whose
+    rating is in ``target_values``; groups with no match get 0, not
+    null (:8234-8291) — hence the left join from ``parent`` (the
+    mapunit table) when provided."""
+    hit = F.when(spec.rating().isin(target_values), _weight(spec)).otherwise(F.lit(0))
+    agg = df.groupBy(*spec.group_cols).agg(F.sum(hit).alias(spec.out_col))
+    if parent is None:
+        return agg
+    base = parent.select(*spec.group_cols).distinct()
+    return base.join(agg, on=spec.group_cols, how="left").select(
+        *spec.group_cols,
+        F.coalesce(F.col(spec.out_col), F.lit(0)).alias(spec.out_col),
+    )

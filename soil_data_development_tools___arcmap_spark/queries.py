@@ -1,0 +1,517 @@
+"""Declared correctness queries: SURVEY.md §2 operators over the
+driver's synthetic TPC-H-shaped tables.
+
+The SSURGO hierarchy maps onto the synthetic star schema:
+
+- mapunit → component            ⇒ orders → lineitem
+  (mukey=o/l_orderkey, cokey=l_linenumber, comppct_r=l_quantity)
+- mapunit → component → chorizon ⇒ customer → orders → lineitem
+  (depth intervals synthesized deterministically from line numbers)
+- comonth monthly data           ⇒ month(l_shipdate)
+
+Determinism contract with the DuckDB oracle (driver hash-compares
+values): monetary doubles are scaled to integer cents
+(``round(x*100)::bigint``) and discounts to basis points BEFORE any
+aggregation, so every sum is exact integer arithmetic; the only float
+ops are single divisions of exact integers (IEEE-deterministic in both
+engines), rounded once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import (
+    RatingSpec,
+    agg_dcd,
+    agg_dcp,
+    agg_hz_dcp_wta,
+    agg_limiting,
+    agg_maxmin,
+    agg_pp_sum,
+    agg_wta,
+    month_collapse,
+)
+from .operators.horizon_agg import _member_sums, clipped_thickness
+
+# l_returnflag ordinal domain (choicesequence order) for the SDV
+# categorical operators; 'R' plays "most limiting".
+RFLAG_DOMAIN = ["R", "A", "N"]
+LIMITING_DOMAIN = ["R", "A"]  # 'N' absent ⇒ plays 'Not rated'
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own session; pin the timestamp semantics
+    # the oracle comparison assumes (naive/UTC rendering).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def li_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a component table: okey=mapunit, member=component,
+    comppct_r=quantity; price in cents, discount in basis points."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("member"),
+        F.col("l_quantity").cast("long").alias("comppct_r"),
+        cents("l_extendedprice").alias("price_c"),
+        cents("l_discount").alias("disc_bp"),
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_partkey").alias("pkey"),
+        F.month("l_shipdate").alias("monthseq"),
+    )
+
+
+def li_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→orders→lineitem as mapunit→component→horizon.
+
+    ckey=mapunit, okey=component (weight = order totalprice in cents),
+    each lineitem a horizon with synthetic depths
+    top=(linenumber-1)*15, bot=top+5+(partkey mod 11) — overlapping /
+    gapped intervals, exactly reproducible in the oracle SQL.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        cents("o_totalprice").alias("o_w"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        ((F.col("l_linenumber") - 1) * 15).cast("long").alias("hzdept"),
+        (
+            (F.col("l_linenumber") - 1) * 15 + 5 + F.col("l_partkey") % 11
+        ).cast("long").alias("hzdepb"),
+        cents("l_discount").alias("disc_bp"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    # orders is the smaller side only at tiny SF; at scale both are
+    # fact-sized and this is a co-partitioned shuffle join on okey.
+    return li.join(orders, "okey")
+
+
+_CO_SPEC = dict(group_cols=["okey"], member_col="member", weight_col="comppct_r")
+
+
+# ---------------------------------------------------------------- SDV
+# component-level aggregation family (SURVEY §2.4)
+
+
+def sdv_dcp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = RatingSpec(rating_col="price_c", out_col="rating", **_CO_SPEC)
+    return agg_dcp(li_component(spark, sf_dir), spec)
+
+
+def sdv_dcp_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = RatingSpec(
+        rating_col="rflag", out_col="rating", domain=RFLAG_DOMAIN, **_CO_SPEC
+    )
+    return agg_dcp(li_component(spark, sf_dir), spec)
+
+
+def sdv_dcp_tiebreak_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = RatingSpec(
+        rating_col="rflag",
+        out_col="rating",
+        domain=RFLAG_DOMAIN,
+        tiebreak_higher=True,
+        **_CO_SPEC,
+    )
+    return agg_dcp(li_component(spark, sf_dir), spec)
+
+
+def sdv_dcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = RatingSpec(
+        rating_col="rflag", out_col="rating", domain=RFLAG_DOMAIN, **_CO_SPEC
+    )
+    return agg_dcd(li_component(spark, sf_dir), spec, dcp_override=True)
+
+
+def _floor_e(col, scale: int):
+    """floor(col·scale) as BIGINT — the deterministic cross-engine way
+    to emit a ratio of exact integers (see module docstring)."""
+    return F.floor(F.col(col) * scale).cast("long")
+
+
+def sdv_wta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = RatingSpec(rating_col="price_c", out_col="rating", **_CO_SPEC)
+    out = agg_wta(li_component(spark, sf_dir), spec)
+    return out.select("okey", "comppct_r", _floor_e("rating", 10000).alias("rating_e4"))
+
+
+def sdv_maxmin_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = RatingSpec(rating_col="price_c", out_col="rating", **_CO_SPEC)
+    return agg_maxmin(li_component(spark, sf_dir), spec, maximum=True)
+
+
+def sdv_limiting_most(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = RatingSpec(
+        rating_col="rflag", out_col="rating", domain=LIMITING_DOMAIN, **_CO_SPEC
+    )
+    return agg_limiting(li_component(spark, sf_dir), spec, most=True)
+
+
+def sdv_pp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = RatingSpec(rating_col="rflag", out_col="rating", **_CO_SPEC)
+    parent = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("okey"))
+    return agg_pp_sum(li_component(spark, sf_dir), spec, ["R"], parent=parent)
+
+
+def sdv_aggregate1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate1 — mapunit-level passthrough with typed rounding."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("musym"),
+        cents("o_totalprice").alias("rating"),
+    )
+
+
+# ------------------------------------------------------- horizon-level
+
+
+def sdv_hz_wta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateHz_WTA_SUM over depth range [10,40): exact-integer."""
+    spec = RatingSpec(
+        rating_col="disc_bp",
+        group_cols=["ckey"],
+        member_col="okey",
+        weight_col="o_w",
+        out_col="rating",
+    )
+    df = li_horizon(spark, sf_dir)
+    comp = _member_sums(df, spec, "hzdept", "hzdepb", 10, 40).where(
+        F.col("__txv").isNotNull()
+    )
+    return comp.groupBy("ckey").agg(
+        F.sum("o_w").alias("comppct_r"),
+        F.floor((F.sum(F.col("o_w") * F.col("__txv")) / F.sum("o_w")) * 10000)
+        .cast("long")
+        .alias("rating_e4"),
+    )
+
+
+def sdv_hz_wta_wta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateHz_WTA_WTA over [10,40) with member values quantized to
+    integer micro-units so the cross-member sum stays exact-integer
+    (cross-engine determinism; semantically a 1e-6 rounding)."""
+    df = li_horizon(spark, sf_dir)
+    spec = RatingSpec(
+        rating_col="disc_bp",
+        group_cols=["ckey"],
+        member_col="okey",
+        weight_col="o_w",
+    )
+    comp = _member_sums(df, spec, "hzdept", "hzdepb", 10, 40).where(F.col("__t") > 0)
+    comp = comp.select(
+        "ckey",
+        "o_w",
+        F.floor((F.lit(1000000) * F.col("__txv")) / F.col("__t")).cast("long").alias(
+            "cvm"
+        ),
+    )
+    return comp.groupBy("ckey").agg(
+        F.sum("o_w").alias("comppct_r"),
+        F.floor(F.sum(F.col("o_w") * F.col("cvm")) / F.sum("o_w")).cast("long").alias(
+            "rating"
+        ),
+    )
+
+
+def sdv_hz_dcp_wta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateHz_DCP_WTA: dominant order per customer by totalprice,
+    then depth-weighted average of its horizons in [0,60)."""
+    df = li_horizon(spark, sf_dir)
+    spec = RatingSpec(
+        rating_col="disc_bp",
+        group_cols=["ckey"],
+        member_col="okey",
+        weight_col="o_w",
+        out_col="rating",
+    )
+    out = agg_hz_dcp_wta(df, spec, "hzdept", "hzdepb", 0, 60)
+    return out.select(
+        "ckey",
+        F.col("o_w").alias("comppct_r"),
+        _floor_e("rating", 1000000).alias("rating_e6"),
+    )
+
+
+def sdv_hz_maxmin_wta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateHz_MaxMin_WTA: per-order max qty over horizons in
+    [0,30), then order-weight-averaged per customer (exact ints →
+    one division, rounded)."""
+    df = li_horizon(spark, sf_dir)
+    hz_t = clipped_thickness("hzdept", "hzdepb", 0, 30)
+    comp = (
+        df.groupBy("ckey", "okey", "o_w")
+        .agg(F.max(F.when(hz_t > 0, F.col("qty"))).alias("hzv"))
+        .where(F.col("hzv").isNotNull())
+    )
+    return comp.groupBy("ckey").agg(
+        F.sum("o_w").alias("comppct_r"),
+        F.floor((F.sum(F.col("o_w") * F.col("hzv")) / F.sum("o_w")) * 10000)
+        .cast("long")
+        .alias("rating_e4"),
+    )
+
+
+# --------------------------------------------------------- month-level
+
+
+def sdv_mo_wta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_Mo_WTA: min monthly value per component over the
+    month window [3,9], then weighted average."""
+    spec = RatingSpec(rating_col="price_c", out_col="rating", **_CO_SPEC)
+    collapsed = month_collapse(
+        li_component(spark, sf_dir), spec, how="min", beg_month=3, end_month=9
+    )
+    out = agg_wta(collapsed, spec)
+    return out.select("okey", "comppct_r", _floor_e("rating", 10000).alias("rating_e4"))
+
+
+def sdv_mo_maxmin_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_Mo_MaxMin with a wrap-around month window (Nov..Feb)."""
+    spec = RatingSpec(rating_col="price_c", out_col="rating", **_CO_SPEC)
+    collapsed = month_collapse(
+        li_component(spark, sf_dir), spec, how="max", beg_month=11, end_month=2
+    )
+    return agg_maxmin(collapsed, spec, maximum=True)
+
+
+def sdv_dtwt_dcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_DCP_DTWT: nulls (synthesized where qty=50) replaced
+    by the 201 sentinel, max monthly value per component, then DCP."""
+    df = li_component(spark, sf_dir).withColumn(
+        "qty_n", F.when(F.col("comppct_r") == 50, None).otherwise(F.col("comppct_r"))
+    )
+    spec = RatingSpec(
+        rating_col="qty_n", out_col="rating", null_replacement=201, **_CO_SPEC
+    )
+    collapsed = month_collapse(df, spec, how="max")
+    return agg_dcp(collapsed, spec)
+
+
+# ------------------------------------------------ Valu1-style pipeline
+
+
+def valu1_aws_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalcAWS: one pass over ALL depth ranges — the range list is an
+    exploded dimension (single scan), not the reference's 11 sequential
+    passes (gSSURGO_ValuTable.py:1481-1674)."""
+    ranges = F.array(
+        *[
+            F.struct(F.lit(t).alias("top"), F.lit(b).alias("bot"))
+            for t, b in [(0, 20), (20, 50), (50, 100), (0, 100)]
+        ]
+    )
+    df = li_horizon(spark, sf_dir).withColumn("r", F.explode(ranges))
+    hz_t = F.greatest(
+        F.least(F.col("hzdepb"), F.col("r.bot"))
+        - F.greatest(F.col("hzdept"), F.col("r.top")),
+        F.lit(0),
+    )
+    comp = (
+        df.groupBy("ckey", "okey", "o_w", "r.top", "r.bot")
+        .agg(F.sum(hz_t * F.col("qty")).alias("txv"), F.sum(hz_t).alias("t"))
+        .where(F.col("t") > 0)
+    )
+    return comp.groupBy("ckey", "top", "bot").agg(
+        F.sum("o_w").alias("comppct_r"),
+        F.floor((F.sum(F.col("o_w") * F.col("txv")) / F.sum("o_w")) * 10000)
+        .cast("long")
+        .alias("aws_e4"),
+    )
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the ns→long legacy conf: ``ts`` is exact integer
+    nanoseconds (Spark rejects TIMESTAMP(NANOS) parquet otherwise, and
+    integer ns keeps every derived value engine-exact)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def valu1_first_restriction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetCoRestrictions analog: first qualifying event per user
+    (shallowest restriction per cokey, gSSURGO_ValuTable.py:1106-1146)."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id"))
+    return (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", cents("value").alias("resdept"))
+    )
+
+
+# --------------------------------------------- set ops / tools (§2.6-7)
+
+
+def merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSURGO_MergeDatabases: multi-source union + PK dedup."""
+    n = _t(spark, sf_dir, "nation")
+    return n.unionByName(n).distinct()
+
+
+def distinct_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT areasymbol scan (gSSURGO_CreateSoilMap.py:3643-3652)."""
+    return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+def dominant_member_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetDominantComponent.py:89-120 — first per group under
+    ORDER BY group DESC, weight DESC, member DESC."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nkey"),
+        F.col("c_custkey").alias("member"),
+        cents("c_acctbal").alias("bal_c"),
+    )
+    w = Window.partitionBy("nkey").orderBy(
+        F.col("bal_c").desc(), F.col("member").desc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("nkey", "member", "bal_c")
+    )
+
+
+def acreage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gSSURGO_AcreageReport: Σ area per rating class."""
+    return (
+        li_component(spark, sf_dir)
+        .groupBy(F.col("rflag").alias("rating"))
+        .agg(
+            F.sum("comppct_r").alias("acres"),
+            F.sum("price_c").alias("value_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSURGO_CheckgSSURGO count-reconciliation: per-table row counts,
+    compared against the oracle engine running the same counts."""
+    from .sources.testdata import TABLES
+
+    dfs = []
+    for t in TABLES:
+        dfs.append(
+            _t(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(t).alias("table_name"), "n")
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def validate_depth_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gSSURGO_ValidateData horizon gap/overlap scan: adjacent synthetic
+    horizons per order compared with lag()."""
+    li = li_horizon(spark, sf_dir)
+    # (okey, lnum) is NOT unique in the synthetic data — hzdepb makes the
+    # order total up to fully-identical rows (which are interchangeable).
+    w = Window.partitionBy("okey").orderBy("hzdept", "lnum", "hzdepb")
+    df = li.withColumn("prev_bot", F.lag("hzdepb").over(w))
+    return df.groupBy("okey").agg(
+        F.sum((F.col("prev_bot") < F.col("hzdept")).cast("int")).alias("n_gaps"),
+        F.sum((F.col("prev_bot") > F.col("hzdept")).cast("int")).alias("n_overlaps"),
+    )
+
+
+# ------------------------------------------------- TPC-H bench classics
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dbp = cents("l_discount")
+    pc = cents("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(pc).alias("sum_base_price_c"),
+            F.sum(pc * (100 - dbp)).alias("sum_disc_price_c2"),
+            F.sum(pc * (100 - dbp) * (100 + cents("l_tax"))).alias("sum_charge_c3"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price_c",
+            "sum_disc_price_c2",
+            "sum_charge_c3",
+            F.floor((F.col("sum_qty") / F.col("count_order")) * 10000)
+            .cast("long")
+            .alias("avg_qty_e4"),
+            F.floor((F.col("sum_base_price_c") / F.col("count_order")) * 10000)
+            .cast("long")
+            .alias("avg_price_e4"),
+            "count_order",
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    rev = F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+        "revenue_c2"
+    )
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(orders.where(F.col("o_orderdate") < cutoff),
+              li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev)
+        .orderBy(F.col("revenue_c2").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue_c2",
+        )
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+        "revenue_c2"
+    )
+    # dimension chain broadcasts; the only shuffle is lineitem⨝orders.
+    dim = (
+        nation.join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(cust),
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(dim), supp["s_nationkey"] == dim["n_nationkey"])
+        .groupBy("n_name")
+        .agg(rev)
+    )

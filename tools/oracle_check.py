@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count + column names + an order-insensitive value hash
+(columns sorted by name, rows sorted, values stringified).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon(df) -> tuple[int, list[str], str]:
+    """(row_count, sorted_columns, value_hash) for a pandas DataFrame."""
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+            return "NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 2**53:
+                return str(int(v))
+            return repr(v)
+        return str(v)
+
+    rows = sorted(
+        "|".join(cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(df), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from soil_data_development_tools___arcmap_spark import get_spark
+    from soil_data_development_tools___arcmap_spark.sources.testdata import TABLES
+
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in os_:
+            print(f"okay {name}: rows={len(sdf)} (rows-only, no oracle)")
+            continue
+        try:
+            odf = con.sql(os_[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        sn, sc, sh = canon(sdf)
+        on, oc, oh = canon(odf)
+        status = "PASS" if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        dt = time.time() - t0
+        print(f"{status} {name}: rows {sn}/{on} cols {sc == oc} hash "
+              f"{sh}/{oh} ({dt:.1f}s)")
+        if status == "FAIL":
+            failures.append(name)
+            if sc != oc:
+                print(f"   spark cols: {sc}\n   duck  cols: {oc}")
+            elif sn == on:
+                import pandas as pd
+
+                s = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns))
+                o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns))
+                s, o = s.reset_index(drop=True), o.reset_index(drop=True)
+                neq = (s.astype(str) != o.astype(str)).any(axis=1)
+                print("   first diffs (spark vs duck):")
+                print(pd.concat([s[neq].head(3), o[neq].head(3)], axis=1))
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
