@@ -59,6 +59,25 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": Q.q1_pricing_summary,
     "q3_shipping_priority": Q.q3_shipping_priority,
     "q5_local_supplier": Q.q5_local_supplier,
+    # events: batch analytics + Structured Streaming twin (SURVEY §2.9)
+    "events_tumbling_daily": Q.events_tumbling_daily,
+    "events_stream_tumbling": Q.events_stream_tumbling,
+    "events_sessionize": Q.events_sessionize,
+    "events_topk_per_type": Q.events_topk_per_type,
+    "events_json_extract": Q.events_json_extract,
+    # documents: text analysis + dedup (north-star LLM pipeline)
+    "docs_token_count": Q.docs_token_count,
+    "docs_quality": Q.docs_quality,
+    "docs_langid": Q.docs_langid,
+    "docs_fingerprint": Q.docs_fingerprint,
+    "docs_exact_dedup": Q.docs_exact_dedup,
+    "docs_ngram_jaccard": Q.docs_ngram_jaccard,
+    "docs_minhash_signatures": Q.docs_minhash_signatures,
+    "docs_minhash_lsh": Q.docs_minhash_lsh,
+    "docs_simhash": Q.docs_simhash,
+    # embeddings: similarity search (exact baseline + LSH scale path)
+    "emb_knn_bruteforce": Q.emb_knn_bruteforce,
+    "emb_knn_lsh": Q.emb_knn_lsh,
 }
 
 

@@ -30,6 +30,10 @@ HEADLINE = [
     "sdv_mo_wta",
     "valu1_aws_ranges",
     "validate_depth_gaps",
+    "events_sessionize",
+    "docs_minhash_lsh",
+    "docs_quality",
+    "emb_knn_bruteforce",
 ]
 
 

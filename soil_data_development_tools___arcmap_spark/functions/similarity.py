@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — queries broadcast against
+  all candidates; the baseline and the verifier for approximate paths.
+- ``rp_lsh_topk``: random-hyperplane LSH — candidates bucketed by an
+  8-bit sign signature, queries only scan their own bucket (the scale
+  path: bucket-join instead of full cross product).
+
+Determinism: embeddings are quantized to integer micro-units
+(floor(x·1e6) after an exact float→double cast) so every dot product /
+norm is an exact integer sum, order-independent in both engines; the
+one float op (cosine = dot/(√na·√nb)) is IEEE-identical everywhere.
+The LSH plane signs come from md5(plane#dim) so the oracle can rebuild
+the same planes.
+
+SSURGO has no equivalent — this is north-star surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantize_embedding(col: str = "embedding") -> Column:
+    """array<float> → array<long> of floor(x·1e6) (exact in both engines)."""
+    return F.transform(
+        F.col(col), lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cos_e6(dot: Column, n2a: Column, n2b: Column) -> Column:
+    return F.floor(
+        (dot / (F.sqrt(n2a) * F.sqrt(n2b))) * 1000000
+    ).cast("long")
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: vectors with id < query_ids_below are the
+    query set (broadcast); all others are candidates."""
+    q = emb.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("qid"), quantize_embedding(col).alias("qv")
+    )
+    c = emb.where(F.col(id_col) >= query_ids_below).select(
+        F.col(id_col).alias("cid"), quantize_embedding(col).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        _cos_e6(
+            _dot(F.col("qv"), F.col("cv")),
+            _norm2(F.col("qv")),
+            _norm2(F.col("cv")),
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("qid", "cid", "cos_e6", "rn")
+    )
+
+
+def lsh_plane_signs(num_planes: int = 8, dims: int = 64) -> list[list[int]]:
+    """±1 sign matrix for random-hyperplane LSH, derived from
+    md5(f"{plane}#{dim}") so any engine can rebuild it."""
+    return [
+        [
+            1 if hashlib.md5(f"{p}#{i}".encode()).hexdigest()[0] in "89abcdef" else -1
+            for i in range(dims)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def _bucket(col: Column, signs: list[list[int]]) -> Column:
+    """8-bit LSH bucket: bit p = [Σ_i sign_pi · x_i > 0]."""
+    out = F.lit(0)
+    for p, row in enumerate(signs):
+        sv = F.array(*[F.lit(s) for s in row])
+        proj = F.aggregate(
+            F.zip_with(col, sv, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+def rp_lsh_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: equi-join on the LSH bucket (queries
+    scan ~1/2^planes of the candidates), exact cosine within bucket."""
+    signs = lsh_plane_signs(num_planes, 64)
+    qz = quantize_embedding(col)
+    q = emb.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("qid"), qz.alias("qv"), _bucket(qz, signs).alias("bkt")
+    )
+    c = emb.where(F.col(id_col) >= query_ids_below).select(
+        F.col(id_col).alias("cid"), qz.alias("cv"), _bucket(qz, signs).alias("bkt")
+    )
+    scored = c.join(F.broadcast(q), "bkt").select(
+        "qid",
+        "cid",
+        _cos_e6(
+            _dot(F.col("qv"), F.col("cv")),
+            _norm2(F.col("qv")),
+            _norm2(F.col("cv")),
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("qid", "cid", "cos_e6", "rn")
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators for the large-scale training-data pipeline:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+All native Column expressions (WholeStageCodegen end to end) — no
+Python UDFs. Ratios are emitted floor-scaled to integers (see
+queries.py determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic scoring, mirrored 1:1 in the DuckDB oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "data", "order"),
+    "es": ("query", "row", "table"),
+    "de": ("hash", "sort", "value"),
+    "fr": ("group", "line", "vector"),
+    "zh": ("spark", "big", "dup"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    return F.split(F.col(col), " ")
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    return df.select(
+        id_col,
+        F.size(tokens(col)).alias("n_tokens"),
+        F.length(F.col(col)).alias("n_chars_calc"),
+    )
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Quality-scoring features: token count, type-token ratio,
+    mean token length, stopword ratio — the length/stopword heuristics
+    a pre-training corpus filter runs. Ratios floor-scaled to 1e-4."""
+    t = tokens(col)
+    n = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    mean_len = (F.length(F.col(col)) - (n - 1)) / n  # chars minus spaces
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.floor((n_distinct / n) * 10000).cast("long").alias("ttr_e4"),
+        F.floor((n_stop / n) * 10000).cast("long").alias("stop_e4"),
+        F.floor(mean_len * 10000).cast("long").alias("mean_len_e4"),
+    )
+
+
+def langid_scores(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: score = marker hits per language,
+    argmax wins (ties broken by language code ASC)."""
+    t = tokens(col)
+    scores = [
+        F.size(F.filter(t, lambda x: x.isin(*marks))).alias(f"score_{lang}")
+        for lang, marks in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(id_col, *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{la}") == best, F.lit(la)) for la in langs]
+    )
+    return scored.select(
+        id_col, pred.alias("lang_pred"), best.alias("lang_score")
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Deterministic 60-bit document fingerprint (md5 prefix, hex)."""
+    return df.select(
+        id_col, F.substring(F.md5(F.col(col)), 1, 15).alias("fp")
+    )

@@ -100,7 +100,7 @@ FROM dcd d LEFT JOIN dcp p USING (okey)
 
 ORACLES["sdv_wta"] = f"""
 WITH {_BASE}
-SELECT okey, SUM(comppct_r) AS comppct_r,
+SELECT okey, CAST(SUM(comppct_r) AS BIGINT) AS comppct_r,
        CAST(floor((SUM(comppct_r*price_c)/SUM(comppct_r))*10000) AS BIGINT)
          AS rating_e4
 FROM base GROUP BY okey
@@ -127,7 +127,7 @@ picked AS (
                    rnk ASC, comppct_r DESC, member ASC) AS rn
         FROM r)
   WHERE rn = 1),
-cw AS (SELECT okey, rnk, SUM(comppct_r) AS comppct_r FROM r GROUP BY okey, rnk)
+cw AS (SELECT okey, rnk, CAST(SUM(comppct_r) AS BIGINT) AS comppct_r FROM r GROUP BY okey, rnk)
 SELECT p.okey, c.comppct_r, p.rating
 FROM picked p JOIN cw c ON p.okey = c.okey AND p.limit_rank = c.rnk
 """
@@ -138,7 +138,7 @@ WITH s AS (
          SUM(CASE WHEN l_returnflag IN ('R') THEN CAST(l_quantity AS BIGINT)
                   ELSE 0 END) AS rating
   FROM lineitem GROUP BY l_orderkey)
-SELECT o.o_orderkey AS okey, COALESCE(s.rating, 0) AS rating
+SELECT o.o_orderkey AS okey, CAST(COALESCE(s.rating, 0) AS BIGINT) AS rating
 FROM orders o LEFT JOIN s ON o.o_orderkey = s.okey
 """
 
@@ -157,7 +157,7 @@ c AS (
   FROM (SELECT *, greatest(least(hzdepb, 40) - greatest(hzdept, 10), 0) AS t0
         FROM hz)
   GROUP BY ckey, okey, o_w)
-SELECT ckey, SUM(o_w) AS comppct_r,
+SELECT ckey, CAST(SUM(o_w) AS BIGINT) AS comppct_r,
        CAST(floor((SUM(o_w*txv)/SUM(o_w))*10000) AS BIGINT) AS rating_e4
 FROM c WHERE txv IS NOT NULL GROUP BY ckey
 """
@@ -174,7 +174,7 @@ c AS (
 cv AS (
   SELECT ckey, o_w, CAST(floor((1000000*txv)/t) AS BIGINT) AS cvm
   FROM c WHERE t > 0)
-SELECT ckey, SUM(o_w) AS comppct_r,
+SELECT ckey, CAST(SUM(o_w) AS BIGINT) AS comppct_r,
        CAST(floor(SUM(o_w*cvm)/SUM(o_w)) AS BIGINT) AS rating
 FROM cv GROUP BY ckey
 """
@@ -207,7 +207,7 @@ c AS (
          MAX(CASE WHEN greatest(least(hzdepb, 30) - greatest(hzdept, 0), 0) > 0
                   THEN qty END) AS hzv
   FROM hz GROUP BY ckey, okey, o_w)
-SELECT ckey, SUM(o_w) AS comppct_r,
+SELECT ckey, CAST(SUM(o_w) AS BIGINT) AS comppct_r,
        CAST(floor((SUM(o_w*hzv)/SUM(o_w))*10000) AS BIGINT) AS rating_e4
 FROM c WHERE hzv IS NOT NULL GROUP BY ckey
 """
@@ -218,7 +218,7 @@ m AS (
   SELECT okey, member, comppct_r, MIN(price_c) AS price_c
   FROM base WHERE monthseq BETWEEN 3 AND 9
   GROUP BY okey, member, comppct_r)
-SELECT okey, SUM(comppct_r) AS comppct_r,
+SELECT okey, CAST(SUM(comppct_r) AS BIGINT) AS comppct_r,
        CAST(floor((SUM(comppct_r*price_c)/SUM(comppct_r))*10000) AS BIGINT)
          AS rating_e4
 FROM m GROUP BY okey
@@ -264,7 +264,7 @@ c AS (
   SELECT ckey, okey, o_w, top, bot,
          SUM(t0*qty) AS txv, SUM(t0) AS t
   FROM x GROUP BY ckey, okey, o_w, top, bot)
-SELECT ckey, top, bot, SUM(o_w) AS comppct_r,
+SELECT ckey, top, bot, CAST(SUM(o_w) AS BIGINT) AS comppct_r,
        CAST(floor((SUM(o_w*txv)/SUM(o_w))*10000) AS BIGINT) AS aws_e4
 FROM c WHERE t > 0 GROUP BY ckey, top, bot
 """
@@ -298,7 +298,8 @@ WHERE rn = 1
 
 ORACLES["acreage_report"] = f"""
 WITH {_BASE}
-SELECT rflag AS rating, SUM(comppct_r) AS acres, SUM(price_c) AS value_c,
+SELECT rflag AS rating, CAST(SUM(comppct_r) AS BIGINT) AS acres,
+       CAST(SUM(price_c) AS BIGINT) AS value_c,
        COUNT(*) AS n
 FROM base GROUP BY rflag
 """
@@ -322,8 +323,8 @@ l AS (SELECT *, lag(hzdepb) OVER (
         PARTITION BY okey ORDER BY hzdept ASC, lnum ASC, hzdepb ASC) AS prev_bot
       FROM hz)
 SELECT okey,
-       SUM(CAST(prev_bot < hzdept AS INTEGER)) AS n_gaps,
-       SUM(CAST(prev_bot > hzdept AS INTEGER)) AS n_overlaps
+       CAST(SUM(CAST(prev_bot < hzdept AS INTEGER)) AS BIGINT) AS n_gaps,
+       CAST(SUM(CAST(prev_bot > hzdept AS INTEGER)) AS BIGINT) AS n_overlaps
 FROM l GROUP BY okey
 """
 
@@ -337,10 +338,10 @@ WITH b AS (
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
 g AS (
   SELECT l_returnflag, l_linestatus,
-         SUM(qty) AS sum_qty,
-         SUM(pc) AS sum_base_price_c,
-         SUM(pc*(100-dbp)) AS sum_disc_price_c2,
-         SUM(pc*(100-dbp)*(100+tbp)) AS sum_charge_c3,
+         CAST(SUM(qty) AS BIGINT) AS sum_qty,
+         CAST(SUM(pc) AS BIGINT) AS sum_base_price_c,
+         CAST(SUM(pc*(100-dbp)) AS BIGINT) AS sum_disc_price_c2,
+         CAST(SUM(pc*(100-dbp)*(100+tbp)) AS BIGINT) AS sum_charge_c3,
          COUNT(*) AS count_order
   FROM b GROUP BY l_returnflag, l_linestatus)
 SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_c,
@@ -355,8 +356,8 @@ FROM g
 ORACLES["q3_shipping_priority"] = """
 SELECT l.l_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c2
+       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c2
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -370,8 +371,8 @@ LIMIT 10
 
 ORACLES["q5_local_supplier"] = """
 SELECT n.n_name,
-       SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c2
+       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c2
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -380,4 +381,238 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
+"""
+
+# ----------------------------------------------------------- events
+# (ts convention: Spark `ts div 1000` == DuckDB epoch_us(ts))
+
+ORACLES["events_tumbling_daily"] = """
+SELECT epoch_us(ts) // 86400000000 AS day_num, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2
+"""
+
+# streaming form must equal the batch aggregation at availableNow
+ORACLES["events_stream_tumbling"] = ORACLES["events_tumbling_daily"]
+
+ORACLES["events_sessionize"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT *, lag(ts_us) OVER (
+        PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev
+      FROM e)
+SELECT user_id,
+       CAST(COALESCE(SUM(CAST(ts_us - prev > 1800000000 AS INTEGER)), 0) + 1
+            AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM l GROUP BY user_id
+"""
+
+ORACLES["events_topk_per_type"] = """
+SELECT event_type, event_id, value_c, CAST(rn AS INTEGER) AS rn
+FROM (SELECT event_type, event_id,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value*100) AS BIGINT) DESC,
+                        event_id ASC) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+ORACLES["events_json_extract"] = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+# -------------------------------------------------------- documents
+
+_DOCS_T = "SELECT doc_id, string_split(text, ' ') AS t, length(text) AS lc FROM documents"
+
+# k=3 shingles, matching functions.dedup.shingles
+_SHINGLES = """
+sh AS (
+  SELECT doc_id AS did,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+                || ' ' || t[CAST(i AS INT) + 2])) AS ss
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+
+# freq-capped exploded shingles (max_freq=100) + full-set sizes
+_JACCARD_COMMON = f"""
+{_SHINGLES},
+exf AS (SELECT did, unnest(ss) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS f FROM exf GROUP BY s),
+ex AS (SELECT did, exf.s FROM exf JOIN freq ON exf.s = freq.s WHERE f <= 100),
+sizes AS (SELECT did, len(ss) AS nsh FROM sh)"""
+
+ORACLES["docs_token_count"] = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_calc
+FROM documents
+"""
+
+ORACLES["docs_quality"] = f"""
+WITH d AS ({_DOCS_T}),
+x AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+             len(list_filter(t, w -> w IN
+                 ('the','a','and','of','to','in'))) AS ns,
+             lc
+      FROM d)
+SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+       CAST(floor((nd/n)*10000) AS BIGINT) AS ttr_e4,
+       CAST(floor((ns/n)*10000) AS BIGINT) AS stop_e4,
+       CAST(floor(((lc - (n-1))/n)*10000) AS BIGINT) AS mean_len_e4
+FROM x
+"""
+
+ORACLES["docs_langid"] = f"""
+WITH d AS ({_DOCS_T}),
+s AS (SELECT doc_id,
+        len(list_filter(t, w -> w IN ('hash','sort','value'))) AS s_de,
+        len(list_filter(t, w -> w IN ('the','a','data','order'))) AS s_en,
+        len(list_filter(t, w -> w IN ('query','row','table'))) AS s_es,
+        len(list_filter(t, w -> w IN ('group','line','vector'))) AS s_fr,
+        len(list_filter(t, w -> w IN ('spark','big','dup'))) AS s_zh
+      FROM d)
+SELECT doc_id,
+       CASE WHEN s_de = b THEN 'de' WHEN s_en = b THEN 'en'
+            WHEN s_es = b THEN 'es' WHEN s_fr = b THEN 'fr'
+            ELSE 'zh' END AS lang_pred,
+       CAST(b AS INTEGER) AS lang_score
+FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS b FROM s)
+"""
+
+ORACLES["docs_fingerprint"] = """
+SELECT doc_id, substr(md5(text), 1, 15) AS fp FROM documents
+"""
+
+ORACLES["docs_exact_dedup"] = """
+SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLES["docs_ngram_jaccard"] = f"""
+WITH {_JACCARD_COMMON},
+inter AS (
+  SELECT a.did AS i, b.did AS j, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.did < b.did
+  GROUP BY 1, 2)
+SELECT i, j, jac_e4 FROM (
+  SELECT i, j,
+         CAST(floor((inter/(si.ni + sj.nj - inter))*10000) AS BIGINT) AS jac_e4
+  FROM inter
+  JOIN (SELECT did AS i, nsh AS ni FROM sizes) si USING (i)
+  JOIN (SELECT did AS j, nsh AS nj FROM sizes) sj USING (j))
+WHERE jac_e4 >= 3000
+"""
+
+_MH = ", ".join(
+    f"MIN(substr(md5('{i}#' || s), 1, 15)) AS mh{i}" for i in range(16)
+)
+
+ORACLES["docs_minhash_signatures"] = f"""
+WITH {_SHINGLES},
+ex AS (SELECT did, unnest(ss) AS s FROM sh)
+SELECT did, {_MH}
+FROM ex GROUP BY did
+"""
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT did, {b} AS band_id, mh{4*b} || '|' || mh{4*b+1} || '|' || "
+    f"mh{4*b+2} || '|' || mh{4*b+3} AS key FROM sig"
+    for b in range(4)
+)
+
+ORACLES["docs_minhash_lsh"] = f"""
+WITH {_JACCARD_COMMON},
+exs AS (SELECT did, unnest(ss) AS s FROM sh),
+sig AS (SELECT did, {_MH} FROM exs GROUP BY did),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT a.did AS i, b.did AS j
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.did < b.did),
+inter AS (
+  SELECT c.i, c.j, COUNT(*) AS inter
+  FROM cand c
+  JOIN ex a ON a.did = c.i
+  JOIN ex b ON b.did = c.j AND a.s = b.s
+  GROUP BY c.i, c.j)
+SELECT i, j, jac_e4 FROM (
+  SELECT i, j,
+         CAST(floor((inter/(si.ni + sj.nj - inter))*10000) AS BIGINT) AS jac_e4
+  FROM inter
+  JOIN (SELECT did AS i, nsh AS ni FROM sizes) si USING (i)
+  JOIN (SELECT did AS j, nsh AS nj FROM sizes) sj USING (j))
+WHERE jac_e4 >= 3000
+"""
+
+_SIMHASH_BITS = ", ".join(
+    "SUM(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS b%d" % (i + 1, i)
+    for i in range(16)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16)
+)
+
+ORACLES["docs_simhash"] = f"""
+WITH ex AS (
+  SELECT doc_id AS did, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents),
+h AS (SELECT did, md5(w) AS h FROM ex),
+bits AS (SELECT did, {_SIMHASH_BITS} FROM h GROUP BY did)
+SELECT did, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM bits
+"""
+
+# ------------------------------------------------------- embeddings
+
+_EMB_Q = """
+e AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      FROM embeddings)"""
+
+_COS = ("CAST(floor((list_dot_product(qv, cv)/"
+        "(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))))"
+        "*1000000) AS BIGINT)")
+
+ORACLES["emb_knn_bruteforce"] = f"""
+WITH {_EMB_Q},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
+s AS (SELECT qid, cid, {_COS} AS cos_e6 FROM c CROSS JOIN q)
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+ORACLES["emb_knn_lsh"] = f"""
+WITH {_EMB_Q},
+planes AS (
+  SELECT p, list_transform(generate_series(0, 63),
+           i -> CASE WHEN substr(md5(p || '#' || i), 1, 1) IN
+                     ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END) AS sv
+  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+bkt AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.sv) > 0
+                       THEN (1 << p) ELSE 0 END) AS INTEGER) AS bkt
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+q AS (SELECT e.vec_id AS qid, v AS qv, bkt FROM e JOIN bkt USING (vec_id)
+      WHERE vec_id < 8),
+c AS (SELECT e.vec_id AS cid, v AS cv, bkt FROM e JOIN bkt USING (vec_id)
+      WHERE vec_id >= 8),
+s AS (SELECT qid, cid, {_COS} AS cos_e6 FROM c JOIN q USING (bkt))
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
 """

@@ -515,3 +515,140 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(rev)
     )
+
+
+# ------------------------------------------------------ events (batch
+# analytics + streaming twin; ts convention: Spark `ts div 1000` ==
+# DuckDB epoch_us(ts) — DuckDB truncates ns parquet to µs)
+
+
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window per event_type (batch form)."""
+    from .streaming.events import tumbling_daily
+
+    return tumbling_daily(read_events(spark, sf_dir))
+
+
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregation through Structured Streaming (availableNow +
+    memory sink) — hash-checked against the BATCH oracle SQL."""
+    from .streaming.events import run_stream_to_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_stream_to_table(spark, sf_dir)
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when the gap to the previous event
+    of the same user exceeds 30 min. Exact µs integer arithmetic."""
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    df = ev.withColumn("new_sess", (gap > 1800 * 1000000).cast("int"))
+    return df.groupBy("user_id").agg(
+        (F.coalesce(F.sum("new_sess"), F.lit(0)) + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (window top-k)."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        cents("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "event_id", cents("value").alias("value_c"), "rn")
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction + aggregation (props is a JSON string)."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# -------------------------------------------------- documents (text
+# analysis + dedup: north-star LLM-pipeline surface)
+
+
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import langid_scores
+
+    return langid_scores(_t(spark, sf_dir, "documents"))
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_e4=3000, max_freq=100
+    )
+
+
+def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=16)
+
+
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        threshold_e4=3000,
+        max_freq=100,
+    )
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------ embeddings (ANN)
+
+
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import rp_lsh_topk
+
+    return rp_lsh_topk(_t(spark, sf_dir, "embeddings"))

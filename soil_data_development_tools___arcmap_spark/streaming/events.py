@@ -1,0 +1,92 @@
+"""Structured Streaming ingestion of the events table.
+
+The reference is strictly batch (SURVEY §2.9); this is net-new,
+north-star surface. The same transformation runs in batch and
+streaming — ``tumbling_daily(df)`` is used by the batch query
+``events_tumbling_daily`` AND by ``run_stream_to_table`` under a
+file-source readStream, so the correctness oracle for the batch form
+certifies the streaming form (exactly-once file source + deterministic
+agg ⇒ identical results at availableNow completion).
+
+Timestamps: ``ts`` is integer nanoseconds (see queries.read_events);
+day = µs // 86_400_000_000 keeps everything in exact integer space.
+At scale, the file source becomes Kafka and the watermark bounds
+state: ``with_watermark=True`` derives an event-time column and a
+1-day watermark so late data older than a day is dropped instead of
+growing state forever.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+US_PER_DAY = 86_400_000_000
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source only accepts directories; sf_dir mixes all tables
+    # in one dir, so expose just the events file through a symlink dir
+    # (zero-copy; in production the source is a real directory/Kafka).
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "sddt_events_stream", src.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+
+
+def tumbling_daily(events: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """Tumbling 1-day window per event_type: count + exact cent sum.
+    Works identically over a batch or streaming DataFrame."""
+    df = events.withColumn("day_num", F.expr("(ts div 1000) div 86400000000"))
+    if with_watermark:
+        df = df.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        ).withWatermark("event_time", "1 day")
+    return df.groupBy("day_num", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+    )
+
+
+def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming tumbling aggregation to completion
+    (availableNow + memory sink) and return the result table."""
+    name = "events_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        tumbling_daily(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,106 @@
+"""Tests for the LLM-pipeline text/dedup/similarity operators on
+hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+from conftest import rows_to_dict
+
+from soil_data_development_tools___arcmap_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from soil_data_development_tools___arcmap_spark.functions.similarity import (
+    brute_force_topk,
+    rp_lsh_topk,
+)
+from soil_data_development_tools___arcmap_spark.functions.text import (
+    langid_scores,
+    quality_features,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+    (3, "completely different words appear here without any overlap present"),
+    (4, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+    (5, "short text"),  # < 3 tokens -> empty shingle set
+]
+
+
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    out = rows_to_dict(token_count(docs(spark)), "doc_id", "n_tokens")
+    assert out[1] == 10 and out[5] == 2
+
+
+def test_quality_features(spark):
+    row = quality_features(docs(spark)).where("doc_id = 1").collect()[0]
+    assert row["n_tokens"] == 10
+    assert row["ttr_e4"] == 9000  # 9 distinct of 10
+    assert row["stop_e4"] == 2000  # 'the' twice
+
+
+def test_langid_deterministic(spark):
+    out = rows_to_dict(langid_scores(docs(spark)), "doc_id", "lang_pred")
+    assert out[1] == "en"  # 'the','a' markers
+    assert out[3] in {"de", "en", "es", "fr", "zh"}  # deterministic argmax
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs(spark))
+    groups = {r["keep_id"]: r["n"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1 and 4 identical
+    assert out.count() == 4  # 5 docs, one merged pair
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(docs(spark), threshold_e4=3000, max_freq=None)
+    got = {(r["i"], r["j"]): r["jac_e4"] for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 10000  # exact dup -> jaccard 1
+    assert (1, 2) in got and 3000 <= got[(1, 2)] < 10000
+    assert not any(3 in p for p in got)  # doc 3 shares nothing
+
+
+def test_minhash_lsh_recalls_dups(spark):
+    pairs = minhash_lsh_pairs(docs(spark), threshold_e4=3000, max_freq=None)
+    got = {(r["i"], r["j"]) for r in pairs.collect()}
+    assert (1, 4) in got  # identical docs always share every band
+
+
+def test_simhash_close_for_near_dups(spark):
+    sig = rows_to_dict(simhash16(docs(spark)), "did", "simhash")
+    assert sig[1] == sig[4]  # identical docs -> identical signature
+    ham12 = bin(sig[1] ^ sig[2]).count("1")
+    ham13 = bin(sig[1] ^ sig[3]).count("1")
+    assert ham12 <= ham13  # near-dup at least as close as unrelated
+
+
+def test_brute_force_topk_and_lsh(spark):
+    import math
+    import random
+
+    random.seed(7)
+    base = [random.uniform(-1, 1) for _ in range(64)]
+    rows = []
+    for vid in range(12):
+        if vid == 9:  # near-copy of query vector 1
+            v = [x + 0.01 for x in base]
+        elif vid == 1:
+            v = base
+        else:
+            v = [random.uniform(-1, 1) for _ in range(64)]
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(emb, query_ids_below=2, topk=3)
+    top1 = {r["qid"]: r["cid"] for r in out.where("rn = 1").collect()}
+    assert top1[1] == 9  # the planted near-copy wins
+    # LSH path: planted near-copy lands in the same bucket as its query
+    lsh = rp_lsh_topk(emb, query_ids_below=2, topk=3)
+    got = {(r["qid"], r["cid"]) for r in lsh.collect()}
+    assert (1, 9) in got
