@@ -21,6 +21,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition before compute-heavy per-row work (shingling, md5).
+
+    A small parquet file arrives as ONE partition regardless of cluster
+    size — row-groups don't split — so hash pipelines would run on a
+    single core. One cheap shuffle of the raw rows unlocks full
+    parallelism; at real scale the input is already many splits and
+    this is a near-no-op rebalance."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
     """Exact duplicate groups: (content md5, representative id, count).
     One hash-shuffle; the representative is min(id) for determinism."""
@@ -33,22 +45,48 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> Dat
 
 def shingles(col: str = "text", k: int = 3) -> Column:
     """Distinct k-token shingles of a space-separated text column.
-    Documents shorter than k tokens yield an empty set (guarded:
-    Spark's sequence() would run backwards on a negative stop)."""
-    t = F.split(F.col(col), " ")
-    idx = F.sequence(F.lit(0), F.size(t) - k)
-    parts = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+    Documents shorter than k tokens yield an empty set.
+
+    NOTE: prefer ``shingle_sets`` on a DataFrame — this expression
+    embeds the tokenizer, and inside transform() lambdas Spark
+    re-evaluates embedded subexpressions per element (the split would
+    run ~3x per shingle)."""
+    return _shingle_arr(F.split(F.col(col), " "), k)
+
+
+def _shingle_arr(t: Column, k: int) -> Column:
+    """k-shingles via slice + zip_with: k shifted views of the token
+    array zipped with string concat. Unlike an index-based transform()
+    (whose lambda re-evaluates the embedded tokenizer per element —
+    measured ~100x slower), every array here is evaluated once per row.
+    Short docs produce zero-length slices ⇒ empty shingle set."""
+    m = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    views = [F.slice(t, i + 1, m) for i in range(k)]
+    out = views[-1]
+    for v in reversed(views[:-1]):
+        out = F.zip_with(v, out, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(out)
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text", k: int = 3
+) -> DataFrame:
+    """(did, ss) with the token array MATERIALIZED before shingling —
+    subexpression elimination does not reach into transform() lambdas,
+    so tokenizing into a column first avoids re-splitting the text for
+    every element_at (a ~100x hot-path difference)."""
+    toks = df.select(
+        F.col(id_col).alias("did"), F.split(F.col(col), " ").alias("__t")
     )
-    return F.when(F.size(t) >= k, F.array_distinct(F.transform(idx, parts))).otherwise(
-        F.array().cast("array<string>")
-    )
+    return toks.select("did", _shingle_arr(F.col("__t"), k).alias("ss"))
 
 
 def _exploded_shingles(
     df: DataFrame, id_col: str, col: str, k: int, max_freq: int | None
 ) -> DataFrame:
-    ex = df.select(F.col(id_col).alias("did"), F.explode(shingles(col, k)).alias("s"))
+    ex = shingle_sets(_spread(df, id_col), id_col, col, k).select(
+        "did", F.explode("ss").alias("s")
+    )
     if max_freq is not None:
         # stop-shingle cap: a shingle in >max_freq docs is blocked from
         # candidate generation (skew guard; pure semantics preserved
@@ -56,6 +94,35 @@ def _exploded_shingles(
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
         ex = ex.join(freq.where(F.col("f") <= max_freq), "s")
     return ex.select("did", "s")
+
+
+def _pairs_from_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """All (i, j) pairs with i<j from a column of sorted id arrays —
+    higher-order functions instead of a self-join, so the upstream DAG
+    executes ONCE and no cache is needed."""
+    pairs = F.expr(
+        f"flatten(transform({ids_col}, (x, i) -> "
+        f"transform(slice({ids_col}, i + 2, size({ids_col})), "
+        f"y -> struct(x AS i, y AS j))))"
+    )
+    # AQE coalesces the tiny bucket shuffle to ~1 partition; the pair
+    # expansion is interpreted (higher-order fns, no codegen) so spread
+    # it back out before exploding
+    return _spread(grouped).select(F.explode(pairs).alias("p")).select("p.i", "p.j")
+
+
+def _shingle_pair_counts(ex: DataFrame, bucket_cap: int = 1000) -> DataFrame:
+    """|A∩B| per doc pair from exploded (did, s): bucket by shingle,
+    emit in-bucket pairs, count per pair. Bucket size is already
+    bounded by the stop-shingle cap; bucket_cap is a second guard."""
+    buckets = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_set("did")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+    )
+    return _pairs_from_groups(buckets).groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -68,18 +135,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-gram Jaccard ≥ threshold.
 
-    Blocked self-join on shared shingles (never n²); Jaccard emitted
-    floor-scaled: jac_e4 = floor(10000·|∩| / (|A|+|B|−|∩|))."""
+    Candidate generation is bucket-by-shingle (cost follows true
+    near-dup density, never n²); Jaccard emitted floor-scaled:
+    jac_e4 = floor(10000·|∩| / (|A|+|B|−|∩|))."""
     ex = _exploded_shingles(df, id_col, col, k, max_freq)
-    sizes = df.select(
-        F.col(id_col).alias("did"), F.size(shingles(col, k)).alias("nsh")
+    sizes = shingle_sets(df, id_col, col, k).select(
+        "did", F.size("ss").alias("nsh")
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.did") < F.col("b.did")))
-        .groupBy(F.col("a.did").alias("i"), F.col("b.did").alias("j"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _shingle_pair_counts(ex)
     si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
     sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
     jac = F.floor(
@@ -93,13 +156,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def _mh_col(seed: int) -> Column:
-    """One md5-derived minhash function: min over shingles of the first
-    15 hex chars of md5(seed || '#' || shingle). Lexicographic order on
-    the fixed-width hex = numeric order — reproducible in any engine."""
-    return F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s"))).substr(1, 15))
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -107,10 +163,27 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per document: num_hashes md5-derived minima
-    computed in ONE pass over the exploded shingles (single shuffle)."""
-    ex = df.select(F.col(id_col).alias("did"), F.explode(shingles(col, k)).alias("s"))
-    aggs = [_mh_col(i).alias(f"mh{i}") for i in range(num_hashes)]
+    """MinHash signature per document, ONE pass over exploded shingles.
+
+    Hash-function economy: each md5 yields FOUR independent 32-bit
+    minhash functions (8-hex-char substrings), so 16 functions cost 4
+    md5 calls per shingle, not 16. Fixed-width hex compares
+    lexicographically == numerically, and every engine reproduces it
+    (the pluggable-but-portable alternative to xxhash64)."""
+    n_md5 = (num_hashes + 3) // 4
+    ex = shingle_sets(_spread(df, id_col), id_col, col, k).select(
+        "did", F.explode("ss").alias("s")
+    ).select(
+        "did",
+        *[
+            F.md5(F.concat(F.lit(f"{g}#"), F.col("s"))).alias(f"h{g}")
+            for g in range(n_md5)
+        ],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
     return ex.groupBy("did").agg(*aggs)
 
 
@@ -125,11 +198,15 @@ def minhash_lsh_pairs(
     max_freq: int | None = 100,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures into ``bands``
-    buckets, candidate pairs share ≥1 band bucket (equi-join, no n²),
-    then VERIFY candidates with exact shingle Jaccard ≥ threshold.
+    buckets, candidate pairs share ≥1 band bucket, then VERIFY
+    candidates with exact shingle Jaccard ≥ threshold.
 
-    Output matches ngram_jaccard_pairs on (i, j, jac_e4) for pairs the
-    LSH recalls — the scale path for the same semantics."""
+    Candidates come from a collect-per-bucket pair expansion (one pass
+    over the signatures — no self-join, no recompute); verification
+    semi-joins the candidate set against bucket-generated pair
+    intersection counts. Output matches ngram_jaccard_pairs on
+    (i, j, jac_e4) for pairs the LSH recalls — the scale path for the
+    same semantics."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, col, k, num_hashes)
     band_cols = [
@@ -148,30 +225,18 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("did", F.col("bk.band_id"), F.col("bk.key"))
-    a, b_ = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.did") < F.col("b.did")),
-        )
-        .select(F.col("a.did").alias("i"), F.col("b.did").alias("j"))
-        .distinct()
+    buckets = (
+        stacked.groupBy("band_id", "key")
+        .agg(F.sort_array(F.collect_set("did")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    # verification: exact Jaccard on candidates only
+    cand = _pairs_from_groups(buckets).distinct()
+    # verification: exact Jaccard, restricted to LSH candidates
     ex = _exploded_shingles(df, id_col, col, k, max_freq)
-    sizes = df.select(
-        F.col(id_col).alias("did"), F.size(shingles(col, k)).alias("nsh")
+    sizes = shingle_sets(df, id_col, col, k).select(
+        "did", F.size("ss").alias("nsh")
     )
-    ai = ex.select(F.col("did").alias("i"), F.col("s").alias("si"))
-    bj = ex.select(F.col("did").alias("jd"), F.col("s").alias("sj"))
-    inter = (
-        cand.join(ai, "i")
-        .join(bj, (F.col("j") == F.col("jd")) & (F.col("si") == F.col("sj")))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _shingle_pair_counts(ex).join(cand, ["i", "j"], "left_semi")
     si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
     sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
     jac = F.floor(
@@ -192,7 +257,7 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataF
     """16-bit SimHash over distinct tokens: bit i set iff the sum over
     tokens of ±1 (sign = high bit of md5 nibble i) is positive.
     md5-nibble signs keep the signature engine-reproducible."""
-    ex = df.select(
+    ex = _spread(df, id_col).select(
         F.col(id_col).alias("did"),
         F.explode(F.array_distinct(F.split(F.col(col), " "))).alias("w"),
     ).withColumn("h", F.md5(F.col("w")))

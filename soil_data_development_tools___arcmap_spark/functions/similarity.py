@@ -62,10 +62,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: vectors with id < query_ids_below are the
     query set (broadcast); all others are candidates."""
+    from .dedup import _spread
+
     q = emb.where(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("qid"), quantize_embedding(col).alias("qv")
     )
-    c = emb.where(F.col(id_col) >= query_ids_below).select(
+    c = _spread(emb.where(F.col(id_col) >= query_ids_below), id_col).select(
         F.col(id_col).alias("cid"), quantize_embedding(col).alias("cv")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -121,12 +123,14 @@ def rp_lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: equi-join on the LSH bucket (queries
     scan ~1/2^planes of the candidates), exact cosine within bucket."""
+    from .dedup import _spread
+
     signs = lsh_plane_signs(num_planes, 64)
     qz = quantize_embedding(col)
     q = emb.where(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("qid"), qz.alias("qv"), _bucket(qz, signs).alias("bkt")
     )
-    c = emb.where(F.col(id_col) >= query_ids_below).select(
+    c = _spread(emb.where(F.col(id_col) >= query_ids_below), id_col).select(
         F.col(id_col).alias("cid"), qz.alias("cv"), _bucket(qz, signs).alias("bkt")
     )
     scored = c.join(F.broadcast(q), "bkt").select(

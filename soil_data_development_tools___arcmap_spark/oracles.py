@@ -512,7 +512,8 @@ WHERE jac_e4 >= 3000
 """
 
 _MH = ", ".join(
-    f"MIN(substr(md5('{i}#' || s), 1, 15)) AS mh{i}" for i in range(16)
+    f"MIN(substr(md5('{i // 4}#' || s), {1 + 8 * (i % 4)}, 8)) AS mh{i}"
+    for i in range(16)
 )
 
 ORACLES["docs_minhash_signatures"] = f"""
