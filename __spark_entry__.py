@@ -31,9 +31,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sdv_dcp_categorical": Q.sdv_dcp_categorical,
     "sdv_dcp_tiebreak_higher": Q.sdv_dcp_tiebreak_higher,
     "sdv_dcd": Q.sdv_dcd,
+    "sdv_dcd_domain_reversed": Q.sdv_dcd_domain_reversed,
     "sdv_wta": Q.sdv_wta,
+    "sdv_wta_zero_nulls": Q.sdv_wta_zero_nulls,
     "sdv_maxmin_max": Q.sdv_maxmin_max,
+    "sdv_maxmin_min": Q.sdv_maxmin_min,
     "sdv_limiting_most": Q.sdv_limiting_most,
+    "sdv_limiting_least": Q.sdv_limiting_least,
     "sdv_pp_sum": Q.sdv_pp_sum,
     "sdv_aggregate1": Q.sdv_aggregate1,
     # horizon-level (depth-weighted) family
@@ -41,10 +45,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sdv_hz_wta_wta": Q.sdv_hz_wta_wta,
     "sdv_hz_dcp_wta": Q.sdv_hz_dcp_wta,
     "sdv_hz_maxmin_wta": Q.sdv_hz_maxmin_wta,
+    "sdv_hz_maxmin_dcd": Q.sdv_hz_maxmin_dcd,
+    "sdv_hz_maxmin_dcp": Q.sdv_hz_maxmin_dcp,
     # month-level family
     "sdv_mo_wta": Q.sdv_mo_wta,
     "sdv_mo_maxmin_wrap": Q.sdv_mo_maxmin_wrap,
+    "sdv_mo_dcd": Q.sdv_mo_dcd,
+    "sdv_mo_dcp_domain": Q.sdv_mo_dcp_domain,
     "sdv_dtwt_dcp": Q.sdv_dtwt_dcp,
+    "sdv_dtwt_dcd": Q.sdv_dtwt_dcd,
+    "sdv_wta_dtwt": Q.sdv_wta_dtwt,
     # Valu1 pipeline (SURVEY §2.5)
     "valu1_aws_ranges": Q.valu1_aws_ranges,
     "valu1_first_restriction": Q.valu1_first_restriction,

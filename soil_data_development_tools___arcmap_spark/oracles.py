@@ -132,6 +132,190 @@ SELECT p.okey, c.comppct_r, p.rating
 FROM picked p JOIN cw c ON p.okey = c.okey AND p.limit_rank = c.rnk
 """
 
+_RANK3_REV = (
+    "CASE upper(trim(rflag)) WHEN 'N' THEN 1 WHEN 'A' THEN 2 WHEN 'R' THEN 3 ELSE 4 END"
+)
+
+ORACLES["sdv_mo_dcp_domain"] = f"""
+WITH {_BASE},
+mc AS (SELECT DISTINCT okey, member, comppct_r, rflag FROM base)
+SELECT okey, comppct_r, rflag AS rating
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY okey
+        ORDER BY comppct_r DESC, {_RANK3} ASC, member ASC) AS rn
+      FROM mc)
+WHERE rn = 1
+"""
+
+ORACLES["sdv_mo_dcd"] = f"""
+WITH {_BASE},
+mc AS (
+  SELECT okey, member, comppct_r, MAX(rflag) AS rflag
+  FROM base WHERE monthseq BETWEEN 4 AND 9
+  GROUP BY okey, member, comppct_r),
+br AS (
+  SELECT okey, rflag, SUM(comppct_r) AS sw, MIN(member) AS mm
+  FROM mc GROUP BY okey, rflag),
+tt AS (
+  SELECT okey, rflag, sw, mm,
+         SUM(sw) OVER (PARTITION BY okey) AS tw,
+         row_number() OVER (
+           PARTITION BY okey
+           ORDER BY sw DESC, {_RANK3} ASC, mm ASC) AS rn
+  FROM br),
+dcd AS (
+  SELECT okey, CAST((200*sw + tw) // (2*tw) AS INTEGER) AS comppct_r,
+         rflag AS rating
+  FROM tt WHERE rn = 1),
+dcp AS (
+  SELECT okey, comppct_r AS dcp_w, rflag AS dcp_r
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY okey
+          ORDER BY comppct_r DESC, {_RANK3} ASC, member ASC) AS rn
+        FROM mc)
+  WHERE rn = 1)
+SELECT d.okey, d.comppct_r,
+       CASE WHEN p.dcp_w >= 50 THEN p.dcp_r ELSE d.rating END AS rating
+FROM dcd d LEFT JOIN dcp p USING (okey)
+"""
+
+ORACLES["sdv_dcd_domain_reversed"] = f"""
+WITH {_BASE},
+br AS (
+  SELECT okey, rflag, SUM(comppct_r) AS sw, MIN(member) AS mm
+  FROM base GROUP BY okey, rflag),
+tt AS (
+  SELECT okey, rflag, sw, mm,
+         SUM(sw) OVER (PARTITION BY okey) AS tw,
+         row_number() OVER (
+           PARTITION BY okey
+           ORDER BY sw DESC, {_RANK3_REV} ASC, mm ASC) AS rn
+  FROM br)
+SELECT okey, CAST((200*sw + tw) // (2*tw) AS INTEGER) AS comppct_r,
+       rflag AS rating
+FROM tt WHERE rn = 1
+"""
+
+ORACLES["sdv_maxmin_min"] = f"""
+WITH {_BASE}
+SELECT okey, comppct_r, rflag AS rating
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY okey
+        ORDER BY {_RANK3} ASC, comppct_r DESC, member ASC) AS rn
+      FROM base)
+WHERE rn = 1
+"""
+
+ORACLES["sdv_limiting_least"] = f"""
+WITH {_BASE},
+r AS (SELECT *, {_RANK_LIM} AS rnk FROM base),
+picked AS (
+  SELECT okey, rnk AS limit_rank, rflag AS rating
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY okey
+          ORDER BY CASE WHEN rnk >= 3 THEN 1 ELSE 0 END ASC,
+                   rnk DESC, comppct_r DESC, member ASC) AS rn
+        FROM r)
+  WHERE rn = 1),
+cw AS (SELECT okey, rnk, CAST(SUM(comppct_r) AS BIGINT) AS comppct_r FROM r GROUP BY okey, rnk)
+SELECT p.okey, c.comppct_r, p.rating
+FROM picked p JOIN cw c ON p.okey = c.okey AND p.limit_rank = c.rnk
+"""
+
+ORACLES["sdv_wta_zero_nulls"] = f"""
+WITH {_BASE},
+z AS (SELECT okey, comppct_r,
+             CASE WHEN rflag = 'R' THEN 0 ELSE price_c END AS pn
+      FROM base)
+SELECT okey, CAST(SUM(comppct_r) AS BIGINT) AS comppct_r,
+       CAST(floor((SUM(comppct_r*pn)/SUM(comppct_r))*10000) AS BIGINT)
+         AS rating_e4
+FROM z GROUP BY okey
+"""
+
+ORACLES["sdv_dtwt_dcd"] = f"""
+WITH {_BASE},
+mc AS (
+  SELECT okey, member, comppct_r,
+         MAX(CASE WHEN comppct_r = 50 THEN 201 ELSE comppct_r END) AS v
+  FROM base GROUP BY okey, member, comppct_r),
+br AS (
+  SELECT okey, v, SUM(comppct_r) AS sw, MIN(member) AS mm
+  FROM mc GROUP BY okey, v),
+tt AS (
+  SELECT okey, v, sw, mm,
+         SUM(sw) OVER (PARTITION BY okey) AS tw,
+         row_number() OVER (
+           PARTITION BY okey
+           ORDER BY sw DESC, v ASC, mm ASC) AS rn
+  FROM br),
+dcd AS (
+  SELECT okey, CAST((200*sw + tw) // (2*tw) AS INTEGER) AS comppct_r,
+         v AS rating
+  FROM tt WHERE rn = 1),
+dcp AS (
+  SELECT okey, comppct_r AS dcp_w, v AS dcp_r
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY okey
+          ORDER BY comppct_r DESC, v ASC, member ASC) AS rn
+        FROM mc)
+  WHERE rn = 1)
+SELECT d.okey, d.comppct_r,
+       CASE WHEN p.dcp_w >= 50 THEN p.dcp_r ELSE d.rating END AS rating
+FROM dcd d LEFT JOIN dcp p USING (okey)
+"""
+
+ORACLES["sdv_wta_dtwt"] = f"""
+WITH {_BASE},
+mc AS (
+  SELECT okey, member, comppct_r,
+         MIN(CASE WHEN comppct_r = 50 THEN 201 ELSE comppct_r END) AS v
+  FROM base GROUP BY okey, member, comppct_r)
+SELECT okey,
+       CAST(SUM(CASE WHEN v <> 201 THEN comppct_r END) AS BIGINT) AS comppct_r,
+       CAST(floor((SUM(CASE WHEN v <> 201 THEN comppct_r*v END)
+                   / SUM(CASE WHEN v <> 201 THEN comppct_r END))*10000) AS BIGINT)
+         AS rating_e4
+FROM mc GROUP BY okey
+"""
+
+_HZ_MM = """
+c AS (
+  SELECT ckey, okey, o_w,
+         MAX(CASE WHEN greatest(least(hzdepb, 30) - greatest(hzdept, 0), 0) > 0
+                  THEN qty END) AS hzv
+  FROM hz GROUP BY ckey, okey, o_w)"""
+
+ORACLES["sdv_hz_maxmin_dcd"] = f"""
+WITH {_HZ},
+{_HZ_MM},
+cc AS (SELECT * FROM c WHERE hzv IS NOT NULL),
+br AS (
+  SELECT ckey, hzv, SUM(o_w) AS sw, MIN(okey) AS mm
+  FROM cc GROUP BY ckey, hzv),
+tt AS (
+  SELECT ckey, hzv, sw, mm,
+         SUM(sw) OVER (PARTITION BY ckey) AS tw,
+         row_number() OVER (
+           PARTITION BY ckey
+           ORDER BY sw DESC, hzv ASC, mm ASC) AS rn
+  FROM br)
+SELECT ckey, CAST((200*sw + tw) // (2*tw) AS INTEGER) AS comppct_r,
+       hzv AS rating
+FROM tt WHERE rn = 1
+"""
+
+ORACLES["sdv_hz_maxmin_dcp"] = f"""
+WITH {_HZ},
+{_HZ_MM}
+SELECT ckey, o_w AS comppct_r, hzv AS rating
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY ckey
+        ORDER BY o_w DESC, hzv ASC, okey ASC) AS rn
+      FROM c WHERE hzv IS NOT NULL)
+WHERE rn = 1
+"""
+
 ORACLES["sdv_pp_sum"] = """
 WITH s AS (
   SELECT l_orderkey AS okey,

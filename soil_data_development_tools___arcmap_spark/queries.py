@@ -296,6 +296,144 @@ def sdv_dtwt_dcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_dcp(collapsed, spec)
 
 
+def sdv_mo_dcp_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_Mo_DCP_Domain: monthly data replicates the component
+    weight (the 12x trap, gSSURGO_CreateSoilMap.py:10710-10716) — dedupe
+    months FIRST, then dominant component over the ordinal domain."""
+    spec = RatingSpec(
+        rating_col="rflag", out_col="rating", domain=RFLAG_DOMAIN, **_CO_SPEC
+    )
+    df = li_component(spark, sf_dir).withColumn(
+        "mrep", F.explode(F.sequence(F.lit(1), F.lit(3)))
+    )
+    collapsed = month_collapse(df, spec, how="distinct")
+    return agg_dcp(collapsed, spec)
+
+
+def sdv_mo_dcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_Mo_DCD: month-window filter [4,9], highest monthly
+    class per component, then dominant condition over the domain."""
+    spec = RatingSpec(
+        rating_col="rflag", out_col="rating", domain=RFLAG_DOMAIN, **_CO_SPEC
+    )
+    collapsed = month_collapse(
+        li_component(spark, sf_dir), spec, how="max", beg_month=4, end_month=9
+    )
+    return agg_dcd(collapsed, spec, dcp_override=True)
+
+
+def sdv_dcd_domain_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_DCD_Domain with a suitability interp's REVERSED
+    domain (ruledesign=2, gSSURGO_CreateSoilMap.py:9942-9944); no
+    DCP-override to exercise the plain condition winner."""
+    spec = RatingSpec(
+        rating_col="rflag",
+        out_col="rating",
+        domain=RFLAG_DOMAIN,
+        domain_reversed=True,
+        **_CO_SPEC,
+    )
+    return agg_dcd(li_component(spark, sf_dir), spec, dcp_override=False)
+
+
+def sdv_maxmin_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_MaxMin (minimum) over an ordinal domain — the extreme
+    is the LOWEST domain index, ties by weight then member."""
+    spec = RatingSpec(
+        rating_col="rflag", out_col="rating", domain=RFLAG_DOMAIN, **_CO_SPEC
+    )
+    return agg_maxmin(li_component(spark, sf_dir), spec, maximum=False)
+
+
+def sdv_limiting_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_Limiting (Least Limiting): max domain index, 'Not
+    rated' still loses to any real class."""
+    spec = RatingSpec(
+        rating_col="rflag", out_col="rating", domain=LIMITING_DOMAIN, **_CO_SPEC
+    )
+    return agg_limiting(li_component(spark, sf_dir), spec, most=False)
+
+
+def sdv_wta_zero_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_WTA with bZero: null ratings count as 0 in the
+    weighted average instead of being dropped (:8034-8039)."""
+    df = li_component(spark, sf_dir).withColumn(
+        "pn", F.when(F.col("rflag") == "R", None).otherwise(F.col("price_c"))
+    )
+    spec = RatingSpec(
+        rating_col="pn", out_col="rating", zero_nulls=True, **_CO_SPEC
+    )
+    out = agg_wta(df, spec)
+    return out.select("okey", "comppct_r", _floor_e("rating", 10000).alias("rating_e4"))
+
+
+def _dtwt_input(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, RatingSpec]:
+    """Depth-to-water-table shape: nulls synthesized where qty=50,
+    replaced by the 201 'no water table' sentinel
+    (nullratingreplacementvalue, gSSURGO_CreateSoilMap.py:9727-9741)."""
+    df = li_component(spark, sf_dir).withColumn(
+        "qty_n", F.when(F.col("comppct_r") == 50, None).otherwise(F.col("comppct_r"))
+    )
+    spec = RatingSpec(
+        rating_col="qty_n", out_col="rating", null_replacement=201, **_CO_SPEC
+    )
+    return df, spec
+
+
+def sdv_dtwt_dcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_DCD_DTWT: month-collapse (max), 201 sentinel for
+    nulls, then dominant condition with the >=50 DCP-override."""
+    df, spec = _dtwt_input(spark, sf_dir)
+    collapsed = month_collapse(df, spec, how="max")
+    return agg_dcd(collapsed, spec, dcp_override=True)
+
+
+def sdv_wta_dtwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_WTA_DTWT: the 201 sentinel is EXCLUDED from both
+    sides of the weighted average (:8076-8094) — components with no
+    water table don't dilute the mean."""
+    df, spec = _dtwt_input(spark, sf_dir)
+    collapsed = month_collapse(df, spec, how="min")
+    out = agg_wta(collapsed, spec, exclude_values=[201])
+    return out.select("okey", "comppct_r", _floor_e("rating", 10000).alias("rating_e4"))
+
+
+def _hz_member_max(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, RatingSpec]:
+    """Per-member max over horizons in [0,30) — the first stage of the
+    AggregateHz_MaxMin_* family (gSSURGO_CreateSoilMap.py:8895-9345)."""
+    df = li_horizon(spark, sf_dir)
+    hz_t = clipped_thickness("hzdept", "hzdepb", 0, 30)
+    comp = (
+        df.groupBy("ckey", "okey", "o_w")
+        .agg(F.max(F.when(hz_t > 0, F.col("qty"))).alias("hzv"))
+        .where(F.col("hzv").isNotNull())
+    )
+    spec = RatingSpec(
+        rating_col="hzv",
+        group_cols=["ckey"],
+        member_col="okey",
+        weight_col="o_w",
+        out_col="rating",
+    )
+    return comp, spec
+
+
+def sdv_hz_maxmin_dcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateHz_MaxMin_DCD (K-factor style): horizon max per member,
+    then dominant condition across members (:9052-9198)."""
+    comp, spec = _hz_member_max(spark, sf_dir)
+    out = agg_dcd(comp, spec, dcp_override=False)
+    return out.select("ckey", F.col("o_w").alias("comppct_r"), "rating")
+
+
+def sdv_hz_maxmin_dcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateHz_MaxMin_DCP: horizon max per member, then dominant
+    component (:9201-9345)."""
+    comp, spec = _hz_member_max(spark, sf_dir)
+    out = agg_dcp(comp, spec)
+    return out.select("ckey", F.col("o_w").alias("comppct_r"), "rating")
+
+
 # ------------------------------------------------ Valu1-style pipeline
 
 
