@@ -58,6 +58,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Valu1 pipeline (SURVEY §2.5)
     "valu1_aws_ranges": Q.valu1_aws_ranges,
     "valu1_first_restriction": Q.valu1_first_restriction,
+    "valu1_sum_pct": Q.valu1_sum_pct,
+    "valu1_rz_depth": Q.valu1_rz_depth,
+    "valu1_rz_aws_droughty": Q.valu1_rz_aws_droughty,
+    "valu1_soc": Q.valu1_soc,
+    "valu1_nccpi": Q.valu1_nccpi,
+    "valu1_pwsl": Q.valu1_pwsl,
     # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)
     "merge_dedup": Q.merge_dedup,
     "distinct_scan": Q.distinct_scan,

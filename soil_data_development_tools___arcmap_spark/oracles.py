@@ -461,6 +461,236 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn = 1
 """
 
+# ---- synthesized SSURGO-shaped tables (queries.ssurgo_synth twins) ----
+
+_SYN = """
+syn_co AS (
+  SELECT o_custkey AS mukey, o_orderkey AS cokey,
+         o_orderkey % 97 + 3 AS comppct_r,
+         CASE WHEN o_orderkey % 4 <> 0 THEN 'Yes' ELSE 'No' END AS majcompflag,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'Miscellaneous area'
+              WHEN o_orderkey % 5 = 1 THEN NULL
+              ELSE 'Series' END AS compkind,
+         CASE WHEN o_orderkey % 23 = 0 THEN 'Water' ELSE 'Soil' END AS compname,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'Yes'
+              WHEN o_orderkey % 7 = 1 THEN 'Unranked' ELSE 'No' END AS hydricrating,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'Poorly drained'
+              WHEN o_orderkey % 3 = 1 THEN 'Very poorly drained'
+              ELSE 'Well drained' END AS drainagecl,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'partially drained' END AS localphase,
+         CAST(NULL AS VARCHAR) AS otherph,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'Histosols' ELSE 'Mollisols' END AS taxorder,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'Histic Epiaquolls'
+              ELSE 'Typic Hapludolls' END AS taxsubgrp
+  FROM orders)"""
+
+_SYN_QT = """
+syn_hz AS (
+  SELECT l_orderkey AS cokey, l_orderkey*10 + l_linenumber AS chkey,
+         CAST((l_linenumber-1)*15 AS BIGINT) AS hzdept_r,
+         CAST((l_linenumber-1)*15 + 5 + l_partkey % 11 AS BIGINT) AS hzdepb_r,
+         CAST(l_partkey % 5 AS DOUBLE) AS awc_r,
+         CAST(l_partkey % 7 AS DOUBLE) AS om_r,
+         1.0 + (l_partkey % 100) / 100.0 AS dbthirdbar_r,
+         3.0 + (l_suppkey % 60) / 10.0 AS ph1to1h2o_r,
+         CAST(l_suppkey % 20 AS DOUBLE) AS ec_r,
+         CAST(l_partkey % 60 + 10 AS DOUBLE) AS sandtotal_r,
+         CAST(l_suppkey % 40 + 10 AS DOUBLE) AS silttotal_r,
+         CAST(100 - (l_partkey % 60 + 10) - (l_suppkey % 40 + 10) AS DOUBLE)
+           AS claytotal_r,
+         CASE WHEN l_linenumber % 4 = 0 THEN 'O' WHEN l_linenumber % 4 = 1 THEN 'A'
+              WHEN l_linenumber % 4 = 2 THEN 'B' ELSE 'C' END AS desgnmaster
+  FROM lineitem),
+syn_tex AS (
+  SELECT g.chkey, g.texture, x.lieutex
+  FROM (SELECT l_orderkey*10 + l_linenumber AS chkey,
+               CASE WHEN l_suppkey % 6 = 0 THEN 'No' ELSE 'Yes' END AS rvindicator,
+               CASE WHEN l_partkey % 19 = 0 THEN 'MUCK' ELSE 'SL' END AS texture
+        FROM lineitem) g
+  JOIN (SELECT l_orderkey*10 + l_linenumber AS chtgkey,
+               CASE WHEN l_partkey % 23 = 0 THEN 'Peat' END AS lieutex
+        FROM lineitem) x ON g.chkey = x.chtgkey
+  WHERE g.rvindicator = 'Yes'),
+syn_fv AS (
+  SELECT l_orderkey*10 + l_linenumber AS chkey,
+         SUM(CAST(l_suppkey % 30 AS DOUBLE)) AS fragvol
+  FROM lineitem WHERE l_partkey % 3 = 0 GROUP BY 1),
+syn_qt AS (
+  SELECT c.*, h.chkey, h.hzdept_r, h.hzdepb_r, h.awc_r, h.om_r, h.dbthirdbar_r,
+         h.ph1to1h2o_r, h.ec_r, h.sandtotal_r, h.silttotal_r, h.claytotal_r,
+         h.desgnmaster, t.texture, t.lieutex, f.fragvol
+  FROM syn_co c
+  LEFT JOIN syn_hz h ON c.cokey = h.cokey
+  LEFT JOIN syn_tex t ON h.chkey = t.chkey
+  LEFT JOIN syn_fv f ON h.chkey = f.chkey),
+syn_restr AS (
+  SELECT cokey, resdept FROM (
+    SELECT cokey, resdept_r AS resdept,
+           row_number() OVER (PARTITION BY cokey
+                              ORDER BY resdept_r ASC, corestrictkey) AS rn
+    FROM (SELECT l_orderkey AS cokey,
+                 l_orderkey*10 + l_linenumber AS corestrictkey,
+                 CAST(l_suppkey % 180 AS INTEGER) AS resdept_r,
+                 CASE WHEN l_suppkey % 8 = 0 THEN 'Lithic bedrock'
+                      WHEN l_suppkey % 8 = 1 THEN 'Paralithic bedrock'
+                      WHEN l_suppkey % 8 = 2 THEN 'Densic bedrock'
+                      WHEN l_suppkey % 8 = 3 THEN 'Fragipan'
+                      WHEN l_suppkey % 8 = 4 THEN 'Duripan'
+                      WHEN l_suppkey % 8 = 5 THEN 'Sulfuric'
+                      WHEN l_suppkey % 8 = 6 THEN 'Petrocalcic'
+                      ELSE 'Abrupt textural change' END AS reskind
+          FROM lineitem WHERE l_partkey % 13 = 0)
+    WHERE reskind IN ('Lithic bedrock','Paralithic bedrock','Densic bedrock',
+                      'Fragipan','Duripan','Sulfuric')
+      AND resdept_r < 150)
+  WHERE rn = 1)"""
+
+_MAJOR_EARTHY = (
+    "compkind IS NOT NULL AND compkind <> 'Miscellaneous area' "
+    "AND majcompflag = 'Yes'"
+)
+
+_ORGANIC = """(CASE WHEN taxorder = 'Histosols'
+        OR lower(coalesce(taxsubgrp,'')) LIKE '%histic%' THEN FALSE
+  ELSE upper(coalesce(desgnmaster,'')) IN ('O','L')
+       OR upper(coalesce(texture,'')) IN
+          ('MUCK','MPT','PEAT','SPM','UDOM','PDOM','HPM','MPM')
+       OR coalesce(lieutex,'') IN
+          ('Muck','Mucky peat','Peat','Coprogenous earth') END)"""
+
+_DENSE = """((dbthirdbar_r
+   - (sandtotal_r*1.65 + silttotal_r*1.30 + claytotal_r*1.25)/100.0)
+  > (sandtotal_r*0.002081 + silttotal_r*0.003912 + claytotal_r*0.0024351))"""
+
+_LIMITING = f"({_DENSE} OR (ph1to1h2o_r <= 3.5 AND NOT {_ORGANIC}) OR (ec_r >= 16))"
+
+_RZD = f"""
+hzl AS (
+  SELECT mukey, cokey, comppct_r,
+         MIN(CASE WHEN {_LIMITING} THEN hzdept_r END) AS hz_restrict
+  FROM syn_qt
+  WHERE {_MAJOR_EARTHY} AND hzdept_r IS NOT NULL
+  GROUP BY mukey, cokey, comppct_r),
+v_rzd AS (
+  SELECT h.mukey, h.cokey, h.comppct_r,
+         CAST(least(coalesce(hz_restrict, 150), coalesce(r.resdept, 150), 150)
+              AS INTEGER) AS rzdepth
+  FROM hzl h LEFT JOIN syn_restr r ON h.cokey = r.cokey)"""
+
+ORACLES["valu1_sum_pct"] = f"""
+WITH {_SYN}
+SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS musumcpct,
+       CAST(SUM(CASE WHEN {_MAJOR_EARTHY} THEN comppct_r END) AS BIGINT)
+         AS musumcpcta,
+       CAST(SUM(CASE WHEN majcompflag = 'Yes' THEN comppct_r END) AS BIGINT)
+         AS musumcpcts
+FROM syn_co GROUP BY mukey
+"""
+
+ORACLES["valu1_rz_depth"] = f"""
+WITH {_SYN},{_SYN_QT},{_RZD}
+SELECT mukey, cokey, comppct_r, rzdepth FROM v_rzd
+"""
+
+ORACLES["valu1_rz_aws_droughty"] = f"""
+WITH {_SYN},{_SYN_QT},{_RZD},
+rza_c AS (
+  SELECT q.mukey, q.cokey, q.comppct_r, d.rzdepth,
+         SUM(CASE WHEN q.awc_r IS NOT NULL THEN
+               greatest(least(q.hzdepb_r, d.rzdepth)
+                        - greatest(q.hzdept_r, 0), 0) * q.awc_r * 10.0 END) AS caws
+  FROM syn_qt q JOIN v_rzd d ON q.cokey = d.cokey
+  WHERE {_MAJOR_EARTHY}
+  GROUP BY q.mukey, q.cokey, q.comppct_r, d.rzdepth)
+SELECT mukey, rootznaws, rootznemc,
+       CAST(rootznaws <= 152 AS INTEGER) AS droughty
+FROM (SELECT mukey,
+             round(SUM(comppct_r*caws)
+                   / SUM(CASE WHEN caws IS NOT NULL THEN comppct_r END), 0)
+               AS rootznaws,
+             least(round(SUM(comppct_r*rzdepth)/SUM(comppct_r), 0), 150.0)
+               AS rootznemc
+      FROM rza_c GROUP BY mukey)
+"""
+
+ORACLES["valu1_soc"] = f"""
+WITH {_SYN},{_SYN_QT},
+soc_hz AS (
+  SELECT q.mukey, q.cokey, q.comppct_r, rng.top, rng.bot,
+         q.hzdept_r, q.hzdepb_r, q.om_r, q.dbthirdbar_r, q.fragvol, r.resdept
+  FROM syn_qt q
+  LEFT JOIN syn_restr r ON q.cokey = r.cokey,
+  (VALUES (0,20),(20,50),(50,100),(0,100)) AS rng(top, bot)),
+soc_c AS (
+  SELECT mukey, cokey, comppct_r, top, bot,
+         SUM(CASE WHEN om_r IS NOT NULL AND dbthirdbar_r IS NOT NULL THEN
+               CAST(floor(
+                 greatest(least(hzdepb_r, bot, coalesce(resdept, 999))
+                          - greatest(hzdept_r, top), 0)
+                 * ((1.0 - coalesce(fragvol, 0.0)/100.0) * 10.0
+                    * (om_r/1.724) * dbthirdbar_r) * 1000) AS BIGINT)
+             END) AS csoc
+  FROM soc_hz GROUP BY mukey, cokey, comppct_r, top, bot)
+SELECT mukey, top, bot,
+       CAST(floor(SUM(comppct_r*csoc)
+                  / SUM(CASE WHEN csoc IS NOT NULL THEN comppct_r END))
+            AS BIGINT) AS soc
+FROM soc_c GROUP BY mukey, top, bot
+"""
+
+ORACLES["valu1_nccpi"] = f"""
+WITH {_SYN},
+syn_ci AS (
+  SELECT o_orderkey AS cokey, r.ruledepth, r.rulename,
+         CAST((o_orderkey * (r.ruledepth + 2)) % 101 AS DOUBLE) AS interphr
+  FROM orders,
+       (VALUES (0, 'NCCPI - NCCPI'), (1, 'NCCPI - Corn Submodel'),
+               (1, 'NCCPI - Soybeans Submodel')) AS r(ruledepth, rulename))
+SELECT mukey,
+  CAST(floor(SUM(CASE WHEN ruledepth = 0 THEN interphr*comppct_r END)
+        / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+    AS nccpi3all,
+  CAST(floor(SUM(CASE WHEN ruledepth = 1 AND rulename LIKE '%Corn%'
+                 THEN interphr*comppct_r END)
+        / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+    AS nccpi3corn,
+  CAST(floor(SUM(CASE WHEN ruledepth = 1 AND rulename LIKE '%Soybean%'
+                 THEN interphr*comppct_r END)
+        / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+    AS nccpi3soy,
+  CAST(floor(SUM(CASE WHEN ruledepth = 1 AND rulename LIKE '%Cotton%'
+                 THEN interphr*comppct_r END)
+        / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+    AS nccpi3cot,
+  CAST(floor(SUM(CASE WHEN ruledepth = 1 AND rulename LIKE '%Small Grain%'
+                 THEN interphr*comppct_r END)
+        / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+    AS nccpi3sg
+FROM syn_co c JOIN syn_ci i ON c.cokey = i.cokey
+WHERE majcompflag = 'Yes'
+GROUP BY mukey
+"""
+
+ORACLES["valu1_pwsl"] = f"""
+WITH {_SYN},
+w AS (
+  SELECT mukey,
+    SUM(CASE WHEN compname IN ('Water','WATER','water')
+              OR hydricrating = 'Yes'
+              OR (hydricrating = 'Unranked' AND
+                  (drainagecl IN ('Poorly drained','Very poorly drained')
+                   OR lower(coalesce(localphase,'')) LIKE '%drained%'
+                   OR lower(coalesce(otherph,'')) LIKE '%drained%'))
+         THEN comppct_r END) AS pwsl_pct,
+    SUM(CASE WHEN compname IN ('Water','WATER','water')
+         THEN comppct_r END) AS water_pct
+  FROM syn_co GROUP BY mukey)
+SELECT mukey,
+       CAST(CASE WHEN water_pct >= 80 THEN 999 ELSE pwsl_pct END AS INTEGER)
+         AS pwsl1pomu
+FROM w
+"""
+
 ORACLES["merge_dedup"] = """
 SELECT DISTINCT * FROM (
   SELECT * FROM nation UNION ALL SELECT * FROM nation)

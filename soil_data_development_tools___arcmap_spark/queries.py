@@ -466,6 +466,197 @@ def valu1_aws_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ssurgo_synth(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """SSURGO-shaped tables synthesized deterministically from the
+    TPC-H tables, so the REAL Valu1 pipeline code paths run under the
+    oracle gate: orders→component (mukey=o_custkey, cokey=o_orderkey),
+    lineitem→chorizon/chtexturegrp/chtexture/chfrags/corestrictions.
+    All numeric soil properties are integer-valued doubles (exact under
+    float summation) except dbthirdbar_r/ph1to1h2o_r, which feed only
+    per-row products and comparisons (IEEE-deterministic)."""
+    ok = F.col("o_orderkey")
+    component = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("mukey"),
+        ok.alias("cokey"),
+        (ok % 97 + 3).alias("comppct_r"),
+        F.when(ok % 4 != 0, "Yes").otherwise("No").alias("majcompflag"),
+        F.when(ok % 5 == 0, "Miscellaneous area")
+        .when(ok % 5 == 1, F.lit(None).cast("string"))
+        .otherwise("Series")
+        .alias("compkind"),
+        F.when(ok % 23 == 0, "Water").otherwise("Soil").alias("compname"),
+        F.when(ok % 7 == 0, "Yes")
+        .when(ok % 7 == 1, "Unranked")
+        .otherwise("No")
+        .alias("hydricrating"),
+        F.when(ok % 3 == 0, "Poorly drained")
+        .when(ok % 3 == 1, "Very poorly drained")
+        .otherwise("Well drained")
+        .alias("drainagecl"),
+        F.when(ok % 11 == 0, "partially drained").alias("localphase"),
+        F.lit(None).cast("string").alias("otherph"),
+        F.when(ok % 13 == 0, "Histosols").otherwise("Mollisols").alias("taxorder"),
+        F.when(ok % 17 == 0, "Histic Epiaquolls")
+        .otherwise("Typic Hapludolls")
+        .alias("taxsubgrp"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    lk, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    chkey = lk * 10 + ln
+    chorizon = li.select(
+        lk.alias("cokey"),
+        chkey.alias("chkey"),
+        ((ln - 1) * 15).cast("long").alias("hzdept_r"),
+        ((ln - 1) * 15 + 5 + pk % 11).cast("long").alias("hzdepb_r"),
+        (pk % 5).cast("double").alias("awc_r"),
+        (pk % 7).cast("double").alias("om_r"),
+        (F.lit(1.0) + (pk % 100) / F.lit(100.0)).alias("dbthirdbar_r"),
+        (F.lit(3.0) + (sk % 60) / F.lit(10.0)).alias("ph1to1h2o_r"),
+        (sk % 20).cast("double").alias("ec_r"),
+        (pk % 60 + 10).cast("double").alias("sandtotal_r"),
+        (sk % 40 + 10).cast("double").alias("silttotal_r"),
+        (100 - (pk % 60 + 10) - (sk % 40 + 10)).cast("double").alias("claytotal_r"),
+        F.when(ln % 4 == 0, "O")
+        .when(ln % 4 == 1, "A")
+        .when(ln % 4 == 2, "B")
+        .otherwise("C")
+        .alias("desgnmaster"),
+    )
+    chtexturegrp = li.select(
+        chkey.alias("chkey"),
+        chkey.alias("chtgkey"),
+        F.when(sk % 6 == 0, "No").otherwise("Yes").alias("rvindicator"),
+        F.when(pk % 19 == 0, "MUCK").otherwise("SL").alias("texture"),
+    )
+    chtexture = li.select(
+        chkey.alias("chtgkey"), F.when(pk % 23 == 0, "Peat").alias("lieutex")
+    )
+    chfrags = li.where(pk % 3 == 0).select(
+        chkey.alias("chkey"), (sk % 30).cast("double").alias("fragvol_r")
+    )
+    corestrictions = li.where(pk % 13 == 0).select(
+        lk.alias("cokey"),
+        chkey.alias("corestrictkey"),
+        (sk % 180).cast("int").alias("resdept_r"),
+        F.when(sk % 8 == 0, "Lithic bedrock")
+        .when(sk % 8 == 1, "Paralithic bedrock")
+        .when(sk % 8 == 2, "Densic bedrock")
+        .when(sk % 8 == 3, "Fragipan")
+        .when(sk % 8 == 4, "Duripan")
+        .when(sk % 8 == 5, "Sulfuric")
+        .when(sk % 8 == 6, "Petrocalcic")
+        .otherwise("Abrupt textural change")
+        .alias("reskind"),
+    )
+    cointerp = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            ok.alias("cokey"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("ruledepth"),
+                        F.lit("NCCPI - NCCPI").alias("rulename"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("ruledepth"),
+                        F.lit("NCCPI - Corn Submodel").alias("rulename"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("ruledepth"),
+                        F.lit("NCCPI - Soybeans Submodel").alias("rulename"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select(
+            "cokey",
+            F.col("r.ruledepth").alias("ruledepth"),
+            F.col("r.rulename").alias("rulename"),
+            F.lit("NCCPI - National Commodity Crop Productivity Index").alias(
+                "mrulename"
+            ),
+            ((F.col("cokey") * (F.col("r.ruledepth") + 2)) % 101)
+            .cast("double")
+            .alias("interphr"),
+        )
+    )
+    return dict(
+        component=component,
+        chorizon=chorizon,
+        chtexturegrp=chtexturegrp,
+        chtexture=chtexture,
+        chfrags=chfrags,
+        corestrictions=corestrictions,
+        cointerp=cointerp,
+    )
+
+
+def _synth_qt_restr(spark: SparkSession, sf_dir: str):
+    from .valu1.pipeline import build_query_table, get_co_restrictions
+
+    t = ssurgo_synth(spark, sf_dir)
+    qt = build_query_table(
+        t["component"],
+        t["chorizon"],
+        t["chtexturegrp"],
+        t["chtexture"],
+        t["chfrags"],
+    )
+    return t, qt, get_co_restrictions(t["corestrictions"])
+
+
+def valu1_sum_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetSumPct: per-mukey Σcomppct for the component classes."""
+    from .valu1.pipeline import get_sum_pct
+
+    return get_sum_pct(ssurgo_synth(spark, sf_dir)["component"])
+
+
+def valu1_rz_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalcRZDepth: shallowest of dense layer / pH / EC / corestriction,
+    default 150, over major-earthy components."""
+    from .valu1.pipeline import calc_rz_depth
+
+    _, qt, restr = _synth_qt_restr(spark, sf_dir)
+    return calc_rz_depth(qt, restr)
+
+
+def valu1_rz_aws_droughty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalcRZAWS + droughty flag (root-zone AWS 0-150, mukey level)."""
+    from .valu1.pipeline import calc_rz_aws, calc_rz_depth
+
+    _, qt, restr = _synth_qt_restr(spark, sf_dir)
+    return calc_rz_aws(qt, calc_rz_depth(qt, restr))
+
+
+def valu1_soc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalcSOC over 4 depth ranges, restriction-capped, frag-corrected;
+    exact-scale output (milli-units) for cross-engine hashing."""
+    from .valu1.pipeline import calc_soc
+
+    _, qt, restr = _synth_qt_restr(spark, sf_dir)
+    return calc_soc(
+        qt, restr, ranges=[(0, 20), (20, 50), (50, 100), (0, 100)], exact_scale=1000
+    )
+
+
+def valu1_nccpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalcNCCPI3: fuzzy-value weighted rollup, overall + crop submodels."""
+    from .valu1.pipeline import calc_nccpi
+
+    t = ssurgo_synth(spark, sf_dir)
+    return calc_nccpi(t["component"], t["cointerp"], exact_scale=1000)
+
+
+def valu1_pwsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalcPWSL: potential wet soil landscape pct with the 999 sentinel."""
+    from .valu1.pipeline import calc_pwsl
+
+    return calc_pwsl(ssurgo_synth(spark, sf_dir)["component"])
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with the ns→long legacy conf: ``ts`` is exact integer
     nanoseconds (Spark rejects TIMESTAMP(NANOS) parquet otherwise, and

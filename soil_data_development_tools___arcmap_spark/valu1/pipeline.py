@@ -212,10 +212,19 @@ def calc_rz_aws(qt: DataFrame, rzdepth: DataFrame) -> DataFrame:
     )
 
 
-def calc_aws(qt: DataFrame, ranges: list[tuple[int, int]] | None = None) -> DataFrame:
+def calc_aws(
+    qt: DataFrame,
+    ranges: list[tuple[int, int]] | None = None,
+    exact_scale: int | None = None,
+) -> DataFrame:
     """AWS per depth range (CalcAWS, :1481-1674): aws = hzT·awc·10 mm
     (:1556) — ALL ranges in one pass via an exploded range dimension
-    instead of the reference's 11 sequential table passes."""
+    instead of the reference's 11 sequential table passes.
+
+    ``exact_scale``: emit floor(value·scale) as BIGINT instead of
+    round(value, 2). Decimal rounding of doubles is not reproducible
+    across engines (shortest-repr ties); floor of a deterministic IEEE
+    quotient is — the oracle-comparable output mode."""
     ranges = ranges or DEPTH_RANGES
     rdim = F.array(
         *[
@@ -234,17 +243,19 @@ def calc_aws(qt: DataFrame, ranges: list[tuple[int, int]] | None = None) -> Data
         .alias("caws"),
         F.sum(F.when(F.col("awc_r").isNotNull(), hz_t)).alias("ctk"),
     )
+    aws_raw = F.sum(F.col("comppct_r") * F.col("caws")) / F.sum(
+        F.when(F.col("caws").isNotNull(), F.col("comppct_r"))
+    )
+    tk_raw = F.sum(F.col("comppct_r") * F.col("ctk")) / F.sum(
+        F.when(F.col("ctk").isNotNull(), F.col("comppct_r"))
+    )
+    if exact_scale is not None:
+        aws_out = F.floor(aws_raw * exact_scale).cast("long")
+        tk_out = F.floor(tk_raw * exact_scale).cast("long")
+    else:
+        aws_out, tk_out = F.round(aws_raw, 2), F.round(tk_raw, 2)
     return comp.groupBy("mukey", "top", "bot").agg(
-        F.round(
-            F.sum(F.col("comppct_r") * F.col("caws"))
-            / F.sum(F.when(F.col("caws").isNotNull(), F.col("comppct_r"))),
-            2,
-        ).alias("aws"),
-        F.round(
-            F.sum(F.col("comppct_r") * F.col("ctk"))
-            / F.sum(F.when(F.col("ctk").isNotNull(), F.col("comppct_r"))),
-            2,
-        ).alias("tk"),
+        aws_out.alias("aws"), tk_out.alias("tk")
     )
 
 
@@ -252,10 +263,17 @@ def calc_soc(
     qt: DataFrame,
     restrictions: DataFrame | None = None,
     ranges: list[tuple[int, int]] | None = None,
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """SOC per depth range (CalcSOC, :1675-1909): horizon clip further
     capped at the restriction depth (:1770-1780); per-cm carbon =
-    (1 − fragvol/100)·10·(om/1.724)·db3 (g C m⁻², :1807)."""
+    (1 − fragvol/100)·10·(om/1.724)·db3 (g C m⁻², :1807).
+
+    ``exact_scale``: quantize each horizon contribution to
+    floor(contrib·scale) BEFORE summing, keeping every sum exact
+    integer (cross-engine order-independent) — the /1.724 factor makes
+    raw contributions non-integer doubles whose float sums would be
+    partition-order-dependent. Output is then floor(weighted mean)."""
     ranges = ranges or DEPTH_RANGES
     if restrictions is not None:
         qt = qt.join(restrictions, "cokey", "left")
@@ -281,40 +299,45 @@ def calc_soc(
         * F.col("dbthirdbar_r")
     )
     valid = F.col("om_r").isNotNull() & F.col("dbthirdbar_r").isNotNull()
+    contrib = hz_t * carbon_per_cm
+    if exact_scale is not None:
+        contrib = F.floor(contrib * exact_scale).cast("long")
     comp = hz.groupBy("mukey", "cokey", "comppct_r", "r.top", "r.bot").agg(
-        F.sum(F.when(valid, hz_t * carbon_per_cm)).alias("csoc")
+        F.sum(F.when(valid, contrib)).alias("csoc")
     )
-    return comp.groupBy("mukey", "top", "bot").agg(
-        F.round(
-            F.sum(F.col("comppct_r") * F.col("csoc"))
-            / F.sum(F.when(F.col("csoc").isNotNull(), F.col("comppct_r"))),
-            1,
-        ).alias("soc")
+    mean = F.sum(F.col("comppct_r") * F.col("csoc")) / F.sum(
+        F.when(F.col("csoc").isNotNull(), F.col("comppct_r"))
     )
+    out = (
+        F.floor(mean).cast("long") if exact_scale is not None else F.round(mean, 1)
+    )
+    return comp.groupBy("mukey", "top", "bot").agg(out.alias("soc"))
 
 
-def calc_nccpi(component: DataFrame, cointerp: DataFrame) -> DataFrame:
+def calc_nccpi(
+    component: DataFrame, cointerp: DataFrame, exact_scale: int | None = None
+) -> DataFrame:
     """NCCPI v3 (CalcNCCPI3, :2276-2478): per-mukey Σ(fuzzy·comppct)
     normalized by major-component pct; submodels (ruledepth 1) pivot on
-    rulename, overall = ruledepth 0."""
+    rulename, overall = ruledepth 0. ``exact_scale``: floor(score·scale)
+    BIGINT instead of round(score, 3) — see calc_aws."""
     co = component.where(F.col("majcompflag") == "Yes").select(
         "mukey", "cokey", "comppct_r"
     )
     ci = cointerp.where(F.col("mrulename").like("NCCPI%"))
     j = co.join(ci, "cokey")
+
+    def _score(cond):
+        mean = F.sum(
+            F.when(cond, F.col("interphr") * F.col("comppct_r"))
+        ) / F.sum(F.when(F.col("ruledepth") == 0, F.col("comppct_r")))
+        if exact_scale is not None:
+            return F.floor(mean * exact_scale).cast("long")
+        return F.round(mean, 3)
+
     scored = j.groupBy("mukey").agg(
         *[
-            F.round(
-                F.sum(
-                    F.when(
-                        cond, F.col("interphr") * F.col("comppct_r")
-                    )
-                )
-                / F.sum(
-                    F.when(F.col("ruledepth") == 0, F.col("comppct_r"))
-                ),
-                3,
-            ).alias(alias)
+            _score(cond).alias(alias)
             for alias, cond in [
                 ("nccpi3all", F.col("ruledepth") == 0),
                 ("nccpi3corn", (F.col("ruledepth") == 1)
