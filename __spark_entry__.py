@@ -91,6 +91,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_signatures": Q.docs_minhash_signatures,
     "docs_minhash_lsh": Q.docs_minhash_lsh,
     "docs_simhash": Q.docs_simhash,
+    # multimodal binary columns: metadata / Pandas-UDF features / frames
+    "docs_media_metadata": Q.docs_media_metadata,
+    "docs_media_features": Q.docs_media_features,
+    "docs_frame_sample": Q.docs_frame_sample,
     # embeddings: similarity search (exact baseline + LSH scale path)
     "emb_knn_bruteforce": Q.emb_knn_bruteforce,
     "emb_knn_lsh": Q.emb_knn_lsh,

@@ -997,6 +997,36 @@ _COS = ("CAST(floor((list_dot_product(qv, cv)/"
         "(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))))"
         "*1000000) AS BIGINT)")
 
+# multimodal: documents.text is pure ASCII in the synthetic data
+# (verified octet_length == length for every row), so byte-level Pandas
+# UDF results are reproducible with DuckDB string functions.
+
+ORACLES["docs_media_metadata"] = """
+SELECT doc_id AS did,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS content_md5,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END
+         AS format
+FROM documents
+"""
+
+ORACLES["docs_media_features"] = """
+SELECT doc_id AS did,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER)
+         AS n_space,
+       CAST(floor(sqrt(octet_length(encode(text)))) AS INTEGER) AS side
+FROM documents
+"""
+
+ORACLES["docs_frame_sample"] = """
+SELECT d.doc_id AS did, CAST(gs.i AS INTEGER) AS frame_idx,
+       md5(substr(d.text, CAST(gs.i*64 + 1 AS INTEGER), 64)) AS frame_md5
+FROM documents d
+JOIN generate_series(0, 4096, 4) AS gs(i)
+  ON gs.i <= (length(d.text) + 63) // 64 - 1
+"""
+
 ORACLES["emb_knn_bruteforce"] = f"""
 WITH {_EMB_Q},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),

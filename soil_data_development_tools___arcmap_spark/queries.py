@@ -968,6 +968,24 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(_t(spark, sf_dir, "documents"))
 
 
+def docs_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import media_metadata
+
+    return media_metadata(_t(spark, sf_dir, "documents"))
+
+
+def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import media_features
+
+    return media_features(_t(spark, sf_dir, "documents"))
+
+
+def docs_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import sample_frames
+
+    return sample_frames(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------ embeddings (ANN)
 
 

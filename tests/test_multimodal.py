@@ -1,0 +1,99 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape,
+fan-out, determinism, and the stubbed real-codec path."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+    attach_media,
+    decode_media,
+    media_features,
+    media_metadata,
+    resize_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a" * 100),
+        (1, "b c d " * 30),
+        (2, "x"),
+        (3, ""),
+        (4, "the quick brown fox " * 20),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_attach_media_schema(docs):
+    m = attach_media(docs)
+    assert [f.name for f in m.schema.fields] == ["did", "media", "meta"]
+    assert m.schema["media"].dataType.simpleString() == "binary"
+    assert (
+        m.schema["meta"].dataType.simpleString()
+        == "struct<n_bytes:int,content_md5:string,format:string>"
+    )
+    row = m.where(F.col("did") == 0).first()
+    assert row.media == b"a" * 100
+    assert row.meta.n_bytes == 100
+    assert row.meta.format == "png"
+
+
+def test_media_metadata_matches_bytes(docs):
+    got = {r.did: r for r in media_metadata(docs).collect()}
+    assert got[1].n_bytes == len("b c d " * 30)
+    assert got[1].content_md5 == hashlib.md5(("b c d " * 30).encode()).hexdigest()
+    assert got[3].n_bytes == 0
+
+
+def test_media_features_values(docs):
+    got = {r.did: r for r in media_features(docs).collect()}
+    assert got[4].n_space == ("the quick brown fox " * 20).count(" ")
+    assert got[4].side == math.isqrt(400)
+    assert got[3].n_bytes == 0 and got[3].side == 0
+
+
+def test_sample_frames_fanout(docs):
+    got = sample_frames(docs, frame_bytes=64, every=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.did, []).append(r)
+    # 180-byte doc 1 -> 3 frames -> indices {0} at every=4... 100-byte
+    # doc 0 -> 2 frames -> just frame 0; 400-byte doc 4 -> 7 frames ->
+    # frames 0 and 4.
+    assert [r.frame_idx for r in sorted(by_doc[4], key=lambda r: r.frame_idx)] == [0, 4]
+    blob = ("the quick brown fox " * 20).encode()
+    want = hashlib.md5(blob[4 * 64 : 5 * 64]).hexdigest()
+    assert [r.frame_md5 for r in by_doc[4] if r.frame_idx == 4] == [want]
+    # empty doc still yields no frames, not a crash
+    assert 3 not in by_doc
+
+
+def test_decode_fake_and_stub(docs):
+    got = {r.did: r for r in decode_media(docs).collect()}
+    assert got[0].height == got[0].width == 10
+    assert got[0].head == [ord("a")] * 16
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_media(docs, codec="png")
+    with pytest.raises(NotImplementedError):
+        resize_media(docs, codec="mp4")
+
+
+def test_resize_deterministic(docs):
+    a = {r.did: (r.out_bytes, r.out_md5) for r in resize_media(docs).collect()}
+    b = {r.did: (r.out_bytes, r.out_md5) for r in resize_media(docs).collect()}
+    assert a == b
+    # 10x10 fake image, out_side=8 -> stride 1 keeps all 100 bytes
+    assert a[0][0] == 100
+
+
+def test_partitioned_batches(docs):
+    # the _spread repartition must not lose or duplicate rows
+    big = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100))
+    out = media_features(big)
+    assert out.count() == 10
+    assert out.select("did").distinct().count() == 10
