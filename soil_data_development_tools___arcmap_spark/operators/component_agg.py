@@ -74,6 +74,14 @@ def agg_dcd(
         F.sum(_weight(spec)).alias("__sum_w"),
         # deterministic member representative for total ordering
         F.min(F.col(spec.member_col)).alias("__member"),
+        # per-rating DCP candidate: the heaviest single member. The
+        # member-level tiebreak chain (weight DESC, rating order,
+        # member ASC) reduces to (max-weight DESC, rating order) on
+        # these candidates because rows tied on (weight, rating) are
+        # output-identical — so ONE shuffle serves both the condition
+        # winner and the DCP-override winner (the reference computes
+        # them in two passes, :5764-5781).
+        F.max(_weight(spec)).alias("__mw"),
     )
     order_spec = RatingSpec(
         rating_col="__rating",
@@ -90,11 +98,7 @@ def agg_dcd(
         F.col("__member").asc(),
     )
     total_w = Window.partitionBy(*spec.group_cols)
-    picked = (
-        by_rating.withColumn("__total", F.sum("__sum_w").over(total_w))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-    )
+    flagged = by_rating.withColumn("__total", F.sum("__sum_w").over(total_w))
     # 100*pct/total rounded half-up in pure integer arithmetic
     # ((200p + t) div 2t) — exact, engine-independent.
     pct = (
@@ -102,25 +106,48 @@ def agg_dcd(
         if normalize_pct
         else F.col("__sum_w")
     )
-    dcd = picked.select(
-        *spec.group_cols,
-        pct.cast("int").alias(spec.weight_col),
-        F.col("__rating").alias(spec.out_col),
-    )
     if not dcp_override:
-        return dcd
-    # DCP winner with >= 50 weight overrides the condition winner.
-    dcp = agg_dcp(df, spec).select(
-        *spec.group_cols,
-        F.col(spec.weight_col).alias("__dcp_w"),
-        F.col(spec.out_col).alias("__dcp_r"),
+        return (
+            flagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *spec.group_cols,
+                pct.cast("int").alias(spec.weight_col),
+                F.col("__rating").alias(spec.out_col),
+            )
+        )
+    w_dcp = Window.partitionBy(*spec.group_cols).orderBy(
+        F.col("__mw").desc_nulls_last(),
+        rating_order_expr(order_spec),
+        F.col("__member").asc(),
     )
-    joined = dcd.join(dcp, on=spec.group_cols, how="left")
-    return joined.select(
+    both = (
+        flagged.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__rn_dcp", F.row_number().over(w_dcp))
+        .withColumn("__pct", pct.cast("int"))
+    )
+    # collapse the two winner rows without a self-join: max() over the
+    # single non-null struct per flag (partitioning is already by the
+    # group key, so this groupBy adds no shuffle)
+    picked = both.groupBy(*spec.group_cols).agg(
+        F.max(
+            F.when(
+                F.col("__rn") == 1,
+                F.struct(F.col("__pct").alias("p"), F.col("__rating").alias("r")),
+            )
+        ).alias("__d"),
+        F.max(
+            F.when(
+                F.col("__rn_dcp") == 1,
+                F.struct(F.col("__mw").alias("w"), F.col("__rating").alias("r")),
+            )
+        ).alias("__p"),
+    )
+    return picked.select(
         *spec.group_cols,
-        F.col(spec.weight_col),
-        F.when(F.col("__dcp_w") >= 50, F.col("__dcp_r"))
-        .otherwise(F.col(spec.out_col))
+        F.col("__d.p").alias(spec.weight_col),
+        F.when(F.col("__p.w") >= 50, F.col("__p.r"))
+        .otherwise(F.col("__d.r"))
         .alias(spec.out_col),
     )
 
