@@ -227,26 +227,22 @@ def agg_limiting(df: DataFrame, spec: RatingSpec, most: bool = True) -> DataFram
     # alike — a real class always beats it; __is_nr breaks that tie.
     is_nr = (F.col("__rank") >= nr_rank).cast("int")
     order = F.col("__rank").asc() if most else F.col("__rank").desc()
+    # weight of the limiting class (Σ over members at the winning rank)
+    # as a window sum, so the winner row carries it — one scan, no
+    # aggregate-and-join-back second pass over the raw table.
+    cw = Window.partitionBy(*spec.group_cols, "__rank")
     w = Window.partitionBy(*spec.group_cols).orderBy(
         is_nr.asc(), order, _weight(spec).desc_nulls_last(), *member_order(spec)
     )
-    picked = (
-        df2.withColumn("__rn", F.row_number().over(w))
+    return (
+        df2.withColumn("__class_w", F.sum(_weight(spec)).over(cw))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
             *spec.group_cols,
-            F.col("__rank").alias("__limit_rank"),
+            F.col("__class_w").alias(spec.weight_col),
             spec.rating().alias(spec.out_col),
         )
-    )
-    # weight of the limiting class = sum of weights of members at that rank
-    class_w = df2.groupBy(*spec.group_cols, "__rank").agg(
-        F.sum(_weight(spec)).alias(spec.weight_col)
-    )
-    return (
-        picked.join(class_w, on=spec.group_cols, how="left")
-        .where(F.col("__limit_rank") == F.col("__rank"))
-        .select(*spec.group_cols, spec.weight_col, spec.out_col)
     )
 
 
