@@ -69,6 +69,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_scan": Q.distinct_scan,
     "dominant_member_tool": Q.dominant_member_tool,
     "acreage_report": Q.acreage_report,
+    "legend_class_breaks": Q.legend_class_breaks,
+    "natmusym_attach": Q.natmusym_attach,
     "count_reconciliation": Q.count_reconciliation,
     "validate_depth_gaps": Q.validate_depth_gaps,
     # analytic benchmarks
@@ -79,6 +81,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_daily": Q.events_tumbling_daily,
     "events_stream_tumbling": Q.events_stream_tumbling,
     "events_sessionize": Q.events_sessionize,
+    "events_sessionize_stateful": Q.events_sessionize_stateful,
     "events_topk_per_type": Q.events_topk_per_type,
     "events_json_extract": Q.events_json_extract,
     # documents: text analysis + dedup (north-star LLM pipeline)

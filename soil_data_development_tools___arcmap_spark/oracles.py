@@ -810,6 +810,20 @@ FROM events GROUP BY 1, 2
 # streaming form must equal the batch aggregation at availableNow
 ORACLES["events_stream_tumbling"] = ORACLES["events_tumbling_daily"]
 
+ORACLES["events_sessionize_stateful"] = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN ts_us - prev > 1800*1000000
+                              THEN 1 ELSE 0 END), 0) + 1 AS BIGINT)
+         AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
 ORACLES["events_sessionize"] = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
 l AS (SELECT *, lag(ts_us) OVER (
@@ -820,6 +834,22 @@ SELECT user_id,
             AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM l GROUP BY user_id
+"""
+
+ORACLES["legend_class_breaks"] = """
+WITH s AS (
+  SELECT MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS mn,
+         MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS mx
+  FROM orders)
+SELECT CAST(gs.i AS INTEGER) AS class_idx,
+       mn + ((mx - mn) * gs.i) // 5 AS brk
+FROM s, generate_series(0, 5) AS gs(i)
+"""
+
+ORACLES["natmusym_attach"] = """
+SELECT o_orderkey AS okey, o_orderpriority AS musym,
+       substr(md5(o_orderpriority), 1, 8) AS natmusym
+FROM orders
 """
 
 ORACLES["events_topk_per_type"] = """

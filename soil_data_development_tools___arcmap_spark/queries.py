@@ -678,6 +678,38 @@ def valu1_first_restriction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def legend_class_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetNumericLegend equal-interval class breaks over the rating's
+    min/max (gSSURGO_CreateSoilMap.py:1234-1493)."""
+    from .functions.legend import equal_interval_breaks
+
+    cents_tbl = _t(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("rating_c")
+    )
+    return equal_interval_breaks(cents_tbl, "rating_c", n_classes=5)
+
+
+def natmusym_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetNatMusym attribute attach (SDA result joined back on mukey,
+    GetNatMusym.py:241-410): a broadcast-joined mapping updates the
+    symbol column in place."""
+    orders = _t(spark, sf_dir, "orders")
+    # stand-in for the SDA response: distinct symbol -> national symbol
+    sda = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.substring(F.md5(F.col("o_orderpriority")), 1, 8).alias("natmusym"),
+        )
+    )
+    return orders.join(F.broadcast(sda), "o_orderpriority").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("musym"),
+        "natmusym",
+    )
+
+
 # --------------------------------------------- set ops / tools (§2.6-7)
 
 
@@ -865,6 +897,16 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return run_stream_to_table(spark, sf_dir)
+
+
+def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization
+    (applyInPandasWithState); certified by the SAME oracle as the
+    batch events_sessionize."""
+    from .streaming.events import run_sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_sessionize_stream(spark, sf_dir)
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

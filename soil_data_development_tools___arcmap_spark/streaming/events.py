@@ -76,6 +76,66 @@ def tumbling_daily(events: DataFrame, with_watermark: bool = False) -> DataFrame
     )
 
 
+def sessionize_stateful(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the arbitrary-state API — the batch
+    window/lag形 can't run incrementally). State per user =
+    (n_sessions, n_events, last_ts); a new session opens when the gap
+    to the previous event exceeds ``gap_min``.
+
+    Semantics match the batch ``events_sessionize`` query exactly
+    (same oracle certifies both): events are processed in
+    (ts, event_id) order within the batch. In production, a watermark
+    + event-time ordering guard would handle cross-batch late data;
+    with the availableNow file source all rows arrive in one batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+
+    def fn(key, pdfs, state):
+        n_sess, n_ev, last = state.get if state.exists else (0, 0, None)
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        for ts in rows["ts_us"]:
+            if last is None or ts - last > gap_us:
+                n_sess += 1
+            n_ev += 1
+            last = int(ts)
+        state.update((n_sess, n_ev, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="n_sessions long, n_events long, last_ts long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful sessionization to completion and return the
+    final per-user table (update-mode memory sink; the single
+    availableNow batch yields one row per user)."""
+    name = "events_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_stateful(spark, sf_dir)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming tumbling aggregation to completion
     (availableNow + memory sink) and return the result table."""

@@ -32,3 +32,20 @@ def test_watermarked_plan_builds(spark):
     df = tumbling_daily(read_events(spark, SF_SMOKE), with_watermark=True)
     assert "day_num" in df.columns
     assert df.count() > 0
+
+
+def test_stateful_sessionize_equals_batch(spark):
+    from soil_data_development_tools___arcmap_spark.queries import events_sessionize
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        run_sessionize_stream,
+    )
+
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessionize(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in run_sessionize_stream(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream and len(batch) > 0
