@@ -64,6 +64,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valu1_soc": Q.valu1_soc,
     "valu1_nccpi": Q.valu1_nccpi,
     "valu1_pwsl": Q.valu1_pwsl,
+    # metadata-driven rating planner end-to-end (SURVEY §3.1)
+    "planner_sdv_rating": Q.planner_sdv_rating,
     # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)
     "merge_dedup": Q.merge_dedup,
     "distinct_scan": Q.distinct_scan,
@@ -101,6 +103,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embeddings: similarity search (exact baseline + LSH scale path)
     "emb_knn_bruteforce": Q.emb_knn_bruteforce,
     "emb_knn_lsh": Q.emb_knn_lsh,
+    "emb_knn_ivf": Q.emb_knn_ivf,
 }
 
 

@@ -148,3 +148,69 @@ def rp_lsh_topk(
         .where(F.col("rn") <= topk)
         .select("qid", "cid", "cos_e6", "rn")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates are assigned to their
+    nearest coarse centroid (the inverted lists); each query probes
+    only its ``nprobe`` nearest lists.
+
+    The coarse quantizer here is deterministic — the first
+    ``n_centroids`` candidate vectors by id stand in for k-means
+    centroids (training is a separate offline job at scale; the
+    search-path plumbing is identical). Cost: one broadcast pass to
+    assign, then each query scans ~nprobe/n_centroids of the data —
+    the middle ground between brute force and LSH recall loss.
+    """
+    from .dedup import _spread
+
+    qz = quantize_embedding(col)
+    cand = _spread(emb.where(F.col(id_col) >= query_ids_below), id_col).select(
+        F.col(id_col).alias("cid"), qz.alias("cv")
+    )
+    cents = emb.where(
+        (F.col(id_col) >= query_ids_below)
+        & (F.col(id_col) < query_ids_below + n_centroids)
+    ).select(F.col(id_col).alias("kid"), qz.alias("kv"))
+    q = emb.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("qid"), qz.alias("qv")
+    )
+
+    def cos(a, b):
+        return _cos_e6(_dot(F.col(a), F.col(b)), _norm2(F.col(a)), _norm2(F.col(b)))
+
+    # inverted-list assignment: nearest centroid per candidate
+    wa = Window.partitionBy("cid").orderBy(F.col("kcos").desc(), F.col("kid").asc())
+    assigned = (
+        cand.crossJoin(F.broadcast(cents))
+        .select("cid", "cv", "kid", cos("cv", "kv").alias("kcos"))
+        .withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") == 1)
+        .select("cid", "cv", "kid")
+    )
+    # probe lists: nprobe nearest centroids per query
+    wq = Window.partitionBy("qid").orderBy(F.col("kcos").desc(), F.col("kid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qv", "kid", cos("qv", "kv").alias("kcos"))
+        .withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= nprobe)
+        .select("qid", "qv", "kid")
+    )
+    scored = assigned.join(F.broadcast(probes), "kid").select(
+        "qid", "cid", cos("qv", "cv").alias("cos_e6")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("qid", "cid", "cos_e6", "rn")
+    )

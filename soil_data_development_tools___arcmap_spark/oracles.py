@@ -577,6 +577,43 @@ v_rzd AS (
               AS INTEGER) AS rzdepth
   FROM hzl h LEFT JOIN syn_restr r ON h.cokey = r.cokey)"""
 
+_HYD_RANK = (
+    "CASE hydricrating WHEN 'Yes' THEN 1 WHEN 'Unranked' THEN 2 "
+    "WHEN 'No' THEN 3 ELSE 4 END"
+)
+
+ORACLES["planner_sdv_rating"] = f"""
+WITH {_SYN},
+flt AS (
+  SELECT * FROM syn_co
+  WHERE comppct_r IS NOT NULL AND comppct_r >= 10
+    AND (compname IS NULL OR compname <> 'NOTCOM')
+    AND majcompflag = 'Yes'),
+br AS (
+  SELECT mukey, hydricrating AS v, SUM(comppct_r) AS sw, MIN(cokey) AS mm,
+         MAX(comppct_r) AS mw
+  FROM flt GROUP BY mukey, hydricrating),
+tt AS (
+  SELECT mukey, v, sw, mm, mw,
+         SUM(sw) OVER (PARTITION BY mukey) AS tw,
+         row_number() OVER (
+           PARTITION BY mukey
+           ORDER BY sw DESC,
+                    CASE v WHEN 'Yes' THEN 1 WHEN 'Unranked' THEN 2
+                           WHEN 'No' THEN 3 ELSE 4 END ASC, mm ASC) AS rn,
+         row_number() OVER (
+           PARTITION BY mukey
+           ORDER BY mw DESC,
+                    CASE v WHEN 'Yes' THEN 1 WHEN 'Unranked' THEN 2
+                           WHEN 'No' THEN 3 ELSE 4 END ASC, mm ASC) AS rn_dcp
+  FROM br)
+SELECT d.mukey,
+       CAST((200*d.sw + d.tw) // (2*d.tw) AS INTEGER) AS comppct_r,
+       CASE WHEN p.mw >= 50 THEN p.v ELSE d.v END AS rating
+FROM (SELECT * FROM tt WHERE rn = 1) d
+JOIN (SELECT * FROM tt WHERE rn_dcp = 1) p USING (mukey)
+"""
+
 ORACLES["valu1_sum_pct"] = f"""
 WITH {_SYN}
 SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS musumcpct,
@@ -1086,6 +1123,34 @@ q AS (SELECT e.vec_id AS qid, v AS qv, bkt FROM e JOIN bkt USING (vec_id)
 c AS (SELECT e.vec_id AS cid, v AS cv, bkt FROM e JOIN bkt USING (vec_id)
       WHERE vec_id >= 8),
 s AS (SELECT qid, cid, {_COS} AS cos_e6 FROM c JOIN q USING (bkt))
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+
+ORACLES["emb_knn_ivf"] = f"""
+WITH {_EMB_Q},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
+k AS (SELECT vec_id AS kid, v AS kv FROM e WHERE vec_id >= 8 AND vec_id < 24),
+asg AS (
+  SELECT cid, cv, kid FROM (
+    SELECT cid, cv, kid,
+           row_number() OVER (PARTITION BY cid
+             ORDER BY CAST(floor((list_dot_product(cv, kv)/(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(kv, kv))))*1000000) AS BIGINT) DESC, kid ASC) AS arn
+    FROM c CROSS JOIN k)
+  WHERE arn = 1),
+probes AS (
+  SELECT qid, qv, kid FROM (
+    SELECT qid, qv, kid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY CAST(floor((list_dot_product(qv, kv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(kv, kv))))*1000000) AS BIGINT) DESC, kid ASC) AS prn
+    FROM q CROSS JOIN k)
+  WHERE prn <= 4),
+s AS (SELECT qid, cid, CAST(floor((list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))))*1000000) AS BIGINT) AS cos_e6
+      FROM asg JOIN probes USING (kid))
 SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
 FROM (SELECT *, row_number() OVER (
         PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)

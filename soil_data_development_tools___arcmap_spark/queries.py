@@ -657,6 +657,44 @@ def valu1_pwsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calc_pwsl(ssurgo_synth(spark, sf_dir)["component"])
 
 
+def planner_sdv_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata-driven rating engine end-to-end: hydrate an
+    sdvattribute row (tiebreak domain from mdstatdomdet, sqlwhereclause
+    through the mini-parser, comppct cutoff), walk mdstatrshipdet for
+    the join path, dispatch to Dominant Condition — the full
+    CreateSoilMap lifecycle (SURVEY §3.1) on synthesized tables."""
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    mapunit = t["component"].select("mukey").distinct()
+    tables = {"mapunit": mapunit, "component": t["component"]}
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        }
+    ]
+    sdv_row = {
+        "attributename": "Hydric Rating Synth",
+        "attributetablename": "component",
+        "attributecolumnname": "hydricrating",
+        "algorithmname": "Dominant Condition",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": "hydric_dom",
+        "sqlwhereclause": "majcompflag = 'Yes'",
+    }
+    domdet = [
+        {"domainname": "hydric_dom", "choice": "Yes", "choicesequence": 1},
+        {"domainname": "hydric_dom", "choice": "Unranked", "choicesequence": 2},
+        {"domainname": "hydric_dom", "choice": "No", "choicesequence": 3},
+    ]
+    req = hydrate(sdv_row, domdet, cutoff=10)
+    return create_soil_map(tables, relations, req)
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with the ns→long legacy conf: ``ts`` is exact integer
     nanoseconds (Spark rejects TIMESTAMP(NANOS) parquet otherwise, and
@@ -1041,3 +1079,9 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import rp_lsh_topk
 
     return rp_lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"))
