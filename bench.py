@@ -28,12 +28,17 @@ HEADLINE = [
     "sdv_limiting_most",
     "sdv_hz_wta_wta",
     "sdv_mo_wta",
+    "planner_sdv_rating",
     "valu1_aws_ranges",
+    "valu1_soc",
+    "valu1_rz_aws_droughty",
     "validate_depth_gaps",
     "events_sessionize",
     "docs_minhash_lsh",
     "docs_quality",
+    "docs_frame_sample",
     "emb_knn_bruteforce",
+    "emb_knn_ivf",
 ]
 
 
@@ -49,8 +54,12 @@ def main() -> None:
     qs = E.queries()
 
     # Warm up the JVM/session on a trivial action so q1 doesn't pay
-    # session start-up costs.
+    # session start-up costs, and fork the Python/Arrow worker pool so
+    # the first Pandas-UDF query isn't charged for process startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
