@@ -64,6 +64,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valu1_soc": Q.valu1_soc,
     "valu1_nccpi": Q.valu1_nccpi,
     "valu1_pwsl": Q.valu1_pwsl,
+    "valu1_wide": Q.valu1_wide,
     # metadata-driven rating planner end-to-end (SURVEY §3.1)
     "planner_sdv_rating": Q.planner_sdv_rating,
     # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)

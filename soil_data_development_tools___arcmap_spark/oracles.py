@@ -1156,3 +1156,158 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
 WHERE rn <= 5
 """
+
+
+# ---- the wide Valu1 assembly (valu1_wide) ----
+
+_V1_RANGES = [(0, 20), (20, 50), (50, 100), (0, 100)]
+_V1_VALUES = ",".join(f"({t},{b})" for t, b in _V1_RANGES)
+_AWS_HZT = "greatest(least(hzdepb_r, rng.bot) - greatest(hzdept_r, rng.top), 0)"
+_AWS_P = ",\n         ".join(
+    f"MAX(CASE WHEN top={t} AND bot={b} THEN aws END) AS aws{t}_{b}"
+    for t, b in _V1_RANGES
+) + ",\n         " + ",\n         ".join(
+    f"MAX(CASE WHEN top={t} AND bot={b} THEN tk END) AS tk{t}_{b}a"
+    for t, b in _V1_RANGES
+)
+_SOC_P = ",\n         ".join(
+    f"MAX(CASE WHEN top={t} AND bot={b} THEN soc END) AS soc{t}_{b}"
+    for t, b in _V1_RANGES
+)
+_V1_OUT = ", ".join(
+    ["s.mukey", "s.musumcpct", "s.musumcpcta", "s.musumcpcts"]
+    + [f"a.aws{t}_{b}" for t, b in _V1_RANGES]
+    + [f"a.tk{t}_{b}a" for t, b in _V1_RANGES]
+    + [f"so.soc{t}_{b}" for t, b in _V1_RANGES]
+    + ["r.rootznaws", "r.rootznemc", "r.droughty"]
+    + ["n.nccpi3all", "n.nccpi3corn", "n.nccpi3soy", "n.nccpi3cot", "n.nccpi3sg"]
+    + ["p.pwsl1pomu"]
+)
+
+ORACLES["valu1_wide"] = f"""
+WITH {_SYN},{_SYN_QT},{_RZD},
+sp AS (
+  SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS musumcpct,
+         CAST(SUM(CASE WHEN {_MAJOR_EARTHY} THEN comppct_r END) AS BIGINT)
+           AS musumcpcta,
+         CAST(SUM(CASE WHEN majcompflag = 'Yes' THEN comppct_r END) AS BIGINT)
+           AS musumcpcts
+  FROM syn_co GROUP BY mukey),
+aws_c AS (
+  SELECT mukey, cokey, comppct_r, rng.top, rng.bot,
+         SUM(CASE WHEN awc_r IS NOT NULL THEN {_AWS_HZT} * awc_r * 10.0 END)
+           AS caws,
+         SUM(CASE WHEN awc_r IS NOT NULL THEN {_AWS_HZT} END) AS ctk
+  FROM syn_qt, (VALUES {_V1_VALUES}) AS rng(top, bot)
+  GROUP BY mukey, cokey, comppct_r, rng.top, rng.bot),
+aws_m AS (
+  SELECT mukey, top, bot,
+         CAST(floor((SUM(comppct_r*caws)
+              / SUM(CASE WHEN caws IS NOT NULL THEN comppct_r END))*10000)
+           AS BIGINT) AS aws,
+         CAST(floor((SUM(comppct_r*ctk)
+              / SUM(CASE WHEN ctk IS NOT NULL THEN comppct_r END))*10000)
+           AS BIGINT) AS tk
+  FROM aws_c GROUP BY mukey, top, bot),
+aws_p AS (
+  SELECT mukey,
+         {_AWS_P}
+  FROM aws_m GROUP BY mukey),
+soc_hz AS (
+  SELECT q.mukey, q.cokey, q.comppct_r, rng.top, rng.bot,
+         q.hzdept_r, q.hzdepb_r, q.om_r, q.dbthirdbar_r, q.fragvol, r.resdept
+  FROM syn_qt q
+  LEFT JOIN syn_restr r ON q.cokey = r.cokey,
+  (VALUES {_V1_VALUES}) AS rng(top, bot)),
+soc_c AS (
+  SELECT mukey, cokey, comppct_r, top, bot,
+         SUM(CASE WHEN om_r IS NOT NULL AND dbthirdbar_r IS NOT NULL THEN
+               CAST(floor(
+                 greatest(least(hzdepb_r, bot, coalesce(resdept, 999))
+                          - greatest(hzdept_r, top), 0)
+                 * ((1.0 - coalesce(fragvol, 0.0)/100.0) * 10.0
+                    * (om_r/1.724) * dbthirdbar_r) * 1000) AS BIGINT)
+             END) AS csoc
+  FROM soc_hz GROUP BY mukey, cokey, comppct_r, top, bot),
+soc_m AS (
+  SELECT mukey, top, bot,
+         CAST(floor(SUM(comppct_r*csoc)
+                    / SUM(CASE WHEN csoc IS NOT NULL THEN comppct_r END))
+              AS BIGINT) AS soc
+  FROM soc_c GROUP BY mukey, top, bot),
+soc_p AS (
+  SELECT mukey,
+         {_SOC_P}
+  FROM soc_m GROUP BY mukey),
+rza_c AS (
+  SELECT q.mukey, q.cokey, q.comppct_r, d.rzdepth,
+         SUM(CASE WHEN q.awc_r IS NOT NULL THEN
+               greatest(least(q.hzdepb_r, d.rzdepth)
+                        - greatest(q.hzdept_r, 0), 0) * q.awc_r * 10.0 END) AS caws
+  FROM syn_qt q JOIN v_rzd d ON q.cokey = d.cokey
+  WHERE {_MAJOR_EARTHY}
+  GROUP BY q.mukey, q.cokey, q.comppct_r, d.rzdepth),
+rz_m AS (
+  SELECT mukey, rootznaws, rootznemc,
+         CAST(rootznaws <= 152 AS INTEGER) AS droughty
+  FROM (SELECT mukey,
+               round(SUM(comppct_r*caws)
+                     / SUM(CASE WHEN caws IS NOT NULL THEN comppct_r END), 0)
+                 AS rootznaws,
+               least(round(SUM(comppct_r*rzdepth)/SUM(comppct_r), 0), 150.0)
+                 AS rootznemc
+        FROM rza_c GROUP BY mukey)),
+syn_ci AS (
+  SELECT o_orderkey AS cokey, r.ruledepth, r.rulename,
+         CAST((o_orderkey * (r.ruledepth + 2)) % 101 AS DOUBLE) AS interphr
+  FROM orders,
+       (VALUES (0, 'NCCPI - NCCPI'), (1, 'NCCPI - Corn Submodel'),
+               (1, 'NCCPI - Soybeans Submodel')) AS r(ruledepth, rulename)),
+nc AS (
+  SELECT mukey,
+    CAST(floor(SUM(CASE WHEN ruledepth = 0 THEN interphr*comppct_r END)
+          / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+      AS nccpi3all,
+    CAST(floor(SUM(CASE WHEN ruledepth = 1 AND rulename LIKE '%Corn%'
+                   THEN interphr*comppct_r END)
+          / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+      AS nccpi3corn,
+    CAST(floor(SUM(CASE WHEN ruledepth = 1 AND rulename LIKE '%Soybean%'
+                   THEN interphr*comppct_r END)
+          / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+      AS nccpi3soy,
+    CAST(floor(SUM(CASE WHEN ruledepth = 1 AND rulename LIKE '%Cotton%'
+                   THEN interphr*comppct_r END)
+          / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+      AS nccpi3cot,
+    CAST(floor(SUM(CASE WHEN ruledepth = 1 AND rulename LIKE '%Small Grain%'
+                   THEN interphr*comppct_r END)
+          / SUM(CASE WHEN ruledepth = 0 THEN comppct_r END) * 1000) AS BIGINT)
+      AS nccpi3sg
+  FROM syn_co c JOIN syn_ci i ON c.cokey = i.cokey
+  WHERE majcompflag = 'Yes'
+  GROUP BY mukey),
+pw AS (
+  SELECT mukey,
+         CAST(CASE WHEN water_pct >= 80 THEN 999 ELSE pwsl_pct END AS INTEGER)
+           AS pwsl1pomu
+  FROM (
+    SELECT mukey,
+      SUM(CASE WHEN compname IN ('Water','WATER','water')
+                OR hydricrating = 'Yes'
+                OR (hydricrating = 'Unranked' AND
+                    (drainagecl IN ('Poorly drained','Very poorly drained')
+                     OR lower(coalesce(localphase,'')) LIKE '%drained%'
+                     OR lower(coalesce(otherph,'')) LIKE '%drained%'))
+           THEN comppct_r END) AS pwsl_pct,
+      SUM(CASE WHEN compname IN ('Water','WATER','water')
+           THEN comppct_r END) AS water_pct
+    FROM syn_co GROUP BY mukey))
+SELECT {_V1_OUT}
+FROM sp s
+LEFT JOIN aws_p a USING (mukey)
+LEFT JOIN soc_p so USING (mukey)
+LEFT JOIN rz_m r USING (mukey)
+LEFT JOIN nc n USING (mukey)
+LEFT JOIN pw p USING (mukey)
+"""

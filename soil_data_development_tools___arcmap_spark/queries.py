@@ -695,6 +695,29 @@ def planner_sdv_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_soil_map(tables, relations, req)
 
 
+VALU1_RANGES = [(0, 20), (20, 50), (50, 100), (0, 100)]
+
+
+def valu1_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full wide Valu1 table (CreateValuTable orchestration):
+    sum-pct + AWS/TK pivots + SOC + root-zone AWS/droughty + NCCPI +
+    PWSL assembled from one cached query table, exact-scale outputs."""
+    from .valu1.pipeline import build_valu1
+
+    t = ssurgo_synth(spark, sf_dir)
+    return build_valu1(
+        t["component"],
+        t["chorizon"],
+        corestrictions=t["corestrictions"],
+        cointerp=t["cointerp"],
+        chtexturegrp=t["chtexturegrp"],
+        chtexture=t["chtexture"],
+        chfrags=t["chfrags"],
+        ranges=VALU1_RANGES,
+        exact_scales=(10000, 1000, 1000),
+    )
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with the ns→long legacy conf: ``ts`` is exact integer
     nanoseconds (Spark rejects TIMESTAMP(NANOS) parquet otherwise, and

@@ -389,10 +389,16 @@ def build_valu1(
     chtexture: DataFrame | None = None,
     chfrags: DataFrame | None = None,
     ranges: list[tuple[int, int]] | None = None,
+    exact_scales: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Assemble the wide Valu1 table (CreateValuTable orchestration,
     gSSURGO_ValuTable.py:2992-3209): independent metric branches over
-    ONE cached query table, joined on mukey."""
+    ONE cached query table, joined on mukey.
+
+    ``exact_scales`` = (aws_scale, soc_scale, nccpi_scale) switches the
+    float metrics to floor-quantized integer output (see calc_aws) for
+    cross-engine hashing."""
+    aws_s, soc_s, nccpi_s = exact_scales or (None, None, None)
     qt = build_query_table(component, chorizon, chtexturegrp, chtexture, chfrags)
     qt = qt.cache()  # consumed by 4+ branches (the QueryTable_HZ analog)
     restr = (
@@ -408,7 +414,7 @@ def build_valu1(
         ).select("cokey", "resdept"),
     )
     out = get_sum_pct(component)
-    aws_long = calc_aws(qt, ranges)
+    aws_long = calc_aws(qt, ranges, exact_scale=aws_s)
     # wide layout aws<t>_<b> / tk<t>_<b>a via conditional aggregation
     # (pivot() keys on one column; the range is a (top,bot) pair)
     rng = ranges or DEPTH_RANGES
@@ -427,7 +433,7 @@ def build_valu1(
         ],
     )
     out = out.join(aws_cols, "mukey", "left")
-    soc_long = calc_soc(qt, restr, ranges)
+    soc_long = calc_soc(qt, restr, ranges, exact_scale=soc_s)
     soc_cols = soc_long.groupBy("mukey").agg(
         *[
             F.max(
@@ -439,6 +445,8 @@ def build_valu1(
     out = out.join(soc_cols, "mukey", "left")
     out = out.join(calc_rz_aws(qt, rz), "mukey", "left")
     if cointerp is not None:
-        out = out.join(calc_nccpi(component, cointerp), "mukey", "left")
+        out = out.join(
+            calc_nccpi(component, cointerp, exact_scale=nccpi_s), "mukey", "left"
+        )
     out = out.join(calc_pwsl(component), "mukey", "left")
     return out
