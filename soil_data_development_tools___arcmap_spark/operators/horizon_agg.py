@@ -114,22 +114,19 @@ def agg_hz_dcp_wta(
 ) -> DataFrame:
     """AggregateHz_DCP_WTA (gSSURGO_CreateSoilMap.py:8639-8892):
     pick the dominant member per group (max weight, member-key
-    tiebreak), then depth-weight its horizons."""
+    tiebreak), then depth-weight its horizons.
+
+    The dominant member is selected on the member-level aggregate, not
+    by joining a distinct-member table back to the raw horizons — every
+    member survives _member_sums (null sums when no in-range horizon),
+    so the pick is identical with one scan and no join."""
     w = Window.partitionBy(*spec.group_cols).orderBy(
         F.col(spec.weight_col).desc_nulls_last(), *member_order(spec)
     )
-    dom = (
-        df.select(*spec.group_cols, spec.member_col, spec.weight_col)
-        .distinct()
+    comp = (
+        _member_sums(df, spec, top_col, bot_col, top, bot)
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*spec.group_cols, spec.member_col, spec.weight_col)
-    )
-    picked = df.drop(spec.weight_col).join(
-        dom, on=[*spec.group_cols, spec.member_col], how="inner"
-    )
-    comp = _member_sums(picked, spec, top_col, bot_col, top, bot).where(
-        F.col("__t") > 0
+        .filter((F.col("__rn") == 1) & (F.col("__t") > 0))
     )
     out = F.col("__txv") / F.col("__t")
     if precision is not None:
