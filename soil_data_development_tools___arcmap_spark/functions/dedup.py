@@ -203,10 +203,11 @@ def minhash_lsh_pairs(
 
     Candidates come from a collect-per-bucket pair expansion (one pass
     over the signatures — no self-join, no recompute); verification
-    semi-joins the candidate set against bucket-generated pair
-    intersection counts. Output matches ngram_jaccard_pairs on
-    (i, j, jac_e4) for pairs the LSH recalls — the scale path for the
-    same semantics."""
+    explodes shingles ONLY for docs that appear in some candidate pair,
+    so its cost follows near-dup density, not corpus size (running the
+    full bucket-pair counts here would cost the same as the exact
+    algorithm and defeat the LSH). Output matches ngram_jaccard_pairs
+    on (i, j, jac_e4) for pairs the LSH recalls."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, col, k, num_hashes)
     band_cols = [
@@ -231,12 +232,29 @@ def minhash_lsh_pairs(
         .where(F.size("ids") > 1)
     )
     cand = _pairs_from_groups(buckets).distinct()
-    # verification: exact Jaccard, restricted to LSH candidates
-    ex = _exploded_shingles(df, id_col, col, k, max_freq)
+    # verification: exact Jaccard, restricted to LSH candidates.
+    # NOTE max_freq-capped shingles stay excluded from the intersection
+    # (identical semantics to ngram_jaccard_pairs); sizes use the full
+    # shingle sets, also like the exact path.
+    cand_ids = (
+        cand.select(F.col("i").alias("did"))
+        .unionByName(cand.select(F.col("j").alias("did")))
+        .distinct()
+    )
+    ex = _exploded_shingles(df, id_col, col, k, max_freq).join(
+        cand_ids, "did", "left_semi"
+    )
     sizes = shingle_sets(df, id_col, col, k).select(
         "did", F.size("ss").alias("nsh")
     )
-    inter = _shingle_pair_counts(ex).join(cand, ["i", "j"], "left_semi")
+    ei = ex.select(F.col("did").alias("i"), "s")
+    ej = ex.select(F.col("did").alias("jd"), F.col("s").alias("sj"))
+    inter = (
+        cand.join(ei, "i")
+        .join(ej, (F.col("j") == F.col("jd")) & (F.col("s") == F.col("sj")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
     sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
     jac = F.floor(
