@@ -67,6 +67,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valu1_wide": Q.valu1_wide,
     # metadata-driven rating planner end-to-end (SURVEY §3.1)
     "planner_sdv_rating": Q.planner_sdv_rating,
+    "planner_sdv_hz_rating": Q.planner_sdv_hz_rating,
+    "planner_sdv_month_rating": Q.planner_sdv_month_rating,
     # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)
     "merge_dedup": Q.merge_dedup,
     "distinct_scan": Q.distinct_scan,

@@ -1311,3 +1311,48 @@ LEFT JOIN rz_m r USING (mukey)
 LEFT JOIN nc n USING (mukey)
 LEFT JOIN pw p USING (mukey)
 """
+
+
+# ---- planner horizon / month path twins ----
+
+ORACLES["planner_sdv_hz_rating"] = f"""
+WITH {_SYN},
+syn_hz AS (
+  SELECT l_orderkey AS cokey,
+         CAST((l_linenumber-1)*15 AS BIGINT) AS hzdept_r,
+         CAST((l_linenumber-1)*15 + 5 + l_partkey % 11 AS BIGINT) AS hzdepb_r,
+         CAST(l_partkey % 5 AS DOUBLE) AS awc_r
+  FROM lineitem),
+flt AS (
+  SELECT c.mukey, c.cokey, c.comppct_r, h.hzdept_r, h.hzdepb_r, h.awc_r
+  FROM syn_co c JOIN syn_hz h ON c.cokey = h.cokey
+  WHERE c.comppct_r IS NOT NULL
+    AND (c.compname IS NULL OR c.compname <> 'NOTCOM')
+    AND h.hzdept_r < 100 AND h.hzdepb_r > 0),
+comp AS (
+  SELECT mukey, cokey, comppct_r,
+         MAX(CASE WHEN greatest(least(hzdepb_r, 100) - greatest(hzdept_r, 0), 0) > 0
+                  THEN awc_r END) AS hzv
+  FROM flt GROUP BY mukey, cokey, comppct_r)
+SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS comppct_r,
+       SUM(comppct_r*hzv)/SUM(comppct_r) AS rating
+FROM comp WHERE hzv IS NOT NULL GROUP BY mukey
+"""
+
+ORACLES["planner_sdv_month_rating"] = f"""
+WITH {_BASE},
+mc AS (
+  SELECT okey AS mukey, member AS cokey, comppct_r, MIN(rflag) AS v
+  FROM base
+  WHERE monthseq BETWEEN 3 AND 9 AND comppct_r IS NOT NULL
+  GROUP BY okey, member, comppct_r)
+SELECT mukey, comppct_r, v AS rating
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY mukey
+        ORDER BY comppct_r DESC,
+                 CASE upper(trim(v)) WHEN 'R' THEN 1 WHEN 'A' THEN 2
+                      WHEN 'N' THEN 3 ELSE 4 END ASC,
+                 cokey ASC) AS rn
+      FROM mc)
+WHERE rn = 1
+"""

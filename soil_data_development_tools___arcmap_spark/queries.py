@@ -695,6 +695,86 @@ def planner_sdv_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_soil_map(tables, relations, req)
 
 
+def planner_sdv_hz_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner horizon path: 3-level relationship walk (mapunit ←
+    component ← chorizon), interval-overlap depth predicate, per-member
+    horizon max then weighted average (AggregateHz_MaxMin_WTA
+    dispatch)."""
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    tables = {
+        "mapunit": t["component"].select("mukey").distinct(),
+        "component": t["component"],
+        "chorizon": t["chorizon"],
+    }
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        },
+        {
+            "ltabphyname": "component",
+            "rtabphyname": "chorizon",
+            "ltabcolphyname": "cokey",
+            "rtabcolphyname": "cokey",
+        },
+    ]
+    sdv_row = {
+        "attributename": "AWC Max Synth",
+        "attributetablename": "chorizon",
+        "attributecolumnname": "awc_r",
+        "algorithmname": "Minimum or Maximum",
+        "horzlevelattribflag": 1,
+        "tiebreakrule": 1,  # Higher wins -> maximum
+    }
+    req = hydrate(sdv_row, None, top=0, bot=100)
+    return create_soil_map(tables, relations, req)
+
+
+def planner_sdv_month_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner month path: month-window filter + collapse (min, per the
+    'Lower' tiebreak) then Dominant Component over the ordinal domain
+    (AggregateCo_Mo_DCP dispatch)."""
+    from .plans.planner import create_soil_map, hydrate
+
+    comp = li_component(spark, sf_dir).select(
+        F.col("okey").alias("mukey"),
+        F.col("member").alias("cokey"),
+        "comppct_r",
+        F.col("rflag").alias("flclass"),
+        "monthseq",
+        F.lit("Soil").alias("compname"),
+    )
+    tables = {"mapunit": comp.select("mukey").distinct(), "component": comp}
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        }
+    ]
+    sdv_row = {
+        "attributename": "Flooding Class Synth",
+        "attributetablename": "component",
+        "attributecolumnname": "flclass",
+        "algorithmname": "Dominant Component",
+        "complevelattribflag": 1,
+        "cmonthlevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": "fl_dom",
+    }
+    domdet = [
+        {"domainname": "fl_dom", "choice": c, "choicesequence": i + 1}
+        for i, c in enumerate(RFLAG_DOMAIN)
+    ]
+    req = hydrate(sdv_row, domdet, beg_month=3, end_month=9)
+    return create_soil_map(tables, relations, req)
+
+
 VALU1_RANGES = [(0, 20), (20, 50), (50, 100), (0, 100)]
 
 
