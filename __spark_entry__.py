@@ -107,6 +107,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_bruteforce": Q.emb_knn_bruteforce,
     "emb_knn_lsh": Q.emb_knn_lsh,
     "emb_knn_ivf": Q.emb_knn_ivf,
+    "emb_cosine_dups": Q.emb_cosine_dups,
 }
 
 

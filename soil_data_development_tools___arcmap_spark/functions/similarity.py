@@ -214,3 +214,42 @@ def ivf_topk(
         .where(F.col("rn") <= topk)
         .select("qid", "cid", "cos_e6", "rn")
     )
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold_e6: int = 300000,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector-space dedup
+    modality): RP-LSH sign buckets block the candidate space (identical
+    and near-identical vectors share all sign bits), pairs expand
+    within buckets via higher-order functions (no self-join), then an
+    exact cosine verify keeps pairs >= threshold. Cost follows bucket
+    density, never n²."""
+    from .dedup import _pairs_from_groups, _spread
+
+    signs = lsh_plane_signs(num_planes, 64)
+    qz = quantize_embedding(col)
+    v = _spread(emb, id_col).select(
+        F.col(id_col).alias("did"), qz.alias("v"), _bucket(qz, signs).alias("bkt")
+    )
+    buckets = (
+        v.groupBy("bkt")
+        .agg(F.sort_array(F.collect_set("did")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = _pairs_from_groups(buckets)
+    vi = v.select(F.col("did").alias("i"), F.col("v").alias("vi"))
+    vj = v.select(F.col("did").alias("j"), F.col("v").alias("vj"))
+    cos = _cos_e6(
+        _dot(F.col("vi"), F.col("vj")), _norm2(F.col("vi")), _norm2(F.col("vj"))
+    )
+    return (
+        pairs.join(vi, "i")
+        .join(vj, "j")
+        .select("i", "j", cos.alias("cos_e6"))
+        .where(F.col("cos_e6") >= threshold_e6)
+    )

@@ -1356,3 +1356,28 @@ FROM (SELECT *, row_number() OVER (
       FROM mc)
 WHERE rn = 1
 """
+
+
+ORACLES["emb_cosine_dups"] = f"""
+WITH {_EMB_Q},
+planes AS (
+  SELECT p, list_transform(generate_series(0, 63),
+           i -> CASE WHEN substr(md5(p || '#' || i), 1, 1) IN
+                     ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END) AS sv
+  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+bkt AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.sv) > 0
+                       THEN (1 << p) ELSE 0 END) AS INTEGER) AS bkt
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+vv AS (SELECT e.vec_id AS did, v, bkt FROM e JOIN bkt USING (vec_id))
+SELECT a.did AS i, b.did AS j,
+       CAST(floor((list_dot_product(a.v, b.v)/
+            (sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))
+            *1000000) AS BIGINT) AS cos_e6
+FROM vv a JOIN vv b ON a.bkt = b.bkt AND a.did < b.did
+WHERE (list_dot_product(a.v, b.v)/
+       (sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))
+      *1000000 >= 300000
+"""

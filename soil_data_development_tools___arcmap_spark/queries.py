@@ -1188,3 +1188,9 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold_e6=300000)
