@@ -1,0 +1,211 @@
+"""Property-based tests: the window/groupBy operators must agree with
+a direct sort-based reference implementation (the semantics the ArcPy
+original computes with cursors) on randomly generated component tables
+— ties, missing ratings, out-of-domain values, single-member groups.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from soil_data_development_tools___arcmap_spark.operators import (
+    RatingSpec,
+    agg_dcd,
+    agg_dcp,
+    agg_limiting,
+    agg_wta,
+)
+
+DOMAIN = ["R", "A", "N"]
+
+row = st.tuples(
+    st.integers(0, 3),                       # mukey
+    st.integers(1, 100),                     # comppct_r
+    st.sampled_from(["R", "A", "N", "X", None]),  # rating
+)
+tables = st.lists(row, min_size=1, max_size=14)
+
+
+def rank(r, domain):
+    if r is None:
+        return len(domain) + 1
+    try:
+        return domain.index(r.upper()) + 1
+    except ValueError:
+        return len(domain) + 1
+
+
+def ref_dcp(rows, domain, higher=False):
+    out = {}
+    for mu, pct, r, member in rows:
+        key = (-pct, -rank(r, domain) if higher else rank(r, domain), member)
+        if mu not in out or key < out[mu][0]:
+            out[mu] = (key, pct, r)
+    return {mu: (pct, r) for mu, (_, pct, r) in out.items()}
+
+
+def ref_dcd(rows, domain):
+    from collections import defaultdict
+
+    by_rating = defaultdict(lambda: [0, None])
+    totals = defaultdict(int)
+    for mu, pct, r, member in rows:
+        g = by_rating[(mu, r)]
+        g[0] += pct
+        g[1] = member if g[1] is None else min(g[1], member)
+        totals[mu] += pct
+    winners = {}
+    for (mu, r), (sw, mm) in by_rating.items():
+        key = (-sw, rank(r, domain), mm)
+        if mu not in winners or key < winners[mu][0]:
+            winners[mu] = (key, sw, r)
+    dcp = ref_dcp(rows, domain)
+    out = {}
+    for mu, (_, sw, r) in winners.items():
+        t = totals[mu]
+        pct = (200 * sw + t) // (2 * t)
+        dcp_w, dcp_r = dcp[mu]
+        out[mu] = (pct, dcp_r if dcp_w >= 50 else r)
+    return out
+
+
+def ref_limiting(rows, domain, most=True):
+    from collections import defaultdict
+
+    class_w = defaultdict(int)
+    for mu, pct, r, member in rows:
+        class_w[(mu, rank(r, domain))] += pct
+    nr = len(domain) + 1
+    out = {}
+    for mu, pct, r, member in rows:
+        rk = rank(r, domain)
+        key = (rk >= nr, rk if most else -rk, -pct, member)
+        if mu not in out or key < out[mu][0]:
+            out[mu] = (key, rk, r)
+    return {
+        mu: (class_w[(mu, rk)], r) for mu, (_, rk, r) in out.items()
+    }
+
+
+def with_members(data):
+    return [(mu, pct, r, i) for i, (mu, pct, r) in enumerate(data)]
+
+
+def build_df(spark, rows):
+    return spark.createDataFrame(
+        [(mu, m, pct, r) for mu, pct, r, m in rows],
+        "mukey int, cokey int, comppct_r int, rating_in string",
+    )
+
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(data=tables)
+@SETTINGS
+def test_dcp_dcd_match_reference(spark, data):
+    rows = with_members(data)
+    df = build_df(spark, rows)
+    spec = RatingSpec(
+        rating_col="rating_in",
+        group_cols=["mukey"],
+        member_col="cokey",
+        weight_col="comppct_r",
+        domain=DOMAIN,
+        out_col="rating",
+    )
+    got_dcp = {
+        r["mukey"]: (r["comppct_r"], r["rating"])
+        for r in agg_dcp(df, spec).collect()
+    }
+    assert got_dcp == ref_dcp(rows, DOMAIN)
+
+    spec_hi = RatingSpec(
+        rating_col="rating_in",
+        group_cols=["mukey"],
+        member_col="cokey",
+        weight_col="comppct_r",
+        domain=DOMAIN,
+        tiebreak_higher=True,
+        out_col="rating",
+    )
+    got_hi = {
+        r["mukey"]: (r["comppct_r"], r["rating"])
+        for r in agg_dcp(df, spec_hi).collect()
+    }
+    assert got_hi == ref_dcp(rows, DOMAIN, higher=True)
+
+    got_dcd = {
+        r["mukey"]: (r["comppct_r"], r["rating"])
+        for r in agg_dcd(df, spec, dcp_override=True).collect()
+    }
+    assert got_dcd == ref_dcd(rows, DOMAIN)
+
+
+@given(data=tables)
+@SETTINGS
+def test_limiting_matches_reference(spark, data):
+    rows = with_members(data)
+    df = build_df(spark, rows)
+    for most in (True, False):
+        spec = RatingSpec(
+            rating_col="rating_in",
+            group_cols=["mukey"],
+            member_col="cokey",
+            weight_col="comppct_r",
+            domain=["R", "A"],
+            out_col="rating",
+        )
+        got = {
+            r["mukey"]: (r["comppct_r"], r["rating"])
+            for r in agg_limiting(df, spec, most=most).collect()
+        }
+        assert got == ref_limiting(rows, ["R", "A"], most=most)
+
+
+num_row = st.tuples(
+    st.integers(0, 3),
+    st.integers(1, 100),
+    st.one_of(st.none(), st.integers(0, 50)),
+)
+
+
+@given(data=st.lists(num_row, min_size=1, max_size=14))
+@SETTINGS
+def test_wta_matches_reference(spark, data):
+    rows = [(mu, pct, v, i) for i, (mu, pct, v) in enumerate(data)]
+    df = spark.createDataFrame(
+        [(mu, m, pct, v) for mu, pct, v, m in rows],
+        "mukey int, cokey int, comppct_r int, val int",
+    )
+    spec = RatingSpec(
+        rating_col="val",
+        group_cols=["mukey"],
+        member_col="cokey",
+        weight_col="comppct_r",
+        out_col="rating",
+    )
+    got = {
+        r["mukey"]: (r["comppct_r"], r["rating"])
+        for r in agg_wta(df, spec).collect()
+    }
+    from collections import defaultdict
+
+    num, den = defaultdict(int), defaultdict(int)
+    mus = set()
+    for mu, pct, v, _ in rows:
+        mus.add(mu)
+        if v is not None:
+            num[mu] += pct * v
+            den[mu] += pct
+    for mu in mus:
+        w, r = got[mu]
+        if den[mu] == 0:
+            assert w is None and r is None
+        else:
+            assert w == den[mu] and r == num[mu] / den[mu]
