@@ -14,10 +14,18 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # Local-mode JVM heap: the Spark default (1g) OOMs in shuffle spill
+    # readers once fact tables reach a few million rows on 32 task
+    # threads. Sized for the test box; on a real cluster spark-submit
+    # owns executor/driver memory and this only affects the driver.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "12g"),
     # AQE: coalesce post-shuffle partitions, convert to broadcast at
     # runtime, split skewed partitions — all critical at 100 TB.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # start wide, let AQE coalesce down — partition-count headroom is
+    # what keeps per-task state spill-free when the input grows 10-100x
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "128",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Deterministic timestamp behavior (matches DuckDB's naive handling).
     "spark.sql.session.timeZone": "UTC",
