@@ -71,6 +71,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_sdv_month_rating": Q.planner_sdv_month_rating,
     # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)
     "merge_dedup": Q.merge_dedup,
+    "merge_rating_tables_tool": Q.merge_rating_tables_tool,
     "distinct_scan": Q.distinct_scan,
     "dominant_member_tool": Q.dominant_member_tool,
     "acreage_report": Q.acreage_report,

@@ -1381,3 +1381,15 @@ WHERE (list_dot_product(a.v, b.v)/
        (sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))
       *1000000 >= 300000
 """
+
+
+ORACLES["merge_rating_tables_tool"] = f"""
+SELECT b.okey,
+       d.comppct_r AS dcp_comppct_r, d.rating AS dcp_rating,
+       w.comppct_r AS wta_comppct_r, w.rating_e4 AS wta_rating_e4,
+       p.rating AS pp_rating
+FROM (SELECT DISTINCT o_orderkey AS okey FROM orders) b
+LEFT JOIN ({ORACLES["sdv_dcp_categorical"]}) d ON b.okey = d.okey
+LEFT JOIN ({ORACLES["sdv_wta"]}) w ON b.okey = w.okey
+LEFT JOIN ({ORACLES["sdv_pp_sum"]}) p ON b.okey = p.okey
+"""

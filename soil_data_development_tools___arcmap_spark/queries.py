@@ -851,6 +851,25 @@ def natmusym_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_rating_tables_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gSSURGO_MergeRatingTables: several per-attribute rating tables
+    left-joined into one wide table on the map-unit key."""
+    from .tools_merge import merge_rating_tables
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    ).distinct()
+    return merge_rating_tables(
+        base,
+        {
+            "dcp": sdv_dcp_categorical(spark, sf_dir),
+            "wta": sdv_wta(spark, sf_dir),
+            "pp": sdv_pp_sum(spark, sf_dir),
+        },
+        key="okey",
+    )
+
+
 # --------------------------------------------- set ops / tools (§2.6-7)
 
 

@@ -1,0 +1,81 @@
+"""SDA wire-format parsing, batching, scalar utilities, merge tool."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from soil_data_development_tools___arcmap_spark.functions.scalars import (
+    MONTH_TO_SEQ,
+    acres_expr,
+    assert_nonempty,
+    month_seq_expr,
+)
+from soil_data_development_tools___arcmap_spark.sources.sda import (
+    batch_areasymbols,
+    count_query,
+    parse_sda_table,
+    sda_payload,
+    sda_to_df,
+)
+from soil_data_development_tools___arcmap_spark.tools_merge import (
+    merge_rating_tables,
+)
+
+
+def test_sda_payload_and_batching():
+    assert sda_payload("SELECT 1") == {
+        "format": "JSON+COLUMNNAME",
+        "query": "SELECT 1",
+    }
+    syms = [f"IA{i:03d}" for i in range(9)]
+    batches = batch_areasymbols(syms)
+    assert [len(b) for b in batches] == [4, 4, 1]
+    q = count_query("mapunit", batches[0])
+    assert "areasymbol IN ('IA000','IA001','IA002','IA003')" in q
+    assert q.startswith("SELECT l.areasymbol, COUNT(*)")
+
+
+def test_sda_parse_and_df(spark):
+    doc = {
+        "Table": [
+            ["mukey", "muname"],
+            ["1", "Alpha"],
+            ["2", ""],
+        ]
+    }
+    cols, rows = parse_sda_table(doc)
+    assert cols == ["mukey", "muname"] and len(rows) == 2
+    df = sda_to_df(spark, doc)
+    got = {r["mukey"]: r["muname"] for r in df.collect()}
+    assert got == {"1": "Alpha", "2": None}
+    assert parse_sda_table({}) == ([], [])
+    assert sda_to_df(spark, {}).count() == 0
+
+
+def test_month_map_and_acres(spark):
+    df = spark.createDataFrame(
+        [("January",), ("December",), ("Nope",)], "mon string"
+    )
+    got = [r[0] for r in df.select(month_seq_expr("mon")).collect()]
+    assert got == [1, 12, None]
+    assert MONTH_TO_SEQ["June"] == 6
+    area = spark.createDataFrame([(4046.8564224,)], "a double")
+    assert area.select(acres_expr("a")).first()[0] == pytest.approx(1.0)
+
+
+def test_assert_nonempty(spark):
+    df = spark.range(3)
+    assert assert_nonempty(df, "ok") is df
+    with pytest.raises(ValueError, match="empty_case"):
+        assert_nonempty(df.where(F.col("id") > 99), "empty_case")
+
+
+def test_merge_rating_tables(spark):
+    base = spark.createDataFrame([(1,), (2,), (3,)], "mukey int")
+    a = spark.createDataFrame([(1, "x")], "mukey int, rating string")
+    b = spark.createDataFrame([(1, 10), (2, 20)], "mukey int, rating int")
+    out = merge_rating_tables(base, {"a": a, "b": b})
+    assert set(out.columns) == {"mukey", "a_rating", "b_rating"}
+    got = {r["mukey"]: (r["a_rating"], r["b_rating"]) for r in out.collect()}
+    assert got == {1: ("x", 10), 2: (None, 20), 3: (None, None)}
