@@ -88,6 +88,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_tumbling": Q.events_stream_tumbling,
     "events_sessionize": Q.events_sessionize,
     "events_sessionize_stateful": Q.events_sessionize_stateful,
+    "events_sliding_window": Q.events_sliding_window,
     "events_topk_per_type": Q.events_topk_per_type,
     "events_json_extract": Q.events_json_extract,
     # documents: text analysis + dedup (north-star LLM pipeline)

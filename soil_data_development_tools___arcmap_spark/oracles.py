@@ -1393,3 +1393,13 @@ LEFT JOIN ({ORACLES["sdv_dcp_categorical"]}) d ON b.okey = d.okey
 LEFT JOIN ({ORACLES["sdv_wta"]}) w ON b.okey = w.okey
 LEFT JOIN ({ORACLES["sdv_pp_sum"]}) p ON b.okey = p.okey
 """
+
+
+ORACLES["events_sliding_window"] = """
+SELECT (epoch_us(ts) // 86400000000) + gs.i AS win_end_day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events JOIN generate_series(0, 6) AS gs(i) ON TRUE
+GROUP BY 1, 2
+"""

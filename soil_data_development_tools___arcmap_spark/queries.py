@@ -1082,6 +1082,24 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day window advancing 1 day, per event_type: each event
+    lands in 7 windows (exploded window dimension — the batch twin of
+    F.window(ts, '7 days', '1 day'), kept in exact integer day space
+    for the oracle)."""
+    ev = read_events(spark, sf_dir).withColumn(
+        "day_num", F.expr("(ts div 1000) div 86400000000")
+    )
+    win = ev.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6)))).select(
+        (F.col("day_num") + F.col("off")).alias("win_end_day"),
+        "event_type",
+        cents("value").alias("value_c"),
+    )
+    return win.groupBy("win_end_day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("value_c")
+    )
+
+
 def events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per event_type (window top-k)."""
     ev = read_events(spark, sf_dir)

@@ -79,3 +79,26 @@ def test_merge_rating_tables(spark):
     assert set(out.columns) == {"mukey", "a_rating", "b_rating"}
     got = {r["mukey"]: (r["a_rating"], r["b_rating"]) for r in out.collect()}
     assert got == {1: ("x", 10), 2: (None, 20), 3: (None, None)}
+
+
+def test_salted_agg_equivalence(spark):
+    from soil_data_development_tools___arcmap_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(k % 3, v) for k, v in enumerate(range(100))], "k int, v int"
+    )
+    got = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"s": ("sum", "v"), "n": ("count", "v"),
+                        "mn": ("min", "v"), "mx": ("max", "v")}, salt=8
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("n"),
+            F.min("v").alias("mn"), F.max("v").alias("mx")
+        ).collect()
+    }
+    assert got == want
