@@ -101,6 +101,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_signatures": Q.docs_minhash_signatures,
     "docs_minhash_lsh": Q.docs_minhash_lsh,
     "docs_simhash": Q.docs_simhash,
+    "docs_clean_corpus": Q.docs_clean_corpus,
     # multimodal binary columns: metadata / Pandas-UDF features / frames
     "docs_media_metadata": Q.docs_media_metadata,
     "docs_media_features": Q.docs_media_features,

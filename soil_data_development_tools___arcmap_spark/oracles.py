@@ -1403,3 +1403,33 @@ SELECT (epoch_us(ts) // 86400000000) + gs.i AS win_end_day,
 FROM events JOIN generate_series(0, 6) AS gs(i) ON TRUE
 GROUP BY 1, 2
 """
+
+
+ORACLES["docs_clean_corpus"] = f"""
+WITH d AS ({_DOCS_T}),
+q AS (SELECT doc_id FROM d WHERE len(t) >= 20),
+la AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CASE WHEN s_de = b THEN 'de' WHEN s_en = b THEN 'en'
+                WHEN s_es = b THEN 'es' WHEN s_fr = b THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS b FROM (
+      SELECT doc_id,
+        len(list_filter(t, w -> w IN ('hash','sort','value'))) AS s_de,
+        len(list_filter(t, w -> w IN ('the','a','data','order'))) AS s_en,
+        len(list_filter(t, w -> w IN ('query','row','table'))) AS s_es,
+        len(list_filter(t, w -> w IN ('group','line','vector'))) AS s_fr,
+        len(list_filter(t, w -> w IN ('spark','big','dup'))) AS s_zh
+      FROM d)))
+  WHERE lang_pred = 'en'),
+ke AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+nj AS (SELECT DISTINCT j AS doc_id FROM ({ORACLES["docs_ngram_jaccard"]}))
+SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+       substr(md5(text), 1, 15) AS fp
+FROM documents JOIN d USING (doc_id)
+WHERE doc_id IN (SELECT doc_id FROM q)
+  AND doc_id IN (SELECT doc_id FROM la)
+  AND doc_id IN (SELECT doc_id FROM ke)
+  AND doc_id NOT IN (SELECT doc_id FROM nj)
+"""

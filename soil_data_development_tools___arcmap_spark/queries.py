@@ -1206,6 +1206,38 @@ def docs_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_t(spark, sf_dir, "documents"))
 
 
+def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline in ONE declarative
+    plan: quality filter (>=20 tokens) -> language filter (en) ->
+    exact-dup removal (keep min id) -> near-dup removal (drop the j
+    side of Jaccard>=0.3 pairs) -> fingerprinted clean corpus. Each
+    stage is a semi/anti join on doc_id, so Catalyst fuses the chain
+    without materialization barriers."""
+    from .functions.dedup import exact_dedup, ngram_jaccard_pairs
+    from .functions.text import langid_scores, quality_features, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs).where(F.col("n_tokens") >= 20).select("doc_id")
+    la = langid_scores(docs).where(F.col("lang_pred") == "en").select("doc_id")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    near_j = (
+        ngram_jaccard_pairs(docs, threshold_e4=3000, max_freq=100)
+        .select(F.col("j").alias("doc_id"))
+        .distinct()
+    )
+    out = (
+        docs.join(q, "doc_id", "left_semi")
+        .join(la, "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+        .join(near_j, "doc_id", "left_anti")
+    )
+    return out.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.substring(F.md5(F.col("text")), 1, 15).alias("fp"),
+    )
+
+
 # ------------------------------------------------ embeddings (ANN)
 
 
