@@ -102,3 +102,32 @@ def test_salted_agg_equivalence(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    from soil_data_development_tools___arcmap_spark.sources.sinks import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [("IA001", i, f"m{i}") for i in range(10)]
+        + [("IA002", i, f"n{i}") for i in range(10)],
+        "areasymbol string, mukey int, muname string",
+    )
+    out = str(tmp_path / "mu")
+    write_partitioned(df, out, ["areasymbol"], sort_by=["mukey"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("areasymbol=")
+    ) == ["areasymbol=IA001", "areasymbol=IA002"]
+    back = read_partitioned(spark, out)
+    assert back.count() == 20
+    pruned = back.where(F.col("areasymbol") == "IA001")
+    assert pruned.count() == 10
+    # partition filter must reach the scan (directory prune, not data)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "areasymbol" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
