@@ -209,3 +209,32 @@ def test_wta_matches_reference(spark, data):
             assert w is None and r is None
         else:
             assert w == den[mu] and r == num[mu] / den[mu]
+
+
+@given(data=tables)
+@SETTINGS
+def test_maxmin_matches_reference(spark, data):
+    from soil_data_development_tools___arcmap_spark.operators import agg_maxmin
+
+    rows = with_members(data)
+    df = build_df(spark, rows)
+    for maximum in (True, False):
+        spec = RatingSpec(
+            rating_col="rating_in",
+            group_cols=["mukey"],
+            member_col="cokey",
+            weight_col="comppct_r",
+            domain=DOMAIN,
+            out_col="rating",
+        )
+        got = {
+            r["mukey"]: (r["comppct_r"], r["rating"])
+            for r in agg_maxmin(df, spec, maximum=maximum).collect()
+        }
+        ref = {}
+        for mu, pct, r, member in rows:
+            rk = rank(r, DOMAIN)
+            key = (-rk if maximum else rk, -pct, member)
+            if mu not in ref or key < ref[mu][0]:
+                ref[mu] = (key, pct, r)
+        assert got == {mu: (p, r) for mu, (_, p, r) in ref.items()}
