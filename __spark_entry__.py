@@ -69,6 +69,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_sdv_rating": Q.planner_sdv_rating,
     "planner_sdv_hz_rating": Q.planner_sdv_hz_rating,
     "planner_sdv_month_rating": Q.planner_sdv_month_rating,
+    "planner_sdv_interp": Q.planner_sdv_interp,
     # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)
     "merge_dedup": Q.merge_dedup,
     "merge_rating_tables_tool": Q.merge_rating_tables_tool,
@@ -79,6 +80,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "natmusym_attach": Q.natmusym_attach,
     "count_reconciliation": Q.count_reconciliation,
     "validate_depth_gaps": Q.validate_depth_gaps,
+    "validate_component_pct": Q.validate_component_pct,
     # analytic benchmarks
     "q1_pricing_summary": Q.q1_pricing_summary,
     "q3_shipping_priority": Q.q3_shipping_priority,

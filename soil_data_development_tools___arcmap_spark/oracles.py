@@ -1433,3 +1433,28 @@ WHERE doc_id IN (SELECT doc_id FROM q)
   AND doc_id IN (SELECT doc_id FROM ke)
   AND doc_id NOT IN (SELECT doc_id FROM nj)
 """
+
+
+ORACLES["planner_sdv_interp"] = f"""
+WITH {_SYN},
+ci0 AS (SELECT o_orderkey AS cokey,
+               CAST((o_orderkey * 2) % 101 AS DOUBLE) AS interphr
+        FROM orders)
+SELECT c.mukey, CAST(SUM(c.comppct_r) AS BIGINT) AS comppct_r,
+       CAST(floor((SUM(c.comppct_r*i.interphr)/SUM(c.comppct_r))*10000)
+            AS BIGINT) AS rating_e4
+FROM syn_co c JOIN ci0 i ON c.cokey = i.cokey
+WHERE c.comppct_r IS NOT NULL
+  AND (c.compname IS NULL OR c.compname <> 'NOTCOM')
+GROUP BY c.mukey
+"""
+
+ORACLES["validate_component_pct"] = f"""
+WITH {_SYN}
+SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS sum_pct,
+       COUNT(*) AS n_comp,
+       CAST(SUM(comppct_r) <> 100 AS INTEGER) AS flag_pct,
+       CAST(SUM(CASE WHEN majcompflag = 'Yes' THEN 1 ELSE 0 END) = 0
+            AS INTEGER) AS flag_no_major
+FROM syn_co GROUP BY mukey
+"""

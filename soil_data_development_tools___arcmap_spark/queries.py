@@ -775,6 +775,70 @@ def planner_sdv_month_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_soil_map(tables, relations, req)
 
 
+def planner_sdv_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner interp path (CreateRatingInterps): cointerp filtered to
+    the rule (mrulename = attribute, ruledepth 0) through the
+    relationship walk, fuzzy value (interphr) weight-averaged per map
+    unit."""
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    tables = {
+        "mapunit": t["component"].select("mukey").distinct(),
+        "component": t["component"],
+        "cointerp": t["cointerp"],
+    }
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        },
+        {
+            "ltabphyname": "component",
+            "rtabphyname": "cointerp",
+            "ltabcolphyname": "cokey",
+            "rtabcolphyname": "cokey",
+        },
+    ]
+    sdv_row = {
+        "attributename": "NCCPI - National Commodity Crop Productivity Index",
+        "attributetablename": "cointerp",
+        "attributecolumnname": "interphr",
+        "algorithmname": "Weighted Average",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "attributetype": "Interpretation",
+        "effectivelogicaldatatype": "float",
+    }
+    req = hydrate(sdv_row, None)
+    out = create_soil_map(tables, relations, req)
+    return out.select(
+        "mukey", "comppct_r", _floor_e("rating", 10000).alias("rating_e4")
+    )
+
+
+def validate_component_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gSSURGO_ValidateData plausibility report: per-mukey component
+    percent sum with anomaly flags (sum <> 100, no major component)."""
+    co = ssurgo_synth(spark, sf_dir)["component"]
+    agg = co.groupBy("mukey").agg(
+        F.sum("comppct_r").alias("sum_pct"),
+        F.count(F.lit(1)).alias("n_comp"),
+        F.sum(F.when(F.col("majcompflag") == "Yes", 1).otherwise(0)).alias(
+            "n_major"
+        ),
+    )
+    return agg.select(
+        "mukey",
+        "sum_pct",
+        "n_comp",
+        (F.col("sum_pct") != 100).cast("int").alias("flag_pct"),
+        (F.col("n_major") == 0).cast("int").alias("flag_no_major"),
+    )
+
+
 VALU1_RANGES = [(0, 20), (20, 50), (50, 100), (0, 100)]
 
 
