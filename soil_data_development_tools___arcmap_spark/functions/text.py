@@ -30,10 +30,20 @@ def tokens(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
+#: BPE-ish pre-tokenizer: word pieces of <=4 chars + punctuation runs —
+#: a deterministic stand-in for a real BPE vocab's piece count
+BPE_RE = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+
 def token_count(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword-piece count (the
+    pre-training budget estimator) + char length."""
     return df.select(
         id_col,
         F.size(tokens(col)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_RE), 0)).alias(
+            "n_subtok"
+        ),
         F.length(F.col(col)).alias("n_chars_calc"),
     )
 

@@ -933,6 +933,8 @@ sizes AS (SELECT did, len(ss) AS nsh FROM sh)"""
 
 ORACLES["docs_token_count"] = """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]'))
+            AS INTEGER) AS n_subtok,
        CAST(length(text) AS INTEGER) AS n_chars_calc
 FROM documents
 """
