@@ -49,3 +49,91 @@ def test_stateful_sessionize_equals_batch(spark):
         for r in run_sessionize_stream(spark, SF_SMOKE).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """State must carry across micro-batches: split events into
+    chronological files and force one file per trigger; the final
+    per-user result must still equal the batch computation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.queries import (
+        events_sessionize,
+        read_events,
+    )
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+    )
+
+    ev = read_events(spark, SF_SMOKE).withColumn(
+        "day_num", F.expr("(ts div 1000) div 86400000000")
+    )
+    days = sorted(r[0] for r in ev.select("day_num").distinct().collect())
+    src = str(tmp_path / "ev_stream")
+    os.makedirs(src, exist_ok=True)
+    # one file per day, written oldest-first so the file source picks
+    # them up in chronological order
+    for i, d in enumerate(days):
+        ev.where(F.col("day_num") == d).drop("day_num").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
+    )
+
+    def fn(key, pdfs, state):
+        n_sess, n_ev, last = state.get if state.exists else (0, 0, None)
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        for ts in rows["ts_us"]:
+            if last is None or ts - last > gap_us:
+                n_sess += 1
+            n_ev += 1
+            last = int(ts)
+        state.update((n_sess, n_ev, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    name = "sess_mb_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_sessions long, n_events long",
+            stateStructType="n_sessions long, n_events long, last_ts long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink appends one row per user per batch that
+    # touched them; the LAST row per user is the final state
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("n_sessions").alias("ns"))
+    )
+    got = {r["user_id"]: (r["ns"], r["n_events"]) for r in final.collect()}
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessionize(spark, SF_SMOKE).collect()
+    }
+    assert len(days) > 1  # the split actually produced multiple batches
+    assert got == want
