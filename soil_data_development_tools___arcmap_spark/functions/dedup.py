@@ -162,18 +162,43 @@ def minhash_signatures(
     col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
+    hasher: str = "md5",
 ) -> DataFrame:
     """MinHash signature per document, ONE pass over exploded shingles.
 
-    Hash-function economy: each md5 yields FOUR independent 32-bit
+    ``hasher='md5'`` (default): each md5 yields FOUR independent 32-bit
     minhash functions (8-hex-char substrings), so 16 functions cost 4
     md5 calls per shingle, not 16. Fixed-width hex compares
-    lexicographically == numerically, and every engine reproduces it
-    (the pluggable-but-portable alternative to xxhash64)."""
-    n_md5 = (num_hashes + 3) // 4
+    lexicographically == numerically, and every engine reproduces it —
+    the oracle-comparable mode.
+
+    ``hasher='xxhash64'``: the production/scale mode — native seeded
+    xxhash64 yields TWO 32-bit functions per call as longs (no hex
+    strings, no substring mins); measured ~1.4x faster end-to-end at
+    500k docs (shingle construction, not hashing, dominates the stage).
+    Same signature semantics, different (engine-specific) hash values,
+    so not DuckDB-comparable."""
     ex = shingle_sets(_spread(df, id_col), id_col, col, k).select(
         "did", F.explode("ss").alias("s")
-    ).select(
+    )
+    if hasher == "xxhash64":
+        n_h = (num_hashes + 1) // 2
+        hashed = ex.select(
+            "did",
+            *[F.xxhash64(F.lit(g), F.col("s")).alias(f"h{g}") for g in range(n_h)],
+        )
+        mask = F.lit(0xFFFFFFFF)
+        aggs = [
+            F.min(
+                F.shiftrightunsigned(F.col(f"h{i // 2}"), 32 * (i % 2)).bitwiseAND(
+                    mask
+                )
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+        return hashed.groupBy("did").agg(*aggs)
+    n_md5 = (num_hashes + 3) // 4
+    hashed = ex.select(
         "did",
         *[
             F.md5(F.concat(F.lit(f"{g}#"), F.col("s"))).alias(f"h{g}")
@@ -184,7 +209,7 @@ def minhash_signatures(
         F.min(F.substring(F.col(f"h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy("did").agg(*aggs)
+    return hashed.groupBy("did").agg(*aggs)
 
 
 def minhash_lsh_pairs(

@@ -104,3 +104,29 @@ def test_brute_force_topk_and_lsh(spark):
     lsh = rp_lsh_topk(emb, query_ids_below=2, topk=3)
     got = {(r["qid"], r["cid"]) for r in lsh.collect()}
     assert (1, 9) in got
+
+
+def test_minhash_xxhash64_mode(spark, docs=None):
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df, hasher="xxhash64")
+    assert [f for f in sig.columns if f.startswith("mh")] == [
+        f"mh{i}" for i in range(16)
+    ]
+    rows = {r["did"]: tuple(r[f"mh{i}"] for i in range(16)) for r in sig.collect()}
+    # identical docs -> identical signatures; different doc differs
+    assert rows[1] == rows[2] and rows[1] != rows[3]
+    # values are 32-bit longs, not hex strings
+    assert all(isinstance(v, int) and 0 <= v <= 0xFFFFFFFF for v in rows[1])
+    # deterministic across runs
+    again = {
+        r["did"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in minhash_signatures(df, hasher="xxhash64").collect()
+    }
+    assert rows == again
