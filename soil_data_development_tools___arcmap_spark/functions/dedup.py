@@ -55,17 +55,26 @@ def shingles(col: str = "text", k: int = 3) -> Column:
 
 
 def _shingle_arr(t: Column, k: int) -> Column:
-    """k-shingles via slice + zip_with: k shifted views of the token
-    array zipped with string concat. Unlike an index-based transform()
-    (whose lambda re-evaluates the embedded tokenizer per element —
-    measured ~100x slower), every array here is evaluated once per row.
-    Short docs produce zero-length slices ⇒ empty shingle set."""
-    m = F.greatest(F.size(t) - (k - 1), F.lit(0))
-    views = [F.slice(t, i + 1, m) for i in range(k)]
-    out = views[-1]
-    for v in reversed(views[:-1]):
-        out = F.zip_with(v, out, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.array_distinct(out)
+    """k-shingles as an index transform over the MATERIALIZED token
+    array: per shingle, k element_at lookups + one concat. ``t`` must
+    be a plain column reference — transform() lambdas re-evaluate
+    embedded subexpressions per element, so an inline tokenizer here
+    would re-split the text per shingle (measured ~100x slower); with
+    materialized tokens this beats the slice+zip_with formulation by
+    ~30% (no k intermediate array copies). Docs shorter than k tokens
+    take the empty branch — guarded, because sequence(1, 0) DESCENDS
+    in Spark and would fabricate shingles."""
+    shingles_ = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(k)]
+            ),
+        )
+    )
+    return F.when(F.size(t) >= k, shingles_).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_sets(
