@@ -39,6 +39,8 @@ HEADLINE = [
     "docs_frame_sample",
     "emb_knn_bruteforce",
     "emb_knn_ivf",
+    "docs_clean_corpus",
+    "events_sliding_window",
 ]
 
 
