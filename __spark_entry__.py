@@ -70,6 +70,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_sdv_hz_rating": Q.planner_sdv_hz_rating,
     "planner_sdv_month_rating": Q.planner_sdv_month_rating,
     "planner_sdv_interp": Q.planner_sdv_interp,
+    "planner_sdv_mapunit": Q.planner_sdv_mapunit,
+    "planner_sdv_no_agg": Q.planner_sdv_no_agg,
     # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)
     "merge_dedup": Q.merge_dedup,
     "merge_rating_tables_tool": Q.merge_rating_tables_tool,

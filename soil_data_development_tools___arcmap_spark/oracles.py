@@ -1460,3 +1460,18 @@ SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS sum_pct,
             AS INTEGER) AS flag_no_major
 FROM syn_co GROUP BY mukey
 """
+
+
+ORACLES["planner_sdv_mapunit"] = """
+SELECT DISTINCT c_custkey AS mukey,
+       CAST(c_custkey % 200 AS DOUBLE) AS aws025
+FROM customer
+"""
+
+ORACLES["planner_sdv_no_agg"] = f"""
+WITH {_SYN}
+SELECT mukey, cokey, comppct_r, drainagecl AS rating
+FROM syn_co
+WHERE comppct_r IS NOT NULL
+  AND (compname IS NULL OR compname <> 'NOTCOM')
+"""

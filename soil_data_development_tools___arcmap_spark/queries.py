@@ -819,6 +819,72 @@ def planner_sdv_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def planner_sdv_mapunit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner mapunit-level path (CreateRatingTable1S shape): the
+    attribute lives on a mapunit-keyed table (muaggatt analog), no
+    aggregation — join walk + typed passthrough."""
+    from .plans.planner import create_soil_map, hydrate
+
+    mapunit = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("mukey"))
+        .distinct()
+    )
+    muaggatt = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"),
+        (F.col("c_custkey") % 200).cast("double").alias("aws025wta"),
+    )
+    tables = {"mapunit": mapunit, "muaggatt": muaggatt}
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "muaggatt",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        }
+    ]
+    sdv_row = {
+        "attributename": "AWS 0-25 WTA",
+        "attributetablename": "muaggatt",
+        "attributecolumnname": "aws025wta",
+        "algorithmname": "No Aggregation Necessary",
+        "mapunitlevelattribflag": 1,
+        "resultcolumnname": "aws025",
+    }
+    req = hydrate(sdv_row, None)
+    return create_soil_map(tables, relations, req)
+
+
+def planner_sdv_no_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner 'No Aggregation Necessary' at component level: the
+    denormalized rating rows pass through untouched (one row per
+    mapunit-component, gSSURGO dAgg 'NONE' dispatch)."""
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    tables = {
+        "mapunit": t["component"].select("mukey").distinct(),
+        "component": t["component"],
+    }
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        }
+    ]
+    sdv_row = {
+        "attributename": "Drainage Class Raw",
+        "attributetablename": "component",
+        "attributecolumnname": "drainagecl",
+        "algorithmname": "No Aggregation Necessary",
+        "complevelattribflag": 1,
+    }
+    req = hydrate(sdv_row, None)
+    return create_soil_map(tables, relations, req)
+
+
 def validate_component_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gSSURGO_ValidateData plausibility report: per-mukey component
     percent sum with anomaly flags (sum <> 100, no major component)."""
