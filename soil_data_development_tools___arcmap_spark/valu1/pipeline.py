@@ -390,17 +390,26 @@ def build_valu1(
     chfrags: DataFrame | None = None,
     ranges: list[tuple[int, int]] | None = None,
     exact_scales: tuple[int, int, int] | None = None,
+    cache_qt: bool = False,
 ) -> DataFrame:
     """Assemble the wide Valu1 table (CreateValuTable orchestration,
     gSSURGO_ValuTable.py:2992-3209): independent metric branches over
-    ONE cached query table, joined on mukey.
+    one query table, joined on mukey.
+
+    ``cache_qt`` defaults OFF deliberately: although 4+ branches read
+    the query table (the reference materializes QueryTable_HZ for the
+    same reason, :341-352), caching the WIDE row defeats per-branch
+    column pruning — measured 2.6x SLOWER than recomputing the pruned
+    subtrees (18-23s vs 7-9s at sf0.1). Turn it on only when the
+    upstream join is genuinely expensive relative to its width.
 
     ``exact_scales`` = (aws_scale, soc_scale, nccpi_scale) switches the
     float metrics to floor-quantized integer output (see calc_aws) for
     cross-engine hashing."""
     aws_s, soc_s, nccpi_s = exact_scales or (None, None, None)
     qt = build_query_table(component, chorizon, chtexturegrp, chtexture, chfrags)
-    qt = qt.cache()  # consumed by 4+ branches (the QueryTable_HZ analog)
+    if cache_qt:
+        qt = qt.cache()
     restr = (
         get_co_restrictions(corestrictions)
         if corestrictions is not None

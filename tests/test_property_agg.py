@@ -6,6 +6,8 @@ original computes with cursors) on randomly generated component tables
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -100,7 +102,7 @@ def build_df(spark, rows):
 
 
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
