@@ -90,12 +90,24 @@ def shingle_sets(
     return toks.select("did", _shingle_arr(F.col("__t"), k).alias("ss"))
 
 
+def _explode_ss(ss_df: DataFrame) -> DataFrame:
+    """Explode the shingle-set column WITHOUT triggering Spark's
+    InferFiltersFromGenerate: plain explode() makes the optimizer add a
+    size(ss) > 0 pre-filter and push it below the token projection with
+    the WHOLE shingle expression inlined — the split then re-evaluates
+    per transform element, interpreted, per row, twice (measured 20x on
+    the signature stage). explode_outer infers no filter; the null drop
+    on the GENERATED column cannot be pushed below the Generate."""
+    return (
+        ss_df.select("did", F.explode_outer("ss").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+
+
 def _exploded_shingles(
     df: DataFrame, id_col: str, col: str, k: int, max_freq: int | None
 ) -> DataFrame:
-    ex = shingle_sets(_spread(df, id_col), id_col, col, k).select(
-        "did", F.explode("ss").alias("s")
-    )
+    ex = _explode_ss(shingle_sets(_spread(df, id_col), id_col, col, k))
     if max_freq is not None:
         # stop-shingle cap: a shingle in >max_freq docs is blocked from
         # candidate generation (skew guard; pure semantics preserved
@@ -187,9 +199,7 @@ def minhash_signatures(
     500k docs (shingle construction, not hashing, dominates the stage).
     Same signature semantics, different (engine-specific) hash values,
     so not DuckDB-comparable."""
-    ex = shingle_sets(_spread(df, id_col), id_col, col, k).select(
-        "did", F.explode("ss").alias("s")
-    )
+    ex = _explode_ss(shingle_sets(_spread(df, id_col), id_col, col, k))
     if hasher == "xxhash64":
         n_h = (num_hashes + 1) // 2
         hashed = ex.select(
@@ -275,19 +285,27 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("j").alias("did")))
         .distinct()
     )
-    ex = _exploded_shingles(df, id_col, col, k, max_freq).join(
-        cand_ids, "did", "left_semi"
+    # re-aggregate the candidate docs' (max_freq-filtered) shingles
+    # into arrays and intersect per pair natively — a shingle-level
+    # pair join would multiply |pairs| x |shingles| rows and blow up
+    # exactly when duplicates are dense
+    fs = (
+        _exploded_shingles(df, id_col, col, k, max_freq)
+        .join(cand_ids, "did", "left_semi")
+        .groupBy("did")
+        .agg(F.collect_list("s").alias("fss"))
     )
     sizes = shingle_sets(df, id_col, col, k).select(
         "did", F.size("ss").alias("nsh")
     )
-    ei = ex.select(F.col("did").alias("i"), "s")
-    ej = ex.select(F.col("did").alias("jd"), F.col("s").alias("sj"))
+    fi = fs.select(F.col("did").alias("i"), F.col("fss").alias("fi"))
+    fj = fs.select(F.col("did").alias("j"), F.col("fss").alias("fj"))
     inter = (
-        cand.join(ei, "i")
-        .join(ej, (F.col("j") == F.col("jd")) & (F.col("s") == F.col("sj")))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(fi, "i")
+        .join(fj, "j")
+        .select(
+            "i", "j", F.size(F.array_intersect("fi", "fj")).alias("inter")
+        )
     )
     si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
     sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
