@@ -220,7 +220,10 @@ def agg_limiting(df: DataFrame, spec: RatingSpec, most: bool = True) -> DataFram
     class (summed over members sharing it).
     """
     assert spec.domain is not None, "Limiting requires an ordinal domain"
-    rank = domain_rank_expr(spec)
+    # plain ranks: Limiting manages 'Not rated'/null placement itself
+    # (skip unless it is all the group has, :5115-5121) — the domain
+    # insertions of :9913-9967 must not apply here
+    rank = domain_rank_expr(spec, plain=True)
     nr_rank = len(spec.domain) + 1
     df2 = df.withColumn("__rank", rank)
     # 'Not rated' sorts last for MOST limiting and for LEAST limiting

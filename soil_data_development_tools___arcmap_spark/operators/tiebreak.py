@@ -62,20 +62,38 @@ class RatingSpec:
         return c
 
 
-def domain_rank_expr(spec: RatingSpec) -> Column:
-    """1-based position of the rating inside its ordered domain.
+def domain_rank_expr(spec: RatingSpec, plain: bool = False) -> Column:
+    """1-based position of the rating inside its ordered domain,
+    mirroring the reference's domain assembly
+    (gSSURGO_CreateSoilMap.py:9913-9967):
 
-    'Not rated' (and values absent from the domain, and nulls) rank
-    AFTER every real class — len+1 — mirroring the reference's
-    insertion of the null/'Not rated' class at the end of the sorted
-    domain (gSSURGO_CreateSoilMap.py:9913-9967). Case-insensitive match
-    (the reference upper-cases domain dict keys, :4906-4916).
+    - ``notratedphrase`` (when set and absent) is inserted at the START
+      of the domain BEFORE the suitability reversal (:9938-9940).
+    - NULL ratings rank BEFORE every class when the tiebreaker is
+      'Higher' (so they lose DESC ties, :9951-9957) and AFTER every
+      class otherwise (:9959-9962).
+    - Values absent from the domain rank last (no dValues entry).
+
+    Case-insensitive match (the reference upper-cases domain dict keys,
+    :4906-4916). ``plain=True`` skips the not-rated/null insertion —
+    the Limiting operators manage those classes themselves
+    (:5115-5121).
     """
     assert spec.domain is not None
-    dom = list(reversed(spec.domain)) if spec.domain_reversed else spec.domain
+    dom = list(spec.domain)
+    if not plain and spec.not_rated:
+        if spec.not_rated.upper() not in {v.upper() for v in dom}:
+            dom.insert(0, spec.not_rated)
+    if spec.domain_reversed:
+        dom = list(reversed(dom))
     arr = F.array(*[F.lit(v.upper()) for v in dom])
     pos = F.array_position(arr, F.upper(F.trim(spec.rating())))
-    return F.when(pos > 0, pos).otherwise(F.lit(len(dom) + 1))
+    null_rank = 0 if (not plain and spec.tiebreak_higher) else len(dom) + 1
+    return (
+        F.when(pos > 0, pos)
+        .when(spec.rating().isNull(), F.lit(null_rank))
+        .otherwise(F.lit(len(dom) + 1))
+    )
 
 
 def rating_order_expr(spec: RatingSpec) -> Column:

@@ -128,3 +128,44 @@ def test_domain_reversed_suitability(spark):
         agg_dcp(comp(spark), spec_cls(domain_reversed=True)), "mukey", "rating"
     )
     assert out["mu2"] == "C"  # reversed domain: C ranks first now
+
+
+def test_not_rated_and_null_placement(spark):
+    """Reference domain assembly (gSSURGO_CreateSoilMap.py:9913-9967):
+    notratedphrase inserts at the domain start (pre-reversal); nulls
+    rank first under 'Higher' (losing DESC ties) and last otherwise."""
+    from soil_data_development_tools___arcmap_spark.operators import (
+        RatingSpec,
+        agg_dcp,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # mukey 1: tie between a real class and 'Not rated'
+            (1, 1, 50, "Slight"),
+            (1, 2, 50, "Not rated"),
+            # mukey 2: tie between a real class and NULL
+            (2, 1, 50, "Severe"),
+            (2, 2, 50, None),
+        ],
+        "mukey int, cokey int, comppct_r int, interp string",
+    )
+    base = dict(
+        rating_col="interp",
+        group_cols=["mukey"],
+        member_col="cokey",
+        weight_col="comppct_r",
+        domain=["Slight", "Moderate", "Severe"],
+        not_rated="Not rated",
+        out_col="rating",
+    )
+    # tiebreak Lower: 'Not rated' (inserted at rank 1) WINS the tie
+    # in mukey 1; NULL ranks last and loses in mukey 2
+    low = {r["mukey"]: r["rating"]
+           for r in agg_dcp(df, RatingSpec(**base)).collect()}
+    assert low == {1: "Not rated", 2: "Severe"}
+    # tiebreak Higher: real classes outrank 'Not rated' under DESC,
+    # and NULL ranks 0 so it still loses
+    hi = {r["mukey"]: r["rating"]
+          for r in agg_dcp(df, RatingSpec(tiebreak_higher=True, **base)).collect()}
+    assert hi == {1: "Slight", 2: "Severe"}

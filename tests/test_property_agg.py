@@ -29,19 +29,26 @@ row = st.tuples(
 tables = st.lists(row, min_size=1, max_size=14)
 
 
-def rank(r, domain):
+def rank(r, domain, higher=False, not_rated=None):
+    """Reference-faithful rank (gSSURGO_CreateSoilMap.py:9913-9967):
+    not_rated inserted at the start; nulls rank 0 under 'Higher'
+    (losing DESC ties) and len+1 otherwise; unknown values last."""
+    dom = list(domain)
+    if not_rated and not_rated.upper() not in {v.upper() for v in dom}:
+        dom.insert(0, not_rated)
     if r is None:
-        return len(domain) + 1
+        return 0 if higher else len(dom) + 1
     try:
-        return domain.index(r.upper()) + 1
+        return [v.upper() for v in dom].index(r.upper()) + 1
     except ValueError:
-        return len(domain) + 1
+        return len(dom) + 1
 
 
 def ref_dcp(rows, domain, higher=False):
     out = {}
     for mu, pct, r, member in rows:
-        key = (-pct, -rank(r, domain) if higher else rank(r, domain), member)
+        rk = rank(r, domain, higher=higher)
+        key = (-pct, -rk if higher else rk, member)
         if mu not in out or key < out[mu][0]:
             out[mu] = (key, pct, r)
     return {mu: (pct, r) for mu, (_, pct, r) in out.items()}
