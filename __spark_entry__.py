@@ -32,6 +32,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sdv_dcp_tiebreak_higher": Q.sdv_dcp_tiebreak_higher,
     "sdv_dcd": Q.sdv_dcd,
     "sdv_dcd_domain_reversed": Q.sdv_dcd_domain_reversed,
+    "sdv_interp_dcd_not_rated": Q.sdv_interp_dcd_not_rated,
     "sdv_wta": Q.sdv_wta,
     "sdv_wta_zero_nulls": Q.sdv_wta_zero_nulls,
     "sdv_maxmin_max": Q.sdv_maxmin_max,

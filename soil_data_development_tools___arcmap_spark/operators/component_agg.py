@@ -91,6 +91,7 @@ def agg_dcd(
         tiebreak_higher=spec.tiebreak_higher,
         domain=spec.domain,
         domain_reversed=spec.domain_reversed,
+        not_rated=spec.not_rated,
     )
     w = Window.partitionBy(*spec.group_cols).orderBy(
         F.col("__sum_w").desc_nulls_last(),

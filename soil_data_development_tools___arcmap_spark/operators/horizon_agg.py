@@ -166,6 +166,7 @@ def agg_hz_maxmin_then(
         tiebreak_higher=spec.tiebreak_higher,
         domain=spec.domain,
         domain_reversed=spec.domain_reversed,
+        not_rated=spec.not_rated,
         out_col=spec.out_col,
     )
     if then == "wta":

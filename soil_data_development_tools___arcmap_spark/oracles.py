@@ -1475,3 +1475,41 @@ FROM syn_co
 WHERE comppct_r IS NOT NULL
   AND (compname IS NULL OR compname <> 'NOTCOM')
 """
+
+
+_IRANK = """CASE WHEN interp IS NULL THEN 0
+     WHEN upper(trim(interp)) = 'NOT RATED' THEN 1
+     WHEN upper(trim(interp)) = 'SLIGHT' THEN 2
+     WHEN upper(trim(interp)) = 'MODERATE' THEN 3
+     WHEN upper(trim(interp)) = 'SEVERE' THEN 4 ELSE 5 END"""
+
+ORACLES["sdv_interp_dcd_not_rated"] = f"""
+WITH ib AS (
+  SELECT l_orderkey AS okey, l_linenumber AS member,
+         CAST(l_quantity AS BIGINT) AS comppct_r,
+         CASE WHEN l_partkey % 13 = 0 THEN NULL
+              WHEN l_partkey % 7 = 0 THEN 'Not rated'
+              WHEN l_returnflag = 'R' THEN 'Severe'
+              WHEN l_returnflag = 'A' THEN 'Moderate'
+              ELSE 'Slight' END AS interp
+  FROM lineitem),
+br AS (
+  SELECT okey, interp, SUM(comppct_r) AS sw, MIN(member) AS mm,
+         MAX(comppct_r) AS mw
+  FROM ib GROUP BY okey, interp),
+tt AS (
+  SELECT okey, interp, sw, mm, mw,
+         SUM(sw) OVER (PARTITION BY okey) AS tw,
+         row_number() OVER (
+           PARTITION BY okey
+           ORDER BY sw DESC, {_IRANK} DESC, mm ASC) AS rn,
+         row_number() OVER (
+           PARTITION BY okey
+           ORDER BY mw DESC, {_IRANK} DESC, mm ASC) AS rn_dcp
+  FROM br)
+SELECT d.okey,
+       CAST((200*d.sw + d.tw) // (2*d.tw) AS INTEGER) AS comppct_r,
+       CASE WHEN p.mw >= 50 THEN p.interp ELSE d.interp END AS rating
+FROM (SELECT * FROM tt WHERE rn = 1) d
+JOIN (SELECT * FROM tt WHERE rn_dcp = 1) p USING (okey)
+"""

@@ -296,6 +296,30 @@ def sdv_dtwt_dcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_dcp(collapsed, spec)
 
 
+def sdv_interp_dcd_not_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interp-style DCD with the reference's domain assembly: the
+    'Not rated' class inserted at the domain start, null ratings placed
+    first under the 'Higher' tiebreaker (losing DESC ties), DCP
+    override on top (gSSURGO_CreateSoilMap.py:9913-9967)."""
+    df = li_component(spark, sf_dir).withColumn(
+        "interp",
+        F.when(F.col("pkey") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("pkey") % 7 == 0, "Not rated")
+        .when(F.col("rflag") == "R", "Severe")
+        .when(F.col("rflag") == "A", "Moderate")
+        .otherwise("Slight"),
+    )
+    spec = RatingSpec(
+        rating_col="interp",
+        out_col="rating",
+        domain=["Slight", "Moderate", "Severe"],
+        not_rated="Not rated",
+        tiebreak_higher=True,
+        **_CO_SPEC,
+    )
+    return agg_dcd(df, spec, dcp_override=True)
+
+
 def sdv_mo_dcp_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AggregateCo_Mo_DCP_Domain: monthly data replicates the component
     weight (the 12x trap, gSSURGO_CreateSoilMap.py:10710-10716) — dedupe
