@@ -327,10 +327,19 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataF
     """16-bit SimHash over distinct tokens: bit i set iff the sum over
     tokens of ±1 (sign = high bit of md5 nibble i) is positive.
     md5-nibble signs keep the signature engine-reproducible."""
-    ex = _spread(df, id_col).select(
-        F.col(id_col).alias("did"),
-        F.explode(F.array_distinct(F.split(F.col(col), " "))).alias("w"),
-    ).withColumn("h", F.md5(F.col("w")))
+    # same explode_outer pattern as _explode_ss: a plain explode makes
+    # the optimizer push an inlined size()>0 copy of the tokenize+
+    # distinct into the scan (see PLANS.md)
+    ex = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("did"),
+            F.array_distinct(F.split(F.col(col), " ")).alias("tv"),
+        )
+        .select("did", F.explode_outer("tv").alias("w"))
+        .where(F.col("w").isNotNull())
+        .withColumn("h", F.md5(F.col("w")))
+    )
     bit_sums = [
         F.sum(
             F.when(F.substring(F.col("h"), i + 1, 1).isin(*_HI_NIBBLES), 1).otherwise(
