@@ -80,6 +80,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dominant_member_tool": Q.dominant_member_tool,
     "acreage_report": Q.acreage_report,
     "legend_class_breaks": Q.legend_class_breaks,
+    "legend_unique_values": Q.legend_unique_values,
     "natmusym_attach": Q.natmusym_attach,
     "count_reconciliation": Q.count_reconciliation,
     "validate_depth_gaps": Q.validate_depth_gaps,

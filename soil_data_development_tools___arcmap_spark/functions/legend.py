@@ -30,3 +30,13 @@ def equal_interval_breaks(df: DataFrame, col: str, n_classes: int = 5) -> DataFr
             F.expr(f"mn + ((mx - mn) * class_idx) div {n_classes}").alias("brk"),
         )
     )
+
+
+def unique_values(df: DataFrame, col: str) -> DataFrame:
+    """(value, n) per distinct rating — the computation core of the
+    reference's unique-values legend (UniqueValuesJSON,
+    gSSURGO_CreateSoilMap.py:2341-2518) and of the outputValues list
+    every Aggregate* function returns for legend building."""
+    return df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1513,3 +1513,10 @@ SELECT d.okey,
 FROM (SELECT * FROM tt WHERE rn = 1) d
 JOIN (SELECT * FROM tt WHERE rn_dcp = 1) p USING (okey)
 """
+
+
+ORACLES["legend_unique_values"] = f"""
+SELECT rating AS value, COUNT(*) AS n
+FROM ({ORACLES["sdv_dcp_categorical"]})
+GROUP BY rating
+"""

@@ -984,6 +984,14 @@ def legend_class_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equal_interval_breaks(cents_tbl, "rating_c", n_classes=5)
 
 
+def legend_unique_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqueValuesJSON core: distinct rating values + counts of a
+    categorical rating output (the outputValues legend collection)."""
+    from .functions.legend import unique_values
+
+    return unique_values(sdv_dcp_categorical(spark, sf_dir), "rating")
+
+
 def natmusym_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetNatMusym attribute attach (SDA result joined back on mukey,
     GetNatMusym.py:241-410): a broadcast-joined mapping updates the
