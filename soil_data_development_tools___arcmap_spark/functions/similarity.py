@@ -48,9 +48,14 @@ def _norm2(a: Column) -> Column:
 
 
 def _cos_e6(dot: Column, n2a: Column, n2b: Column) -> Column:
-    return F.floor(
-        (dot / (F.sqrt(n2a) * F.sqrt(n2b))) * 1000000
-    ).cast("long")
+    """Cosine in integer micro-units. Zero-norm (all-zero) embeddings
+    have no defined cosine: they map to the sentinel -2_000_000 (below
+    any real cosine) instead of null, so degenerate vectors rank last
+    in top-k / fail dup thresholds deliberately rather than vanishing
+    by null propagation."""
+    return F.when((n2a == 0) | (n2b == 0), F.lit(-2000000)).otherwise(
+        F.floor((dot / (F.sqrt(n2a) * F.sqrt(n2b))) * 1000000).cast("long")
+    )
 
 
 def brute_force_topk(

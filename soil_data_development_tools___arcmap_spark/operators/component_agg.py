@@ -82,6 +82,17 @@ def agg_dcd(
         # winner and the DCP-override winner (the reference computes
         # them in two passes, :5764-5781).
         F.max(_weight(spec)).alias("__mw"),
+        # member tiebreak for the DCP override, conditioned on the
+        # max-weight rows of this rating (min-of-struct: negate the
+        # weight so min picks max weight first, then min member; null
+        # weight maps to +inf so it loses, matching desc_nulls_last)
+        F.min(
+            F.struct(
+                (-F.coalesce(_weight(spec).cast("double"), F.lit(float("-inf"))))
+                .alias("nw"),
+                F.col(spec.member_col).alias("m"),
+            )
+        )["m"].alias("__member_dcp"),
     )
     order_spec = RatingSpec(
         rating_col="__rating",
@@ -120,7 +131,7 @@ def agg_dcd(
     w_dcp = Window.partitionBy(*spec.group_cols).orderBy(
         F.col("__mw").desc_nulls_last(),
         rating_order_expr(order_spec),
-        F.col("__member").asc(),
+        F.col("__member_dcp").asc(),
     )
     both = (
         flagged.withColumn("__rn", F.row_number().over(w))

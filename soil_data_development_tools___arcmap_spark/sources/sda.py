@@ -35,8 +35,11 @@ def batch_areasymbols(symbols: list[str], n: int = BATCH_SIZE) -> list[list[str]
 
 def count_query(table: str, areasymbols: list[str]) -> str:
     """One count-reconciliation query (the GetSDMCount shape): row count
-    per areasymbol for one table, joined through legend/mapunit keys."""
-    syms = ",".join(f"'{s}'" for s in areasymbols)
+    per areasymbol for one table, joined through legend/mapunit keys.
+
+    Symbols are SQL-escaped (`'` doubled) so a malformed symbol cannot
+    break or inject into the SDA request."""
+    syms = ",".join("'" + s.replace("'", "''") + "'" for s in areasymbols)
     return (
         f"SELECT l.areasymbol, COUNT(*) AS n FROM {table} t "
         f"INNER JOIN legend l ON t.lkey = l.lkey "

@@ -52,13 +52,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in one dir, so expose just the events file through a symlink dir
     # (zero-copy; in production the source is a real directory/Kafka).
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), "sddt_events_stream", src.strip("/").replace("/", "_")
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # Per-process private dir (mkdtemp, mode 0700) rather than a
+    # predictable path under the shared tmp dir — no pre-creation
+    # hijack, no stale symlink if sf_dir moves between sessions.
+    cache = getattr(read_events_stream, "_dirs", None)
+    if cache is None:
+        cache = read_events_stream._dirs = {}
+    stream_dir = cache.get(src)
+    if stream_dir is None or not os.path.isdir(stream_dir):
+        stream_dir = tempfile.mkdtemp(prefix="sddt_events_stream_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        cache[src] = stream_dir
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
 
 

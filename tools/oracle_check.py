@@ -60,9 +60,11 @@ def main() -> int:
 
     qs, os_ = E.queries(), E.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -98,7 +100,8 @@ def main() -> int:
                 neq = (s.astype(str) != o.astype(str)).any(axis=1)
                 print("   first diffs (spark vs duck):")
                 print(pd.concat([s[neq].head(3), o[neq].head(3)], axis=1))
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{checked - len(failures)}/{checked} pass"
+          + ("" if checked == len(qs) else f" ({len(qs) - checked} skipped)"))
     return 1 if failures else 0
 
 
