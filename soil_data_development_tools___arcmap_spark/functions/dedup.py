@@ -17,7 +17,7 @@ Scale design (the point of these at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -132,15 +132,94 @@ def _pairs_from_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
     return _spread(grouped).select(F.explode(pairs).alias("p")).select("p.i", "p.j")
 
 
-def _shingle_pair_counts(ex: DataFrame, bucket_cap: int = 1000) -> DataFrame:
-    """|A∩B| per doc pair from exploded (did, s): bucket by shingle,
-    emit in-bucket pairs, count per pair. Bucket size is already
-    bounded by the stop-shingle cap; bucket_cap is a second guard."""
-    buckets = (
-        ex.groupBy("s")
-        .agg(F.sort_array(F.collect_set("did")).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+def banded_buckets(
+    stacked: DataFrame,
+    bucket_cap: int | None = 1000,
+    obs=None,
+) -> DataFrame:
+    """(did, band_id, key) → candidate buckets, with oversized buckets
+    SPLIT rather than collected whole or silently dropped.
+
+    The 100 TB skew guard: a degenerate band key (millions of
+    empty/boilerplate docs sharing one signature) would otherwise
+    collect one giant id array on a single task and expand ~n² pairs
+    there. Here bucket size is computed with a window count over the
+    SAME shuffle the grouping needs — hash partitioning by
+    (band_id, key) also satisfies the salted groupBy's clustering
+    requirement, so the split costs no second exchange — and buckets
+    over ``bucket_cap`` split into ceil(n/cap) sub-buckets by
+    ``did % nsplit`` (engine-reproducible; ids are near-sequential at
+    every scale we ingest, so the modulus is uniform). Memory and pair
+    expansion per task are bounded by cap²; the only recall loss is
+    cross-sub-bucket pairs inside buckets that were already
+    pathological (identical-doc floods belong to exact_dedup anyway).
+
+    Nothing is dropped silently: each output row keeps the pre-split
+    bucket size ``__bn``, ``minhash_band_stats`` exposes the audit
+    view, and an optional ``pyspark.sql.Observation`` receives
+    (n_buckets, n_split_sub_buckets, max_raw_bucket) at action time.
+    """
+    w = Window.partitionBy("band_id", "key")
+    withn = stacked.withColumn("__bn", F.count(F.lit(1)).over(w)).where(
+        F.col("__bn") > 1
     )
+    if bucket_cap is not None:
+        nsplit = F.ceil(F.col("__bn") / F.lit(bucket_cap)).cast("long")
+        salt = F.when(F.col("__bn") <= bucket_cap, F.lit(0)).otherwise(
+            F.pmod(F.col("did"), nsplit)
+        )
+    else:
+        salt = F.lit(0)
+    buckets = (
+        withn.withColumn("__salt", salt)
+        .groupBy("band_id", "key", "__salt")
+        .agg(
+            F.sort_array(F.collect_set("did")).alias("ids"),
+            F.first("__bn").alias("__bn"),
+        )
+        .where(F.size("ids") > 1)
+    )
+    if obs is not None:
+        cap = bucket_cap if bucket_cap is not None else 2**62
+        buckets = buckets.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("__bn") > cap).cast("long")).alias("n_split_sub_buckets"),
+            F.max("__bn").alias("max_raw_bucket"),
+        )
+    return buckets
+
+
+def _shingle_pair_counts(
+    ex: DataFrame, bucket_cap: int = 1000, obs=None
+) -> DataFrame:
+    """|A∩B| per doc pair from exploded (did, s): bucket by shingle,
+    emit in-bucket pairs, count per pair.
+
+    Buckets over ``bucket_cap`` are EXCLUDED from candidate generation
+    — unlike the band buckets (split in ``banded_buckets``), a shingle
+    bucket is an intersection *count* contributor, so splitting it
+    would undercount |A∩B| and corrupt Jaccard values; dropping it is
+    the stop-shingle semantic (the shingle is too common to be
+    discriminative). When callers pass ``max_freq <= bucket_cap`` (the
+    default path: 100 <= 1000) the cap is provably unreachable — every
+    bucket is a doc set sharing one shingle, already filtered to
+    ``<= max_freq`` docs. The cap only bites when max_freq is None, and
+    then it is surfaced, not silent: pass an ``Observation`` to receive
+    (n_buckets, n_dropped_buckets, max_bucket) at action time."""
+    grouped = ex.groupBy("s").agg(
+        F.sort_array(F.collect_set("did")).alias("ids")
+    ).where(F.size("ids") > 1)
+    if obs is not None:
+        grouped = grouped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.size("ids") > bucket_cap).cast("long")).alias(
+                "n_dropped_buckets"
+            ),
+            F.max(F.size("ids")).alias("max_bucket"),
+        )
+    buckets = grouped.where(F.size("ids") <= bucket_cap)
     return _pairs_from_groups(buckets).groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("inter")
     )
@@ -231,6 +310,63 @@ def minhash_signatures(
     return hashed.groupBy("did").agg(*aggs)
 
 
+def _minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(did, band_id, key): each document's minhash signature split
+    into ``bands`` concatenated band keys, stacked long-form."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, col, k, num_hashes)
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("did", *band_cols)
+    return banded.select(
+        "did",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("did", F.col("bk.band_id"), F.col("bk.key"))
+
+
+def minhash_band_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int | None = 1000,
+) -> DataFrame:
+    """Auditable per-band view of the LSH bucket structure — the
+    no-silent-caps surface: how many candidate buckets each band
+    produced, how many are sub-buckets of a split oversized bucket,
+    the largest raw bucket seen, and the candidate-pair mass after
+    splitting. A corpus audit reads this next to the dup-pair output
+    to see exactly what the skew guard did."""
+    buckets = banded_buckets(
+        _minhash_bands(df, id_col, col, k, num_hashes, bands), bucket_cap
+    )
+    cap = bucket_cap if bucket_cap is not None else 2**62
+    return buckets.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("__bn") > cap).cast("long")).alias("n_split_sub_buckets"),
+        F.max("__bn").alias("max_raw_bucket"),
+        F.sum(F.expr("size(ids) * (size(ids) - 1) div 2")).alias("n_cand_pairs"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -240,6 +376,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold_e4: int = 3000,
     max_freq: int | None = 100,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures into ``bands``
     buckets, candidate pairs share ≥1 band bucket, then VERIFY
@@ -250,31 +387,13 @@ def minhash_lsh_pairs(
     explodes shingles ONLY for docs that appear in some candidate pair,
     so its cost follows near-dup density, not corpus size (running the
     full bucket-pair counts here would cost the same as the exact
-    algorithm and defeat the LSH). Output matches ngram_jaccard_pairs
-    on (i, j, jac_e4) for pairs the LSH recalls."""
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, col, k, num_hashes)
-    band_cols = [
-        F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("did", *band_cols)
-    stacked = banded.select(
-        "did",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("did", F.col("bk.band_id"), F.col("bk.key"))
-    buckets = (
-        stacked.groupBy("band_id", "key")
-        .agg(F.sort_array(F.collect_set("did")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
+    algorithm and defeat the LSH). Band buckets over ``bucket_cap``
+    are salt-split (see ``banded_buckets``) so a degenerate signature
+    shared by millions of docs cannot OOM a task or expand n² pairs.
+    Output matches ngram_jaccard_pairs on (i, j, jac_e4) for pairs the
+    LSH recalls."""
+    stacked = _minhash_bands(df, id_col, col, k, num_hashes, bands)
+    buckets = banded_buckets(stacked, bucket_cap)
     cand = _pairs_from_groups(buckets).distinct()
     # verification: exact Jaccard, restricted to LSH candidates.
     # NOTE max_freq-capped shingles stay excluded from the intersection

@@ -224,29 +224,51 @@ def ivf_topk(
 def cosine_dup_pairs(
     emb: DataFrame,
     threshold_e6: int = 300000,
-    num_planes: int = 8,
+    num_planes: int = 16,
+    bands: int = 3,
+    bucket_cap: int | None = 1000,
     id_col: str = "vec_id",
     col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector-space dedup
-    modality): RP-LSH sign buckets block the candidate space (identical
-    and near-identical vectors share all sign bits), pairs expand
-    within buckets via higher-order functions (no self-join), then an
-    exact cosine verify keeps pairs >= threshold. Cost follows bucket
-    density, never n²."""
-    from .dedup import _pairs_from_groups, _spread
+    modality): ``bands`` independent RP-LSH sign groups of
+    ``num_planes`` planes each block the candidate space — a pair is a
+    candidate if ALL sign bits agree in at least one band (identical
+    and near-identical vectors agree everywhere, so recall for true
+    dups is preserved while each band's 2^num_planes key space keeps
+    buckets small). Pairs expand within buckets via higher-order
+    functions (no self-join), then an exact cosine verify keeps pairs
+    >= threshold.
 
-    signs = lsh_plane_signs(num_planes, 64)
+    Scale bounds: bucket population follows corpus density / 2^planes
+    per band, and any still-oversized bucket (a degenerate embedding
+    shared by millions of rows) is salt-split by ``banded_buckets``,
+    so per-task memory and pair expansion are capped at bucket_cap² —
+    never n². The former single-8-plane design (256 buckets total,
+    uncapped collect_set) grew linearly with corpus size; this one
+    does not."""
+    from .dedup import _pairs_from_groups, _spread, banded_buckets
+
+    signs = lsh_plane_signs(bands * num_planes, 64)
     qz = quantize_embedding(col)
-    v = _spread(emb, id_col).select(
-        F.col(id_col).alias("did"), qz.alias("v"), _bucket(qz, signs).alias("bkt")
-    )
-    buckets = (
-        v.groupBy("bkt")
-        .agg(F.sort_array(F.collect_set("did")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pairs = _pairs_from_groups(buckets)
+    v = _spread(emb, id_col).select(F.col(id_col).alias("did"), qz.alias("v"))
+    band_keys = [
+        _bucket(F.col("v"), signs[b * num_planes : (b + 1) * num_planes]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    vb = v.select("did", "v", *band_keys)
+    stacked = vb.select(
+        "did",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("did", F.col("bk.band_id"), F.col("bk.key"))
+    pairs = _pairs_from_groups(banded_buckets(stacked, bucket_cap)).distinct()
     vi = v.select(F.col("did").alias("i"), F.col("v").alias("vi"))
     vj = v.select(F.col("did").alias("j"), F.col("v").alias("vj"))
     cos = _cos_e6(

@@ -1036,6 +1036,37 @@ SELECT i, j, jac_e4 FROM (
 WHERE jac_e4 >= 3000
 """
 
+# audit twin of dedup.minhash_band_stats at bucket_cap=2 (tiny on
+# purpose so the salt-split path actually fires at sf0.01)
+_LSH_STATS_CAP = 2
+
+ORACLES["docs_lsh_band_stats"] = f"""
+WITH {_SHINGLES},
+exs AS (SELECT did, unnest(ss) AS s FROM sh),
+sig AS (SELECT did, {_MH} FROM exs GROUP BY did),
+bands AS ({_BANDS}),
+withn AS (
+  SELECT did, band_id, key,
+         COUNT(*) OVER (PARTITION BY band_id, key) AS bn
+  FROM bands),
+salted AS (
+  SELECT did, band_id, key, bn,
+         CASE WHEN bn <= {_LSH_STATS_CAP} THEN 0
+              ELSE did % CAST(ceil(bn * 1.0 / {_LSH_STATS_CAP}) AS BIGINT)
+         END AS salt
+  FROM withn WHERE bn > 1),
+sub AS (
+  SELECT band_id, key, salt, MAX(bn) AS bn, COUNT(*) AS sz
+  FROM salted GROUP BY band_id, key, salt
+  HAVING COUNT(*) > 1)
+SELECT band_id, COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN bn > {_LSH_STATS_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_split_sub_buckets,
+       CAST(MAX(bn) AS BIGINT) AS max_raw_bucket,
+       CAST(SUM(sz*(sz-1)//2) AS BIGINT) AS n_cand_pairs
+FROM sub GROUP BY band_id
+"""
+
 _SIMHASH_BITS = ", ".join(
     "SUM(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c','d','e','f') "
     "THEN 1 ELSE -1 END) AS b%d" % (i + 1, i)
@@ -1367,18 +1398,22 @@ planes AS (
            i -> CASE WHEN substr(md5(p || '#' || i), 1, 1) IN
                      ('8','9','a','b','c','d','e','f')
                 THEN 1 ELSE -1 END) AS sv
-  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+  FROM (SELECT unnest(generate_series(0, 47)) AS p)),
 bkt AS (
-  SELECT e.vec_id,
+  SELECT e.vec_id, CAST(p // 8 AS INTEGER) AS band_id,
          CAST(SUM(CASE WHEN list_dot_product(e.v, pl.sv) > 0
-                       THEN (1 << p) ELSE 0 END) AS INTEGER) AS bkt
-  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
-vv AS (SELECT e.vec_id AS did, v, bkt FROM e JOIN bkt USING (vec_id))
-SELECT a.did AS i, b.did AS j,
+                       THEN (1 << (p % 8)) ELSE 0 END) AS BIGINT) AS key
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, p // 8),
+cand AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+  FROM bkt a JOIN bkt b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.vec_id < b.vec_id),
+vv AS (SELECT vec_id AS did, v FROM e)
+SELECT c.i, c.j,
        CAST(floor((list_dot_product(a.v, b.v)/
             (sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))
             *1000000) AS BIGINT) AS cos_e6
-FROM vv a JOIN vv b ON a.bkt = b.bkt AND a.did < b.did
+FROM cand c JOIN vv a ON a.did = c.i JOIN vv b ON b.did = c.j
 WHERE (list_dot_product(a.v, b.v)/
        (sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))
       *1000000 >= 300000

@@ -1344,6 +1344,19 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit surface for the LSH skew guard (no-silent-caps): per-band
+    bucket counts, split sub-bucket counts, max raw bucket size and
+    candidate-pair mass. bucket_cap=2 here is deliberately tiny so the
+    oracle exercises the salt-split path on real buckets at sf0.01 —
+    production calls use the 1000 default."""
+    from .functions.dedup import minhash_band_stats
+
+    return minhash_band_stats(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, bucket_cap=2
+    )
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash16
 
@@ -1422,6 +1435,17 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 planes x 6 bands here (vs the 16x3 function default): the
+    synthetic embeddings have no true near-identical pairs, only weak
+    0.3-0.5 cosine neighbors, and sign-LSH recall at that similarity
+    needs shorter band keys (p_agree^planes per band). Scale safety
+    comes from banded_buckets' cap+salt-split — candidate mass is
+    bounded at ~n*cap/2 per band regardless of key width."""
     from .functions.similarity import cosine_dup_pairs
 
-    return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold_e6=300000)
+    return cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold_e6=300000,
+        num_planes=8,
+        bands=6,
+    )

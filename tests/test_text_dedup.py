@@ -130,3 +130,62 @@ def test_minhash_xxhash64_mode(spark, docs=None):
         for r in minhash_signatures(df, hasher="xxhash64").collect()
     }
     assert rows == again
+
+
+def test_banded_buckets_split_bounds_oversized(spark):
+    """The 100 TB skew guard: a flood of identical docs must be split
+    into <= bucket_cap sub-buckets (bounded pair expansion), with the
+    pre-split size surfaced, and recall inside normal buckets kept."""
+    import pyspark.sql.functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        banded_buckets,
+        minhash_band_stats,
+    )
+
+    flood = [
+        (i, "same boilerplate flood text body repeated") for i in range(100, 140)
+    ]
+    df = spark.createDataFrame(flood + DOCS[:4], "doc_id long, text string")
+
+    stats = minhash_band_stats(df, bucket_cap=8).collect()
+    assert stats, "flood bucket must appear in the audit view"
+    for r in stats:
+        assert r["max_raw_bucket"] == 40  # pre-split size surfaced
+        assert r["n_split_sub_buckets"] >= 5  # 40/8 -> >=5 sub-buckets
+
+    # direct check on bucket sizes after splitting
+    stacked = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(40)] + [(100, 0, "cold"), (101, 0, "cold")],
+        "did long, band_id int, key string",
+    )
+    b = banded_buckets(stacked, bucket_cap=8).collect()
+    hot = [r for r in b if r["key"] == "hot"]
+    assert len(hot) == 5 and all(len(r["ids"]) <= 8 for r in hot)
+    assert sum(len(r["ids"]) for r in hot) == 40  # nothing lost
+    cold = [r for r in b if r["key"] == "cold"]
+    assert len(cold) == 1 and cold[0]["ids"] == [100, 101]
+
+    # exact dups still found through the capped path (flood shingles
+    # excluded via max_freq like the exact algorithm)
+    pairs = minhash_lsh_pairs(df, bucket_cap=8, max_freq=None)
+    got = {(r["i"], r["j"]) for r in pairs.where(F.col("jac_e4") == 10000).collect()}
+    assert (1, 4) in got
+
+
+def test_cosine_dup_pairs_multiband(spark):
+    """Identical vectors agree in every band -> always recalled; the
+    capped multi-band path returns exact cosine for them."""
+    from soil_data_development_tools___arcmap_spark.functions.similarity import (
+        cosine_dup_pairs,
+    )
+
+    base = [0.5] * 32 + [-0.25] * 32
+    other = [1.0, -1.0] * 32
+    rows = [(1, base), (2, base), (3, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["i"], r["j"]): r["cos_e6"] for r in
+           cosine_dup_pairs(emb, threshold_e6=900000).collect()}
+    # floor((dot/(sqrt*sqrt))*1e6) can land one ulp under 1e6
+    assert (1, 2) in out and out[(1, 2)] >= 999999
+    assert (1, 3) not in out and (2, 3) not in out
