@@ -64,6 +64,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valu1_rz_aws_droughty": Q.valu1_rz_aws_droughty,
     "valu1_soc": Q.valu1_soc,
     "valu1_nccpi": Q.valu1_nccpi,
+    "valu1_nccpi2": Q.valu1_nccpi2,
     "valu1_pwsl": Q.valu1_pwsl,
     "valu1_wide": Q.valu1_wide,
     # metadata-driven rating planner end-to-end (SURVEY §3.1)

@@ -1372,6 +1372,46 @@ SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS comppct_r,
 FROM comp WHERE hzv IS NOT NULL GROUP BY mukey
 """
 
+ORACLES["valu1_nccpi2"] = f"""
+WITH {_SYN},
+syn_ci2 AS (
+  SELECT o_orderkey AS cokey, r.ruledepth, r.rulename,
+         CASE WHEN o_orderkey % 31 <> 0
+              THEN CAST((o_orderkey * (r.ruledepth + 5) + 7) % 101 AS DOUBLE)
+         END AS interphr
+  FROM orders,
+       (VALUES
+         (0, 'NCCPI - National Commodity Crop Productivity Index (Ver 2.0)'),
+         (1, 'NCCPI - NCCPI Corn and Soybeans Submodel (II)'),
+         (1, 'NCCPI - NCCPI Cotton Submodel (II)'),
+         (1, 'NCCPI - NCCPI Small Grains Submodel (II)'))
+         AS r(ruledepth, rulename)),
+den AS (
+  SELECT mukey, SUM(comppct_r) AS sumpct
+  FROM syn_co WHERE majcompflag = 'Yes' GROUP BY mukey),
+num AS (
+  SELECT mukey,
+    SUM(CASE WHEN ruledepth = 0 THEN interphr*comppct_r END) AS n_all,
+    SUM(CASE WHEN ruledepth = 1 AND rulename =
+        'NCCPI - NCCPI Corn and Soybeans Submodel (II)'
+        THEN interphr*comppct_r END) AS n_cs,
+    SUM(CASE WHEN ruledepth = 1 AND rulename =
+        'NCCPI - NCCPI Cotton Submodel (II)'
+        THEN interphr*comppct_r END) AS n_co,
+    SUM(CASE WHEN ruledepth = 1 AND rulename =
+        'NCCPI - NCCPI Small Grains Submodel (II)'
+        THEN interphr*comppct_r END) AS n_sg
+  FROM syn_co c JOIN syn_ci2 i ON c.cokey = i.cokey
+  WHERE majcompflag = 'Yes'
+  GROUP BY mukey)
+SELECT n.mukey,
+       CAST(floor(n_cs / sumpct * 1000) AS BIGINT) AS nccpi2cs,
+       CAST(floor(n_co / sumpct * 1000) AS BIGINT) AS nccpi2co,
+       CAST(floor(n_sg / sumpct * 1000) AS BIGINT) AS nccpi2sg,
+       CAST(floor(n_all / sumpct * 1000) AS BIGINT) AS nccpi2all
+FROM num n JOIN den d ON n.mukey = d.mukey
+"""
+
 ORACLES["planner_sdv_month_rating"] = f"""
 WITH {_BASE},
 mc AS (

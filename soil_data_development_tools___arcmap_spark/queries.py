@@ -674,6 +674,58 @@ def valu1_nccpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calc_nccpi(t["component"], t["cointerp"], exact_scale=1000)
 
 
+def valu1_nccpi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalcNCCPI2 via the mainrule dispatch: an older survey database
+    carries only the Ver 2.0 nasisrulename, so resolve_nccpi_mainrule
+    picks v2 and the combined Corn-and-Soybeans submodel layout. The
+    synthetic v2 cointerp includes NULL interphr rows (cokey % 31) to
+    exercise the unrated-component path — those components still count
+    in the major-pct denominator, like the reference's cursor."""
+    from .valu1.pipeline import (
+        NCCPI_V2_RULE,
+        calc_nccpi,
+        calc_nccpi2,
+        resolve_nccpi_mainrule,
+    )
+
+    t = ssurgo_synth(spark, sf_dir)
+    ok = F.col("o_orderkey")
+    v2_rules = [
+        (0, "NCCPI - National Commodity Crop Productivity Index (Ver 2.0)"),
+        (1, "NCCPI - NCCPI Corn and Soybeans Submodel (II)"),
+        (1, "NCCPI - NCCPI Cotton Submodel (II)"),
+        (1, "NCCPI - NCCPI Small Grains Submodel (II)"),
+    ]
+    cointerp_v2 = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            ok.alias("cokey"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("ruledepth"), F.lit(r).alias("rulename")
+                    )
+                    for d, r in v2_rules
+                ])
+            ).alias("r"),
+        )
+        .select(
+            "cokey",
+            F.col("r.ruledepth").alias("ruledepth"),
+            F.col("r.rulename").alias("rulename"),
+            F.lit(NCCPI_V2_RULE).alias("mrulename"),
+            F.when(
+                F.col("cokey") % 31 != 0,
+                ((F.col("cokey") * (F.col("r.ruledepth") + 5) + 7) % 101)
+                .cast("double"),
+            ).alias("interphr"),
+        )
+    )
+    main = resolve_nccpi_mainrule([NCCPI_V2_RULE])
+    fn = calc_nccpi2 if main == NCCPI_V2_RULE else calc_nccpi
+    return fn(t["component"], cointerp_v2, exact_scale=1000)
+
+
 def valu1_pwsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CalcPWSL: potential wet soil landscape pct with the 999 sentinel."""
     from .valu1.pipeline import calc_pwsl

@@ -354,6 +354,77 @@ def calc_nccpi(
     return scored
 
 
+NCCPI_V3_RULE = "NCCPI - National Commodity Crop Productivity Index (Ver 3.0)"
+NCCPI_V2_RULE = "NCCPI - National Commodity Crop Productivity Index (Ver 2.0)"
+
+
+def resolve_nccpi_mainrule(rulenames: list[str]) -> str:
+    """NCCPI mainrule v2/v3 resolution (gSSURGO_ValuTable.py:3018-3064):
+    the distinct ``sdvattribute.nasisrulename`` values for attributes
+    named 'National Commodity Crop Productivity Index%' decide which
+    rule generation the database carries — a single name wins outright,
+    Ver 3.0 is preferred when both exist, otherwise Ver 2.0."""
+    names = list(dict.fromkeys(rulenames))
+    if not names:
+        raise ValueError("Failed to get NCCPI rulename")
+    if len(names) == 1:
+        return names[0]
+    if NCCPI_V3_RULE in names:
+        return NCCPI_V3_RULE
+    return NCCPI_V2_RULE
+
+
+def calc_nccpi2(
+    component: DataFrame, cointerp: DataFrame, exact_scale: int | None = None
+) -> DataFrame:
+    """NCCPI v2 (CalcNCCPI2, gSSURGO_ValuTable.py:2097-2275): the
+    pre-FY2018 rule generation — corn and soybeans are ONE combined
+    submodel ('Corn and Soybeans (II)') and the output columns are
+    nccpi2cs/nccpi2co/nccpi2sg/nccpi2all. Per mukey:
+    Σ(fuzzy·comppct) over major components' v2 cointerp rows,
+    normalized by the mapunit's total major-component percent
+    (dPct[mukey][2], :2434-2452) — faithfully from the component
+    table, so a major component with no NCCPI rating still counts in
+    the denominator, exactly as the reference's cursor does."""
+    co = component.where(F.col("majcompflag") == "Yes").select(
+        "mukey", "cokey", "comppct_r"
+    )
+    den = co.groupBy("mukey").agg(F.sum("comppct_r").alias("__sumpct"))
+    ci = cointerp.where(F.col("mrulename") == NCCPI_V2_RULE)
+    j = co.join(ci, "cokey")
+
+    def _num(cond):
+        return F.sum(F.when(cond, F.col("interphr") * F.col("comppct_r")))
+
+    d1 = F.col("ruledepth") == 1
+    nums = j.groupBy("mukey").agg(
+        _num(F.col("ruledepth") == 0).alias("__all"),
+        _num(
+            d1 & (F.col("rulename") == "NCCPI - NCCPI Corn and Soybeans Submodel (II)")
+        ).alias("__cs"),
+        _num(d1 & (F.col("rulename") == "NCCPI - NCCPI Cotton Submodel (II)")).alias(
+            "__co"
+        ),
+        _num(
+            d1 & (F.col("rulename") == "NCCPI - NCCPI Small Grains Submodel (II)")
+        ).alias("__sg"),
+    )
+
+    def _out(c):
+        mean = c / F.col("__sumpct")
+        if exact_scale is not None:
+            return F.floor(mean * exact_scale).cast("long")
+        return F.round(mean, 3)
+
+    return nums.join(den, "mukey").select(
+        "mukey",
+        _out(F.col("__cs")).alias("nccpi2cs"),
+        _out(F.col("__co")).alias("nccpi2co"),
+        _out(F.col("__sg")).alias("nccpi2sg"),
+        _out(F.col("__all")).alias("nccpi2all"),
+    )
+
+
 def calc_pwsl(component: DataFrame) -> DataFrame:
     """Potential wet soil landscape (CalcPWSL, :2479-2665): Σ comppct
     of components that are Water-named (≥80% total ⇒ sentinel 999,
@@ -391,6 +462,7 @@ def build_valu1(
     ranges: list[tuple[int, int]] | None = None,
     exact_scales: tuple[int, int, int] | None = None,
     cache_qt: bool = False,
+    nccpi_rulenames: list[str] | None = None,
 ) -> DataFrame:
     """Assemble the wide Valu1 table (CreateValuTable orchestration,
     gSSURGO_ValuTable.py:2992-3209): independent metric branches over
@@ -405,7 +477,12 @@ def build_valu1(
 
     ``exact_scales`` = (aws_scale, soc_scale, nccpi_scale) switches the
     float metrics to floor-quantized integer output (see calc_aws) for
-    cross-engine hashing."""
+    cross-engine hashing.
+
+    ``nccpi_rulenames``: the distinct sdvattribute.nasisrulename values
+    of the source database; when given, the NCCPI branch dispatches to
+    v2 or v3 the way CreateValuTable does (resolve_nccpi_mainrule,
+    reference :3018-3064). Default: v3 shape."""
     aws_s, soc_s, nccpi_s = exact_scales or (None, None, None)
     qt = build_query_table(component, chorizon, chtexturegrp, chtexture, chfrags)
     if cache_qt:
@@ -454,8 +531,12 @@ def build_valu1(
     out = out.join(soc_cols, "mukey", "left")
     out = out.join(calc_rz_aws(qt, rz), "mukey", "left")
     if cointerp is not None:
+        nccpi_fn = calc_nccpi
+        if nccpi_rulenames is not None:
+            main = resolve_nccpi_mainrule(nccpi_rulenames)
+            nccpi_fn = calc_nccpi2 if main == NCCPI_V2_RULE else calc_nccpi
         out = out.join(
-            calc_nccpi(component, cointerp, exact_scale=nccpi_s), "mukey", "left"
+            nccpi_fn(component, cointerp, exact_scale=nccpi_s), "mukey", "left"
         )
     out = out.join(calc_pwsl(component), "mukey", "left")
     return out

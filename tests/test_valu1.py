@@ -124,3 +124,59 @@ def test_build_valu1_wide(spark):
     assert row["mu1"]["pwsl1pomu"] == 40
     assert row["mu1"]["musumcpct"] == 100
     assert "soc0_100" in wide.columns
+
+
+def test_nccpi_mainrule_resolution():
+    from soil_data_development_tools___arcmap_spark.valu1.pipeline import (
+        NCCPI_V2_RULE,
+        NCCPI_V3_RULE,
+        resolve_nccpi_mainrule,
+    )
+
+    # prefer v3 when both generations are present
+    assert resolve_nccpi_mainrule([NCCPI_V2_RULE, NCCPI_V3_RULE]) == NCCPI_V3_RULE
+    # single name wins outright (even a non-standard one)
+    assert resolve_nccpi_mainrule([NCCPI_V2_RULE]) == NCCPI_V2_RULE
+    assert resolve_nccpi_mainrule(["custom"]) == "custom"
+    # several names, none v3 -> v2
+    assert resolve_nccpi_mainrule(["custom", NCCPI_V2_RULE]) == NCCPI_V2_RULE
+    with pytest.raises(ValueError):
+        resolve_nccpi_mainrule([])
+
+
+def test_calc_nccpi2_combined_submodel_and_denominator(spark):
+    """v2 layout: Corn+Soybeans is ONE submodel; unrated major
+    components still count in the major-pct denominator."""
+    from soil_data_development_tools___arcmap_spark.valu1.pipeline import (
+        NCCPI_V2_RULE,
+        calc_nccpi2,
+    )
+
+    component = spark.createDataFrame(
+        [
+            ("mu1", "c1", 60, "Yes"),
+            ("mu1", "c2", 40, "Yes"),  # major but NO cointerp rows
+            ("mu1", "c3", 10, "No"),  # non-major: excluded everywhere
+        ],
+        "mukey string, cokey string, comppct_r int, majcompflag string",
+    )
+    cointerp = spark.createDataFrame(
+        [
+            ("c1", 0, "NCCPI - National Commodity Crop Productivity Index (Ver 2.0)",
+             NCCPI_V2_RULE, 0.8),
+            ("c1", 1, "NCCPI - NCCPI Corn and Soybeans Submodel (II)",
+             NCCPI_V2_RULE, 0.5),
+            ("c1", 1, "NCCPI - NCCPI Cotton Submodel (II)", NCCPI_V2_RULE, 0.25),
+            # v3-generation row must be ignored by the v2 calc
+            ("c1", 0, "NCCPI - National Commodity Crop Productivity Index",
+             "NCCPI - National Commodity Crop Productivity Index (Ver 3.0)", 0.9),
+        ],
+        "cokey string, ruledepth int, rulename string, mrulename string,"
+        " interphr double",
+    )
+    row = calc_nccpi2(component, cointerp).collect()[0]
+    # denominator = 100 (60 rated + 40 unrated major), not 60
+    assert row["nccpi2all"] == pytest.approx(round(0.8 * 60 / 100, 3))
+    assert row["nccpi2cs"] == pytest.approx(round(0.5 * 60 / 100, 3))
+    assert row["nccpi2co"] == pytest.approx(round(0.25 * 60 / 100, 3))
+    assert row["nccpi2sg"] is None
