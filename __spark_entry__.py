@@ -69,6 +69,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valu1_wide": Q.valu1_wide,
     # metadata-driven rating planner end-to-end (SURVEY §3.1)
     "planner_sdv_rating": Q.planner_sdv_rating,
+    "planner_sdv_flood_repair": Q.planner_sdv_flood_repair,
     "planner_sdv_hz_rating": Q.planner_sdv_hz_rating,
     "planner_sdv_month_rating": Q.planner_sdv_month_rating,
     "planner_sdv_interp": Q.planner_sdv_interp,

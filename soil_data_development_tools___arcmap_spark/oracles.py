@@ -614,6 +614,47 @@ FROM (SELECT * FROM tt WHERE rn = 1) d
 JOIN (SELECT * FROM tt WHERE rn_dcp = 1) p USING (mukey)
 """
 
+ORACLES["planner_sdv_flood_repair"] = f"""
+WITH {_SYN},
+co2 AS (
+  SELECT *, CASE cokey % 6 WHEN 0 THEN 'None' WHEN 1 THEN 'Very rare'
+            WHEN 2 THEN 'Rare' WHEN 3 THEN 'Occasional'
+            WHEN 4 THEN 'Frequent' ELSE 'Very frequent' END AS flodfreqcl
+  FROM syn_co),
+flt AS (
+  SELECT * FROM co2
+  WHERE comppct_r IS NOT NULL AND comppct_r >= 10
+    AND (compname IS NULL OR compname <> 'NOTCOM')
+    AND majcompflag = 'Yes'),
+br AS (
+  SELECT mukey, flodfreqcl AS v, SUM(comppct_r) AS sw, MIN(cokey) AS mm,
+         MAX(comppct_r) AS mw
+  FROM flt GROUP BY mukey, flodfreqcl),
+tt AS (
+  SELECT mukey, v, sw, mm, mw,
+         SUM(sw) OVER (PARTITION BY mukey) AS tw,
+         row_number() OVER (
+           PARTITION BY mukey
+           ORDER BY sw DESC,
+                    CASE v WHEN 'None' THEN 1 WHEN 'Very rare' THEN 2
+                           WHEN 'Rare' THEN 3 WHEN 'Occasional' THEN 4
+                           WHEN 'Frequent' THEN 5 WHEN 'Very frequent' THEN 6
+                           ELSE 7 END ASC, mm ASC) AS rn,
+         row_number() OVER (
+           PARTITION BY mukey
+           ORDER BY mw DESC,
+                    CASE v WHEN 'None' THEN 1 WHEN 'Very rare' THEN 2
+                           WHEN 'Rare' THEN 3 WHEN 'Occasional' THEN 4
+                           WHEN 'Frequent' THEN 5 WHEN 'Very frequent' THEN 6
+                           ELSE 7 END ASC, mm ASC) AS rn_dcp
+  FROM br)
+SELECT d.mukey,
+       CAST((200*d.sw + d.tw) // (2*d.tw) AS INTEGER) AS comppct_r,
+       CASE WHEN p.mw >= 50 THEN p.v ELSE d.v END AS rating
+FROM (SELECT * FROM tt WHERE rn = 1) d
+JOIN (SELECT * FROM tt WHERE rn_dcp = 1) p USING (mukey)
+"""
+
 ORACLES["valu1_sum_pct"] = f"""
 WITH {_SYN}
 SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS musumcpct,

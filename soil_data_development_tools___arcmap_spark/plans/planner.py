@@ -83,6 +83,42 @@ class RatingRequest:
     hz_sum: bool = False  # AWS-style depth-weighted SUM vs average
 
 
+#: broken sqlwhereclause literals shipped in real SSURGO sdvattribute
+#: rows, and their repaired forms (floodBandaid,
+#: gSSURGO_CreateSoilMap.py:183-201). Our parser handles parens and IN
+#: natively, but the repair is applied anyway so a hydrated request
+#: matches what the reference would actually have executed.
+_SQL_REPAIRS = {
+    "(coecoclass.ecoclasstypename = 'NRCS Rangeland Site' or "
+    "coecoclass.ecoclasstypename = 'NRCS Forestland Site')":
+        "coecoclass.ecoclasstypename = 'NRCS Rangeland Site' or "
+        "coecoclass.ecoclasstypename = 'NRCS Forestland Site'",
+    "corestrictions.reskind IN ('Densic bedrock', 'Paralithic bedrock', "
+    "'Lithic bedrock')":
+        "corestrictions.reskind ='Densic bedrock' OR  "
+        "corestrictions.reskind ='Paralithic bedrock' OR "
+        "corestrictions.reskind ='Lithic bedrock'",
+}
+
+
+def repair_sdvattribute(sdv_row: dict) -> dict:
+    """Metadata bandaid for known-broken sdvattribute rows
+    (floodBandaid, gSSURGO_CreateSoilMap.py:166-204). Real SSURGO
+    databases ship the flooding-frequency attribute (attributekey 12)
+    with a NULL tiebreakdomainname — without the repair the ordinal
+    domain never hydrates and the rating tiebreak degrades to string
+    order — and two attributes with parenthesized/IN sqlwhereclause
+    forms the reference's cursor layer cannot execute. Returns a
+    repaired copy; the input dict is not mutated."""
+    row = dict(sdv_row)
+    if row.get("attributekey") == 12 and not row.get("tiebreakdomainname"):
+        row["tiebreakdomainname"] = "flooding_frequency_class"
+    wc = row.get("sqlwhereclause")
+    if wc in _SQL_REPAIRS:
+        row["sqlwhereclause"] = _SQL_REPAIRS[wc]
+    return row
+
+
 def hydrate(
     sdv_row: dict,
     mdstatdomdet: list[dict] | None = None,
@@ -96,7 +132,9 @@ def hydrate(
     domain comes from mdstatdomdet.choicesequence filtered to the
     attribute's tiebreakdomainname (GetRatingDomain :3865-3896),
     reversed for suitability interps ruledesign=2 (:9942-9944); interp
-    attributes rating INTERPHR when fuzzy (:3719-3738)."""
+    attributes rating INTERPHR when fuzzy (:3719-3738). Known-broken
+    metadata is repaired first (repair_sdvattribute)."""
+    sdv_row = repair_sdvattribute(sdv_row)
     method_name = aggmethod or sdv_row.get("algorithmname")
     if method_name not in METHODS:
         raise ValueError(f"unknown aggregation method {method_name!r}")

@@ -771,6 +771,66 @@ def planner_sdv_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_soil_map(tables, relations, req)
 
 
+def planner_sdv_flood_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """floodBandaid end-to-end (gSSURGO_CreateSoilMap.py:166-204): the
+    sdvattribute row arrives DELIBERATELY broken the way real SSURGO
+    ships it — attributekey 12 with a NULL tiebreakdomainname —
+    and repair_sdvattribute (invoked by hydrate) restores
+    'flooding_frequency_class', so Dominant Condition ranks by the
+    ordinal flood-frequency domain instead of degrading to string
+    order. The oracle encodes the CORRECT domain ranking: it only
+    matches if the repair fired."""
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    ok = F.col("cokey")
+    component = t["component"].withColumn(
+        "flodfreqcl",
+        F.when(ok % 6 == 0, "None")
+        .when(ok % 6 == 1, "Very rare")
+        .when(ok % 6 == 2, "Rare")
+        .when(ok % 6 == 3, "Occasional")
+        .when(ok % 6 == 4, "Frequent")
+        .otherwise("Very frequent"),
+    )
+    tables = {
+        "mapunit": component.select("mukey").distinct(),
+        "component": component,
+    }
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        }
+    ]
+    sdv_row = {
+        "attributename": "Flooding Frequency Class",
+        "attributekey": 12,
+        "attributetablename": "component",
+        "attributecolumnname": "flodfreqcl",
+        "algorithmname": "Dominant Condition",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": None,  # broken, as shipped
+        "sqlwhereclause": "majcompflag = 'Yes'",
+    }
+    domdet = [
+        {
+            "domainname": "flooding_frequency_class",
+            "choice": c,
+            "choicesequence": i + 1,
+        }
+        for i, c in enumerate(
+            ["None", "Very rare", "Rare", "Occasional", "Frequent",
+             "Very frequent"]
+        )
+    ]
+    req = hydrate(sdv_row, domdet, cutoff=10)
+    return create_soil_map(tables, relations, req)
+
+
 def planner_sdv_hz_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planner horizon path: 3-level relationship walk (mapunit ←
     component ← chorizon), interval-overlap depth predicate, per-member

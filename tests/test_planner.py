@@ -108,3 +108,37 @@ def test_month_distinct_collapse_dcp(spark):
     # 12x-replicated months must collapse to ONE row per component
     # before DCP (comppct trap, gSSURGO_CreateSoilMap.py:10710-10716)
     assert df.where("mukey = 'mu1'").count() == 1
+
+
+def test_repair_sdvattribute_floodbandaid():
+    """floodBandaid (gSSURGO_CreateSoilMap.py:166-204): flooding
+    tiebreak domain restored, paren/IN sqlwhereclauses rewritten,
+    input never mutated, healthy rows untouched."""
+    from soil_data_development_tools___arcmap_spark.plans.planner import (
+        repair_sdvattribute,
+    )
+    from soil_data_development_tools___arcmap_spark.plans.whereclause import (
+        parse_where,
+    )
+
+    broken = {"attributekey": 12, "tiebreakdomainname": None}
+    fixed = repair_sdvattribute(broken)
+    assert fixed["tiebreakdomainname"] == "flooding_frequency_class"
+    assert broken["tiebreakdomainname"] is None  # copy, not mutation
+    # key 12 with a populated domain is left alone
+    ok = {"attributekey": 12, "tiebreakdomainname": "some_dom"}
+    assert repair_sdvattribute(ok)["tiebreakdomainname"] == "some_dom"
+    # other attributes never gain the flooding domain
+    assert repair_sdvattribute({"attributekey": 7}).get("tiebreakdomainname") is None
+
+    eco = ("(coecoclass.ecoclasstypename = 'NRCS Rangeland Site' or "
+           "coecoclass.ecoclasstypename = 'NRCS Forestland Site')")
+    out = repair_sdvattribute({"sqlwhereclause": eco})["sqlwhereclause"]
+    assert not out.startswith("(")
+    res = ("corestrictions.reskind IN ('Densic bedrock', 'Paralithic bedrock', "
+           "'Lithic bedrock')")
+    out2 = repair_sdvattribute({"sqlwhereclause": res})["sqlwhereclause"]
+    assert "IN" not in out2 and out2.count("OR") == 2
+    # both the broken and repaired forms parse to valid Columns here
+    for clause in (eco, res, out, out2):
+        parse_where(clause)
