@@ -71,6 +71,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_sdv_rating": Q.planner_sdv_rating,
     "planner_sdv_flood_repair": Q.planner_sdv_flood_repair,
     "planner_sdv_hz_rating": Q.planner_sdv_hz_rating,
+    "planner_sdv_hz_top_depth": Q.planner_sdv_hz_top_depth,
     "planner_sdv_month_rating": Q.planner_sdv_month_rating,
     "planner_sdv_interp": Q.planner_sdv_interp,
     "planner_sdv_mapunit": Q.planner_sdv_mapunit,

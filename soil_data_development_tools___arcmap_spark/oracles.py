@@ -655,6 +655,54 @@ FROM (SELECT * FROM tt WHERE rn = 1) d
 JOIN (SELECT * FROM tt WHERE rn_dcp = 1) p USING (mukey)
 """
 
+ORACLES["planner_sdv_hz_top_depth"] = f"""
+WITH {_SYN},
+hz AS (
+  SELECT l_orderkey AS cokey, l_orderkey*10 + l_linenumber AS chkey,
+         CAST((l_linenumber-1)*15 AS BIGINT) AS hzdept_r,
+         CAST((l_linenumber-1)*15 + 5 + l_partkey % 11 AS BIGINT) AS hzdepb_r
+  FROM lineitem),
+ctg AS (
+  SELECT l_orderkey*10 + l_linenumber AS chkey,
+         (l_orderkey*10 + l_linenumber)*10 + 1 AS chtgkey,
+         CASE WHEN l_suppkey % 6 = 0 THEN 'No' ELSE 'Yes' END AS rvindicator,
+         CASE WHEN l_partkey % 19 = 0 THEN 'MUCK' ELSE 'SL' END AS texture
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey*10 + l_linenumber,
+         (l_orderkey*10 + l_linenumber)*10 + 2,
+         'Yes',
+         CASE WHEN l_partkey % 7 = 0 THEN 'CL' ELSE 'FSL' END
+  FROM lineitem),
+flt AS (
+  -- LEFT join: a component with no surface horizon still gets a
+  -- null-rating row (the reference's dMissing except-branch,
+  -- gSSURGO_CreateSoilMap.py:4527-4530)
+  SELECT c.mukey, c.cokey, c.comppct_r, h.chkey
+  FROM syn_co c
+  LEFT JOIN (SELECT * FROM hz WHERE hzdept_r < 1 AND hzdepb_r > 0) h
+    ON c.cokey = h.cokey
+  WHERE c.comppct_r IS NOT NULL AND c.comppct_r >= 10
+    AND (c.compname IS NULL OR c.compname <> 'NOTCOM')),
+fc AS (
+  SELECT chkey, texture FROM (
+    SELECT chkey, texture,
+           row_number() OVER (
+             PARTITION BY chkey
+             ORDER BY chtgkey ASC, texture ASC NULLS FIRST) AS rn
+    FROM ctg WHERE rvindicator = 'Yes')
+  WHERE rn = 1),
+rws AS (
+  SELECT f.mukey, f.cokey, f.comppct_r, t.texture
+  FROM flt f LEFT JOIN fc t ON f.chkey = t.chkey)
+SELECT mukey, comppct_r, texture AS rating FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY mukey
+    ORDER BY comppct_r DESC, texture ASC NULLS FIRST, cokey ASC) AS rn
+  FROM rws)
+WHERE rn = 1
+"""
+
 ORACLES["valu1_sum_pct"] = f"""
 WITH {_SYN}
 SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS musumcpct,

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators import (
@@ -81,6 +81,11 @@ class RatingRequest:
     end_month: int | None = None
     pp_targets: list | None = None
     hz_sum: bool = False  # AWS-style depth-weighted SUM vs average
+    # CreateRatingTable3S surface path: keep only the FIRST child row
+    # per horizon (gSSURGO_CreateSoilMap.py:4510-4514), then aggregate
+    # at component level. child_key orders the children.
+    first_child_only: bool = False
+    child_key: str | None = None
 
 
 #: broken sqlwhereclause literals shipped in real SSURGO sdvattribute
@@ -280,7 +285,31 @@ def create_soil_map(
             )
         df = collapsed
 
-    if req.horizon_level:
+    if req.horizon_level and req.first_child_only:
+        # CreateRatingTable3S (gSSURGO_CreateSoilMap.py:4471-4530): the
+        # rating for each in-window horizon is taken from the FIRST
+        # child row only ("save only rating for first horizon",
+        # :4510-4514 — the top-of-depth-range rating); the depth window
+        # has already restricted chorizon via _hz_overlap. After the
+        # collapse each row is component-level, so control falls
+        # through to the normal component aggregation below. The
+        # window partitions by (cokey, chkey) — one shuffle that AQE
+        # coalesces; at scale this is the same single exchange the
+        # component aggregation needs anyway.
+        # the reference's "first" is its cursor order — nondeterministic
+        # beyond the child key; the rating value is appended for a
+        # total order so the pick is reproducible across engines.
+        key = req.child_key or "chkey"
+        w = Window.partitionBy("cokey", "chkey").orderBy(
+            F.col(key).asc(),
+            F.col(req.attributecolumnname).asc_nulls_first(),
+        )
+        df = (
+            df.withColumn("__rn_fc", F.row_number().over(w))
+            .filter(F.col("__rn_fc") == 1)
+            .drop("__rn_fc")
+        )
+    elif req.horizon_level:
         if req.method == "WTA":
             fn = agg_hz_wta_sum if req.hz_sum else agg_hz_wta_wta
             return fn(df, spec, top=req.top, bot=req.bot, precision=req.precision)

@@ -831,6 +831,81 @@ def planner_sdv_flood_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_soil_map(tables, relations, req)
 
 
+def planner_sdv_hz_top_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CreateRatingTable3S surface path (gSSURGO_CreateSoilMap.py:
+    4471-4530): 4-level chain mapunit ← component ← chorizon ←
+    chtexturegrp restricted to the surface window [0, 1), rating
+    taken from the FIRST texture-group row per horizon (:4510-4514,
+    ordered by chtgkey, rvindicator pre-filtered via sqlwhereclause),
+    then Dominant Component. The texture-group table is doubled (two
+    candidate rows per horizon) so the first-child collapse is
+    observable — where row A fails the RV filter the rating must come
+    from row B."""
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    lk, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    chkey = lk * 10 + ln
+    a = li.select(
+        chkey.alias("chkey"),
+        (chkey * 10 + 1).alias("chtgkey"),
+        F.when(sk % 6 == 0, "No").otherwise("Yes").alias("rvindicator"),
+        F.when(pk % 19 == 0, "MUCK").otherwise("SL").alias("texture"),
+    )
+    b = li.select(
+        chkey.alias("chkey"),
+        (chkey * 10 + 2).alias("chtgkey"),
+        F.lit("Yes").alias("rvindicator"),
+        F.when(pk % 7 == 0, "CL").otherwise("FSL").alias("texture"),
+    )
+    tables = {
+        "mapunit": t["component"].select("mukey").distinct(),
+        "component": t["component"],
+        "chorizon": t["chorizon"],
+        "chtexturegrp": a.unionByName(b),
+    }
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        },
+        {
+            "ltabphyname": "component",
+            "rtabphyname": "chorizon",
+            "ltabcolphyname": "cokey",
+            "rtabcolphyname": "cokey",
+        },
+        {
+            "ltabphyname": "chorizon",
+            "rtabphyname": "chtexturegrp",
+            "ltabcolphyname": "chkey",
+            "rtabcolphyname": "chkey",
+        },
+    ]
+    sdv_row = {
+        "attributename": "Surface Texture Synth",
+        "attributetablename": "chtexturegrp",
+        "attributecolumnname": "texture",
+        "algorithmname": "Dominant Component",
+        "horzlevelattribflag": 1,
+        "tiebreakrule": 0,
+        "sqlwhereclause": "rvindicator = 'Yes'",
+    }
+    req = hydrate(
+        sdv_row,
+        cutoff=10,
+        top=0,
+        bot=1,
+        first_child_only=True,
+        child_key="chtgkey",
+    )
+    return create_soil_map(tables, relations, req)
+
+
 def planner_sdv_hz_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planner horizon path: 3-level relationship walk (mapunit ←
     component ← chorizon), interval-overlap depth predicate, per-member
