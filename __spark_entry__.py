@@ -88,6 +88,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_reconciliation": Q.count_reconciliation,
     "validate_depth_gaps": Q.validate_depth_gaps,
     "validate_component_pct": Q.validate_component_pct,
+    "validate_missing_data": Q.validate_missing_data,
+    "validate_structure": Q.validate_structure,
     # analytic benchmarks
     "q1_pricing_summary": Q.q1_pricing_summary,
     "q3_shipping_priority": Q.q3_shipping_priority,

@@ -703,6 +703,47 @@ SELECT mukey, comppct_r, texture AS rating FROM (
 WHERE rn = 1
 """
 
+ORACLES["validate_missing_data"] = f"""
+WITH {_SYN},
+mu AS (SELECT c_custkey AS mukey,
+              CASE WHEN c_custkey % 11 = 0 THEN 'NOTCOM'
+                   ELSE 'MU' || CAST(c_custkey AS VARCHAR) END AS musym
+       FROM customer),
+no_co AS (
+  SELECT * FROM mu
+  WHERE mukey NOT IN (SELECT DISTINCT mukey FROM syn_co)),
+hzc AS (SELECT DISTINCT l_orderkey AS cokey FROM lineitem
+        WHERE l_orderkey % 9 <> 0),
+co_no_hz AS (
+  SELECT mukey, cokey FROM syn_co
+  WHERE cokey NOT IN (SELECT cokey FROM hzc)
+    AND compname NOT IN ('NOTCOM', 'NOTPUB')
+    AND COALESCE(compkind, '') <> 'Miscellaneous area')
+SELECT 'mu_no_component' AS kind, mukey, CAST(NULL AS BIGINT) AS cokey
+FROM no_co WHERE musym <> 'NOTCOM'
+UNION ALL
+SELECT 'mu_notcom', mukey, NULL FROM no_co WHERE musym = 'NOTCOM'
+UNION ALL
+SELECT 'co_no_horizon', mukey, cokey FROM co_no_hz
+"""
+
+ORACLES["validate_structure"] = """
+SELECT 'table' AS "check", 'component' AS subject, 'ok' AS status,
+       CAST(NULL AS BIGINT) AS n
+UNION ALL SELECT 'table', 'chorizon', 'bad_schema', NULL
+UNION ALL SELECT 'table', 'chtexture', 'missing', NULL
+UNION ALL SELECT 'table', 'sdvattribute', 'ok', NULL
+UNION ALL
+SELECT 'sacatalog', 'surveys',
+       CASE WHEN COUNT(*) > 0 THEN 'ok' ELSE 'empty' END, COUNT(*)
+FROM region
+UNION ALL
+SELECT 'mapunit_count', 'tabular_vs_component',
+       CASE WHEN a.n = b.n THEN 'match' ELSE 'mismatch' END, abs(a.n - b.n)
+FROM (SELECT COUNT(DISTINCT c_custkey) AS n FROM customer) a,
+     (SELECT COUNT(DISTINCT o_custkey) AS n FROM orders) b
+"""
+
 ORACLES["valu1_sum_pct"] = f"""
 WITH {_SYN}
 SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS musumcpct,

@@ -1116,6 +1116,109 @@ def validate_component_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def validate_missing_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gSSURGO_ValidateData missing-data report (CreateQueryTables
+    :455-505 + RunReport :517-796): mapunits with no component rows
+    (muNoCo — NOTCOM/NOTPUB map units reported separately as
+    expected-empty, muNotCom), and components with no horizon rows
+    (coNoHz — skipping NOTCOM/NOTPUB components and 'Miscellaneous
+    area' compkind, :466-471). Anti-joins, one row per anomaly. The
+    mapunit table derives from customer (customers without orders =
+    mapunits without components); horizons are withheld for
+    cokey % 9 == 0 to make coNoHz non-empty."""
+    t = ssurgo_synth(spark, sf_dir)
+    mu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"),
+        F.when(F.col("c_custkey") % 11 == 0, "NOTCOM")
+        .otherwise(F.concat(F.lit("MU"), F.col("c_custkey").cast("string")))
+        .alias("musym"),
+    )
+    co = t["component"]
+    hz = t["chorizon"].where(F.col("cokey") % 9 != 0)
+    no_co = mu.join(co.select("mukey").distinct(), "mukey", "left_anti")
+    mu_no_co = no_co.where(F.col("musym") != "NOTCOM").select(
+        F.lit("mu_no_component").alias("kind"),
+        "mukey",
+        F.lit(None).cast("long").alias("cokey"),
+    )
+    mu_notcom = no_co.where(F.col("musym") == "NOTCOM").select(
+        F.lit("mu_notcom").alias("kind"),
+        "mukey",
+        F.lit(None).cast("long").alias("cokey"),
+    )
+    co_no_hz = (
+        co.join(hz.select("cokey").distinct(), "cokey", "left_anti")
+        .where(
+            ~F.col("compname").isin("NOTCOM", "NOTPUB")
+            & (F.coalesce(F.col("compkind"), F.lit("")) != "Miscellaneous area")
+        )
+        .select(F.lit("co_no_horizon").alias("kind"), "mukey", "cokey")
+    )
+    return mu_no_co.unionByName(mu_notcom).unionByName(co_no_hz)
+
+
+def validate_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckgSSURGO structural validation end-to-end over a synthetic
+    catalog with deliberate defects: one required table missing, one
+    with a wrong column order, the rest healthy; plus the SACATALOG
+    survey count and the mapunit tabular-vs-component cross-check
+    (which MISmatches here because some customers have no orders).
+    Report: (check, subject, status, n)."""
+    from .functions.structure import (
+        catalog_survey_count,
+        check_structure,
+        count_cross_check,
+    )
+
+    t = ssurgo_synth(spark, sf_dir)
+    co, hz = t["component"], t["chorizon"]
+    expected = {
+        "component": ["mukey", "cokey", "comppct_r", "majcompflag"],
+        "chorizon": ["cokey", "chkey", "hzdept_r", "hzdepb_r"],
+        "chtexture": ["chtgkey", "lieutex"],
+        "sdvattribute": ["attributekey", "attributename"],
+    }
+    catalog = {
+        "component": co.select("mukey", "cokey", "comppct_r", "majcompflag"),
+        # wrong order: swapped depth columns
+        "chorizon": hz.select("cokey", "chkey", "hzdepb_r", "hzdept_r"),
+        # "chtexture" absent -> missing
+        "sdvattribute": spark.createDataFrame(
+            [], "attributekey int, attributename string"
+        ),
+    }
+    tbl_rows = [
+        (r["table_name"], r["status"]) for r in check_structure(catalog, expected)
+    ]
+    tbl = spark.createDataFrame(tbl_rows, "subject string, status string").select(
+        F.lit("table").alias("check"),
+        "subject",
+        "status",
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    sacatalog = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias(
+            "areasymbol"
+        )
+    )
+    sc = catalog_survey_count(sacatalog).select(
+        F.lit("sacatalog").alias("check"),
+        F.lit("surveys").alias("subject"),
+        "status",
+        F.col("n").cast("bigint").alias("n"),
+    )
+    mu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey")
+    )
+    cc = count_cross_check(mu, co, "mukey").select(
+        F.lit("mapunit_count").alias("check"),
+        F.lit("tabular_vs_component").alias("subject"),
+        "status",
+        F.col("diff").cast("bigint").alias("n"),
+    )
+    return tbl.unionByName(sc).unionByName(cc)
+
+
 VALU1_RANGES = [(0, 20), (20, 50), (50, 100), (0, 100)]
 
 

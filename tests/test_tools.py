@@ -131,3 +131,37 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "areasymbol" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_check_structure_driver_side(spark):
+    """CheckgSSURGO core: missing table, wrong field order, healthy
+    table — and no Spark job runs (pure schema introspection)."""
+    from soil_data_development_tools___arcmap_spark.functions.structure import (
+        catalog_survey_count,
+        check_structure,
+        count_cross_check,
+    )
+
+    good = spark.createDataFrame([], "a int, b string")
+    swapped = spark.createDataFrame([], "b string, a int")
+    expected = {"t1": ["a", "b"], "t2": ["a", "b"], "t3": ["a", "b"]}
+    out = {r["table_name"]: r for r in
+           check_structure({"t1": good, "t2": swapped}, expected)}
+    assert out["t1"]["status"] == "ok"
+    assert out["t2"]["status"] == "bad_schema" and out["t2"]["detail"] == "b,a"
+    assert out["t3"]["status"] == "missing"
+    # case-insensitive, like the reference's .upper() field walk
+    upper = spark.createDataFrame([], "`A` int, `B` string")
+    assert check_structure({"t1": upper}, {"t1": ["a", "b"]})[0]["status"] == "ok"
+
+    sa = spark.createDataFrame([("NE109",)], "areasymbol string")
+    r = catalog_survey_count(sa).collect()[0]
+    assert r["status"] == "ok" and r["n"] == 1
+    r = catalog_survey_count(sa.limit(0)).collect()[0]
+    assert r["status"] == "empty" and r["n"] == 0
+
+    left = spark.createDataFrame([(1,), (2,), (2,)], "mukey int")
+    right = spark.createDataFrame([(1,), (2,), (3,)], "mukey int")
+    r = count_cross_check(left, right).collect()[0]
+    assert (r["n_left"], r["n_right"], r["status"], r["diff"]) == (
+        2, 3, "mismatch", 1)
