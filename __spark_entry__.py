@@ -89,6 +89,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_depth_gaps": Q.validate_depth_gaps,
     "validate_component_pct": Q.validate_component_pct,
     "validate_missing_data": Q.validate_missing_data,
+    "raster_lookup_codes": Q.raster_lookup_codes,
     "validate_structure": Q.validate_structure,
     # analytic benchmarks
     "q1_pricing_summary": Q.q1_pricing_summary,

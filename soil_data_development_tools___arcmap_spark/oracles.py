@@ -703,6 +703,17 @@ SELECT mukey, comppct_r, texture AS rating FROM (
 WHERE rn = 1
 """
 
+ORACLES["raster_lookup_codes"] = f"""
+WITH {_SYN},
+lu AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY mukey ASC) AS BIGINT) AS cellvalue,
+         mukey
+  FROM (SELECT DISTINCT mukey FROM syn_co))
+SELECT l.cellvalue, c.mukey, COUNT(*) AS n_comp
+FROM syn_co c JOIN lu l ON c.mukey = l.mukey
+GROUP BY l.cellvalue, c.mukey
+"""
+
 ORACLES["validate_missing_data"] = f"""
 WITH {_SYN},
 mu AS (SELECT c_custkey AS mukey,

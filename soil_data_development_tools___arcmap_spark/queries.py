@@ -1116,6 +1116,21 @@ def validate_component_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raster_lookup_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapunit-raster lookup assignment (SSURGO_ExportMuRaster.py:
+    1252-1357): dense sequential cellvalue per distinct mukey, then the
+    broadcast join back onto the component fact side — output one row
+    per mukey with its cellvalue and component count (what the raster
+    attribute table carries)."""
+    from .functions.raster import attach_cellvalues, mukey_lookup
+
+    co = ssurgo_synth(spark, sf_dir)["component"]
+    lu = mukey_lookup(co)
+    return attach_cellvalues(co, lu).groupBy("cellvalue", "mukey").agg(
+        F.count(F.lit(1)).alias("n_comp")
+    )
+
+
 def validate_missing_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gSSURGO_ValidateData missing-data report (CreateQueryTables
     :455-505 + RunReport :517-796): mapunits with no component rows
