@@ -7,6 +7,13 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect bottleneck), timed after a warm-up of the session.
+
+Each query runs TWICE: the first (cold) run carries whole-stage-codegen
+JIT compilation (~4-6 s on the first heavy plan, see PLANS.md) and is
+what "value"/"queries" report — keeping the headline total comparable
+with earlier rounds — while the second (steady) run is reported under
+"value_steady"/"queries_steady" so plan regressions aren't masked by
+JIT noise round-over-round.
 """
 
 from __future__ import annotations
@@ -64,6 +71,7 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -71,6 +79,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        steady[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -78,6 +89,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "value_steady": round(sum(steady.values()), 3),
+        "queries_steady": steady,
         "sf": sf,
     }))
 

@@ -163,17 +163,21 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     col: str = "embedding",
+    train: bool = False,
+    train_iters: int = 3,
 ) -> DataFrame:
     """IVF-style approximate top-k: candidates are assigned to their
     nearest coarse centroid (the inverted lists); each query probes
     only its ``nprobe`` nearest lists.
 
-    The coarse quantizer here is deterministic — the first
+    The default coarse quantizer is deterministic — the first
     ``n_centroids`` candidate vectors by id stand in for k-means
-    centroids (training is a separate offline job at scale; the
-    search-path plumbing is identical). Cost: one broadcast pass to
-    assign, then each query scans ~nprobe/n_centroids of the data —
-    the middle ground between brute force and LSH recall loss.
+    centroids, which keeps the query oracle-reproducible.
+    ``train=True`` replaces the stand-in with Lloyd's k-means
+    (train_ivf_centroids) — the production quantizer; the search path
+    is byte-identical either way. Cost: one broadcast pass to assign,
+    then each query scans ~nprobe/n_centroids of the data — the
+    middle ground between brute force and LSH recall loss.
     """
     from .dedup import _spread
 
@@ -181,10 +185,22 @@ def ivf_topk(
     cand = _spread(emb.where(F.col(id_col) >= query_ids_below), id_col).select(
         F.col(id_col).alias("cid"), qz.alias("cv")
     )
-    cents = emb.where(
-        (F.col(id_col) >= query_ids_below)
-        & (F.col(id_col) < query_ids_below + n_centroids)
-    ).select(F.col(id_col).alias("kid"), qz.alias("kv"))
+    if train:
+        trained = train_ivf_centroids(
+            emb.where(F.col(id_col) >= query_ids_below),
+            n_centroids=n_centroids,
+            iters=train_iters,
+            id_col=id_col,
+            col=col,
+        )
+        cents = emb.sparkSession.createDataFrame(
+            trained, "kid int, kv array<long>"
+        )
+    else:
+        cents = emb.where(
+            (F.col(id_col) >= query_ids_below)
+            & (F.col(id_col) < query_ids_below + n_centroids)
+        ).select(F.col(id_col).alias("kid"), qz.alias("kv"))
     q = emb.where(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("qid"), qz.alias("qv")
     )
@@ -219,6 +235,76 @@ def ivf_topk(
         .where(F.col("rn") <= topk)
         .select("qid", "cid", "cos_e6", "rn")
     )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Lloyd's k-means over the quantized embeddings — the offline
+    training job that replaces ``ivf_topk``'s first-N-centroid
+    stand-in. Expressed entirely as DataFrame ops: per iteration one
+    broadcast-crossJoin assignment (argmin by cosine via row_number)
+    and one posexplode + groupBy-mean centroid update; only the k×dims
+    centroid matrix is collected between iterations (never the data).
+    Initialization is the first ``n_centroids`` vectors by id —
+    deterministic, like the stand-in. Centroids are floored back to
+    integer micro-units each round so the assignment arithmetic stays
+    in the exact-integer regime.
+
+    At 100 TB this is the standard scalable shape: assignment is a map
+    stage against a broadcast (k×dims) matrix, the update is one
+    shuffle keyed by (cluster, dim) — k-means cost is dominated by the
+    assignment scan, linear per iteration."""
+    qz = quantize_embedding(col)
+    v = emb.select(F.col(id_col).alias("did"), qz.alias("v"))
+    cents = [
+        (i, list(r["v"]))
+        for i, r in enumerate(
+            v.orderBy("did").limit(n_centroids).collect()
+        )
+    ]
+    spark = emb.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            cents, "kid int, kv array<long>"
+        )
+        wa = Window.partitionBy("did").orderBy(
+            F.col("kcos").desc(), F.col("kid").asc()
+        )
+        assigned = (
+            v.crossJoin(F.broadcast(cdf))
+            .select(
+                "did", "v", "kid",
+                _cos_e6(
+                    _dot(F.col("v"), F.col("kv")),
+                    _norm2(F.col("v")),
+                    _norm2(F.col("kv")),
+                ).alias("kcos"),
+            )
+            .withColumn("arn", F.row_number().over(wa))
+            .where(F.col("arn") == 1)
+            .select("did", "v", "kid")
+        )
+        upd = (
+            assigned.select("kid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("kid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("kid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.floor(s["m"]).cast("long"),
+                ).alias("kv")
+            )
+        )
+        new = {r["kid"]: list(r["kv"]) for r in upd.collect()}
+        # empty clusters keep their previous centroid
+        cents = [(k, new.get(k, kv)) for k, kv in cents]
+    return cents
 
 
 def cosine_dup_pairs(

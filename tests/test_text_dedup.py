@@ -189,3 +189,43 @@ def test_cosine_dup_pairs_multiband(spark):
     # floor((dot/(sqrt*sqrt))*1e6) can land one ulp under 1e6
     assert (1, 2) in out and out[(1, 2)] >= 999999
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_ivf_trained_centroids(spark):
+    """Lloyd's k-means training: centroids converge onto the two
+    obvious clusters and ivf_topk(train=True) still returns exact
+    top-k for in-cluster queries."""
+    from soil_data_development_tools___arcmap_spark.functions.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    a = [1.0] * 32 + [0.0] * 32
+    b = [0.0] * 32 + [1.0] * 32
+    rows = []
+    for i in range(8):  # queries: 4 near a, 4 near b
+        rows.append((i, a if i % 2 == 0 else b))
+    for i in range(8, 28):  # candidates: two tight clusters
+        base = a if i % 2 == 0 else b
+        rows.append((i, [x + 0.001 * (i % 5) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = train_ivf_centroids(
+        emb.where("vec_id >= 8"), n_centroids=2, iters=3
+    )
+    assert len(cents) == 2
+    # the two trained centroids separate the clusters: one has mass in
+    # the first half, the other in the second half
+    halves = sorted(
+        (sum(kv[:32]) > sum(kv[32:])) for _, kv in cents
+    )
+    assert halves == [False, True]
+
+    out = ivf_topk(emb, query_ids_below=8, topk=3, n_centroids=2,
+                   nprobe=1, train=True)
+    rows_out = out.collect()
+    assert {r["qid"] for r in rows_out} == set(range(8))
+    for r in rows_out:
+        # with nprobe=1 and trained centroids every hit shares the
+        # query's cluster parity
+        assert r["cid"] % 2 == r["qid"] % 2
