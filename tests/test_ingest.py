@@ -60,3 +60,80 @@ def test_sdv_dedup_and_merge(spark, tmp_path):
     d2 = read_ssurgo_table(spark, p2, "sdvattribute")
     merged = merge_surveys([d1, d2], pk=["attributekey"])
     assert merged.count() == 1  # identical catalog row per survey dedupes
+
+
+def test_wss_naming_and_version_check(tmp_path):
+    """WSS driver utility offline: zip/URL naming, template suffix,
+    SAVEREST parse, and the overwrite decision."""
+    from soil_data_development_tools___arcmap_spark.sources import wss
+
+    assert (
+        wss.wss_zip_name("NE109", 20240917)
+        == "wss_SSA_NE109_[2024-09-17].zip"
+    )
+    assert wss.wss_zip_url("NE109", 20240917).endswith(
+        "/SSA/wss_SSA_NE109_[2024-09-17].zip"
+    )
+    assert wss.template_db_suffix("NE109") == "_soildb_NE_2003"
+    assert wss.template_db_suffix("TX123") == "_soildb_US_2003"
+    assert wss.template_db_suffix("FM001") == "_soildb_HI_2003"
+
+    rec = 'NE109|"Lancaster County"|123|09/17/2024 10:42:01|more'
+    assert wss.parse_saverest(rec) == 20240917
+
+    folder = tmp_path / "soil_ne109"
+    (folder / "tabular").mkdir(parents=True)
+    # absent sacatlog -> incomplete -> download
+    assert wss.needs_download("NE109", 20240917, str(folder))
+    (folder / "tabular" / "sacatlog.txt").write_text(rec + "\n")
+    # same date -> keep; newer WSS date -> download
+    assert not wss.needs_download("NE109", 20240917, str(folder))
+    assert wss.needs_download("NE109", 20241001, str(folder))
+    assert wss.needs_download("NE109", 20240917, str(tmp_path / "nope"))
+
+
+def test_wss_unzip_conventions(tmp_path):
+    """UnzipDownload folder-convention handling: zip-basename subdir,
+    areasymbol subdir, bad zip, empty zip."""
+    import zipfile
+
+    from soil_data_development_tools___arcmap_spark.sources import wss
+
+    def make_zip(path, inner):
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr(f"{inner}/tabular/sacatlog.txt", "x|y|z|01/02/2024 00:00:00\n")
+
+    out = tmp_path / "o1"
+    out.mkdir()
+    zp = out / "wss_SSA_NE109_[2024-09-17].zip"
+    make_zip(zp, "wss_SSA_NE109_[2024-09-17]")
+    dest = out / "soil_ne109"
+    assert wss.unzip_download(str(zp), str(out), "NE109", str(dest))
+    assert (dest / "tabular" / "sacatlog.txt").is_file()
+    assert not zp.exists()  # zip removed after extract
+
+    out2 = tmp_path / "o2"
+    out2.mkdir()
+    zp2 = out2 / "wss_SSA_NE109_[2024-09-17].zip"
+    make_zip(zp2, "NE109")
+    dest2 = out2 / "soil_ne109"
+    assert wss.unzip_download(str(zp2), str(out2), "ne109", str(dest2))
+    assert (dest2 / "tabular" / "sacatlog.txt").is_file()
+
+    bad = tmp_path / "bad.zip"
+    bad.write_bytes(b"this is not a zip")
+    assert not wss.unzip_download(str(bad), str(tmp_path), "NE109", str(tmp_path / "x"))
+
+    empty = tmp_path / "empty.zip"
+    empty.write_bytes(b"")
+    assert wss.unzip_download(str(empty), str(tmp_path), "NE109", str(tmp_path / "y"))
+    assert not empty.exists()
+
+    # fetch seam: download() writes via the injected fetcher, no network
+    calls = {}
+    def fake_fetch(url, path, t):
+        calls["url"] = url
+        open(path, "wb").write(b"zipbytes")
+    p = wss.download("NE109", 20240917, str(tmp_path), fetch=fake_fetch)
+    assert calls["url"].startswith("https://websoilsurvey")
+    assert open(p, "rb").read() == b"zipbytes"
