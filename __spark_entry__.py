@@ -101,6 +101,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": Q.events_sessionize,
     "events_sessionize_stateful": Q.events_sessionize_stateful,
     "events_sliding_window": Q.events_sliding_window,
+    "events_enriched_daily": Q.events_enriched_daily,
+    "events_stream_enriched": Q.events_stream_enriched,
+    "events_attribution": Q.events_attribution,
+    "events_stream_attribution": Q.events_stream_attribution,
     "events_topk_per_type": Q.events_topk_per_type,
     "events_json_extract": Q.events_json_extract,
     # documents: text analysis + dedup (north-star LLM pipeline)

@@ -988,6 +988,30 @@ FROM events GROUP BY 1, 2
 # streaming form must equal the batch aggregation at availableNow
 ORACLES["events_stream_tumbling"] = ORACLES["events_tumbling_daily"]
 
+ORACLES["events_enriched_daily"] = """
+WITH dim(event_type, category) AS (VALUES
+  ('click', 'engagement'), ('view', 'engagement'),
+  ('signup', 'acquisition'), ('purchase', 'revenue'), ('error', 'ops'))
+SELECT (epoch_us(ts) // 86400000000) AS day_num, d.category,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1, 2
+"""
+
+ORACLES["events_stream_enriched"] = ORACLES["events_enriched_daily"]
+
+ORACLES["events_attribution"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+  AND epoch_us(c.ts) <= epoch_us(p.ts)
+"""
+
+ORACLES["events_stream_attribution"] = ORACLES["events_attribution"]
+
 ORACLES["events_sessionize_stateful"] = """
 WITH g AS (
   SELECT user_id, epoch_us(ts) AS ts_us,

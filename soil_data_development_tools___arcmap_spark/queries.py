@@ -1549,6 +1549,46 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_enriched_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: category dim
+    broadcast onto events, tumbling 1-day counts + exact cent sums."""
+    from .streaming.events import _category_dim, enriched_daily
+
+    return enriched_daily(read_events(spark, sf_dir), _category_dim(spark))
+
+
+def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join through Structured Streaming (the dimension
+    is broadcast into every micro-batch) — hash-checked against the
+    batch oracle."""
+    from .streaming.events import run_enriched_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_enriched_stream(spark, sf_dir)
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs (1-hour lookback) — batch
+    form of the stream-stream join."""
+    from .streaming.events import attribution_pairs
+
+    ev = read_events(spark, sf_dir)
+    return attribution_pairs(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked inner join with an event-time range
+    condition — certified by the SAME oracle as the batch
+    events_attribution (inner-join output is micro-batch invariant)."""
+    from .streaming.events import run_attribution_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_attribution_stream(spark, sf_dir)
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 7-day window advancing 1 day, per event_type: each event
     lands in 7 windows (exploded window dimension — the batch twin of

@@ -140,6 +140,133 @@ def run_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+#: static event-type → category dimension for stream-static joins
+EVENT_CATEGORIES = {
+    "click": "engagement",
+    "view": "engagement",
+    "signup": "acquisition",
+    "purchase": "revenue",
+    "error": "ops",
+}
+
+
+def _category_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(EVENT_CATEGORIES.items()), "event_type string, category string"
+    )
+
+
+def enriched_daily(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the (broadcast) category
+    dimension onto the event stream, then tumbling 1-day counts per
+    category. Works identically over a batch or streaming DataFrame —
+    a stream-static inner join is stateless in Structured Streaming
+    (the static side is broadcast to every micro-batch), so this
+    composes with the windowed agg without extra watermark needs."""
+    df = events.withColumn("day_num", F.expr("(ts div 1000) div 86400000000"))
+    return (
+        df.join(F.broadcast(dim), "event_type")
+        .groupBy("day_num", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+    )
+
+
+def run_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stream-static enrichment to completion (availableNow +
+    memory sink) and return the result table."""
+    name = "events_enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched_daily(read_events_stream(spark, sf_dir), _category_dim(spark))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ATTRIBUTION_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def attribution_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Click→purchase attribution: every (purchase, click) pair for
+    the same user where the click lands within the hour BEFORE (or at)
+    the purchase. Batch form — an inner join with an integer-µs range
+    predicate; the result set is arrival-order independent, so the
+    same predicate certifies the stream-stream twin."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.expr("ts div 1000").alias("c_us"),
+    )
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.expr("ts div 1000").alias("p_us"),
+    )
+    return (
+        p.join(c, "user_id")
+        .where(
+            (F.col("c_us") >= F.col("p_us") - ATTRIBUTION_WINDOW_US)
+            & (F.col("c_us") <= F.col("p_us"))
+        )
+        .select("purchase_id", "click_id")
+    )
+
+
+def run_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (the real Structured Streaming
+    capability): clicks and purchases read as two streams, each
+    watermarked 1 hour, joined on user_id with the event-time range
+    condition. The watermark + the time bound let Spark drop click
+    state older than the attribution window instead of buffering the
+    stream forever — the state-bounded production shape. availableNow
+    + memory sink returns the completed result; inner-join output is
+    deterministic regardless of micro-batching."""
+    name = "events_attr_" + uuid.uuid4().hex[:8]
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("c_time"),
+        )
+        .withWatermark("c_time", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("p_time"),
+        )
+        .withWatermark("p_time", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["user_id"])
+        & (clicks["c_time"] >= purchases["p_time"] - F.expr("INTERVAL 1 HOUR"))
+        & (clicks["c_time"] <= purchases["p_time"]),
+        "inner",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming tumbling aggregation to completion
     (availableNow + memory sink) and return the result table."""

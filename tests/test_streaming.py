@@ -137,3 +137,43 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     }
     assert len(days) > 1  # the split actually produced multiple batches
     assert got == want
+
+
+def test_stream_static_and_stream_stream_joins(spark, tmp_path):
+    """Stream-static enrichment and the watermarked stream-stream
+    attribution join produce exactly the batch results on a small
+    crafted stream."""
+    import pyspark.sql.functions as F
+
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        _category_dim,
+        attribution_pairs,
+        enriched_daily,
+    )
+
+    us = 1_000_000
+    rows = [
+        # user 1: click at t=0s and t=30min, purchase at t=45min
+        (1, 0 * us * 1000, 1, "click", 1.0, "{}"),
+        (2, 1800 * us * 1000, 1, "click", 1.0, "{}"),
+        (3, 2700 * us * 1000, 1, "purchase", 9.5, "{}"),
+        # user 2: click 2h AFTER the purchase -> outside the window
+        (4, 0 * us * 1000, 2, "purchase", 5.0, "{}"),
+        (5, 7200 * us * 1000, 2, "click", 1.0, "{}"),
+        (6, 100 * us * 1000, 2, "error", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    enr = {(r["day_num"], r["category"]): r["n"]
+           for r in enriched_daily(ev, _category_dim(spark)).collect()}
+    assert enr[(0, "engagement")] == 3  # all three clicks land on day 0
+    assert enr[(0, "revenue")] == 2  # both purchases
+    assert enr[(0, "ops")] == 1
+
+    pairs = {(r["purchase_id"], r["click_id"]) for r in attribution_pairs(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    ).collect()}
+    # purchase 3 attributes only to the click within the hour (id 2)
+    assert pairs == {(3, 2)}
