@@ -175,5 +175,7 @@ def test_stream_static_and_stream_stream_joins(spark, tmp_path):
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
     ).collect()}
-    # purchase 3 attributes only to the click within the hour (id 2)
-    assert pairs == {(3, 2)}
+    # both of user 1's clicks (t=0, t=30min) are within the hour
+    # before the t=45min purchase; user 2's click is after its
+    # purchase and must not attribute
+    assert pairs == {(3, 1), (3, 2)}
