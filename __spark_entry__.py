@@ -117,6 +117,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_signatures": Q.docs_minhash_signatures,
     "docs_minhash_lsh": Q.docs_minhash_lsh,
     "docs_lsh_band_stats": Q.docs_lsh_band_stats,
+    "docs_dup_groups": Q.docs_dup_groups,
     "docs_simhash": Q.docs_simhash,
     "docs_clean_corpus": Q.docs_clean_corpus,
     # multimodal binary columns: metadata / Pandas-UDF features / frames

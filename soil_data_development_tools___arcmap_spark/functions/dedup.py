@@ -473,3 +473,85 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataF
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select("did", sig.cast("long").alias("simhash"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "did",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a dup-pair graph by min-label
+    propagation: every node starts labeled with its own id; each round
+    every node takes the minimum label among itself and its neighbors;
+    fixpoint = each component labeled by its smallest member.
+
+    This is the group-resolution step a dedup pipeline needs after
+    pair generation — (doc, group_rep) lets "keep one per group" be a
+    single filter. Near-dup graphs are dense per component (LSH bucket
+    expansion emits near-cliques) and tiny in diameter, so the loop
+    converges in 2-3 rounds; the iteration count is bounded by graph
+    diameter, NOT corpus size. Each round is one join + one groupBy
+    (shuffles on the node id), and labels are localCheckpoint()ed so
+    lineage doesn't grow with iterations. At extreme diameters the
+    alternating large-star/small-star algorithm halves rounds, but
+    dedup graphs never need it.
+    """
+    # materialize the (tiny) edge list once — it is joined every
+    # round, and without this the whole pair-generation pipeline would
+    # re-execute per iteration
+    edges = pairs.select(F.col("i").alias("a"), F.col("j").alias("b")).unionByName(
+        pairs.select(F.col("j").alias("a"), F.col("i").alias("b"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("a"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(
+                labels.select(F.col("a").alias("b"), F.col("lbl")), "b"
+            ).select("a", "lbl")
+        )
+        new = (
+            labels.unionByName(neighbor)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "a")
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("a").alias(id_col), F.col("lbl").alias("group_rep")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 3,
+    threshold_e4: int = 3000,
+    max_freq: int | None = 100,
+) -> DataFrame:
+    """Near-duplicate GROUPS: n-gram Jaccard pairs resolved into
+    connected components — (doc_id, group_rep, is_rep). Keeping rows
+    where is_rep = 1 dedups the corpus with one filter."""
+    pairs = ngram_jaccard_pairs(
+        df, id_col, col, k, threshold_e4=threshold_e4, max_freq=max_freq
+    )
+    nodes = df.select(F.col(id_col).alias("did"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("did").alias(id_col),
+        "group_rep",
+        (F.col("did") == F.col("group_rep")).cast("int").alias("is_rep"),
+    )

@@ -1201,6 +1201,20 @@ SELECT i, j, jac_e4 FROM (
 WHERE jac_e4 >= 3000
 """
 
+ORACLES["docs_dup_groups"] = f"""
+WITH RECURSIVE
+pairs AS ({ORACLES["docs_ngram_jaccard"]}),
+edges AS (SELECT i AS a, j AS b FROM pairs
+          UNION ALL SELECT j, i FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+SELECT src AS doc_id, MIN(dst) AS group_rep,
+       CAST(CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS INTEGER) AS is_rep
+FROM reach GROUP BY src
+"""
+
 # audit twin of dedup.minhash_band_stats at bucket_cap=2 (tiny on
 # purpose so the salt-split path actually fires at sf0.01)
 _LSH_STATS_CAP = 2

@@ -1702,6 +1702,19 @@ def docs_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: jaccard pairs → connected components
+    (min-label propagation to fixpoint) → (doc_id, group_rep, is_rep).
+    The oracle recomputes components with a recursive reachability CTE
+    — engine-independent fixpoint, so the hash certifies convergence,
+    not just one propagation round."""
+    from .functions.dedup import dup_groups
+
+    return dup_groups(
+        _t(spark, sf_dir, "documents"), threshold_e4=3000, max_freq=100
+    )
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash16
 

@@ -229,3 +229,30 @@ def test_ivf_trained_centroids(spark):
         # with nprobe=1 and trained centroids every hit shares the
         # query's cluster parity
         assert r["cid"] % 2 == r["qid"] % 2
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation reaches the fixpoint on a CHAIN (needs
+    multiple rounds, not just one hop) and leaves singletons as their
+    own representative."""
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        connected_components,
+        dup_groups,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "did long")
+    # chain 1-2-3-4-5 (diameter 4) + pair 6-7... wait 6,7 + singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "i long, j long"
+    )
+    out = {r["did"]: r["group_rep"] for r in
+           connected_components(nodes, pairs).collect()}
+    assert all(out[i] == 1 for i in range(1, 6))  # whole chain -> 1
+    assert out[6] == 6 and out[7] == 6
+    assert out[7] == 6  # pair component
+
+    groups = dup_groups(docs(spark), max_freq=None)
+    got = {r["doc_id"]: (r["group_rep"], r["is_rep"]) for r in groups.collect()}
+    # docs 1, 2, 4 are one near-dup component with rep 1
+    assert got[1] == (1, 1) and got[2] == (1, 0) and got[4] == (1, 0)
+    assert got[3] == (3, 1) and got[5] == (5, 1)  # singletons keep selves
