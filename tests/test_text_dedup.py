@@ -241,15 +241,14 @@ def test_connected_components_chain_and_singleton(spark):
     )
 
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "did long")
-    # chain 1-2-3-4-5 (diameter 4) + pair 6-7... wait 6,7 + singleton
+    # chain 1-2-3-4-5 (diameter 4 -> needs several rounds) + pair 6-7
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "i long, j long"
     )
     out = {r["did"]: r["group_rep"] for r in
            connected_components(nodes, pairs).collect()}
     assert all(out[i] == 1 for i in range(1, 6))  # whole chain -> 1
-    assert out[6] == 6 and out[7] == 6
-    assert out[7] == 6  # pair component
+    assert out[6] == 6 and out[7] == 6  # pair component
 
     groups = dup_groups(docs(spark), max_freq=None)
     got = {r["doc_id"]: (r["group_rep"], r["is_rep"]) for r in groups.collect()}
