@@ -95,6 +95,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": Q.q1_pricing_summary,
     "q3_shipping_priority": Q.q3_shipping_priority,
     "q5_local_supplier": Q.q5_local_supplier,
+    "q6_forecast_revenue": Q.q6_forecast_revenue,
     # events: batch analytics + Structured Streaming twin (SURVEY §2.9)
     "events_tumbling_daily": Q.events_tumbling_daily,
     "events_stream_tumbling": Q.events_stream_tumbling,
@@ -118,6 +119,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_lsh": Q.docs_minhash_lsh,
     "docs_lsh_band_stats": Q.docs_lsh_band_stats,
     "docs_dup_groups": Q.docs_dup_groups,
+    "docs_top_ngrams": Q.docs_top_ngrams,
     "docs_simhash": Q.docs_simhash,
     "docs_clean_corpus": Q.docs_clean_corpus,
     # multimodal binary columns: metadata / Pandas-UDF features / frames

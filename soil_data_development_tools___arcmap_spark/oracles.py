@@ -988,6 +988,14 @@ FROM events GROUP BY 1, 2
 # streaming form must equal the batch aggregation at availableNow
 ORACLES["events_stream_tumbling"] = ORACLES["events_tumbling_daily"]
 
+ORACLES["q6_forecast_revenue"] = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+         * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c2
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
 ORACLES["events_enriched_daily"] = """
 WITH dim(event_type, category) AS (VALUES
   ('click', 'engagement'), ('view', 'engagement'),
@@ -1199,6 +1207,16 @@ SELECT i, j, jac_e4 FROM (
   JOIN (SELECT did AS i, nsh AS ni FROM sizes) si USING (i)
   JOIN (SELECT did AS j, nsh AS nj FROM sizes) sj USING (j))
 WHERE jac_e4 >= 3000
+"""
+
+ORACLES["docs_top_ngrams"] = f"""
+WITH {_SHINGLES},
+ex AS (SELECT did, unnest(ss) AS s FROM sh),
+counts AS (SELECT s, COUNT(*) AS n FROM ex GROUP BY s)
+SELECT s, n, rank FROM (
+  SELECT s, n, row_number() OVER (ORDER BY n DESC, s ASC) AS rank
+  FROM counts)
+WHERE rank <= 20
 """
 
 ORACLES["docs_dup_groups"] = f"""

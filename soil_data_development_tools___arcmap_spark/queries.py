@@ -1505,6 +1505,27 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 — the pure filter-aggregate anchor: every predicate
+    must reach the parquet scan (PushedFilters), ReadSchema carries
+    only the 4 referenced columns, and the whole query is one scan +
+    one partial/final aggregate pair (no shuffle of raw rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(cents("l_extendedprice") * cents("l_discount")).alias(
+        "revenue_c2"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(rev)
+    )
+
+
 # ------------------------------------------------------ events (batch
 # analytics + streaming twin; ts convention: Spark `ts div 1000` ==
 # DuckDB epoch_us(ts) — DuckDB truncates ns parquet to µs)
@@ -1699,6 +1720,25 @@ def docs_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_band_stats(
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, bucket_cap=2
+    )
+
+
+def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-20 trigram shingles by document
+    frequency (ties broken by shingle text for a deterministic top-k).
+    The same exploded-shingle pipeline the dedup family uses — one
+    aggregation, then a tiny global top-k of the aggregate output."""
+    from .functions.dedup import _explode_ss, _spread, shingle_sets
+
+    ex = _explode_ss(
+        shingle_sets(_spread(_t(spark, sf_dir, "documents"), "doc_id"))
+    )
+    counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("s").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("s", "n", "rank")
     )
 
 
