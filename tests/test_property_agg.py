@@ -247,3 +247,57 @@ def test_maxmin_matches_reference(spark, data):
             if mu not in ref or key < ref[mu][0]:
                 ref[mu] = (key, pct, r)
         assert got == {mu: (p, r) for mu, (_, p, r) in ref.items()}
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    """The min-label propagation fixpoint must equal a direct
+    union-find on arbitrary random graphs (cycles, self-merges,
+    disconnected nodes)."""
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for x in range(n):
+        r = find(x)
+        expected[x] = min(y for y in range(n) if find(y) == r)
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "did long")
+    pairs = (
+        spark.createDataFrame([(i, j) for i, j in edges], "i long, j long")
+        if edges
+        else spark.createDataFrame([], "i long, j long")
+    )
+    got = {
+        r["did"]: r["group_rep"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == expected
