@@ -29,3 +29,28 @@ def write_partitioned(
 
 def read_partitioned(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    num_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the co-located-join layout for
+    fact⨝fact keys (SURVEY §4: the component⨝chorizon cokey join is
+    the one shuffle the rating pipelines can't broadcast away).
+
+    Two tables bucketed by the same key into the same bucket count
+    join WITHOUT an Exchange on either side: Spark's FileSourceScan
+    reports the bucketing as output partitioning, so EnsureRequirements
+    inserts no shuffle — at 100 TB this converts the nightly rating
+    run's biggest shuffle into a local merge per bucket. Sorting the
+    buckets on the key also drops the SortMergeJoin's per-task sort.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)

@@ -165,3 +165,47 @@ def test_check_structure_driver_side(spark):
     r = count_cross_check(left, right).collect()[0]
     assert (r["n_left"], r["n_right"], r["status"], r["diff"]) == (
         2, 3, "mismatch", 1)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO
+    Exchange operators (the co-located layout write_bucketed exists
+    for). The unbucketed control join DOES shuffle."""
+    import pyspark.sql.functions as F
+
+    from soil_data_development_tools___arcmap_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS co_b")
+    spark.sql("DROP TABLE IF EXISTS hz_b")
+    co = spark.range(2000).select(
+        F.col("id").alias("cokey"), (F.col("id") % 97).alias("comppct_r")
+    )
+    hz = spark.range(6000).select(
+        (F.col("id") % 2000).alias("cokey"), F.col("id").alias("chkey")
+    )
+    write_bucketed(co, "co_b", "cokey", num_buckets=8, sort_by="cokey")
+    write_bucketed(hz, "hz_b", "cokey", num_buckets=8, sort_by="cokey")
+
+    # disable auto-broadcast so the join strategy is the bucket-aware
+    # sort-merge, then check the plan carries no shuffle at all
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("co_b").join(spark.table("hz_b"), "cokey")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert j.count() == 6000
+
+        ub = co.join(hz, "cokey")
+        plan_ub = ub._sc._jvm.PythonSQLUtils.explainString(
+            ub._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" in plan_ub  # the control DOES shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS co_b")
+        spark.sql("DROP TABLE IF EXISTS hz_b")
