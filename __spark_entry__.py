@@ -102,6 +102,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": Q.events_sessionize,
     "events_sessionize_stateful": Q.events_sessionize_stateful,
     "events_sliding_window": Q.events_sliding_window,
+    "events_stream_sliding": Q.events_stream_sliding,
     "events_enriched_daily": Q.events_enriched_daily,
     "events_stream_enriched": Q.events_stream_enriched,
     "events_attribution": Q.events_attribution,

@@ -1679,6 +1679,9 @@ GROUP BY 1, 2
 """
 
 
+ORACLES["events_stream_sliding"] = ORACLES["events_sliding_window"]
+
+
 ORACLES["docs_clean_corpus"] = f"""
 WITH d AS ({_DOCS_T}),
 q AS (SELECT doc_id FROM d WHERE len(t) >= 20),

@@ -1570,6 +1570,16 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day/1-day window through Structured Streaming
+    (F.window slide) — hash-checked against the batch
+    events_sliding_window oracle (generate_series fan-out form)."""
+    from .streaming.events import run_sliding_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_sliding_stream(spark, sf_dir)
+
+
 def events_enriched_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-static enrichment join: category dim
     broadcast onto events, tumbling 1-day counts + exact cent sums."""

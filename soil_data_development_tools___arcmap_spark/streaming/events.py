@@ -140,6 +140,51 @@ def run_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def sliding_weekly(events: DataFrame) -> DataFrame:
+    """Sliding 7-day/1-day window per event_type over event time —
+    the streaming twin of the batch ``events_sliding_window`` query
+    (which fans each event into its 7 windows via a generate_series
+    join). ``F.window`` slide alignment is epoch-based, so a window
+    ending exclusively at day e+1 covers days [e-6, e] — relabeling
+    by end-1 reproduces the batch ``win_end_day`` exactly."""
+    df = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        df.groupBy(
+            F.window("event_time", "7 days", "1 day").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+        .select(
+            F.expr("(unix_micros(w.end) div 86400000000) - 1").alias(
+                "win_end_day"
+            ),
+            "event_type",
+            "n",
+            "value_c",
+        )
+    )
+
+
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the sliding-window aggregation as a stream to completion
+    (availableNow + complete mode + memory sink)."""
+    name = "events_slide_" + uuid.uuid4().hex[:8]
+    q = (
+        sliding_weekly(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 #: static event-type → category dimension for stream-static joins
 EVENT_CATEGORIES = {
     "click": "engagement",
