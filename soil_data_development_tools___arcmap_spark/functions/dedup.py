@@ -10,9 +10,14 @@ Scale design (the point of these at 100 TB):
 - frequency capping drops ultra-common shingles before the self-join
   (a stop-shingle appearing in k docs would alone create k² candidate
   rows — classic skew);
-- the MinHash family here uses md5-derived hash functions so the
-  DuckDB oracle can reproduce signatures bit-for-bit (xxhash64 would
-  be faster; the hash function is pluggable at the `_mh_col` seam).
+- the MinHash family defaults to md5-derived hash functions so the
+  DuckDB oracle can reproduce signatures bit-for-bit; pass
+  ``hasher='xxhash64'`` to ``minhash_signatures`` for the faster
+  native production mode;
+- oversized LSH band buckets are salt-split, never collected whole or
+  silently dropped (``banded_buckets``), and the exploded shingle
+  table is materialized once and shared across stages
+  (``reuse_shingles``).
 """
 
 from __future__ import annotations
