@@ -591,10 +591,13 @@ flt AS (
     AND majcompflag = 'Yes'),
 br AS (
   SELECT mukey, hydricrating AS v, SUM(comppct_r) AS sw, MIN(cokey) AS mm,
-         MAX(comppct_r) AS mw
-  FROM flt GROUP BY mukey, hydricrating),
+         MAX(comppct_r) AS mw,
+         MIN(CASE WHEN comppct_r = mwr THEN cokey END) AS mmd
+  FROM (SELECT *, MAX(comppct_r) OVER (PARTITION BY mukey, hydricrating) AS mwr
+        FROM flt)
+  GROUP BY mukey, hydricrating),
 tt AS (
-  SELECT mukey, v, sw, mm, mw,
+  SELECT mukey, v, sw, mm, mw, mmd,
          SUM(sw) OVER (PARTITION BY mukey) AS tw,
          row_number() OVER (
            PARTITION BY mukey
@@ -605,7 +608,7 @@ tt AS (
            PARTITION BY mukey
            ORDER BY mw DESC,
                     CASE v WHEN 'Yes' THEN 1 WHEN 'Unranked' THEN 2
-                           WHEN 'No' THEN 3 ELSE 4 END ASC, mm ASC) AS rn_dcp
+                           WHEN 'No' THEN 3 ELSE 4 END ASC, mmd ASC) AS rn_dcp
   FROM br)
 SELECT d.mukey,
        CAST((200*d.sw + d.tw) // (2*d.tw) AS INTEGER) AS comppct_r,
@@ -628,10 +631,13 @@ flt AS (
     AND majcompflag = 'Yes'),
 br AS (
   SELECT mukey, flodfreqcl AS v, SUM(comppct_r) AS sw, MIN(cokey) AS mm,
-         MAX(comppct_r) AS mw
-  FROM flt GROUP BY mukey, flodfreqcl),
+         MAX(comppct_r) AS mw,
+         MIN(CASE WHEN comppct_r = mwr THEN cokey END) AS mmd
+  FROM (SELECT *, MAX(comppct_r) OVER (PARTITION BY mukey, flodfreqcl) AS mwr
+        FROM flt)
+  GROUP BY mukey, flodfreqcl),
 tt AS (
-  SELECT mukey, v, sw, mm, mw,
+  SELECT mukey, v, sw, mm, mw, mmd,
          SUM(sw) OVER (PARTITION BY mukey) AS tw,
          row_number() OVER (
            PARTITION BY mukey
@@ -646,7 +652,7 @@ tt AS (
                     CASE v WHEN 'None' THEN 1 WHEN 'Very rare' THEN 2
                            WHEN 'Rare' THEN 3 WHEN 'Occasional' THEN 4
                            WHEN 'Frequent' THEN 5 WHEN 'Very frequent' THEN 6
-                           ELSE 7 END ASC, mm ASC) AS rn_dcp
+                           ELSE 7 END ASC, mmd ASC) AS rn_dcp
   FROM br)
 SELECT d.mukey,
        CAST((200*d.sw + d.tw) // (2*d.tw) AS INTEGER) AS comppct_r,
@@ -1770,8 +1776,11 @@ WITH ib AS (
   FROM lineitem),
 br AS (
   SELECT okey, interp, SUM(comppct_r) AS sw, MIN(member) AS mm,
-         MAX(comppct_r) AS mw
-  FROM ib GROUP BY okey, interp),
+         MAX(comppct_r) AS mw,
+         MIN(CASE WHEN comppct_r = mwr THEN member END) AS mmd
+  FROM (SELECT *, MAX(comppct_r) OVER (PARTITION BY okey, interp) AS mwr
+        FROM ib)
+  GROUP BY okey, interp),
 tt AS (
   SELECT okey, interp, sw, mm, mw,
          SUM(sw) OVER (PARTITION BY okey) AS tw,
@@ -1780,7 +1789,7 @@ tt AS (
            ORDER BY sw DESC, {_IRANK} DESC, mm ASC) AS rn,
          row_number() OVER (
            PARTITION BY okey
-           ORDER BY mw DESC, {_IRANK} DESC, mm ASC) AS rn_dcp
+           ORDER BY mw DESC, {_IRANK} DESC, mmd ASC) AS rn_dcp
   FROM br)
 SELECT d.okey,
        CAST((200*d.sw + d.tw) // (2*d.tw) AS INTEGER) AS comppct_r,
