@@ -96,6 +96,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": Q.q3_shipping_priority,
     "q5_local_supplier": Q.q5_local_supplier,
     "q6_forecast_revenue": Q.q6_forecast_revenue,
+    "q18_large_volume": Q.q18_large_volume,
     # events: batch analytics + Structured Streaming twin (SURVEY §2.9)
     "events_tumbling_daily": Q.events_tumbling_daily,
     "events_stream_tumbling": Q.events_stream_tumbling,

@@ -994,6 +994,23 @@ FROM events GROUP BY 1, 2
 # streaming form must equal the batch aggregation at availableNow
 ORACLES["events_stream_tumbling"] = ORACLES["events_tumbling_daily"]
 
+ORACLES["q18_large_volume"] = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS totalprice_c,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice
+ORDER BY totalprice_c DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 100
+"""
+
 ORACLES["q6_forecast_revenue"] = """
 SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
          * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c2

@@ -1526,6 +1526,45 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 — large-volume customers: the HAVING-aggregate
+    semi-join anchor. The qualifying-order set comes from one
+    map-side-combined groupBy; it semi-joins (left_semi, no row
+    multiplication) back onto orders BEFORE the customer broadcast and
+    the final aggregation, so the big lineitem table is scanned twice
+    but never joined unfiltered. Top-100 with a full deterministic
+    ordering (totalprice, orderdate, orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    o = orders.join(
+        big, orders["o_orderkey"] == big["l_orderkey"], "left_semi"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate"
+        )
+        .agg(
+            F.max(cents("o_totalprice")).alias("totalprice_c"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("totalprice_c").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
 # ------------------------------------------------------ events (batch
 # analytics + streaming twin; ts convention: Spark `ts div 1000` ==
 # DuckDB epoch_us(ts) — DuckDB truncates ns parquet to µs)
