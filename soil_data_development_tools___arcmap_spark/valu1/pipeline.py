@@ -224,25 +224,44 @@ def calc_aws(
     ``exact_scale``: emit floor(value·scale) as BIGINT instead of
     round(value, 2). Decimal rounding of doubles is not reproducible
     across engines (shortest-repr ties); floor of a deterministic IEEE
-    quotient is — the oracle-comparable output mode."""
+    quotient is — the oracle-comparable output mode.
+
+    Scale shape: the ranges are CONDITIONAL AGGREGATE COLUMNS over the
+    horizon rows, not an exploded row dimension — the first (big)
+    shuffle carries one row per component with 2R columns instead of
+    R× the horizon rows; only the already-aggregated component level
+    is unpivoted back to long form."""
     ranges = ranges or DEPTH_RANGES
-    rdim = F.array(
-        *[
-            F.struct(F.lit(t).alias("top"), F.lit(b).alias("bot"))
-            for t, b in ranges
-        ]
-    )
-    hz = qt.withColumn("r", F.explode(rdim))
-    hz_t = F.greatest(
-        F.least(F.col("hzdepb_r"), F.col("r.bot"))
-        - F.greatest(F.col("hzdept_r"), F.col("r.top")),
-        F.lit(0),
-    )
-    comp = hz.groupBy("mukey", "cokey", "comppct_r", "r.top", "r.bot").agg(
-        F.sum(F.when(F.col("awc_r").isNotNull(), hz_t * F.col("awc_r") * 10.0))
-        .alias("caws"),
-        F.sum(F.when(F.col("awc_r").isNotNull(), hz_t)).alias("ctk"),
-    )
+    aggs = []
+    for t, b in ranges:
+        hz_t = F.greatest(
+            F.least(F.col("hzdepb_r"), F.lit(b))
+            - F.greatest(F.col("hzdept_r"), F.lit(t)),
+            F.lit(0),
+        )
+        valid = F.col("awc_r").isNotNull()
+        aggs.append(
+            F.sum(F.when(valid, hz_t * F.col("awc_r") * 10.0)).alias(
+                f"__aws_{t}_{b}"
+            )
+        )
+        aggs.append(F.sum(F.when(valid, hz_t)).alias(f"__tk_{t}_{b}"))
+    comp_wide = qt.groupBy("mukey", "cokey", "comppct_r").agg(*aggs)
+    comp = comp_wide.select(
+        "mukey",
+        "comppct_r",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("top"),
+                    F.lit(b).alias("bot"),
+                    F.col(f"__aws_{t}_{b}").alias("caws"),
+                    F.col(f"__tk_{t}_{b}").alias("ctk"),
+                )
+                for t, b in ranges
+            ])
+        ).alias("r"),
+    ).select("mukey", "comppct_r", "r.top", "r.bot", "r.caws", "r.ctk")
     aws_raw = F.sum(F.col("comppct_r") * F.col("caws")) / F.sum(
         F.when(F.col("caws").isNotNull(), F.col("comppct_r"))
     )
@@ -279,19 +298,6 @@ def calc_soc(
         qt = qt.join(restrictions, "cokey", "left")
     else:
         qt = qt.withColumn("resdept", F.lit(None).cast("int"))
-    rdim = F.array(
-        *[
-            F.struct(F.lit(t).alias("top"), F.lit(b).alias("bot"))
-            for t, b in ranges
-        ]
-    )
-    hz = qt.withColumn("r", F.explode(rdim))
-    bot_cap = F.least(
-        F.col("hzdepb_r").cast("int"),
-        F.col("r.bot"),
-        F.coalesce(F.col("resdept"), F.lit(999)),
-    )
-    hz_t = F.greatest(bot_cap - F.greatest(F.col("hzdept_r"), F.col("r.top")), F.lit(0))
     carbon_per_cm = (
         (F.lit(1.0) - F.coalesce(F.col("fragvol"), F.lit(0.0)) / 100.0)
         * 10.0
@@ -299,12 +305,38 @@ def calc_soc(
         * F.col("dbthirdbar_r")
     )
     valid = F.col("om_r").isNotNull() & F.col("dbthirdbar_r").isNotNull()
-    contrib = hz_t * carbon_per_cm
-    if exact_scale is not None:
-        contrib = F.floor(contrib * exact_scale).cast("long")
-    comp = hz.groupBy("mukey", "cokey", "comppct_r", "r.top", "r.bot").agg(
-        F.sum(F.when(valid, contrib)).alias("csoc")
-    )
+    # per-range conditional aggregates over the horizon rows (same
+    # no-explosion shape as calc_aws — the big shuffle carries one row
+    # per component, not R× the horizon rows)
+    aggs = []
+    for t, b in ranges:
+        bot_cap = F.least(
+            F.col("hzdepb_r").cast("int"),
+            F.lit(b),
+            F.coalesce(F.col("resdept"), F.lit(999)),
+        )
+        hz_t = F.greatest(
+            bot_cap - F.greatest(F.col("hzdept_r"), F.lit(t)), F.lit(0)
+        )
+        contrib = hz_t * carbon_per_cm
+        if exact_scale is not None:
+            contrib = F.floor(contrib * exact_scale).cast("long")
+        aggs.append(F.sum(F.when(valid, contrib)).alias(f"__soc_{t}_{b}"))
+    comp_wide = qt.groupBy("mukey", "cokey", "comppct_r").agg(*aggs)
+    comp = comp_wide.select(
+        "mukey",
+        "comppct_r",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("top"),
+                    F.lit(b).alias("bot"),
+                    F.col(f"__soc_{t}_{b}").alias("csoc"),
+                )
+                for t, b in ranges
+            ])
+        ).alias("r"),
+    ).select("mukey", "comppct_r", "r.top", "r.bot", "r.csoc")
     mean = F.sum(F.col("comppct_r") * F.col("csoc")) / F.sum(
         F.when(F.col("csoc").isNotNull(), F.col("comppct_r"))
     )
