@@ -133,6 +133,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_lsh": Q.emb_knn_lsh,
     "emb_knn_ivf": Q.emb_knn_ivf,
     "emb_cosine_dups": Q.emb_cosine_dups,
+    "emb_dup_groups": Q.emb_dup_groups,
 }
 
 

@@ -1680,6 +1680,20 @@ WHERE (list_dot_product(a.v, b.v)/
 """
 
 
+ORACLES["emb_dup_groups"] = f"""
+WITH RECURSIVE
+pairs AS ({ORACLES["emb_cosine_dups"]}),
+edges AS (SELECT i AS a, j AS b FROM pairs
+          UNION ALL SELECT j, i FROM pairs),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+SELECT src AS vec_id, MIN(dst) AS group_rep,
+       CAST(CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS INTEGER) AS is_rep
+FROM reach GROUP BY src
+"""
+
 ORACLES["merge_rating_tables_tool"] = f"""
 SELECT b.okey,
        d.comppct_r AS dcp_comppct_r, d.rating AS dcp_rating,

@@ -1505,6 +1505,27 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space dedup groups: cosine near-dup pairs (multi-band
+    RP-LSH + exact verify) resolved into connected components — the
+    embedding twin of docs_dup_groups. Output (vec_id, group_rep,
+    is_rep); keep-one dedup is a single is_rep filter."""
+    from .functions.dedup import connected_components
+    from .functions.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(
+        emb, threshold_e6=300000, num_planes=8, bands=6
+    )
+    nodes = emb.select(F.col("vec_id").alias("did"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("did").alias("vec_id"),
+        "group_rep",
+        (F.col("did") == F.col("group_rep")).cast("int").alias("is_rep"),
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q6 — the pure filter-aggregate anchor: every predicate
     must reach the parquet scan (PushedFilters), ReadSchema carries
