@@ -122,6 +122,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lsh_band_stats": Q.docs_lsh_band_stats,
     "docs_dup_groups": Q.docs_dup_groups,
     "docs_top_ngrams": Q.docs_top_ngrams,
+    "docs_chunk": Q.docs_chunk,
     "docs_simhash": Q.docs_simhash,
     "docs_clean_corpus": Q.docs_clean_corpus,
     # multimodal binary columns: metadata / Pandas-UDF features / frames

@@ -94,3 +94,41 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> Dat
     return df.select(
         id_col, F.substring(F.md5(F.col(col)), 1, 15).alias("fp")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Token-window chunking — the pre-tokenizer packing step of a
+    training-data pipeline: overlapping windows of ``window`` tokens
+    every ``stride`` tokens (overlap = window - stride), one row per
+    chunk with its token count and content fingerprint.
+
+    Pure Column expressions: sequence() generates the start offsets,
+    explode fans out one row per chunk, slice() cuts the token window
+    — no Python in the row path, and the fan-out multiplies rows by
+    ~n_tokens/stride only AFTER the parquet scan projects the single
+    text column. The token array is materialized first (transform
+    lambdas re-evaluate embedded subexpressions — see dedup)."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(col), " ").alias("__t")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("__t"), F.col("__start") + 1, window)
+    return (
+        toks.select(id_col, "__t", F.explode(starts).alias("__start"))
+        .select(
+            id_col,
+            (F.col("__start") / stride).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tok"),
+            F.substring(
+                F.md5(F.concat_ws(" ", chunk)), 1, 16
+            ).alias("chunk_fp"),
+        )
+    )

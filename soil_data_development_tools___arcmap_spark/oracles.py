@@ -1232,6 +1232,18 @@ SELECT i, j, jac_e4 FROM (
 WHERE jac_e4 >= 3000
 """
 
+ORACLES["docs_chunk"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t)-1, 0), 24))
+        AS start
+      FROM t)
+SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(t, start+1, start+32)) AS INTEGER) AS n_tok,
+       substr(md5(array_to_string(list_slice(t, start+1, start+32), ' ')),
+              1, 16) AS chunk_fp
+FROM s
+"""
+
 ORACLES["docs_top_ngrams"] = f"""
 WITH {_SHINGLES},
 ex AS (SELECT did, unnest(ss) AS s FROM sh),

@@ -1793,6 +1793,15 @@ def docs_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-token windows, stride 24): one row
+    per chunk with token count + fingerprint — the packing step before
+    tokenization in a training-data pipeline."""
+    from .functions.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics: top-20 trigram shingles by document
     frequency (ties broken by shingle text for a deterministic top-k).

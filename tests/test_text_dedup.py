@@ -255,3 +255,26 @@ def test_connected_components_chain_and_singleton(spark):
     # docs 1, 2, 4 are one near-dup component with rep 1
     assert got[1] == (1, 1) and got[2] == (1, 0) and got[4] == (1, 0)
     assert got[3] == (3, 1) and got[5] == (5, 1)  # singletons keep selves
+
+
+def test_chunk_documents_windows(spark):
+    """32/24 chunking: overlap of 8 tokens between consecutive
+    chunks, short tails kept, single-chunk docs intact."""
+    from soil_data_development_tools___arcmap_spark.functions.text import (
+        chunk_documents,
+    )
+
+    text_a = " ".join(f"t{i}" for i in range(50))  # 50 tokens -> 3 chunks
+    rows = [(1, text_a), (2, "just a few tokens")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df).collect()
+    a = sorted(
+        [(r["chunk_idx"], r["n_tok"]) for r in out if r["doc_id"] == 1]
+    )
+    # starts 0, 24, 48 -> sizes 32, 26, 2
+    assert a == [(0, 32), (1, 26), (2, 2)]
+    b = [(r["chunk_idx"], r["n_tok"]) for r in out if r["doc_id"] == 2]
+    assert b == [(0, 4)]
+    # fingerprints are distinct across chunks of the same doc
+    fps = {r["chunk_fp"] for r in out if r["doc_id"] == 1}
+    assert len(fps) == 3
