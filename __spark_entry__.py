@@ -96,6 +96,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": Q.q3_shipping_priority,
     "q5_local_supplier": Q.q5_local_supplier,
     "q6_forecast_revenue": Q.q6_forecast_revenue,
+    "q14_promo_share": Q.q14_promo_share,
     "q18_large_volume": Q.q18_large_volume,
     # events: batch analytics + Structured Streaming twin (SURVEY §2.9)
     "events_tumbling_daily": Q.events_tumbling_daily,
@@ -123,6 +124,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dup_groups": Q.docs_dup_groups,
     "docs_top_ngrams": Q.docs_top_ngrams,
     "docs_chunk": Q.docs_chunk,
+    "docs_pack_chunks": Q.docs_pack_chunks,
     "docs_simhash": Q.docs_simhash,
     "docs_clean_corpus": Q.docs_clean_corpus,
     # multimodal binary columns: metadata / Pandas-UDF features / frames

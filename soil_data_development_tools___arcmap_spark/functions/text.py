@@ -9,7 +9,7 @@ queries.py determinism contract).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -131,4 +131,38 @@ def chunk_documents(
                 F.md5(F.concat_ws(" ", chunk)), 1, 16
             ).alias("chunk_fp"),
         )
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 128,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing — assign chunks to fixed-token-budget
+    batches, the step between chunking and tokenization. Chunks are
+    packed in (doc_id, chunk_idx) order WITHIN a shard
+    (``doc_id % n_shards``), batch = running-token-total // budget: a
+    single window cumulative sum per shard, fully deterministic.
+
+    Sharding is the scale design: a global packing order would be one
+    total sort on one task; per-shard packing runs n_shards
+    independent window partitions (the standard practice — training
+    batches don't need a globally contiguous order, only bounded
+    token counts and determinism)."""
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn(
+            "batch_id",
+            (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget)
+            .cast("int"),
+        )
+        .select(id_col, "chunk_idx", "shard", "batch_id")
     )

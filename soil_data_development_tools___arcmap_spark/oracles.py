@@ -994,6 +994,18 @@ FROM events GROUP BY 1, 2
 # streaming form must equal the batch aggregation at availableNow
 ORACLES["events_stream_tumbling"] = ORACLES["events_tumbling_daily"]
 
+ORACLES["q14_promo_share"] = """
+SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+         THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+         ELSE 0 END) AS BIGINT) AS promo_c2,
+       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+         AS total_c2
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01' AND l.l_shipdate < DATE '1995-10-01'
+"""
+
 ORACLES["q18_large_volume"] = """
 WITH big AS (
   SELECT l_orderkey FROM lineitem
@@ -1242,6 +1254,17 @@ SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_idx,
        substr(md5(array_to_string(list_slice(t, start+1, start+32), ' ')),
               1, 16) AS chunk_fp
 FROM s
+"""
+
+ORACLES["docs_pack_chunks"] = f"""
+WITH chunks AS ({ORACLES["docs_chunk"]})
+SELECT doc_id, chunk_idx, CAST(doc_id % 64 AS INTEGER) AS shard,
+       CAST(COALESCE(SUM(n_tok) OVER (
+              PARTITION BY doc_id % 64
+              ORDER BY doc_id ASC, chunk_idx ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 128 AS INTEGER) AS batch_id
+FROM chunks
 """
 
 ORACLES["docs_top_ngrams"] = f"""

@@ -1547,6 +1547,32 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 — promotion revenue share: conditional aggregation
+    over the lineitem⨝part join, one month of shipdates pushed to the
+    scan, part broadcast. Output in exact integer cent² units
+    (numerator and denominator separately — the ratio is the consumer's
+    one float op)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_c2"),
+            F.sum(rev).alias("total_c2"),
+        )
+    )
+
+
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q18 — large-volume customers: the HAVING-aggregate
     semi-join anchor. The qualifying-order set comes from one
@@ -1800,6 +1826,14 @@ def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import chunk_documents
 
     return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunked corpus: 128-token batches
+    per 64-way shard via one cumulative-sum window per shard."""
+    from .functions.text import chunk_documents, pack_chunks
+
+    return pack_chunks(chunk_documents(_t(spark, sf_dir, "documents")))
 
 
 def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
