@@ -523,6 +523,13 @@ syn_qt AS (
   LEFT JOIN syn_hz h ON c.cokey = h.cokey
   LEFT JOIN syn_tex t ON h.chkey = t.chkey
   LEFT JOIN syn_fv f ON h.chkey = f.chkey),
+syn_qth AS (
+  -- pruned qt: component x horizon only (no texture / fragment
+  -- joins) — the AWS / RZ-AWS / SOC branches' input (queries.py
+  -- round-3 per-branch qt pruning; SOC adds syn_fv itself)
+  SELECT c.*, h.chkey, h.hzdept_r, h.hzdepb_r, h.awc_r, h.om_r, h.dbthirdbar_r
+  FROM syn_co c
+  LEFT JOIN syn_hz h ON c.cokey = h.cokey),
 syn_restr AS (
   SELECT cokey, resdept FROM (
     SELECT cokey, resdept_r AS resdept,
@@ -783,7 +790,7 @@ rza_c AS (
          SUM(CASE WHEN q.awc_r IS NOT NULL THEN
                greatest(least(q.hzdepb_r, d.rzdepth)
                         - greatest(q.hzdept_r, 0), 0) * q.awc_r * 10.0 END) AS caws
-  FROM syn_qt q JOIN v_rzd d ON q.cokey = d.cokey
+  FROM syn_qth q JOIN v_rzd d ON q.cokey = d.cokey
   WHERE {_MAJOR_EARTHY}
   GROUP BY q.mukey, q.cokey, q.comppct_r, d.rzdepth)
 SELECT mukey, rootznaws, rootznemc,
@@ -801,8 +808,9 @@ ORACLES["valu1_soc"] = f"""
 WITH {_SYN},{_SYN_QT},
 soc_hz AS (
   SELECT q.mukey, q.cokey, q.comppct_r, rng.top, rng.bot,
-         q.hzdept_r, q.hzdepb_r, q.om_r, q.dbthirdbar_r, q.fragvol, r.resdept
-  FROM syn_qt q
+         q.hzdept_r, q.hzdepb_r, q.om_r, q.dbthirdbar_r, f.fragvol, r.resdept
+  FROM syn_qth q
+  LEFT JOIN syn_fv f ON q.chkey = f.chkey
   LEFT JOIN syn_restr r ON q.cokey = r.cokey,
   (VALUES (0,20),(20,50),(50,100),(0,100)) AS rng(top, bot)),
 soc_c AS (
@@ -1486,7 +1494,7 @@ aws_c AS (
          SUM(CASE WHEN awc_r IS NOT NULL THEN {_AWS_HZT} * awc_r * 10.0 END)
            AS caws,
          SUM(CASE WHEN awc_r IS NOT NULL THEN {_AWS_HZT} END) AS ctk
-  FROM syn_qt, (VALUES {_V1_VALUES}) AS rng(top, bot)
+  FROM syn_qth, (VALUES {_V1_VALUES}) AS rng(top, bot)
   GROUP BY mukey, cokey, comppct_r, rng.top, rng.bot),
 aws_m AS (
   SELECT mukey, top, bot,
@@ -1503,8 +1511,9 @@ aws_p AS (
   FROM aws_m GROUP BY mukey),
 soc_hz AS (
   SELECT q.mukey, q.cokey, q.comppct_r, rng.top, rng.bot,
-         q.hzdept_r, q.hzdepb_r, q.om_r, q.dbthirdbar_r, q.fragvol, r.resdept
-  FROM syn_qt q
+         q.hzdept_r, q.hzdepb_r, q.om_r, q.dbthirdbar_r, f.fragvol, r.resdept
+  FROM syn_qth q
+  LEFT JOIN syn_fv f ON q.chkey = f.chkey
   LEFT JOIN syn_restr r ON q.cokey = r.cokey,
   (VALUES {_V1_VALUES}) AS rng(top, bot)),
 soc_c AS (
@@ -1532,7 +1541,7 @@ rza_c AS (
          SUM(CASE WHEN q.awc_r IS NOT NULL THEN
                greatest(least(q.hzdepb_r, d.rzdepth)
                         - greatest(q.hzdept_r, 0), 0) * q.awc_r * 10.0 END) AS caws
-  FROM syn_qt q JOIN v_rzd d ON q.cokey = d.cokey
+  FROM syn_qth q JOIN v_rzd d ON q.cokey = d.cokey
   WHERE {_MAJOR_EARTHY}
   GROUP BY q.mukey, q.cokey, q.comppct_r, d.rzdepth),
 rz_m AS (

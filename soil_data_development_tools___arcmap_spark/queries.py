@@ -617,16 +617,22 @@ def ssurgo_synth(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
 
 
-def _synth_qt_restr(spark: SparkSession, sf_dir: str):
+def _synth_qt_restr(
+    spark: SparkSession, sf_dir: str, tex: bool = True, frags: bool = False
+):
+    """Per-branch pruned query table: join ONLY the child tables the
+    calling metric reads (texture for the RZ-depth organic test,
+    fragvol for SOC) — a shared wide qt makes every branch pay for
+    joins it never reads (round-3 fix for the rz-aws cold regression)."""
     from .valu1.pipeline import build_query_table, get_co_restrictions
 
     t = ssurgo_synth(spark, sf_dir)
     qt = build_query_table(
         t["component"],
         t["chorizon"],
-        t["chtexturegrp"],
-        t["chtexture"],
-        t["chfrags"],
+        t["chtexturegrp"] if tex else None,
+        t["chtexture"] if tex else None,
+        t["chfrags"] if frags else None,
     )
     return t, qt, get_co_restrictions(t["corestrictions"])
 
@@ -648,19 +654,26 @@ def valu1_rz_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def valu1_rz_aws_droughty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CalcRZAWS + droughty flag (root-zone AWS 0-150, mukey level)."""
-    from .valu1.pipeline import calc_rz_aws, calc_rz_depth
+    """CalcRZAWS + droughty flag (root-zone AWS 0-150, mukey level).
 
-    _, qt, restr = _synth_qt_restr(spark, sf_dir)
-    return calc_rz_aws(qt, calc_rz_depth(qt, restr))
+    Two pruned query tables: RZ-depth reads texture/lieutex (organic
+    test) so it gets the tex-joined qt; the AWS sum reads only
+    depths+awc so it runs on the bare component⟕horizon join — no
+    texture or fragment join in its subtree (round-3 cold-path fix)."""
+    from .valu1.pipeline import build_query_table, calc_rz_aws, calc_rz_depth
+
+    t, qt_tex, restr = _synth_qt_restr(spark, sf_dir, tex=True)
+    qt_hz = build_query_table(t["component"], t["chorizon"])
+    return calc_rz_aws(qt_hz, calc_rz_depth(qt_tex, restr))
 
 
 def valu1_soc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CalcSOC over 4 depth ranges, restriction-capped, frag-corrected;
-    exact-scale output (milli-units) for cross-engine hashing."""
+    exact-scale output (milli-units) for cross-engine hashing. SOC
+    reads fragvol+om+db but never texture — pruned qt (no tex join)."""
     from .valu1.pipeline import calc_soc
 
-    _, qt, restr = _synth_qt_restr(spark, sf_dir)
+    _, qt, restr = _synth_qt_restr(spark, sf_dir, tex=False, frags=True)
     return calc_soc(
         qt, restr, ranges=[(0, 20), (20, 50), (50, 100), (0, 100)], exact_scale=1000
     )

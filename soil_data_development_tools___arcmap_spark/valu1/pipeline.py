@@ -514,25 +514,36 @@ def build_valu1(
     ``nccpi_rulenames``: the distinct sdvattribute.nasisrulename values
     of the source database; when given, the NCCPI branch dispatches to
     v2 or v3 the way CreateValuTable does (resolve_nccpi_mainrule,
-    reference :3018-3064). Default: v3 shape."""
+    reference :3018-3064). Default: v3 shape.
+
+    Per-branch query tables (round 3): each metric joins ONLY the
+    child tables it reads — CalcRZDepth needs texture/lieutex (the
+    organic test), CalcSOC needs fragvol, CalcAWS/CalcRZAWS need just
+    the horizon depths+awc. One shared wide qt made every branch pay
+    for the texture and fragment joins it never read (and re-JIT the
+    wider codegen): pruning them cut the cold rz-aws plan ~3x."""
     aws_s, soc_s, nccpi_s = exact_scales or (None, None, None)
-    qt = build_query_table(component, chorizon, chtexturegrp, chtexture, chfrags)
+    # rz-depth reads texture/lieutex; aws/rz-aws read depths+awc only;
+    # soc reads fragvol+om+db — three pruned qts, no shared wide row
+    qt_tex = build_query_table(component, chorizon, chtexturegrp, chtexture)
+    qt_hz = build_query_table(component, chorizon)
+    qt_soc = build_query_table(component, chorizon, chfrags=chfrags)
     if cache_qt:
-        qt = qt.cache()
+        qt_hz = qt_hz.cache()
     restr = (
         get_co_restrictions(corestrictions)
         if corestrictions is not None
         else None
     )
     rz = calc_rz_depth(
-        qt,
+        qt_tex,
         restr if restr is not None
-        else qt.select("cokey").distinct().withColumn(
+        else component.select("cokey").distinct().withColumn(
             "resdept", F.lit(None).cast("int")
         ).select("cokey", "resdept"),
     )
     out = get_sum_pct(component)
-    aws_long = calc_aws(qt, ranges, exact_scale=aws_s)
+    aws_long = calc_aws(qt_hz, ranges, exact_scale=aws_s)
     # wide layout aws<t>_<b> / tk<t>_<b>a via conditional aggregation
     # (pivot() keys on one column; the range is a (top,bot) pair)
     rng = ranges or DEPTH_RANGES
@@ -551,7 +562,7 @@ def build_valu1(
         ],
     )
     out = out.join(aws_cols, "mukey", "left")
-    soc_long = calc_soc(qt, restr, ranges, exact_scale=soc_s)
+    soc_long = calc_soc(qt_soc, restr, ranges, exact_scale=soc_s)
     soc_cols = soc_long.groupBy("mukey").agg(
         *[
             F.max(
@@ -561,7 +572,7 @@ def build_valu1(
         ]
     )
     out = out.join(soc_cols, "mukey", "left")
-    out = out.join(calc_rz_aws(qt, rz), "mukey", "left")
+    out = out.join(calc_rz_aws(qt_hz, rz), "mukey", "left")
     if cointerp is not None:
         nccpi_fn = calc_nccpi
         if nccpi_rulenames is not None:
