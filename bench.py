@@ -8,12 +8,17 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect bottleneck), timed after a warm-up of the session.
 
-Each query runs TWICE: the first (cold) run carries whole-stage-codegen
-JIT compilation (~4-6 s on the first heavy plan, see PLANS.md) and is
-what "value"/"queries" report — keeping the headline total comparable
-with earlier rounds — while the second (steady) run is reported under
-"value_steady"/"queries_steady" so plan regressions aren't masked by
-JIT noise round-over-round.
+Each query runs THREE times: the first (cold) run carries
+whole-stage-codegen JIT compilation (~4-6 s on the first heavy plan,
+see PLANS.md) and is what "value"/"queries" report — keeping the
+headline total comparable with earlier rounds — while the BEST of the
+two repeat runs is reported under "value_steady"/"queries_steady" so
+plan regressions aren't masked by JIT noise round-over-round. A JVM
+GC is forced before each repeat: round-2's steady>cold anomaly
+(valu1_soc 9.5 s steady vs 4.7 s cold) was a major-GC landing inside
+one steady window late in the 22-query sequence, not a second-run
+plan pathology — best-of-2 with pre-run GC makes the steady number a
+plan-quality measure instead of a GC-placement lottery.
 """
 
 from __future__ import annotations
@@ -79,9 +84,14 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        steady[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            spark._jvm.System.gc()
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        steady[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
