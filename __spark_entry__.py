@@ -52,6 +52,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sdv_mo_wta": Q.sdv_mo_wta,
     "sdv_mo_maxmin_wrap": Q.sdv_mo_maxmin_wrap,
     "sdv_mo_dcd": Q.sdv_mo_dcd,
+    "sdv_mo_dcd_domain": Q.sdv_mo_dcd_domain,
     "sdv_mo_dcp_domain": Q.sdv_mo_dcp_domain,
     "sdv_dtwt_dcp": Q.sdv_dtwt_dcp,
     "sdv_dtwt_dcd": Q.sdv_dtwt_dcd,
@@ -73,6 +74,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_sdv_hz_rating": Q.planner_sdv_hz_rating,
     "planner_sdv_hz_top_depth": Q.planner_sdv_hz_top_depth,
     "planner_sdv_month_rating": Q.planner_sdv_month_rating,
+    "planner_sdv_soilmoist": Q.planner_sdv_soilmoist,
     "planner_sdv_interp": Q.planner_sdv_interp,
     "planner_sdv_mapunit": Q.planner_sdv_mapunit,
     "planner_sdv_no_agg": Q.planner_sdv_no_agg,
@@ -91,6 +93,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_missing_data": Q.validate_missing_data,
     "raster_lookup_codes": Q.raster_lookup_codes,
     "validate_structure": Q.validate_structure,
+    "sdv_attribute_report": Q.sdv_attribute_report,
     # analytic benchmarks
     "q1_pricing_summary": Q.q1_pricing_summary,
     "q3_shipping_priority": Q.q3_shipping_priority,

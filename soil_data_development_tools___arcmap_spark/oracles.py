@@ -147,6 +147,35 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn = 1
 """
 
+ORACLES["sdv_mo_dcd_domain"] = f"""
+WITH {_BASE},
+mc AS (SELECT DISTINCT okey, member, comppct_r, rflag FROM base),
+br AS (
+  SELECT okey, rflag, SUM(comppct_r) AS sw, MIN(member) AS mm
+  FROM mc GROUP BY okey, rflag),
+tt AS (
+  SELECT okey, rflag, sw, mm,
+         SUM(sw) OVER (PARTITION BY okey) AS tw,
+         row_number() OVER (
+           PARTITION BY okey
+           ORDER BY sw DESC, {_RANK3} ASC, mm ASC) AS rn
+  FROM br),
+dcd AS (
+  SELECT okey, CAST((200*sw + tw) // (2*tw) AS INTEGER) AS comppct_r,
+         rflag AS rating
+  FROM tt WHERE rn = 1),
+dcp AS (
+  SELECT okey, comppct_r AS dcp_w, rflag AS dcp_r
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY okey
+          ORDER BY comppct_r DESC, {_RANK3} ASC, member ASC) AS rn
+        FROM mc)
+  WHERE rn = 1)
+SELECT d.okey, d.comppct_r,
+       CASE WHEN p.dcp_w >= 50 THEN p.dcp_r ELSE d.rating END AS rating
+FROM dcd d LEFT JOIN dcp p USING (okey)
+"""
+
 ORACLES["sdv_mo_dcd"] = f"""
 WITH {_BASE},
 mc AS (
@@ -716,6 +745,38 @@ SELECT mukey, comppct_r, texture AS rating FROM (
 WHERE rn = 1
 """
 
+ORACLES["planner_sdv_soilmoist"] = f"""
+WITH {_SYN},
+cm AS (
+  SELECT cokey, m.monthseq, cokey*16 + m.monthseq AS comonthkey
+  FROM syn_co,
+       (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12))
+         AS m(monthseq)),
+sm AS (
+  SELECT l_orderkey*16 + (l_partkey % 12 + 1) AS comonthkey,
+         CASE WHEN l_suppkey % 5 <> 0
+              THEN CAST(l_suppkey % 200 AS DOUBLE) END AS soimoistdept_r
+  FROM lineitem),
+flt AS (
+  SELECT * FROM syn_co
+  WHERE comppct_r IS NOT NULL AND comppct_r >= 10
+    AND (compname IS NULL OR compname <> 'NOTCOM')),
+j AS (
+  SELECT c.mukey, c.cokey, c.comppct_r,
+         coalesce(s.soimoistdept_r, 201) AS r
+  FROM flt c
+  JOIN cm ON c.cokey = cm.cokey
+  LEFT JOIN sm s ON cm.comonthkey = s.comonthkey
+  WHERE cm.monthseq BETWEEN 4 AND 6),
+col AS (
+  SELECT mukey, cokey, comppct_r, MIN(r) AS r
+  FROM j GROUP BY mukey, cokey, comppct_r)
+SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS sum_pct,
+       CAST(floor(SUM(comppct_r*r)/SUM(comppct_r) * 10000) AS BIGINT)
+         AS rating_e4
+FROM col GROUP BY mukey
+"""
+
 ORACLES["raster_lookup_codes"] = f"""
 WITH {_SYN},
 lu AS (
@@ -749,6 +810,54 @@ UNION ALL
 SELECT 'mu_notcom', mukey, NULL FROM no_co WHERE musym = 'NOTCOM'
 UNION ALL
 SELECT 'co_no_horizon', mukey, cokey FROM co_no_hz
+"""
+
+ORACLES["sdv_attribute_report"] = """
+WITH fd AS (
+  SELECT foldername, folderkey, foldersequence FROM (
+    SELECT r_name AS foldername, r_regionkey AS folderkey,
+           r_regionkey + 1 AS foldersequence,
+           row_number() OVER (
+             PARTITION BY r_name
+             ORDER BY r_regionkey + 1 ASC, r_regionkey ASC) AS rn
+    FROM region) WHERE rn = 1),
+fa AS (SELECT n_regionkey AS folderkey, n_nationkey AS attributekey
+       FROM nation),
+att AS (
+  SELECT n_nationkey AS attributekey,
+         n_name || CASE WHEN n_nationkey % 3 = 0 THEN ' (AL)'
+                        WHEN n_nationkey % 3 = 1 THEN ' (ZZ)'
+                        ELSE '' END AS attributename,
+         CASE WHEN n_nationkey % 2 = 0 THEN 'Choice' ELSE 'Float' END
+           AS attributelogicaldatatype,
+         CASE WHEN n_nationkey % 4 = 0 THEN 'Dominant Condition'
+              ELSE 'Weighted Average' END AS algorithmname
+  FROM nation),
+st AS (
+  SELECT DISTINCT CASE WHEN n_nationkey % 2 = 0 THEN 'AL' ELSE 'TX' END AS st
+  FROM nation),
+j AS (
+  SELECT fd.foldername, fd.foldersequence, a.attributekey, a.attributename,
+         a.attributelogicaldatatype, a.algorithmname
+  FROM fd JOIN fa USING (folderkey) JOIN att a USING (attributekey)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM st
+    WHERE substr(a.attributename, length(a.attributename)-3, 1) = '('
+      AND substr(a.attributename, length(a.attributename), 1) = ')'
+      AND substr(a.attributename, length(a.attributename)-2, 2) = st.st)),
+dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY foldername, attributename
+      ORDER BY attributelogicaldatatype ASC, algorithmname ASC,
+               attributekey ASC) AS rd
+    FROM j) WHERE rd = 1)
+SELECT foldersequence AS folder_seq, foldername,
+       CAST(row_number() OVER (
+         PARTITION BY foldername ORDER BY attributename ASC) AS INTEGER)
+         AS choice,
+       attributename, attributelogicaldatatype, algorithmname
+FROM dd
 """
 
 ORACLES["validate_structure"] = """

@@ -334,6 +334,24 @@ def sdv_mo_dcp_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_dcp(collapsed, spec)
 
 
+def sdv_mo_dcd_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCo_Mo_DCD_Domain (gSSURGO_CreateSoilMap.py:6651-7054) —
+    the composition the reference runs for annual flooding/ponding
+    classes: monthly rows replicate the component weight (the 12x trap,
+    :10710-10716) so the months are DISTINCT-collapsed first, then
+    Dominant Condition over the ordinal domain with the >=50%
+    DCP-override. Both halves were individually oracle-green in round
+    2; this entry exercises them together."""
+    spec = RatingSpec(
+        rating_col="rflag", out_col="rating", domain=RFLAG_DOMAIN, **_CO_SPEC
+    )
+    df = li_component(spark, sf_dir).withColumn(
+        "mrep", F.explode(F.sequence(F.lit(1), F.lit(3)))
+    )
+    collapsed = month_collapse(df, spec, how="distinct")
+    return agg_dcd(collapsed, spec, dcp_override=True)
+
+
 def sdv_mo_dcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AggregateCo_Mo_DCD: month-window filter [4,9], highest monthly
     class per component, then dominant condition over the domain."""
@@ -999,6 +1017,83 @@ def planner_sdv_month_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_soil_map(tables, relations, req)
 
 
+def planner_sdv_soilmoist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CreateSoilMoistureTable depth-4 chain (gSSURGO_CreateSoilMap.py:
+    4632-4717): mapunit ⟕ component ⟕ comonth ⟕ cosoilmoist walked from
+    the relationship catalog — the planner's deepest exercised path
+    (the month family previously stopped at component level). The
+    DTWT-style pipeline on top: Apr–Jun month window, per-component
+    month collapse (min), null soimoistdept_r → 201 (the reference's
+    dMissing row for a comonth with no cosoilmoist child, :4679-4684),
+    then Weighted Average; floor-scaled output for cross-engine
+    hashing."""
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    component = t["component"]
+    comonth = component.select(
+        "cokey",
+        F.explode(F.array(*[F.lit(m) for m in range(1, 13)])).alias("monthseq"),
+    ).select(
+        "cokey",
+        "monthseq",
+        (F.col("cokey") * 16 + F.col("monthseq")).alias("comonthkey"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cosoilmoist = li.select(
+        (F.col("l_orderkey") * 16 + (F.col("l_partkey") % 12 + 1)).alias(
+            "comonthkey"
+        ),
+        F.when(
+            F.col("l_suppkey") % 5 != 0,
+            (F.col("l_suppkey") % 200).cast("double"),
+        ).alias("soimoistdept_r"),
+    )
+    tables = {
+        "mapunit": component.select("mukey").distinct(),
+        "component": component,
+        "comonth": comonth,
+        "cosoilmoist": cosoilmoist,
+    }
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        },
+        {
+            "ltabphyname": "component",
+            "rtabphyname": "comonth",
+            "ltabcolphyname": "cokey",
+            "rtabcolphyname": "cokey",
+        },
+        {
+            "ltabphyname": "comonth",
+            "rtabphyname": "cosoilmoist",
+            "ltabcolphyname": "comonthkey",
+            "rtabcolphyname": "comonthkey",
+        },
+    ]
+    sdv_row = {
+        "attributename": "Depth to Water Table Synth",
+        "attributetablename": "cosoilmoist",
+        "attributecolumnname": "soimoistdept_r",
+        "algorithmname": "Weighted Average",
+        "complevelattribflag": 1,
+        "cmonthlevelattribflag": 1,
+        "tiebreakrule": 0,
+        "nullratingreplacementvalue": "201",
+    }
+    req = hydrate(sdv_row, None, cutoff=10, beg_month=4, end_month=6)
+    out = create_soil_map(tables, relations, req)
+    return out.select(
+        "mukey",
+        F.col("comppct_r").cast("long").alias("sum_pct"),
+        _floor_e("rating", 10000).alias("rating_e4"),
+    )
+
+
 def planner_sdv_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planner interp path (CreateRatingInterps): cointerp filtered to
     the rule (mrulename = attribute, ruledepth 0) through the
@@ -1183,6 +1278,53 @@ def validate_missing_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("co_no_horizon").alias("kind"), "mukey", "cokey")
     )
     return mu_no_co.unionByName(mu_notcom).unionByName(co_no_hz)
+
+
+def sdv_attribute_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDV_AttributeReport outline (SDV_AttributeReport.py:1-251):
+    sdvfolder → sdvfolderattribute → sdvattribute walked into one
+    outline row per (folder, attribute), alphabetical choice index per
+    folder, with the bNational filter live — attributes suffixed
+    ' (AL)' are dropped because AL is a legend-derived state prefix,
+    while ' (ZZ)' survives (ZZ is not a state in the legend)."""
+    from .functions.sdv_report import attribute_report
+
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    sdvfolder = region.select(
+        F.col("r_name").alias("foldername"),
+        F.col("r_regionkey").alias("folderkey"),
+        (F.col("r_regionkey") + 1).alias("foldersequence"),
+    )
+    sdvfolderattribute = nation.select(
+        F.col("n_regionkey").alias("folderkey"),
+        nk.alias("attributekey"),
+    )
+    sdvattribute = nation.select(
+        nk.alias("attributekey"),
+        F.concat(
+            F.col("n_name"),
+            F.when(nk % 3 == 0, F.lit(" (AL)"))
+            .when(nk % 3 == 1, F.lit(" (ZZ)"))
+            .otherwise(F.lit("")),
+        ).alias("attributename"),
+        F.when(nk % 2 == 0, "Choice").otherwise("Float").alias(
+            "attributelogicaldatatype"
+        ),
+        F.when(nk % 4 == 0, "Dominant Condition")
+        .otherwise("Weighted Average")
+        .alias("algorithmname"),
+    )
+    legend = nation.select(
+        F.concat(
+            F.when(nk % 2 == 0, F.lit("AL")).otherwise(F.lit("TX")),
+            F.lpad(nk.cast("string"), 3, "0"),
+        ).alias("areasymbol")
+    )
+    return attribute_report(
+        sdvfolder, sdvfolderattribute, sdvattribute, legend, national=True
+    )
 
 
 def validate_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
