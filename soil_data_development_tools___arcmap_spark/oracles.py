@@ -1172,6 +1172,17 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 
 ORACLES["events_stream_attribution"] = ORACLES["events_attribution"]
 
+ORACLES["events_attribution_outer"] = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+"""
+
+ORACLES["events_stream_attribution_outer"] = ORACLES["events_attribution_outer"]
+
 ORACLES["events_sessionize_stateful"] = """
 WITH g AS (
   SELECT user_id, epoch_us(ts) AS ts_us,

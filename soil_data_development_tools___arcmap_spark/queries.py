@@ -1861,6 +1861,28 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_attribution_stream(spark, sf_dir)
 
 
+def events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer click→purchase attribution (unmatched clicks keep a
+    null purchase) — batch twin of the outer stream-stream join."""
+    from .streaming.events import attribution_pairs_outer
+
+    ev = read_events(spark, sf_dir)
+    return attribution_pairs_outer(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+def events_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join with state-eviction
+    semantics made batch-equal by far-future flush sentinels (outer
+    results only drain when the watermark passes them) — certified by
+    the SAME oracle as the batch events_attribution_outer."""
+    from .streaming.events import run_attribution_outer_stream
+
+    return run_attribution_outer_stream(spark, sf_dir)
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 7-day window advancing 1 day, per event_type: each event
     lands in 7 windows (exploded window dimension — the batch twin of

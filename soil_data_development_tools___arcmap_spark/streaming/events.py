@@ -312,6 +312,132 @@ def run_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def attribution_pairs_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Left-outer attribution from the CLICK side: every click, paired
+    with each purchase landing within the hour AFTER it, else a null
+    purchase — the unmatched-click denominator a conversion-rate
+    pipeline needs. Batch form; same pair predicate as
+    ``attribution_pairs`` (c ∈ [p−1h, p] ⇔ p ∈ [c, c+1h])."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.expr("ts div 1000").alias("c_us"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("__p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.expr("ts div 1000").alias("p_us"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("__p_user"))
+        & (F.col("p_us") >= F.col("c_us"))
+        & (F.col("p_us") <= F.col("c_us") + ATTRIBUTION_WINDOW_US),
+        "left",
+    ).select("click_id", "purchase_id")
+
+
+#: far-future flush sentinel (~2096) — past every driver-generated ts,
+#: still far inside int64 ns
+SENTINEL_TS_NS = 4_000_000_000_000_000_000
+
+
+def _stream_dir_with_flush_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Stream dir = events.parquet symlink + one tiny parquet holding a
+    far-future click and purchase (negative ids). Outer-join state only
+    drains when the watermark passes it; a finite file stream ends with
+    the watermark one delay behind its newest REAL row, so the newest
+    unmatched rows would stay buffered forever. The sentinels push both
+    input watermarks past every real event, so the availableNow no-data
+    batch evicts and emits every real unmatched row — making the
+    streaming result equal the batch left join (the sentinels
+    themselves stay in state / match nothing and are filtered by id<0
+    on the result table)."""
+    import glob
+    import shutil
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    cache = getattr(_stream_dir_with_flush_sentinels, "_dirs", None)
+    if cache is None:
+        cache = _stream_dir_with_flush_sentinels._dirs = {}
+    stream_dir = cache.get(src)
+    if stream_dir is not None and os.path.isdir(stream_dir):
+        return stream_dir
+    stream_dir = tempfile.mkdtemp(prefix="sddt_events_outer_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    sent = spark.createDataFrame(
+        [
+            (-1, SENTINEL_TS_NS, -1, "click", 0.0, None),
+            (-2, SENTINEL_TS_NS, -2, "purchase", 0.0, None),
+        ],
+        EVENTS_SCHEMA,
+    )
+    tmp_out = tempfile.mkdtemp(prefix="sddt_sentinel_")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(stream_dir, "zz_sentinel.parquet"))
+    cache[src] = stream_dir
+    return stream_dir
+
+
+def run_attribution_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join: clicks ⟕ purchases on
+    user_id with the event-time range condition. Unlike the inner form,
+    outer results are NOT micro-batch invariant by default — an
+    unmatched click emits its null row only when the global watermark
+    proves no matching purchase can still arrive, and rows newer than
+    (final watermark) would be withheld at query end. The flush
+    sentinels (see _stream_dir_with_flush_sentinels) advance both
+    watermarks past every real event so the no-data batch drains state
+    completely; the result then equals the batch twin and the same
+    oracle certifies both."""
+    name = "events_attro_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream_dir = _stream_dir_with_flush_sentinels(spark, sf_dir)
+
+    def _stream():
+        return spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+
+    clicks = (
+        _stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("c_time"),
+        )
+        .withWatermark("c_time", "1 hour")
+    )
+    purchases = (
+        _stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("__p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("p_time"),
+        )
+        .withWatermark("p_time", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["__p_user"])
+        & (purchases["p_time"] >= clicks["c_time"])
+        & (purchases["p_time"] <= clicks["c_time"] + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # drop the sentinel click's own row if it ever drains (id < 0);
+    # this filter runs on the completed memory table, not the stream
+    return spark.table(name).where(F.col("click_id") >= 0)
+
+
 def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming tumbling aggregation to completion
     (availableNow + memory sink) and return the result table."""
