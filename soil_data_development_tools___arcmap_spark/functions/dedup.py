@@ -164,14 +164,27 @@ def banded_buckets(
     view, and an optional ``pyspark.sql.Observation`` receives
     (n_buckets, n_split_sub_buckets, max_raw_bucket) at action time.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     w = Window.partitionBy("band_id", "key")
     withn = stacked.withColumn("__bn", F.count(F.lit(1)).over(w)).where(
         F.col("__bn") > 1
     )
     if bucket_cap is not None:
         nsplit = F.ceil(F.col("__bn") / F.lit(bucket_cap)).cast("long")
+        # integral ids split by plain modulus (oracle-reproducible,
+        # near-sequential ids => uniform); any other id type (string /
+        # uuid) is hashed first — pmod on a non-numeric column would
+        # yield NULL and silently collapse the whole oversized bucket
+        # into one sub-bucket, defeating the cap
+        did_t = stacked.schema["did"].dataType
+        split_key = (
+            F.col("did")
+            if isinstance(did_t, (LongType, IntegerType, ShortType, ByteType))
+            else F.xxhash64(F.col("did"))
+        )
         salt = F.when(F.col("__bn") <= bucket_cap, F.lit(0)).otherwise(
-            F.pmod(F.col("did"), nsplit)
+            F.pmod(split_key, nsplit)
         )
     else:
         salt = F.lit(0)
@@ -544,12 +557,13 @@ def connected_components(
     pair generation — (doc, group_rep) lets "keep one per group" be a
     single filter. Near-dup graphs are dense per component (LSH bucket
     expansion emits near-cliques) and tiny in diameter, so the loop
-    converges in 2-3 rounds; the iteration count is bounded by graph
-    diameter, NOT corpus size. Each round is one join + one groupBy
-    (shuffles on the node id), and labels are localCheckpoint()ed so
-    lineage doesn't grow with iterations. At extreme diameters the
-    alternating large-star/small-star algorithm halves rounds, but
-    dedup graphs never need it.
+    converges in 2-3 rounds. Each round is one neighbor-min join +
+    groupBy PLUS a pointer-jumping pass (label := label-of-label),
+    which doubles the propagation distance per round — convergence is
+    O(log diameter), so the default 25 rounds covers any component a
+    real corpus can produce (a pure chain of ~2^25 pairwise near-dups)
+    rather than aborting at diameter 25. Labels are localCheckpoint()ed
+    so lineage doesn't grow with iterations.
     """
     # materialize the (tiny) edge list once — it is joined every
     # round, and without this the whole pair-generation pipeline would
@@ -566,10 +580,19 @@ def connected_components(
                 labels.select(F.col("a").alias("b"), F.col("lbl")), "b"
             ).select("a", "lbl")
         )
-        new = (
+        prop = (
             labels.unionByName(neighbor)
             .groupBy("a")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jumping: every label is itself a node id, so replace
+        # each node's label with that label's own current label —
+        # halves the remaining chain depth each round (log-diameter
+        # convergence). min() is monotone, so the fixpoint is unchanged.
+        jump = prop.select(F.col("a").alias("lbl"), F.col("lbl").alias("__l2"))
+        new = (
+            prop.join(jump, "lbl", "left")
+            .select("a", F.coalesce("__l2", "lbl").alias("lbl"))
             .localCheckpoint()
         )
         changed = (
@@ -595,15 +618,18 @@ def dup_groups(
     k: int = 3,
     threshold_e4: int = 3000,
     max_freq: int | None = 100,
+    max_iter: int = 25,
 ) -> DataFrame:
     """Near-duplicate GROUPS: n-gram Jaccard pairs resolved into
     connected components — (doc_id, group_rep, is_rep). Keeping rows
-    where is_rep = 1 dedups the corpus with one filter."""
+    where is_rep = 1 dedups the corpus with one filter. ``max_iter``
+    bounds the propagation rounds (log-diameter with pointer jumping;
+    see connected_components)."""
     pairs = ngram_jaccard_pairs(
         df, id_col, col, k, threshold_e4=threshold_e4, max_freq=max_freq
     )
     nodes = df.select(F.col(id_col).alias("did"))
-    cc = connected_components(nodes, pairs)
+    cc = connected_components(nodes, pairs, max_iter=max_iter)
     return cc.select(
         F.col("did").alias(id_col),
         "group_rep",

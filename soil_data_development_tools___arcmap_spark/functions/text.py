@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
 # heuristic. Deterministic scoring, mirrored 1:1 in the DuckDB oracle.
@@ -140,17 +141,34 @@ def pack_chunks(
     n_shards: int = 64,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Greedy sequence packing — assign chunks to fixed-token-budget
-    batches, the step between chunking and tokenization. Chunks are
-    packed in (doc_id, chunk_idx) order WITHIN a shard
-    (``doc_id % n_shards``), batch = running-token-total // budget: a
-    single window cumulative sum per shard, fully deterministic.
+    """Sequence packing — assign chunks to token-budget batches, the
+    step between chunking and tokenization. Chunks are packed in
+    (doc_id, chunk_idx) order WITHIN a shard (``doc_id % n_shards``),
+    batch = running-token-total-of-PRECEDING-rows // budget: a single
+    window cumulative sum per shard, fully deterministic.
+
+    Bound (not a hard cap): the chunk straddling a budget boundary is
+    assigned to the EARLIER batch, so a batch holds at most
+    ``budget + max_chunk_tokens - 1`` tokens. That is the right trade
+    for training batches (no chunk ever splits, no second pass); a
+    hard cap would need a greedy close-when-full scan, which cannot be
+    a single window expression. ``id_col`` must be NUMERIC — the shard
+    key is ``id % n_shards`` (a string id would make the modulus null
+    and collapse every row into one shard partition).
 
     Sharding is the scale design: a global packing order would be one
     total sort on one task; per-shard packing runs n_shards
     independent window partitions (the standard practice — training
     batches don't need a globally contiguous order, only bounded
     token counts and determinism)."""
+    if not isinstance(
+        chunks.schema[id_col].dataType,
+        (LongType, IntegerType, ShortType, ByteType),
+    ):
+        raise TypeError(
+            f"pack_chunks: {id_col} must be an integral column, got "
+            f"{chunks.schema[id_col].dataType.simpleString()}"
+        )
     shard = (F.col(id_col) % n_shards).cast("int")
     w = (
         Window.partitionBy("shard")

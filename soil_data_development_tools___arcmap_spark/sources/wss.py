@@ -112,14 +112,24 @@ def unzip_download(
         output_folder, os.path.basename(zip_path)[:-4]
     )
     by_sym = os.path.join(output_folder, areasym.upper())
+    src = None
     if os.path.isdir(base):
-        os.rename(base, new_folder)
+        src = base
     elif os.path.isdir(by_sym):
-        os.rename(by_sym, new_folder)
+        src = by_sym
     elif os.path.isdir(new_folder):
-        pass
+        return True
     else:
         return False
+    # replace path: a stale survey folder from an earlier download must
+    # be removed first — os.rename onto a non-empty dir raises on POSIX
+    # (the reference rmtree's the old dataset before replacing,
+    # SSURGO_BatchDownload.py:611)
+    if os.path.isdir(new_folder) and os.path.abspath(src) != os.path.abspath(
+        new_folder
+    ):
+        shutil.rmtree(new_folder, ignore_errors=True)
+    os.rename(src, new_folder)
     return True
 
 

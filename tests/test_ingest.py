@@ -129,6 +129,34 @@ def test_wss_unzip_conventions(tmp_path):
     assert wss.unzip_download(str(empty), str(tmp_path), "NE109", str(tmp_path / "y"))
     assert not empty.exists()
 
+
+def test_wss_unzip_replaces_stale_folder(tmp_path):
+    """Re-download path: a stale non-empty survey folder is removed
+    before the rename (the reference rmtree's the old dataset first,
+    SSURGO_BatchDownload.py:611) — os.rename onto a non-empty dir
+    would raise OSError on POSIX."""
+    import zipfile
+
+    from soil_data_development_tools___arcmap_spark.sources import wss
+
+    out = tmp_path / "o"
+    out.mkdir()
+    dest = out / "soil_ne109"
+    (dest / "tabular").mkdir(parents=True)
+    (dest / "tabular" / "sacatlog.txt").write_text(
+        "x|y|z|01/02/2020 00:00:00\n"
+    )
+    zp = out / "wss_SSA_NE109_[2024-09-17].zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr(
+            "wss_SSA_NE109_[2024-09-17]/tabular/sacatlog.txt",
+            "x|y|z|09/17/2024 00:00:00\n",
+        )
+    assert wss.unzip_download(str(zp), str(out), "NE109", str(dest))
+    # the NEW dataset replaced the stale one
+    assert wss.tabular_date(str(dest)) == 20240917
+    assert not (out / "wss_SSA_NE109_[2024-09-17]").exists()
+
     # fetch seam: download() writes via the injected fetcher, no network
     calls = {}
     def fake_fetch(url, path, t):
