@@ -81,9 +81,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # set ops / tools / validation (SURVEY §2.6-2.7, §2.11)
     "merge_dedup": Q.merge_dedup,
     "merge_rating_tables_tool": Q.merge_rating_tables_tool,
+    "merge_by_map_tool": Q.merge_by_map_tool,
     "distinct_scan": Q.distinct_scan,
     "dominant_member_tool": Q.dominant_member_tool,
     "acreage_report": Q.acreage_report,
+    "acreage_geom": Q.acreage_geom,
     "legend_class_breaks": Q.legend_class_breaks,
     "legend_unique_values": Q.legend_unique_values,
     "natmusym_attach": Q.natmusym_attach,

@@ -1,0 +1,66 @@
+"""Portable polygon-area core for the acreage family.
+
+The reference reads ArcGIS-maintained ``SHAPE_Area`` straight off the
+feature class (gSSURGO_AcreageReport.py:176-210;
+SSURGO_CheckgSSURGO.py muAcres) — the geometry math lives inside the
+GIS. To make the acreage reports self-contained without a GIS
+dependency, this module computes ring area from WKT polygon text with
+pure Column expressions (split/transform/aggregate — no UDFs, stays in
+codegen): the shoelace formula over the exterior ring.
+
+Determinism contract: with integral vertex coordinates the doubled
+signed area is an exact integer (sums of integer products), so
+``area2x`` is the oracle-hashable form; acre conversion divides by the
+exact reference constant once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: acres per m² — the reference's meter conversion factor
+#: (gSSURGO_AcreageReport.py:489: convAcres = 0.000247104393)
+ACRES_PER_SQM = 0.000247104393
+
+
+def ring_coords(wkt: str | Column) -> Column:
+    """Exterior-ring vertices of a WKT ``POLYGON ((x y, x y, ...))`` as
+    ``array<struct<x:bigint, y:bigint>>`` (closing vertex included).
+    Only the exterior ring is read — text before the first ')'."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    ring = F.regexp_extract(c, r"POLYGON\s*\(\(([^)]*)\)", 1)
+    return F.transform(
+        F.split(ring, r",\s*"),
+        lambda p: F.struct(
+            F.split(F.trim(p), " ").getItem(0).cast("long").alias("x"),
+            F.split(F.trim(p), " ").getItem(1).cast("long").alias("y"),
+        ),
+    )
+
+
+def shoelace_area2x(wkt: str | Column) -> Column:
+    """Twice the absolute shoelace area of the exterior ring —
+    |Σ (x_i·y_{i+1} − x_{i+1}·y_i)| over consecutive vertices. Exact
+    BIGINT for integral coordinates; divide by 2 (and the acre
+    constant) only at the final presentation step."""
+    coords = ring_coords(wkt)
+    # index-pair terms then one fold — all exact integer arithmetic
+    terms = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(coords) - 2, F.lit(0))),
+        lambda i: coords[i]["x"] * coords[i + 1]["y"]
+        - coords[i + 1]["x"] * coords[i]["y"],
+    )
+    return F.abs(
+        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    )
+
+
+def acres_e4(area2x: Column) -> Column:
+    """floor(acres · 10⁴) from an exact doubled-m² area: one double
+    multiply by the reference's convAcres, halve, floor-quantize —
+    the cross-engine-hashable acre figure. Convert AFTER summing
+    area2x so the float op happens once per group, not per polygon."""
+    return F.floor(
+        area2x * F.lit(ACRES_PER_SQM) / 2.0 * 10000.0
+    ).cast("long")

@@ -999,6 +999,21 @@ SELECT DISTINCT * FROM (
 
 ORACLES["distinct_scan"] = "SELECT DISTINCT o_orderpriority FROM orders"
 
+ORACLES["merge_by_map_tool"] = """
+WITH sel AS (
+  SELECT DISTINCT 'A' || CAST(c_custkey % 7 AS VARCHAR) AS areasymbol
+  FROM customer WHERE c_custkey % 3 = 0),
+wanted AS (SELECT areasymbol FROM sel WHERE areasymbol <> 'A1'),
+src AS (
+  SELECT n.*, 'A' || CAST(n_nationkey % 7 AS VARCHAR) AS areasymbol
+  FROM nation n
+  UNION ALL
+  SELECT n.*, 'A' || CAST(n_nationkey % 7 AS VARCHAR) AS areasymbol
+  FROM nation n)
+SELECT DISTINCT * FROM src
+WHERE areasymbol IN (SELECT areasymbol FROM wanted)
+"""
+
 ORACLES["dominant_member_tool"] = """
 SELECT nkey, member, bal_c
 FROM (SELECT c_nationkey AS nkey, c_custkey AS member,
@@ -1017,6 +1032,22 @@ SELECT rflag AS rating, CAST(SUM(comppct_r) AS BIGINT) AS acres,
        CAST(SUM(price_c) AS BIGINT) AS value_c,
        COUNT(*) AS n
 FROM base GROUP BY rflag
+"""
+
+ORACLES["acreage_geom"] = """
+WITH p AS (
+  SELECT c_nationkey AS nkey,
+         -- independent area derivation from the vertex formulas
+         -- (the Spark side parses WKT and runs the shoelace fold):
+         -- rectangle area2x = 2wh, right-triangle area2x = wh
+         CASE WHEN c_custkey % 3 = 0
+              THEN (c_custkey % 13 + 1) * (c_custkey % 7 + 1)
+              ELSE 2 * (c_custkey % 13 + 1) * (c_custkey % 7 + 1) END AS a2x
+  FROM customer)
+SELECT nkey, COUNT(*) AS n_poly, CAST(SUM(a2x) AS BIGINT) AS area2x,
+       CAST(floor(SUM(a2x) * 0.000247104393 / 2.0 * 10000.0) AS BIGINT)
+         AS acres_e4
+FROM p GROUP BY nkey
 """
 
 ORACLES["count_reconciliation"] = """

@@ -1501,6 +1501,29 @@ def merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.unionByName(n).distinct()
 
 
+def merge_by_map_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSURGO_MergeDatabasesByMap: survey list derived from a map
+    layer's SELECTED polygons (not a typed list), surveys already in
+    the target skipped, then multi-source union + PK dedup — the
+    by-map driver over the merge core. Selection = customers with
+    c_custkey % 3 = 0; their polygons' areasymbols pick the surveys;
+    'A1' already exists in the target and is skipped."""
+    from .tools_merge import merge_by_map
+
+    asym = lambda c: F.concat(F.lit("A"), (c % 7).cast("string"))  # noqa: E731
+    map_polys = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select(asym(F.col("c_custkey")).alias("areasymbol"))
+    )
+    n = _t(spark, sf_dir, "nation").withColumn(
+        "areasymbol", asym(F.col("n_nationkey"))
+    )
+    source = n.unionByName(n)  # two survey downloads with overlap
+    existing = spark.createDataFrame([("A1",)], "areasymbol string")
+    return merge_by_map(map_polys, source, existing).distinct()
+
+
 def distinct_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT areasymbol scan (gSSURGO_CreateSoilMap.py:3643-3652)."""
     return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
@@ -1535,6 +1558,48 @@ def acreage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def acreage_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acreage report FROM GEOMETRY (scope extension per VERDICT r2
+    item 7): the reference reads GIS-maintained SHAPE_Area
+    (gSSURGO_AcreageReport.py:176-232); here the per-polygon area is
+    computed from WKT text by the shoelace Column expression
+    (functions/geometry.py) so the acreage family is self-contained
+    without a GIS. Synthetic mapunit polygons (axis-aligned rectangles
+    + right triangles with integer vertices) are built per customer;
+    the oracle derives each area INDEPENDENTLY from the key formulas —
+    certifying the WKT parse + shoelace end-to-end. Acre conversion
+    (convAcres, :489) applied once per survey after the exact integer
+    sum."""
+    from .functions.geometry import acres_e4, shoelace_area2x
+
+    k = F.col("c_custkey")
+    x0, y0 = (k % 100).cast("string"), (k % 57).cast("string")
+    x1 = (k % 100 + (k % 13 + 1)).cast("string")
+    y1 = (k % 57 + (k % 7 + 1)).cast("string")
+    pt = lambda x, y: F.concat(x, F.lit(" "), y)  # noqa: E731
+    sep = F.lit(", ")
+    rect = F.concat(
+        F.lit("POLYGON (("),
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
+        sep, pt(x0, y0),
+        F.lit("))"),
+    )
+    tri = F.concat(
+        F.lit("POLYGON (("),
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x0, y1), sep, pt(x0, y0),
+        F.lit("))"),
+    )
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nkey"),
+        F.when(k % 3 == 0, tri).otherwise(rect).alias("wkt"),
+    )
+    per_poly = polys.select("nkey", shoelace_area2x("wkt").alias("a2x"))
+    return per_poly.groupBy("nkey").agg(
+        F.count(F.lit(1)).alias("n_poly"),
+        F.sum("a2x").alias("area2x"),
+    ).select("nkey", "n_poly", "area2x", acres_e4(F.col("area2x")).alias("acres_e4"))
 
 
 def count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,3 +209,43 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS co_b")
         spark.sql("DROP TABLE IF EXISTS hz_b")
+
+
+def test_shoelace_area_from_wkt(spark):
+    """WKT exterior-ring shoelace: rectangle, triangle, non-convex
+    polygon, and a ring listed clockwise (sign folded by abs)."""
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        acres_e4,
+        shoelace_area2x,
+    )
+
+    rows = [
+        ("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))", 24),        # 4x3 rect
+        ("POLYGON ((0 0, 4 0, 0 3, 0 0))", 12),             # right tri
+        ("POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))", 24),   # non-convex
+        ("POLYGON ((0 0, 0 3, 4 3, 4 0, 0 0))", 24),        # clockwise
+    ]
+    df = spark.createDataFrame(rows, "wkt string, want long")
+    got = df.select("want", shoelace_area2x("wkt").alias("a2x")).collect()
+    for r in got:
+        assert r["a2x"] == r["want"], r
+    # acre conversion: 8093.71286 m2 (area2x of a 2-acre-ish square)
+    one = spark.range(1).select(
+        acres_e4(F.lit(2 * 4046).cast("long")).alias("a")
+    ).collect()[0]["a"]
+    assert one == 9997  # floor(4046 * 0.000247104393 * 1e4)
+
+
+def test_merge_by_map(spark):
+    """Survey list from map selection; existing surveys skipped."""
+    from soil_data_development_tools___arcmap_spark.tools_merge import merge_by_map
+
+    polys = spark.createDataFrame(
+        [("A1",), ("A2",), ("A2",)], "areasymbol string"
+    )
+    src = spark.createDataFrame(
+        [(1, "A1"), (2, "A2"), (3, "A3")], "k int, areasymbol string"
+    )
+    existing = spark.createDataFrame([("A1",)], "areasymbol string")
+    got = {r["k"] for r in merge_by_map(polys, src, existing).collect()}
+    assert got == {2}  # A1 exists already, A3 not selected
