@@ -134,6 +134,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pack_chunks": Q.docs_pack_chunks,
     "docs_simhash": Q.docs_simhash,
     "docs_clean_corpus": Q.docs_clean_corpus,
+    "docs_decontaminate": Q.docs_decontaminate,
+    "docs_mix_sample": Q.docs_mix_sample,
     # multimodal binary columns: metadata / Pandas-UDF features / frames
     "docs_media_metadata": Q.docs_media_metadata,
     "docs_media_features": Q.docs_media_features,

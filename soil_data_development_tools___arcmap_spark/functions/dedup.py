@@ -611,6 +611,50 @@ def connected_components(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing
+    at least one k-token shingle with a benchmark document — the
+    standard guard against test-set leakage into a training corpus.
+
+    Output: (id, n_hits, contaminated) for every training doc.
+
+    Scale shape: the benchmark side (eval suites — thousands of docs,
+    ~1e6 distinct shingles) collapses to a DISTINCT shingle set and is
+    broadcast, so the fact-sized training corpus is filtered by a map-
+    side semi-join — no shuffle of training shingles, no self-join
+    anywhere. With a benchmark too large to broadcast the same plan
+    degrades gracefully to one shuffle on the shingle key."""
+    bench = (
+        _explode_ss(shingle_sets(benchmark, id_col, col, k))
+        .select("s")
+        .distinct()
+    )
+    ex = _explode_ss(shingle_sets(_spread(train, id_col), id_col, col, k))
+    # shingle sets are per-doc distinct, so count(*) = distinct hits
+    hits = (
+        ex.join(F.broadcast(bench), "s")
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits.withColumnRenamed("did", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def dup_groups(
     df: DataFrame,
     id_col: str = "doc_id",

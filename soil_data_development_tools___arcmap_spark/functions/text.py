@@ -184,3 +184,29 @@ def pack_chunks(
         )
         .select(id_col, "chunk_idx", "shard", "batch_id")
     )
+
+
+def mix_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    denom: int = 10000,
+) -> DataFrame:
+    """Deterministic source-stratified sampling — the data-mixing step
+    of a training pipeline: ``weights`` is a (source, rate) dim where
+    ``rate`` is out of ``denom``, and a document is kept iff
+    ``id % denom < rate`` — every run (and every engine) selects the
+    SAME rows: reproducible mixtures, no RNG state to coordinate
+    across executors.
+
+    The weights dim is broadcast: the keep decision is a map-side
+    filter over the corpus scan, zero shuffles. The id modulus assumes
+    roughly-uniform ids (true for sequential ingest ids); for
+    clustered or hashed id spaces substitute ``pmod(xxhash64(id),
+    denom)`` — same plan, engine-specific hash."""
+    return (
+        df.join(F.broadcast(weights), source_col)
+        .where(F.pmod(F.col(id_col), F.lit(denom)) < F.col("rate"))
+        .drop("rate")
+    )

@@ -1361,6 +1361,30 @@ SELECT i, j, jac_e4 FROM (
 WHERE jac_e4 >= 3000
 """
 
+ORACLES["docs_decontaminate"] = f"""
+WITH {_SHINGLES},
+bench AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE did % 97 = 0),
+tr AS (SELECT did, unnest(ss) AS s FROM sh WHERE did % 97 <> 0),
+hits AS (
+  SELECT did, COUNT(*) AS n_hits
+  FROM tr JOIN bench USING (s)
+  GROUP BY did)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN (SELECT did AS doc_id, n_hits FROM hits) h USING (doc_id)
+"""
+
+ORACLES["docs_mix_sample"] = """
+WITH w AS (
+  SELECT source,
+         (CAST(substr(source, 4, 8) AS BIGINT) % 5 + 1) * 2 AS rate
+  FROM (SELECT DISTINCT source FROM documents))
+SELECT d.doc_id, d.source
+FROM documents d JOIN w USING (source)
+WHERE d.doc_id % 10 < w.rate
+"""
+
 _MH = ", ".join(
     f"MIN(substr(md5('{i // 4}#' || s), {1 + 8 * (i % 4)}, 8)) AS mh{i}"
     for i in range(16)

@@ -2166,6 +2166,44 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing any 3-gram
+    shingle with the benchmark subset (doc_id % 97 == 0 plays the
+    held-out eval suite) are flagged with their hit count — the
+    test-set-leakage guard every training corpus needs. Benchmark
+    shingles collapse to a broadcast distinct set; the corpus side is
+    a map-side semi-join, no self-join."""
+    from .functions.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench)
+
+
+def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: per-source sampling rates (the srcN
+    suffix drives rate = (N%5+1)*2 out of 10, i.e. 20%..100%) applied
+    as id-modulus Bernoulli — reproducible across runs and engines,
+    broadcast weights, zero-shuffle keep decision. denom=10 so the
+    filter provably drops rows at every test SF (doc ids are dense
+    from 0)."""
+    from .functions.text import mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.substring(F.col("source"), 4, 8).cast("long") % 5 + 1) * 2
+            ).alias("rate"),
+        )
+    )
+    return mix_sample(docs, weights, denom=10).select("doc_id", "source")
+
+
 # ------------------------------------------------ embeddings (ANN)
 
 
