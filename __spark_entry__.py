@@ -75,6 +75,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_sdv_hz_top_depth": Q.planner_sdv_hz_top_depth,
     "planner_sdv_month_rating": Q.planner_sdv_month_rating,
     "planner_sdv_soilmoist": Q.planner_sdv_soilmoist,
+    "planner_sdv_batch": Q.planner_sdv_batch,
     "planner_sdv_interp": Q.planner_sdv_interp,
     "planner_sdv_mapunit": Q.planner_sdv_mapunit,
     "planner_sdv_no_agg": Q.planner_sdv_no_agg,

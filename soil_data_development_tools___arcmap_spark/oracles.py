@@ -745,6 +745,32 @@ SELECT mukey, comppct_r, texture AS rating FROM (
 WHERE rn = 1
 """
 
+ORACLES["planner_sdv_batch"] = f"""
+SELECT b.mukey,
+       h.comppct_r AS hydric_comppct_r, h.rating AS hydric_rating,
+       d.comppct_r AS drain_comppct_r, d.rating AS drain_rating
+FROM (SELECT DISTINCT o_custkey AS mukey FROM orders) b
+LEFT JOIN ({ORACLES["planner_sdv_rating"]}) h ON b.mukey = h.mukey
+LEFT JOIN (
+  WITH {_SYN},
+  flt AS (
+    SELECT * FROM syn_co
+    WHERE comppct_r IS NOT NULL AND comppct_r >= 10
+      AND (compname IS NULL OR compname <> 'NOTCOM')
+      AND majcompflag = 'Yes')
+  SELECT mukey, comppct_r, drainagecl AS rating FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY mukey
+      ORDER BY comppct_r DESC,
+               CASE drainagecl WHEN 'Very poorly drained' THEN 1
+                    WHEN 'Poorly drained' THEN 2
+                    WHEN 'Well drained' THEN 3 ELSE 4 END ASC,
+               cokey ASC) AS rn
+    FROM flt)
+  WHERE rn = 1
+) d ON b.mukey = d.mukey
+"""
+
 ORACLES["planner_sdv_soilmoist"] = f"""
 WITH {_SYN},
 cm AS (

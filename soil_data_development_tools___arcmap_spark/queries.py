@@ -1017,6 +1017,69 @@ def planner_sdv_month_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_soil_map(tables, relations, req)
 
 
+def planner_sdv_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch soil-maps driver (gSSURGO_CreateSoilMaps.py:349-379): run
+    CreateSoilMap for a LIST of attributes and assemble one wide
+    rating table (gSSURGO_MergeRatingTables) — here two hydrated
+    requests (hydric Dominant Condition + drainage Dominant Component)
+    through the same planner, merged onto the mapunit spine with
+    per-attribute column prefixes. Each rating table is mapunit-sized,
+    so the merge joins broadcast."""
+    from .plans.planner import create_soil_map, hydrate
+    from .tools_merge import merge_rating_tables
+
+    t = ssurgo_synth(spark, sf_dir)
+    mapunit = t["component"].select("mukey").distinct()
+    tables = {"mapunit": mapunit, "component": t["component"]}
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        }
+    ]
+    hydric_row = {
+        "attributename": "Hydric Rating Synth",
+        "attributetablename": "component",
+        "attributecolumnname": "hydricrating",
+        "algorithmname": "Dominant Condition",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": "hydric_dom",
+        "sqlwhereclause": "majcompflag = 'Yes'",
+    }
+    hydric_dom = [
+        {"domainname": "hydric_dom", "choice": c, "choicesequence": i + 1}
+        for i, c in enumerate(["Yes", "Unranked", "No"])
+    ]
+    drain_row = {
+        "attributename": "Drainage Class Synth",
+        "attributetablename": "component",
+        "attributecolumnname": "drainagecl",
+        "algorithmname": "Dominant Component",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": "drain_dom",
+        "sqlwhereclause": "majcompflag = 'Yes'",
+    }
+    drain_dom = [
+        {"domainname": "drain_dom", "choice": c, "choicesequence": i + 1}
+        for i, c in enumerate(
+            ["Very poorly drained", "Poorly drained", "Well drained"]
+        )
+    ]
+    r_hydric = create_soil_map(
+        tables, relations, hydrate(hydric_row, hydric_dom, cutoff=10)
+    )
+    r_drain = create_soil_map(
+        tables, relations, hydrate(drain_row, drain_dom, cutoff=10)
+    )
+    return merge_rating_tables(
+        mapunit, {"hydric": r_hydric, "drain": r_drain}
+    )
+
+
 def planner_sdv_soilmoist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CreateSoilMoistureTable depth-4 chain (gSSURGO_CreateSoilMap.py:
     4632-4717): mapunit ⟕ component ⟕ comonth ⟕ cosoilmoist walked from

@@ -160,3 +160,30 @@ def download(
         os.remove(local_zip)
     fetch(wss_zip_url(areasym, surveydate), local_zip, timeout)
     return local_zip
+
+
+def dataset_sizes(top_dir: str, suffix: str | None = None) -> list[dict]:
+    """Per-dataset size inventory (SSURGO_GetSizes.py:63-130): walk
+    each immediate subfolder of ``top_dir`` and report its recursive
+    byte size and file count, sorted by name; ``suffix`` restricts to
+    folders ending with it (the reference's '.gdb'-only mode). Pure
+    driver-side os.walk — this inventories the DOWNLOAD staging area
+    (thousands of survey folders at most), not the data lake."""
+    out = []
+    for name in sorted(os.listdir(top_dir)):
+        d = os.path.join(top_dir, name)
+        if not os.path.isdir(d):
+            continue
+        if suffix is not None and not name.endswith(suffix):
+            continue
+        size = 0
+        files = 0
+        for dirpath, _dirnames, filenames in os.walk(d):
+            for f in filenames:
+                try:
+                    size += os.path.getsize(os.path.join(dirpath, f))
+                    files += 1
+                except OSError:
+                    continue
+        out.append({"folder": name, "bytes": size, "n_files": files})
+    return out

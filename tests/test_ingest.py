@@ -165,3 +165,27 @@ def test_wss_unzip_replaces_stale_folder(tmp_path):
     p = wss.download("NE109", 20240917, str(tmp_path), fetch=fake_fetch)
     assert calls["url"].startswith("https://websoilsurvey")
     assert open(p, "rb").read() == b"zipbytes"
+
+
+def test_dataset_sizes(tmp_path):
+    """GetSizes inventory: recursive byte sizes + file counts per
+    immediate subfolder, optional suffix filter."""
+    from soil_data_development_tools___arcmap_spark.sources import wss
+
+    a = tmp_path / "soil_a" / "tabular"
+    a.mkdir(parents=True)
+    (a / "x.txt").write_bytes(b"12345")
+    (a.parent / "y.txt").write_bytes(b"12")
+    b = tmp_path / "db.gdb"
+    b.mkdir()
+    (b / "z").write_bytes(b"1234567890")
+    (tmp_path / "plain_file.txt").write_bytes(b"ignored")
+
+    got = wss.dataset_sizes(str(tmp_path))
+    assert got == [
+        {"folder": "db.gdb", "bytes": 10, "n_files": 1},
+        {"folder": "soil_a", "bytes": 7, "n_files": 2},
+    ]
+    assert wss.dataset_sizes(str(tmp_path), suffix=".gdb") == [
+        {"folder": "db.gdb", "bytes": 10, "n_files": 1},
+    ]
