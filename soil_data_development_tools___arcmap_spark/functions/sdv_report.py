@@ -86,3 +86,75 @@ def attribute_report(
         "attributelogicaldatatype",
         "algorithmname",
     )
+
+
+def report_template(df: DataFrame, rating_col: str | None = None) -> dict:
+    """Tabular-report template dispatch (gSSURGO_TabularReport.py:
+    120-197): the reference inspects the SDV_Data rating table's shape
+    — horizon level if HZDEPT_R present, component level if COMPNAME,
+    else map unit level — and the rating column's datatype to pick the
+    .rlf report template, page layout, and field map. The PDF/rlf
+    rendering is GIS-bound (out of scope); the dispatch is the
+    portable core a report runner needs. ``rating_col`` defaults to
+    the LAST column, like the reference's fields[-1] assumption."""
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    cols = [c.upper() for c in df.columns]
+    rating = (rating_col or df.columns[-1]).upper()
+    dt = df.schema[df.columns[cols.index(rating)]].dataType
+    if isinstance(dt, StringType):
+        kind = "string"
+    elif isinstance(dt, (DoubleType, FloatType)):
+        kind = "float"
+    elif isinstance(dt, ShortType):
+        kind = "smallinteger"
+    elif isinstance(dt, (IntegerType, LongType)):
+        kind = "integer"
+    else:
+        raise ValueError(f"Invalid data type for report: {dt.simpleString()}")
+
+    base_fm = {"AREASYMBOL", "MUKEY", "MUSYM", "MUNAME"}
+    if "HZDEPT_R" in cols:  # horizon level — always landscape (:143)
+        tmpl = {
+            "string": "SDV_Report_Hz_String.rlf",
+            "float": "SDV_Report_Hz_Float.rlf",
+            "smallinteger": "SDV_Report_Hz_Integer.rlf",
+            "integer": "SDV_Report_Hz_Integer.rlf",
+        }[kind]
+        fm = sorted(base_fm | {"COMPNAME", "COMPPCT_R", "HZDEPT_R",
+                               "HZDEPB_R"}) + [rating]
+        layout = "SDV_MapDescription_Landscape.mxd"
+    elif "COMPNAME" in cols:  # component level (:160-175)
+        tmpl = {
+            "string": "SDV_Report_Co_String.rlf",
+            "float": "SDV_Report_Co_Float.rlf",
+            "smallinteger": "SDV_Report_Co_Integer.rlf",
+            "integer": "SDV_Report_Co_Integer.rlf",
+        }[kind]
+        fm = sorted(base_fm | {"COMPNAME", "COMPPCT_R"}) + [rating]
+        layout = (
+            "SDV_MapDescription_Landscape.mxd"
+            if kind == "string"
+            else "SDV_MapDescription_Portrait.mxd"
+        )
+    else:  # map unit level (:177-197)
+        if rating == "MUNAME":
+            tmpl, fm = "SDV_Report_MuName.rlf", None
+        else:
+            tmpl = {
+                "string": "SDV_Report_Mu_String.rlf",
+                "float": "SDV_Report_Mu_Float.rlf",
+                "smallinteger": "SDV_Report_Mu_Float.rlf",
+                "integer": "SDV_Report_Mu_Integer.rlf",
+            }[kind]
+            fm = sorted(base_fm) + [rating]
+        layout = "SDV_MapDescription_Portrait.mxd"
+    return {"template": tmpl, "layout": layout, "field_map": fm,
+            "rating_col": rating, "rating_type": kind}

@@ -249,3 +249,35 @@ def test_merge_by_map(spark):
     existing = spark.createDataFrame([("A1",)], "areasymbol string")
     got = {r["k"] for r in merge_by_map(polys, src, existing).collect()}
     assert got == {2}  # A1 exists already, A3 not selected
+
+
+def test_report_template_dispatch(spark):
+    """gSSURGO_TabularReport template dispatch by table shape + rating
+    datatype (horizon/component/mapunit x string/float/int)."""
+    from soil_data_development_tools___arcmap_spark.functions.sdv_report import (
+        report_template,
+    )
+
+    hz = spark.createDataFrame(
+        [], "areasymbol string, mukey long, musym string, muname string, "
+        "compname string, comppct_r int, hzdept_r int, hzdepb_r int, "
+        "rating double")
+    assert report_template(hz)["template"] == "SDV_Report_Hz_Float.rlf"
+    assert report_template(hz)["layout"].endswith("Landscape.mxd")
+
+    co = spark.createDataFrame(
+        [], "areasymbol string, mukey long, musym string, muname string, "
+        "compname string, comppct_r int, rating string")
+    assert report_template(co)["template"] == "SDV_Report_Co_String.rlf"
+
+    mu = spark.createDataFrame(
+        [], "areasymbol string, mukey long, musym string, muname string, "
+        "rating long")
+    assert report_template(mu)["template"] == "SDV_Report_Mu_Integer.rlf"
+    assert report_template(mu)["field_map"][-1] == "RATING"
+
+    muname = spark.createDataFrame(
+        [], "areasymbol string, mukey long, musym string, muname string")
+    got = report_template(muname)
+    assert got["template"] == "SDV_Report_MuName.rlf"
+    assert got["field_map"] is None
