@@ -117,6 +117,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_attribution": Q.events_stream_attribution,
     "events_attribution_outer": Q.events_attribution_outer,
     "events_stream_attribution_outer": Q.events_stream_attribution_outer,
+    "events_stream_dedup": Q.events_stream_dedup,
     "events_topk_per_type": Q.events_topk_per_type,
     "events_json_extract": Q.events_json_extract,
     # documents: text analysis + dedup (north-star LLM pipeline)

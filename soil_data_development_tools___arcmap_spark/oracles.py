@@ -1229,6 +1229,14 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 
 ORACLES["events_stream_attribution"] = ORACLES["events_attribution"]
 
+ORACLES["events_stream_dedup"] = """
+SELECT event_id,
+       epoch_us(ts) // 86400000000 AS day_num,
+       event_type,
+       CAST(round(value*100) AS BIGINT) AS value_c
+FROM events
+"""
+
 ORACLES["events_attribution_outer"] = """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id
 FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -1989,6 +1989,17 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_attribution_stream(spark, sf_dir)
 
 
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (dropDuplicatesWithinWatermark):
+    the events file arrives TWICE through the file source; the deduped
+    stream equals the single-copy batch table (batch oracle certifies
+    the stream). Watermark-evicted key state = bounded-memory ingest
+    dedup at firehose scale."""
+    from .streaming.events import run_dedup_stream
+
+    return run_dedup_stream(spark, sf_dir)
+
+
 def events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer click→purchase attribution (unmatched clicks keep a
     null purchase) — batch twin of the outer stream-stream join."""

@@ -438,6 +438,52 @@ def run_attribution_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).where(F.col("click_id") >= 0)
 
 
+def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup — the ingest-side exact-dedup twin a
+    training-data pipeline runs on its event/document firehose. The
+    source dir carries the events file TWICE (two symlinks → every row
+    arrives duplicated); ``dropDuplicatesWithinWatermark`` on event_id
+    keys the dedup state and the 1-day watermark EVICTS keys once no
+    duplicate can still arrive — bounded state, unlike a plain
+    dropDuplicates whose key set grows with the stream forever. The
+    deduped output equals the single-copy batch table, so the batch
+    oracle certifies the streaming run."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    cache = getattr(run_dedup_stream, "_dirs", None)
+    if cache is None:
+        cache = run_dedup_stream._dirs = {}
+    stream_dir = cache.get(src)
+    if stream_dir is None or not os.path.isdir(stream_dir):
+        stream_dir = tempfile.mkdtemp(prefix="sddt_events_dup_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        os.symlink(src, os.path.join(stream_dir, "events_copy.parquet"))
+        cache[src] = stream_dir
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stream_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = ev.select(
+        "event_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    name = "events_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming tumbling aggregation to completion
     (availableNow + memory sink) and return the result table."""
