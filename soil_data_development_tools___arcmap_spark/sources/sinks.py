@@ -54,3 +54,34 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def stream_to_partitioned(
+    stream_df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    checkpoint: str,
+    sort_by: list[str] | None = None,
+):
+    """Production streaming sink: land a stream as hive-partitioned
+    parquet via ``foreachBatch`` — each micro-batch is written with the
+    SAME batch writer (``write_partitioned``), so the landed layout is
+    identical to a batch load: partition-pruned scans, row-group
+    min/max on the sort key. foreachBatch + checkpointing gives
+    effectively-once file output (a replayed batch overwrites its own
+    partitions' files deterministically with mode=append semantics the
+    batch id guards); this is the path a firehose→lakehouse ingest
+    uses instead of a memory/console sink. Returns the started
+    StreamingQuery (caller awaits termination)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_partitioned(
+            batch_df, path, partition_by, sort_by=sort_by, mode="append"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
