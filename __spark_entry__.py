@@ -137,6 +137,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_simhash": Q.docs_simhash,
     "docs_clean_corpus": Q.docs_clean_corpus,
     "docs_decontaminate": Q.docs_decontaminate,
+    "docs_source_stats": Q.docs_source_stats,
     "docs_mix_sample": Q.docs_mix_sample,
     # multimodal binary columns: metadata / Pandas-UDF features / frames
     "docs_media_metadata": Q.docs_media_metadata,

@@ -1395,6 +1395,24 @@ SELECT i, j, jac_e4 FROM (
 WHERE jac_e4 >= 3000
 """
 
+ORACLES["docs_source_stats"] = """
+WITH tok AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents),
+r AS (
+  SELECT source, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY n_tok ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM tok)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE
+         WHEN n % 2 = 1 AND rn = (n + 1) / 2 THEN 2 * n_tok
+         WHEN n % 2 = 0 AND (rn = n / 2 OR rn = n / 2 + 1) THEN n_tok
+         ELSE 0 END) AS BIGINT) AS med2_tok,
+       CAST(MAX(CASE WHEN rn = (19 * (n - 1)) // 20 + 1 THEN n_tok END)
+            AS INTEGER) AS p95_tok
+FROM r GROUP BY source
+"""
+
 ORACLES["docs_decontaminate"] = f"""
 WITH {_SHINGLES},
 bench AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE did % 97 = 0),

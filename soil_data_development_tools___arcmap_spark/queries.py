@@ -2240,6 +2240,42 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile for mixture design: doc count, DOUBLED
+    median token count (2·median is integral for either parity — no
+    float interpolation to diverge across engines), and the discrete
+    p95 order statistic at integer index (19·(n−1)) div 20 + 1 —
+    percentile_approx's GK sketch and interpolated percentiles are NOT
+    engine-reproducible, order statistics are. One window + one
+    groupBy, both on the source key."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    ws = Window.partitionBy("source")
+    w = ws.orderBy(F.col("n_tok").asc())
+    r = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(ws))
+    )
+    odd = F.col("n") % 2 == 1
+    med_w = (
+        F.when(odd & (F.col("rn") == (F.col("n") + 1) / 2), 2)
+        .when(
+            ~odd
+            & ((F.col("rn") == F.col("n") / 2) | (F.col("rn") == F.col("n") / 2 + 1)),
+            1,
+        )
+        .otherwise(0)
+    )
+    p95_idx = F.expr("(19 * (n - 1)) div 20 + 1")
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.sum(med_w * F.col("n_tok")).alias("med2_tok"),
+        F.max(F.when(F.col("rn") == p95_idx, F.col("n_tok"))).alias("p95_tok"),
+    )
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: training docs sharing any 3-gram
     shingle with the benchmark subset (doc_id % 97 == 0 plays the
