@@ -36,21 +36,96 @@ def agg_mapunit_passthrough(
     return df.select(*spec.group_cols, rating.alias(spec.out_col))
 
 
+def _argbest(
+    spec: RatingSpec, weight: Column, member: Column, payload: list[Column]
+):
+    """'First row per group under (weight DESC NULLS LAST, rating
+    tiebreak, member ASC)' as ONE min()/max() aggregate over an
+    encoded comparison struct — no per-group sort, and the aggregate
+    partially combines map-side, so the shuffle carries one candidate
+    per (group, input partition) instead of every member row (the
+    shape that matters at fact-table scale; a row_number window must
+    materialize and SORT each whole group after the exchange).
+
+    Key encoding (struct comparison is lexicographic, short-circuits
+    on the first unequal field, so later-field nulls are never
+    compared across null/non-null):
+    - k1: ±weight with null→−inf, so null weights lose in both
+      directions;
+    - k2a: rating NULL marker — 0/1 places nulls FIRST under min
+      (Spark asc = nulls first) and LAST under max (desc = nulls
+      last), matching the window's ordering exactly;
+    - k2b: domain rank (totalized, never null) or the raw rating;
+    - k3: member ASC — natural under min; NEGATED under max, which
+      requires a numeric member key (callers fall back to the window
+      form for a non-numeric member under tiebreak_higher — see
+      ``_numeric_member``; long negation is exact, no double cast).
+    """
+    if spec.domain is not None:
+        k2a = F.lit(1)
+        k2b = domain_rank_expr(spec)
+    else:
+        r = spec.rating()
+        k2a = F.when(r.isNull(), F.lit(0)).otherwise(F.lit(1))
+        k2b = r
+    neg_inf = F.lit(float("-inf"))
+    if spec.tiebreak_higher:
+        k1 = F.coalesce(weight.cast("double"), neg_inf)
+        k3 = -member
+        agg_fn = F.max
+    else:
+        k1 = -F.coalesce(weight.cast("double"), neg_inf)
+        k3 = member
+        agg_fn = F.min
+    return agg_fn(
+        F.struct(
+            k1.alias("__k1"),
+            k2a.alias("__k2a"),
+            k2b.alias("__k2b"),
+            k3.alias("__k3"),
+            *payload,
+        )
+    )
+
+
+def _numeric_member(df: DataFrame, member_col: str) -> bool:
+    from pyspark.sql.types import NumericType
+
+    return isinstance(df.schema[member_col].dataType, NumericType)
+
+
 def agg_dcp(df: DataFrame, spec: RatingSpec, keep_weight: bool = True) -> DataFrame:
     """AggregateCo_DCP — dominant component (gSSURGO_CreateSoilMap.py:4810-4984).
 
     First row per group under ORDER BY weight DESC, rating tiebreak,
-    member key — a row_number window, not the reference's global sort.
-    """
-    w = Window.partitionBy(*spec.group_cols).orderBy(
-        _weight(spec).desc_nulls_last(), rating_order_expr(spec), *member_order(spec)
-    )
-    out = [*spec.group_cols] + ([spec.weight_col] if keep_weight else [])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*out, spec.rating().alias(spec.out_col))
-    )
+    member key — as a single argbest aggregate (see ``_argbest``):
+    one exchange, partial map-side combine, no per-group sort. A
+    non-numeric member key under tiebreak_higher cannot be negated
+    into the max-struct, so that corner keeps the row_number window."""
+    if spec.tiebreak_higher and not _numeric_member(df, spec.member_col):
+        w = Window.partitionBy(*spec.group_cols).orderBy(
+            _weight(spec).desc_nulls_last(),
+            rating_order_expr(spec),
+            *member_order(spec),
+        )
+        out = [*spec.group_cols] + ([spec.weight_col] if keep_weight else [])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*out, spec.rating().alias(spec.out_col))
+        )
+    best = _argbest(
+        spec,
+        _weight(spec),
+        F.col(spec.member_col),
+        [_weight(spec).alias("pw"), spec.rating().alias("pr")],
+    ).alias("__b")
+    res = df.groupBy(*spec.group_cols).agg(best)
+    cols = [*spec.group_cols]
+    if keep_weight:
+        cols.append(F.col("__b.pw").alias(spec.weight_col))
+    cols.append(F.col("__b.pr").alias(spec.out_col))
+    return res.select(*cols)
 
 
 def agg_dcd(
@@ -104,62 +179,96 @@ def agg_dcd(
         domain_reversed=spec.domain_reversed,
         not_rated=spec.not_rated,
     )
-    w = Window.partitionBy(*spec.group_cols).orderBy(
-        F.col("__sum_w").desc_nulls_last(),
-        rating_order_expr(order_spec),
-        F.col("__member").asc(),
-    )
-    total_w = Window.partitionBy(*spec.group_cols)
-    flagged = by_rating.withColumn("__total", F.sum("__sum_w").over(total_w))
-    # 100*pct/total rounded half-up in pure integer arithmetic
-    # ((200p + t) div 2t) — exact, engine-independent.
-    pct = (
-        F.expr("(200 * __sum_w + __total) div (2 * __total)")
-        if normalize_pct
-        else F.col("__sum_w")
-    )
-    if not dcp_override:
-        return (
-            flagged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                *spec.group_cols,
-                pct.cast("int").alias(spec.weight_col),
-                F.col("__rating").alias(spec.out_col),
-            )
+    if spec.tiebreak_higher and not _numeric_member(df, spec.member_col):
+        # non-numeric member under 'Higher': the max-struct cannot
+        # negate the member tiebreak — window fallback (see _argbest)
+        w = Window.partitionBy(*spec.group_cols).orderBy(
+            F.col("__sum_w").desc_nulls_last(),
+            rating_order_expr(order_spec),
+            F.col("__member").asc(),
         )
-    w_dcp = Window.partitionBy(*spec.group_cols).orderBy(
-        F.col("__mw").desc_nulls_last(),
-        rating_order_expr(order_spec),
-        F.col("__member_dcp").asc(),
-    )
-    both = (
-        flagged.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__rn_dcp", F.row_number().over(w_dcp))
-        .withColumn("__pct", pct.cast("int"))
-    )
-    # collapse the two winner rows without a self-join: max() over the
-    # single non-null struct per flag (partitioning is already by the
-    # group key, so this groupBy adds no shuffle)
-    picked = both.groupBy(*spec.group_cols).agg(
-        F.max(
-            F.when(
-                F.col("__rn") == 1,
-                F.struct(F.col("__pct").alias("p"), F.col("__rating").alias("r")),
-            )
+        w_dcp = Window.partitionBy(*spec.group_cols).orderBy(
+            F.col("__mw").desc_nulls_last(),
+            rating_order_expr(order_spec),
+            F.col("__member_dcp").asc(),
+        )
+        total_w = Window.partitionBy(*spec.group_cols)
+        both = (
+            by_rating.withColumn("__total", F.sum("__sum_w").over(total_w))
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__rn_dcp", F.row_number().over(w_dcp))
+        )
+        picked = both.groupBy(*spec.group_cols).agg(
+            F.max("__total").alias("__total"),
+            F.max(
+                F.when(
+                    F.col("__rn") == 1,
+                    F.struct(
+                        F.col("__sum_w").alias("pw"),
+                        F.col("__rating").alias("pr"),
+                    ),
+                )
+            ).alias("__d"),
+            F.max(
+                F.when(
+                    F.col("__rn_dcp") == 1,
+                    F.struct(
+                        F.col("__mw").alias("pw"),
+                        F.col("__rating").alias("pr"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        return _dcd_output(picked, spec, dcp_override, normalize_pct)
+    # condition winner AND dcp-override winner as argbest aggregates in
+    # ONE groupBy (the total rides along) — the previous form ran two
+    # row_number windows + a partition-total window over by_rating,
+    # i.e. a second exchange plus per-group sorts; this is a single
+    # sort-free exchange on the group key.
+    picked = by_rating.groupBy(*spec.group_cols).agg(
+        F.sum("__sum_w").alias("__total"),
+        _argbest(
+            order_spec,
+            F.col("__sum_w"),
+            F.col("__member"),
+            [F.col("__sum_w").alias("pw"), F.col("__rating").alias("pr")],
         ).alias("__d"),
-        F.max(
-            F.when(
-                F.col("__rn_dcp") == 1,
-                F.struct(F.col("__mw").alias("w"), F.col("__rating").alias("r")),
-            )
+        _argbest(
+            order_spec,
+            F.col("__mw"),
+            F.col("__member_dcp"),
+            [F.col("__mw").alias("pw"), F.col("__rating").alias("pr")],
         ).alias("__p"),
     )
+    return _dcd_output(picked, spec, dcp_override, normalize_pct)
+
+
+def _dcd_output(
+    picked: DataFrame,
+    spec: RatingSpec,
+    dcp_override: bool,
+    normalize_pct: bool,
+) -> DataFrame:
+    """Final DCD projection from the per-group winner structs
+    (__d/__p with fields pw/pr, plus __total). 100*pct/total rounded
+    half-up in pure integer arithmetic ((200p + t) div 2t) — exact,
+    engine-independent."""
+    pct = (
+        F.expr("(200 * __d.pw + __total) div (2 * __total)")
+        if normalize_pct
+        else F.col("__d.pw")
+    )
+    if not dcp_override:
+        return picked.select(
+            *spec.group_cols,
+            pct.cast("int").alias(spec.weight_col),
+            F.col("__d.pr").alias(spec.out_col),
+        )
     return picked.select(
         *spec.group_cols,
-        F.col("__d.p").alias(spec.weight_col),
-        F.when(F.col("__p.w") >= 50, F.col("__p.r"))
-        .otherwise(F.col("__d.r"))
+        pct.cast("int").alias(spec.weight_col),
+        F.when(F.col("__p.pw") >= 50, F.col("__p.pr"))
+        .otherwise(F.col("__d.pr"))
         .alias(spec.out_col),
     )
 
