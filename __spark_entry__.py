@@ -104,6 +104,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": Q.q6_forecast_revenue,
     "q14_promo_share": Q.q14_promo_share,
     "q18_large_volume": Q.q18_large_volume,
+    "q4_order_priority": Q.q4_order_priority,
+    "q13_customer_distribution": Q.q13_customer_distribution,
+    "q22_sales_opportunity": Q.q22_sales_opportunity,
     # events: batch analytics + Structured Streaming twin (SURVEY §2.9)
     "events_tumbling_daily": Q.events_tumbling_daily,
     "events_stream_tumbling": Q.events_stream_tumbling,
@@ -120,6 +123,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_dedup": Q.events_stream_dedup,
     "events_topk_per_type": Q.events_topk_per_type,
     "events_json_extract": Q.events_json_extract,
+    "events_pivot_daily": Q.events_pivot_daily,
+    "events_type_rollup": Q.events_type_rollup,
+    "events_stream_session_window": Q.events_stream_session_window,
     # documents: text analysis + dedup (north-star LLM pipeline)
     "docs_token_count": Q.docs_token_count,
     "docs_quality": Q.docs_quality,
@@ -139,6 +145,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_decontaminate": Q.docs_decontaminate,
     "docs_source_stats": Q.docs_source_stats,
     "docs_mix_sample": Q.docs_mix_sample,
+    "docs_dedup_keep_best": Q.docs_dedup_keep_best,
+    "docs_quality_buckets": Q.docs_quality_buckets,
     # multimodal binary columns: metadata / Pandas-UDF features / frames
     "docs_media_metadata": Q.docs_media_metadata,
     "docs_media_features": Q.docs_media_features,
@@ -149,6 +157,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_ivf": Q.emb_knn_ivf,
     "emb_cosine_dups": Q.emb_cosine_dups,
     "emb_dup_groups": Q.emb_dup_groups,
+    "emb_norm_stats": Q.emb_norm_stats,
 }
 
 

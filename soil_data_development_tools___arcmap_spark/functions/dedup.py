@@ -679,3 +679,36 @@ def dup_groups(
         "group_rep",
         (F.col("did") == F.col("group_rep")).cast("int").alias("is_rep"),
     )
+
+
+def resolve_keep_best(
+    groups: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup resolution: per near-dup group, keep the
+    member with the HIGHEST score (ties → lowest id) instead of
+    ``dup_groups``'s arbitrary min-id representative — the policy a
+    training corpus actually wants (drop the worse copy, not a random
+    one). One broadcast-free equi-join on the id plus one argbest
+    struct aggregate on the group key: the max(struct) combines
+    map-side, so the shuffle carries one candidate per (group,
+    partition), and ties on score resolve to the smallest id via the
+    negated-id field — no per-group sort, no window."""
+    j = groups.join(scores.select(id_col, score_col), id_col)
+    best = j.groupBy("group_rep").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("__b"),
+    )
+    return best.select(
+        "group_rep",
+        (-F.col("__b.nid")).alias("keep_id"),
+        F.col("__b.s").alias("best_score"),
+        "n_members",
+    )

@@ -2106,3 +2106,128 @@ SELECT rating AS value, COUNT(*) AS n
 FROM ({ORACLES["sdv_dcp_categorical"]})
 GROUP BY rating
 """
+
+
+# ------------------------------------------- round-3 breadth batch
+
+_TTR = """
+SELECT doc_id, CAST(floor((len(list_distinct(t))/len(t))*10000) AS BIGINT)
+       AS ttr_e4
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+ORACLES["docs_dedup_keep_best"] = f"""
+WITH g AS ({ORACLES["docs_dup_groups"]}),
+q AS ({_TTR}),
+j AS (SELECT g.group_rep, g.doc_id, q.ttr_e4 AS score
+      FROM g JOIN q USING (doc_id))
+SELECT group_rep, keep_id, best_score, n_members FROM (
+  SELECT group_rep, doc_id AS keep_id, score AS best_score,
+         row_number() OVER (PARTITION BY group_rep
+                            ORDER BY score DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY group_rep) AS n_members
+  FROM j)
+WHERE rn = 1
+"""
+
+ORACLES["docs_quality_buckets"] = f"""
+WITH q AS ({_TTR}),
+j AS (SELECT d.doc_id, d.lang, q.ttr_e4
+      FROM documents d JOIN q USING (doc_id))
+SELECT doc_id, lang, ttr_e4, CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
+FROM (SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ttr_e4 ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM j)
+"""
+
+ORACLES["emb_norm_stats"] = """
+WITH n AS (
+  SELECT label,
+         CAST(list_aggregate(
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) *
+                  CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+           'sum') AS BIGINT) AS n2
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs, MIN(n2) AS min_n2, MAX(n2) AS max_n2,
+       CAST(SUM(n2) AS BIGINT) AS sum_n2
+FROM n GROUP BY label
+"""
+
+ORACLES["events_pivot_daily"] = """
+SELECT epoch_us(ts) // 86400000000 AS day_num,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+            AS BIGINT) AS n_click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0)
+            AS BIGINT) AS n_error,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+            AS BIGINT) AS n_purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+            AS BIGINT) AS n_signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+            AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+ORACLES["events_type_rollup"] = """
+SELECT event_type, day_num,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day_num) AS INTEGER) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(vc) AS BIGINT) AS value_c
+FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events)
+GROUP BY ROLLUP(event_type, day_num)
+"""
+
+# >= gap (not the batch form's strict >): F.session_window's
+# [t, t+gap) windows do not overlap when the gap is exactly met
+ORACLES["events_stream_session_window"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT *, lag(ts_us) OVER (
+        PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev
+      FROM e)
+SELECT user_id,
+       CAST(COALESCE(SUM(CAST(ts_us - prev >= 1800000000 AS INTEGER)), 0) + 1
+            AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM l GROUP BY user_id
+"""
+
+ORACLES["q4_order_priority"] = """
+WITH o AS (SELECT * FROM orders
+           WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01')
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q13_customer_distribution"] = """
+WITH o AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
+pc AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+       FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+       GROUP BY 1)
+SELECT c_count, COUNT(*) AS custdist FROM pc GROUP BY c_count
+"""
+
+ORACLES["q22_sales_opportunity"] = """
+WITH pool AS (SELECT * FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+a AS (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+             COUNT(*) AS k
+      FROM pool WHERE c_acctbal > 0)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_c
+FROM pool, a
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * a.k > a.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pool.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""

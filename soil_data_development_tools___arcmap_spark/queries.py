@@ -2350,3 +2350,212 @@ def emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=8,
         bands=6,
     )
+
+
+# ------------------------------------------- round-3 breadth batch
+
+
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: near-dup groups (3-gram Jaccard ≥ 0.3 →
+    connected components) resolved by KEEPING the member with the
+    highest type-token ratio instead of the arbitrary min-id rep —
+    the drop-the-worse-copy policy a training corpus wants. Group
+    resolution + one argbest struct aggregate; no window, no sort."""
+    from .functions.dedup import dup_groups, resolve_keep_best
+    from .functions.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = dup_groups(docs)
+    scores = quality_features(docs).select(
+        "doc_id", F.col("ttr_e4").alias("score")
+    )
+    return resolve_keep_best(groups, scores)
+
+
+def docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality terciles per language:
+    bucket = ((rank−1)·3) div n under the total order (ttr_e4, doc_id)
+    — exact integer terciles, no float percentile interpolation.
+    The rank is a per-language window; with only a handful of language
+    partitions at 100 TB the honest scale path is a two-pass exact
+    selection (per-language count, then order-statistic thresholds at
+    indices n/3 and 2n/3 broadcast back as range predicates) — same
+    answer, no single-task whole-language sort; the window form here
+    keeps the plan one stage at test scale."""
+    from .functions.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ttr_e4").asc(), F.col("doc_id").asc()
+    )
+    ws = Window.partitionBy("lang")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(ws))
+        .select(
+            "doc_id",
+            "lang",
+            "ttr_e4",
+            F.expr("CAST(((rn - 1) * 3) div n AS INT)").alias("bucket"),
+        )
+    )
+
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm profile over the e6-quantized vectors
+    (exact integer squared norms — the pre-normalization sanity check
+    an embedding pipeline runs before cosine math). One map-side
+    projection + one groupBy on the label; no shuffle of the vectors
+    themselves, only (label, long) pairs."""
+    from .functions.similarity import quantize_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = quantize_embedding("embedding")
+    n2 = F.aggregate(
+        F.transform(qv, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select("label", n2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("n2").alias("min_n2"),
+            F.max("n2").alias("max_n2"),
+            F.sum("n2").alias("sum_n2"),
+        )
+    )
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type PIVOT (wide daily activity matrix): explicit
+    value list so the output schema is static — Spark skips the
+    distinct-values collect pass and the plan is a single groupBy with
+    conditional counts, exactly what a 100 TB fact table wants."""
+    ev = read_events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    day = F.expr("(ts div 1000) div 86400000000").alias("day_num")
+    out = (
+        ev.select(day, "event_type")
+        .groupBy("day_num")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day_num",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, day) subtotal lattice — per-(type, day)
+    rows, per-type subtotals, grand total in ONE pass (Spark expands
+    the grouping sets map-side; no re-scan per level). gid
+    disambiguates subtotal NULLs from data NULLs; cent sums exact."""
+    ev = read_events(spark, sf_dir)
+    day = F.expr("(ts div 1000) div 86400000000").alias("day_num")
+    return (
+        ev.select("event_type", day, F.round(F.col("value") * 100).cast("long").alias("vc"))
+        .rollup("event_type", "day_num")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("day_num"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("value_c"),
+        )
+        .select("event_type", "day_num", "gid", "n", "value_c")
+    )
+
+
+def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts via the BUILT-IN streaming
+    ``F.session_window`` (engine-managed merging state; contrast with
+    the applyInPandasWithState custom operator). Boundary: a gap of
+    exactly 30 min starts a new session (windows don't overlap), so
+    this query has its own ``>=``-gap oracle rather than reusing the
+    strict-``>`` batch sessionize oracle."""
+    from .streaming.events import run_session_window_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_session_window_stream(spark, sf_dir)
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4-shaped order-priority check: EXISTS semi-join from
+    orders to late-shipped lineitems (adapted: l_shipdate ≥ orderdate
+    + 60 days plays the commit/receipt lateness the slim schema
+    lacks). left_semi carries no lineitem columns and never
+    multiplies order rows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01"))
+    )
+    late = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] >= F.date_add(o["o_orderdate"], 60)),
+        "left_semi",
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 — customer order-count distribution: LEFT OUTER join
+    so zero-order customers survive with count 0 (adapted filter:
+    exclude 1-URGENT orders in place of the comment LIKE the slim
+    schema lacks), then a histogram groupBy over the per-customer
+    counts. Two shuffles: custkey, then the (tiny-domain) count."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_c = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_c.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22-shaped global sales opportunity: customers in a
+    nation set, above the positive-balance average (scalar-subquery
+    broadcast), with no URGENT orders (left_anti against the filtered
+    order set — the synthetic data gives every customer some order, so
+    q22's bare NOT EXISTS would be vacuous). Balance average compared
+    in exact cents·count cross-multiplication — no float division in
+    the predicate. (c_nationkey plays q22's phone country code; the
+    slim schema has no c_phone.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    pool = cust.where(F.col("c_nationkey").isin(nations))
+    avg_row = pool.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    qual = pool.crossJoin(F.broadcast(avg_row)).where(
+        cents("c_acctbal") * F.col("k") > F.col("s")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = qual.join(
+        urgent, qual["c_custkey"] == urgent["o_custkey"], "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(cents("c_acctbal")).alias("totacctbal_c"),
+    )

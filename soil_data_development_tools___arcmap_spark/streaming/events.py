@@ -498,3 +498,47 @@ def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def session_windows_builtin(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Per-user sessions via the BUILT-IN ``F.session_window`` (vs the
+    applyInPandasWithState custom operator in ``sessionize_stateful``):
+    Spark merges overlapping [t, t+gap) windows natively, state is
+    managed by the engine, and the aggregation combines map-side.
+    Boundary semantics differ from the batch lag() form by one point:
+    an event exactly ``gap`` after its predecessor starts a NEW session
+    here (windows [t1, t1+gap) and [t1+gap, ...) do not overlap), so
+    the oracle twin uses ``diff >= gap``, not ``>``."""
+    df = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return df.groupBy(
+        F.session_window("event_time", f"{gap_min} minutes").alias("w"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+
+
+def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the built-in session-window aggregation as a stream
+    (availableNow + complete mode + memory sink), then roll the
+    completed per-session table up to per-user counts — a second
+    stateful aggregation inside the stream would be illegal, and the
+    rollup over the (tiny) session table is plain batch work."""
+    name = "events_sessw_" + uuid.uuid4().hex[:8]
+    q = (
+        session_windows_builtin(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+        )
+    )
