@@ -107,6 +107,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_order_priority": Q.q4_order_priority,
     "q13_customer_distribution": Q.q13_customer_distribution,
     "q22_sales_opportunity": Q.q22_sales_opportunity,
+    "q7_volume_shipping": Q.q7_volume_shipping,
+    "q10_returned_items": Q.q10_returned_items,
+    "q12_late_lines": Q.q12_late_lines,
+    "q15_top_supplier": Q.q15_top_supplier,
+    "q17_small_quantity": Q.q17_small_quantity,
+    "q21_waiting_suppliers": Q.q21_waiting_suppliers,
     # events: batch analytics + Structured Streaming twin (SURVEY §2.9)
     "events_tumbling_daily": Q.events_tumbling_daily,
     "events_stream_tumbling": Q.events_stream_tumbling,
@@ -126,6 +132,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot_daily": Q.events_pivot_daily,
     "events_type_rollup": Q.events_type_rollup,
     "events_stream_session_window": Q.events_stream_session_window,
+    "events_funnel": Q.events_funnel,
+    "events_retention_cohorts": Q.events_retention_cohorts,
+    "events_hll_registers": Q.events_hll_registers,
     # documents: text analysis + dedup (north-star LLM pipeline)
     "docs_token_count": Q.docs_token_count,
     "docs_quality": Q.docs_quality,
@@ -147,6 +156,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_mix_sample": Q.docs_mix_sample,
     "docs_dedup_keep_best": Q.docs_dedup_keep_best,
     "docs_quality_buckets": Q.docs_quality_buckets,
+    "docs_gopher_rules": Q.docs_gopher_rules,
+    "docs_repetition": Q.docs_repetition,
     # multimodal binary columns: metadata / Pandas-UDF features / frames
     "docs_media_metadata": Q.docs_media_metadata,
     "docs_media_features": Q.docs_media_features,

@@ -210,3 +210,82 @@ def mix_sample(
         .where(F.pmod(F.col(id_col), F.lit(denom)) < F.col("rate"))
         .drop("rate")
     )
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1),
+    thresholds adapted so every rule discriminates on the synthetic
+    corpus: word-count window [20, 80], mean-word-length window
+    [4.0, 5.0] chars, >=2 distinct stopwords, and a type-token-ratio
+    floor 0.35 (the repetition proxy). The paper's symbol-ratio and
+    alpha-word rules are vacuous on an all-alphabetic vocabulary and
+    are omitted rather than shipped as always-true columns.
+
+    Every threshold is an exact integer cross-multiplication (e.g.
+    mean_len >= 3.5 as ``2*chars >= 7*n``) — no float compare, so the
+    keep decision is engine-exact. Pure Column expressions, one
+    map-only stage."""
+    t = tokens(col)
+    n = F.size(t)
+    chars = F.length(F.col(col)) - (n - F.lit(1))  # chars minus spaces
+    n_distinct = F.size(F.array_distinct(t))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    r_wc = (n >= 20) & (n <= 80)
+    r_mwl = (chars >= n * 4) & (chars <= n * 5)
+    r_stop = n_stop >= 2
+    r_ttr = n_distinct * 20 >= n * 7
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        r_wc.cast("int").alias("r_wordcount"),
+        r_mwl.cast("int").alias("r_mean_word_len"),
+        r_stop.cast("int").alias("r_stopwords"),
+        r_ttr.cast("int").alias("r_ttr"),
+        (r_wc & r_mwl & r_stop & r_ttr).cast("int").alias("keep"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher dup-ngram
+    family): per document, the occurrence count of its MOST FREQUENT
+    word 2-gram, the total/distinct 2-gram counts, and the top-gram
+    fraction (e4, exact integer division). A templated or looping
+    document shows a high top fraction long before exact-dup or
+    MinHash catches it.
+
+    Plan: adjacent-pair zip (two array slices, no self-join) →
+    explode → count by (doc, gram) → max/sum per doc. Both shuffles
+    key on (doc_id[, gram]), combine map-side, and carry counts only —
+    at 100 TB the gram shuffle is bounded by tokens-per-doc, never by
+    corpus-pair cardinality."""
+    t = tokens(col)
+    grams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = df.select(id_col, F.explode(grams).alias("gram"))
+    per = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.max("c").alias("top_gram_n"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "top_gram_n",
+            "n_distinct_grams",
+            F.expr("top_gram_n * 10000 div n_grams").alias("top_frac_e4"),
+        )
+    )

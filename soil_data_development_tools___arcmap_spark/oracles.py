@@ -2231,3 +2231,187 @@ WHERE CAST(round(c_acctbal * 100) AS BIGINT) * a.k > a.s
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """
+
+
+# ------------------------------------------- round-3 batch 2
+
+ORACLES["docs_gopher_rules"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                  length(text) AS nc FROM documents),
+f AS (SELECT doc_id,
+             len(w) AS n,
+             nc - (len(w) - 1) AS chars,
+             len(list_distinct(w)) AS nd,
+             len(list_intersect(list_distinct(w),
+                 ['the', 'a', 'and', 'of', 'to', 'in'])) AS ns
+      FROM t)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       CAST(n >= 20 AND n <= 80 AS INTEGER) AS r_wordcount,
+       CAST(chars >= n * 4 AND chars <= n * 5 AS INTEGER)
+         AS r_mean_word_len,
+       CAST(ns >= 2 AS INTEGER) AS r_stopwords,
+       CAST(nd * 20 >= n * 7 AS INTEGER) AS r_ttr,
+       CAST((n >= 20 AND n <= 80) AND (chars >= n * 4 AND chars <= n * 5)
+            AND ns >= 2 AND nd * 20 >= n * 7 AS INTEGER) AS keep
+FROM f
+"""
+
+ORACLES["docs_repetition"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM t),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       SUM(c) AS n_grams,
+       MAX(c) AS top_gram_n,
+       COUNT(*) AS n_distinct_grams,
+       (MAX(c) * 10000) // SUM(c) AS top_frac_e4
+FROM per GROUP BY doc_id
+"""
+
+ORACLES["events_funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+a AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        OVER (PARTITION BY user_id) AS t1 FROM e),
+b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t1
+        AND ts_us <= t1 + 86400000000
+        THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM a),
+c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+        AND ts_us <= t2 + 86400000000
+        THEN ts_us END) OVER (PARTITION BY user_id) AS t3 FROM b),
+u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM c)
+SELECT COUNT(*) AS n_users, COUNT(t1) AS n_view,
+       COUNT(t2) AS n_click, COUNT(t3) AS n_purchase
+FROM u
+"""
+
+ORACLES["events_retention_cohorts"] = """
+WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             FROM events),
+c AS (SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM act)
+SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_active
+FROM c GROUP BY cohort_day, day - cohort_day
+"""
+
+ORACLES["events_hll_registers"] = """
+WITH h AS (SELECT DISTINCT
+             ((user_id * 48271) % 2147483647) * 48271 % 2147483647 AS h2
+           FROM events),
+r AS (SELECT h2 % 64 AS bucket, h2 // 64 AS q FROM h)
+SELECT bucket,
+       MAX(CASE WHEN q = 0 THEN 26
+                ELSE bit_count((q & -q) - 1) + 1 END) AS max_rho,
+       COUNT(*) AS n_hashes
+FROM r GROUP BY bucket
+"""
+
+ORACLES["q7_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c2
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1997-01-01'
+  AND ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+       OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q10_returned_items"] = """
+WITH per_c AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c2
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-04-01'
+  GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, p.revenue_c2,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+       n.n_name
+FROM per_c p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY p.revenue_c2 DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["q12_late_lines"] = """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1996-01-01'
+GROUP BY 1
+"""
+
+ORACLES["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_c2
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_c2
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue_c2 = (SELECT MAX(total_revenue_c2) FROM rev)
+"""
+
+ORACLES["q17_small_quantity"] = """
+WITH li AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+         l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#1'),
+stats AS (SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_lines
+          FROM li GROUP BY l_partkey),
+q AS (SELECT li.l_extendedprice
+      FROM li JOIN stats USING (l_partkey)
+      WHERE li.qty * 5 * stats.n_lines < stats.sum_qty)
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_c,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT)
+         AS avg_yearly_c
+FROM q
+"""
+
+ORACLES["q21_waiting_suppliers"] = """
+WITH lines AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'),
+l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s.s_suppkey, s.s_name
+"""

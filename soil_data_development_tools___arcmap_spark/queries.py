@@ -2559,3 +2559,340 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(cents("c_acctbal")).alias("totacctbal_c"),
     )
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter: per-rule pass/fail columns +
+    the conjunction keep flag, exact integer thresholds throughout."""
+    from .functions.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition: top word-2-gram count / fraction per
+    document — the templated-text signal exact-dup misses."""
+    from .functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase with a 24 h
+    conversion window per step: per user, the earliest view, the
+    earliest click within (t1, t1+24h], the earliest purchase within
+    (t2, t2+24h] — then one global stage-count row (150 -> 150 -> 60
+    -> 25 at sf0.01; without the window every user trivially converts
+    over a month of events). Three chained conditional-min windows
+    over the SAME user partitioning (one exchange; each min references
+    the previous stage's time), then a per-user collapse and a
+    single-row count aggregate. No self-joins — the classic funnel
+    N-way join shape collapses into one pass over the (already
+    user-partitioned) events."""
+    win_us = 86400000000  # 24 h conversion window per step
+    ev = read_events(spark, sf_dir)
+    e = ev.select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    d1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + win_us),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    d2 = d1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + win_us),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    d3 = d2.withColumn("t3", t3)
+    per_user = d3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: cohort = a user's first active day;
+    count active users per (cohort_day, day_offset). Distinct
+    (user, day) first — the raw-event fan-in collapses map-side before
+    any window — then a min-over-user window (same user shuffle) and a
+    count per cell. The cell count is a plain count because (user,
+    day) is already distinct: no count(distinct) shuffle."""
+    ev = read_events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    d = act.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        d.select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch with ENGINE-EXACT registers: a
+    64-register HyperLogLog-shaped sketch over user_id built from a
+    double Lehmer LCG hash ((id*48271) mod 2^31-1, twice) — both
+    engines compute identical buckets and rho values, so the oracle
+    hash certifies the sketch itself, not just an estimate. rho =
+    trailing-zero count of the remaining bits + 1 via bit_count((q &
+    -q) - 1) — pure integer ops, no log2 float. The register table is
+    what a 1000-executor cluster would actually ship to the driver
+    (64 rows), merged with max() — the partial aggregate IS the sketch
+    merge. (Spark's native approx_count_distinct gives the same shape
+    but its HLL++ registers aren't reproducible in DuckDB.)"""
+    ev = read_events(spark, sf_dir)
+    h = ev.select(
+        F.expr(
+            "((user_id * 48271) % 2147483647) * 48271 % 2147483647"
+        ).alias("h2")
+    ).distinct()
+    r = h.select(
+        F.expr("h2 % 64").alias("bucket"), F.expr("h2 div 64").alias("q")
+    )
+    return r.groupBy("bucket").agg(
+        F.expr(
+            "max(CASE WHEN q = 0 THEN 26 "
+            "ELSE bit_count((q & -q) - 1) + 1 END)"
+        ).alias("max_rho"),
+        F.count(F.lit(1)).alias("n_hashes"),
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 volume shipping: revenue between two nation pairs
+    (supplier nation x customer nation, both directions) by ship
+    year. lineitem⨝orders is the only fact-fact shuffle; supplier,
+    customer and nation are broadcast dims; the pair predicate
+    applies post-join on the two broadcast-sourced keys."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == n1["s_nk"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == n2["c_nk"])
+        .where(
+            ((n1["s_nk"] == 1) & (n2["c_nk"] == 2))
+            | ((n1["s_nk"] == 2) & (n2["c_nk"] == 1))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "revenue_c2"
+            )
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 returned-item reporting: lost revenue per customer
+    from 'R'-flag lineitems of Q1-1995 orders, top 20 (deterministic
+    tiebreak on custkey — plain LIMIT after a revenue sort is
+    ambiguous under ties and would flap the oracle hash)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+        "revenue_c2"
+    )
+    per_c = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(rev)
+    )
+    return (
+        per_c.join(cust, per_c["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue_c2",
+            cents("c_acctbal").alias("acctbal_c"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue_c2").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12-shaped priority-by-lateness matrix (adapted: the slim
+    schema has no l_shipmode/commitdate, so the bucket is shipdate
+    lateness vs orderdate + 30 days): per bucket, how many lines came
+    from high-priority (URGENT/HIGH) vs lower-priority orders. One
+    fact-fact join, one tiny groupBy — the conditional counts fold
+    into the aggregate, no pivot pass."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30), "late"
+    ).otherwise("ontime")
+    return (
+        j.select(bucket.alias("ship_bucket"), high.alias("high"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.col("high").cast("long")).alias("high_line_count"),
+            F.sum((~F.col("high")).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 top supplier: per-supplier revenue over Q1-1996, keep
+    the supplier(s) achieving the maximum. The max is a one-row
+    aggregate broadcast back over the per-supplier table (the scalar
+    subquery shape) — revenue is exact integer cents so 'equals max'
+    is well-defined cross-engine, no float-equality hazard."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("total_revenue_c2")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_c2").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_c2") == F.col("mx"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue_c2")
+        )
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 small-quantity-order revenue: lines of Brand#1 parts
+    whose quantity is below 20% of that part's average quantity. The
+    per-part average is a groupBy re-joined on partkey (both sides
+    share the partkey shuffle); the 0.2x threshold compares as qty * 5
+    * n < sum_qty — integer cross-multiplication, no float average.
+    Output: total extended price (cents) of qualifying lines and its
+    /7 'yearly' figure as exact integer division."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    qty = F.col("l_quantity").cast("long")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_lines")
+    )
+    j = li.join(stats, "l_partkey").where(
+        qty * 5 * F.col("n_lines") < F.col("sum_qty")
+    )
+    return j.agg(
+        F.sum(cents("l_extendedprice")).alias("total_c"),
+        F.count(F.lit(1)).alias("n_small"),
+    ).select(
+        "total_c",
+        "n_small",
+        F.expr("total_c div 7").alias("avg_yearly_c"),
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21-shaped waiting-supplier census (adapted lateness:
+    l_shipdate > o_orderdate + 60 days stands in for the missing
+    receipt/commit dates): suppliers whose line was late on a
+    finished multi-supplier order where EVERY OTHER supplier was on
+    time. One semi-join (another supplier exists) + one anti-join
+    (no other LATE supplier) against the same order-keyed line set —
+    all three legs share the orderkey shuffle key."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias(
+            "late"
+        ),
+    )
+    l1 = lines.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    l2 = lines.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    l3 = (
+        lines.where(F.col("late"))
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["o2"]) & (l1["l_suppkey"] != l2["s2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1["l_orderkey"] == l3["o3"]) & (l1["l_suppkey"] != l3["s3"]),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"]
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

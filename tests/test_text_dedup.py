@@ -278,3 +278,62 @@ def test_chunk_documents_windows(spark):
     # fingerprints are distinct across chunks of the same doc
     fps = {r["chunk_fp"] for r in out if r["doc_id"] == 1}
     assert len(fps) == 3
+
+
+def test_gopher_rules_discriminate(spark):
+    from soil_data_development_tools___arcmap_spark.functions.text import (
+        gopher_rules,
+    )
+
+    data = [
+        # 25 tokens, mwl in window, has 'the'+'a', distinct enough -> keep
+        (1, "the quick brown foxy " * 5 + "runs a mile home today"),
+        (2, "tiny doc"),  # fails word count
+        (3, "the a " + "word " * 30),  # low ttr + short words
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in data], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["r_wordcount"] == 0 and out[2]["keep"] == 0
+    assert out[3]["r_ttr"] == 0 and out[3]["keep"] == 0
+
+
+def test_repetition_stats_top_gram(spark):
+    from soil_data_development_tools___arcmap_spark.functions.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab cd ab cd ab"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    # doc 1 2-grams: "ab cd" x2, "cd ab" x2 -> top 2 of 4
+    assert out[1]["n_grams"] == 4 and out[1]["top_gram_n"] == 2
+    assert out[1]["top_frac_e4"] == 5000
+    assert out[2]["top_gram_n"] == 1 and out[2]["n_distinct_grams"] == 3
+
+
+def test_resolve_keep_best_prefers_score_then_id(spark):
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        resolve_keep_best,
+    )
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "did long, group_rep long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)], "did long, score long"
+    )
+    out = {
+        r["group_rep"]: r.asDict()
+        for r in resolve_keep_best(
+            groups, scores, id_col="did", score_col="score"
+        ).collect()
+    }
+    # highest score wins; tie on 99 -> lowest id (2)
+    assert out[1]["keep_id"] == 2 and out[1]["best_score"] == 99
+    assert out[1]["n_members"] == 3
+    assert out[7]["keep_id"] == 7 and out[7]["n_members"] == 1
