@@ -158,6 +158,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_buckets": Q.docs_quality_buckets,
     "docs_gopher_rules": Q.docs_gopher_rules,
     "docs_repetition": Q.docs_repetition,
+    "docs_dup_spans": Q.docs_dup_spans,
     # multimodal binary columns: metadata / Pandas-UDF features / frames
     "docs_media_metadata": Q.docs_media_metadata,
     "docs_media_features": Q.docs_media_features,

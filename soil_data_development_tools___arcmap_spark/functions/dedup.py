@@ -712,3 +712,50 @@ def resolve_keep_best(
         F.col("__b.s").alias("best_score"),
         "n_members",
     )
+
+
+def dup_spans(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text", k: int = 5
+) -> DataFrame:
+    """Exact duplicated-span profile (the Lee et al. 2021 substring-
+    dedup signal, k-token granularity): per document, how many of its
+    k-gram POSITIONS also occur in some OTHER document, and that
+    fraction e4. Unlike the Jaccard/MinHash family this flags partial
+    template reuse — a unique doc wrapping a copied paragraph.
+
+    Shape: positions explode → gram popularity as min(doc) != max(doc)
+    (one agg on the gram key — deliberately NOT count(distinct), the
+    min/max pair combines map-side for the same answer) → re-join on
+    the gram key (same shuffle key, exchange reuse) → per-doc counts.
+    Fan-out is linear in token positions; there is no pair join, so a
+    corpus-wide stop-gram ('the end of') costs one hot reduce key, not
+    a quadratic bucket — at 100 TB the gram shuffle is the cost, and
+    it is tokens x 1, same order as the corpus scan itself."""
+    w = df.select(id_col, F.split(F.col(col), " ").alias("w"))
+    grams_ = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("w")) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("w"), i + j) for j in range(k)]
+        ),
+    )
+    grams = F.when(F.size(F.col("w")) >= k, grams_).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = w.select(id_col, F.explode(grams).alias("gram"))
+    pop = g.groupBy("gram").agg(
+        (F.min(id_col) != F.max(id_col)).cast("int").alias("dup")
+    )
+    j = g.join(pop, "gram")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("dup").alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.expr("n_dup_spans * 10000 div n_spans").alias("dup_frac_e4"),
+        )
+    )

@@ -2415,3 +2415,20 @@ WHERE EXISTS (SELECT 1 FROM lines l2
                     AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
 GROUP BY s.s_suppkey, s.s_name
 """
+
+
+ORACLES["docs_dup_spans"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 3),
+                    i -> list_aggregate(w[i:i + 4], 'string_agg', ' ')))
+               AS gram
+      FROM t),
+pop AS (SELECT gram, CAST(MIN(doc_id) <> MAX(doc_id) AS INTEGER) AS dup
+        FROM g GROUP BY gram),
+j AS (SELECT g.doc_id, pop.dup FROM g JOIN pop USING (gram))
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(dup) AS BIGINT) AS n_dup_spans,
+       (SUM(dup) * 10000) // COUNT(*) AS dup_frac_e4
+FROM j GROUP BY doc_id
+"""

@@ -337,3 +337,24 @@ def test_resolve_keep_best_prefers_score_then_id(spark):
     assert out[1]["keep_id"] == 2 and out[1]["best_score"] == 99
     assert out[1]["n_members"] == 3
     assert out[7]["keep_id"] == 7 and out[7]["n_members"] == 1
+
+
+def test_dup_spans_flags_shared_kgram(spark):
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        dup_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z w v"),   # shares "a b c d e" with doc 2
+            (2, "a b c d e p q r s t"),
+            (3, "m n o p q r s t u m"),   # shares "p q r s t" with doc 2
+            (4, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k0"),  # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dup_spans(df, k=5).collect()}
+    assert all(out[i]["n_spans"] == 6 for i in out)
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_frac_e4"] == 1666
+    assert out[2]["n_dup_spans"] == 2
+    assert out[4]["n_dup_spans"] == 0
