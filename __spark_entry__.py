@@ -133,6 +133,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_rollup": Q.events_type_rollup,
     "events_stream_session_window": Q.events_stream_session_window,
     "events_funnel": Q.events_funnel,
+    "events_stream_funnel": Q.events_stream_funnel,
     "events_retention_cohorts": Q.events_retention_cohorts,
     "events_hll_registers": Q.events_hll_registers,
     # documents: text analysis + dedup (north-star LLM pipeline)

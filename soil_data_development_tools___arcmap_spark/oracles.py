@@ -2432,3 +2432,7 @@ SELECT doc_id, COUNT(*) AS n_spans,
        (SUM(dup) * 10000) // COUNT(*) AS dup_frac_e4
 FROM j GROUP BY doc_id
 """
+
+
+# streaming funnel ≡ batch funnel (same counts row)
+ORACLES["events_stream_funnel"] = ORACLES["events_funnel"]

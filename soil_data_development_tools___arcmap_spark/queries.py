@@ -2901,3 +2901,13 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import dup_spans
 
     return dup_spans(_t(spark, sf_dir, "documents"))
+
+
+def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_funnel``: per-user stage timestamps
+    as applyInPandasWithState state, batch-identical results (the
+    batch funnel oracle certifies the stream)."""
+    from .streaming.events import run_funnel_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_funnel_stream(spark, sf_dir)

@@ -542,3 +542,79 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ev").alias("n_events"),
         )
     )
+
+
+def funnel_stateful(
+    spark: SparkSession, sf_dir: str, win_us: int = 86_400_000_000
+) -> DataFrame:
+    """Custom stateful streaming funnel view -> click -> purchase with
+    a 24 h per-step conversion window, via ``applyInPandasWithState``
+    — the incremental form of the batch ``events_funnel`` query (whose
+    chained-window shape cannot run incrementally). State per user is
+    the (t1, t2, t3) stage-completion timestamps; a stage fills only
+    once, with the earliest qualifying event, so arrival-order
+    processing within (ts, event_id) order reproduces the batch
+    conditional-min exactly (same oracle certifies both). The strict
+    ``ts > prev`` comparisons match the batch form's tie behavior.
+
+    As with ``sessionize_stateful``, rows are sorted within the batch;
+    the availableNow file source delivers one batch, and a production
+    multi-batch source would add a watermark + event-time guard."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+    )
+
+    def fn(key, pdfs, state):
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        for ts, et in zip(rows["ts_us"], rows["event_type"]):
+            ts = int(ts)
+            if et == "view":
+                if t1 is None:
+                    t1 = ts
+            elif et == "click":
+                if t1 is not None and t2 is None and t1 < ts <= t1 + win_us:
+                    t2 = ts
+            elif et == "purchase":
+                if t2 is not None and t3 is None and t2 < ts <= t2 + win_us:
+                    t3 = ts
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, t1 long, t2 long, t3 long",
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful funnel to completion (availableNow + update
+    memory sink -> one row per user), then collapse the tiny per-user
+    stage table to the single funnel-counts row batch-side."""
+    name = "events_funnel_" + uuid.uuid4().hex[:8]
+    q = (
+        funnel_stateful(spark, sf_dir)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+    )

@@ -210,3 +210,19 @@ def test_stream_to_partitioned_sink(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert pruned.count() > 0
+
+
+def test_stateful_funnel_equals_batch(spark):
+    """The applyInPandasWithState funnel must reproduce the batch
+    chained-window funnel counts exactly."""
+    from soil_data_development_tools___arcmap_spark.queries import (
+        events_funnel,
+        events_stream_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = events_funnel(spark, sf).collect()[0].asDict()
+    stream = events_stream_funnel(spark, sf).collect()[0].asDict()
+    assert batch == stream
+    assert stream["n_users"] >= stream["n_view"] >= stream["n_click"]
+    assert stream["n_click"] >= stream["n_purchase"]
