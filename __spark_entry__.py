@@ -113,6 +113,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_supplier": Q.q15_top_supplier,
     "q17_small_quantity": Q.q17_small_quantity,
     "q21_waiting_suppliers": Q.q21_waiting_suppliers,
+    "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+    "q8_market_share": Q.q8_market_share,
+    "q9_product_profit": Q.q9_product_profit,
+    "q11_important_stock": Q.q11_important_stock,
+    "q16_supplier_cnt": Q.q16_supplier_cnt,
+    "q19_discounted_revenue": Q.q19_discounted_revenue,
+    "q20_potential_promotion": Q.q20_potential_promotion,
     # events: batch analytics + Structured Streaming twin (SURVEY §2.9)
     "events_tumbling_daily": Q.events_tumbling_daily,
     "events_stream_tumbling": Q.events_stream_tumbling,

@@ -2436,3 +2436,136 @@ FROM j GROUP BY doc_id
 
 # streaming funnel ≡ batch funnel (same counts row)
 ORACLES["events_stream_funnel"] = ORACLES["events_funnel"]
+
+
+# --- TPC-H completion batch (partsupp-adapted; see queries.py) ---
+
+ORACLES["q2_min_cost_supplier"] = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(round(s_acctbal*100) AS BIGINT) AS s_acctbal_c
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+offers AS (
+  SELECT l.l_partkey AS p_partkey, s.s_suppkey, s.s_name, s.n_name,
+         s.s_acctbal_c,
+         MIN(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS cost_c
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supp s ON l.l_suppkey = s.s_suppkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+  GROUP BY 1,2,3,4,5),
+best AS (
+  SELECT p_partkey AS bp, MIN(cost_c) AS min_cost_c
+  FROM offers GROUP BY 1)
+SELECT o.s_acctbal_c, o.s_name, o.n_name, o.p_partkey, b.min_cost_c
+FROM offers o
+JOIN best b ON o.p_partkey = b.bp AND o.cost_c = b.min_cost_c
+ORDER BY o.s_acctbal_c DESC, o.n_name, o.s_name, o.p_partkey
+LIMIT 100
+"""
+
+ORACLES["q8_market_share"] = """
+WITH v AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END)
+            AS BIGINT) AS nation_vol_c2,
+       CAST(SUM(vol) AS BIGINT) AS total_vol_c2,
+       CAST(floor(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END)
+            * 10000 / SUM(vol)) AS BIGINT) AS mkt_share_e4
+FROM v GROUP BY o_year
+"""
+
+ORACLES["q9_product_profit"] = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+            - CAST(round(p.p_retailprice*100) AS BIGINT)
+              * CAST(l.l_quantity AS BIGINT) * 100) AS BIGINT)
+         AS sum_profit_c2
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE 'red %'
+GROUP BY 1, 2
+"""
+
+ORACLES["q11_important_stock"] = """
+WITH v AS (
+  SELECT l.l_partkey,
+         CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS value_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1)
+SELECT l_partkey, value_c
+FROM v, (SELECT SUM(value_c) AS total_c FROM v) t
+WHERE value_c * 1000 > total_c
+"""
+
+ORACLES["q16_supplier_cnt"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q19_discounted_revenue"] = """
+SELECT CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c2,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["q20_potential_promotion"] = """
+WITH pairs AS (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'hot %'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM(CASE WHEN year(l.l_shipdate) = 1996
+                  THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) * 4
+         > SUM(CAST(l.l_quantity AS BIGINT)) * 3),
+qual AS (
+  SELECT l_suppkey FROM pairs GROUP BY 1 HAVING COUNT(*) >= 10)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+"""
