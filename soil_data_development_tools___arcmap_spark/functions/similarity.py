@@ -366,3 +366,89 @@ def cosine_dup_pairs(
         .select("i", "j", cos.alias("cos_e6"))
         .where(F.col("cos_e6") >= threshold_e6)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau_e2: int = 30,
+    scale: int = 100,
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    within embedding clusters. An item is DROPPED when any
+    lower-ranked item in its cluster has cosine similarity above tau
+    (rank = id order here — the paper shows the keep-choice barely
+    matters); kept items are the semantic representatives.
+
+    The pairwise pass is deliberately restricted to WITHIN-cluster
+    pairs — that is the whole point of the algorithm: k-means (or any
+    partitioner; the precomputed ``cluster_col`` here) bounds the n^2
+    term at sum(cluster_size^2), and at 100 TB you size k so clusters
+    fit a task (~100k rows -> 1e10 int ops, seconds on a core). The
+    self-join shuffles both sides on ``cluster_col`` once; everything
+    after is map-side.
+
+    Cross-engine exactness: embeddings are scaled to integers
+    (round(x*scale)) BEFORE any arithmetic, and cos > tau is evaluated
+    as dot > 0 AND dot^2 * 1e4 > tau_e2^2 * |a|^2 * |b|^2 — pure
+    BIGINT cross-multiplication, so the DuckDB oracle reproduces every
+    keep/drop decision bit-for-bit (no float cosine anywhere). With
+    scale=100 and 64 dims the worst-case product is ~1e15, well inside
+    int64."""
+    v = F.expr(
+        f"transform({vec_col}, x -> cast(round(x * {scale}) as bigint))"
+    )
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(cluster_col).alias("cl"),
+        v.alias("v"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.col("v"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = (F.col("dot") > 0) & (
+        F.col("dot") * F.col("dot") * 10000
+        > F.lit(tau_e2 * tau_e2) * F.col("na") * F.col("nb")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("b.cl").alias("cl"),
+            F.col("b.vid").alias("vid"),
+            dot.alias("dot"),
+            F.col("a.n2").alias("na"),
+            F.col("b.n2").alias("nb"),
+        )
+        .where(sim)
+        .select("cl", "vid")
+        .distinct()
+    )
+    return (
+        e.join(dropped, ["cl", "vid"], "left_anti")
+        .groupBy(F.col("cl").alias(cluster_col))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(
+            emb.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n_vecs")),
+            cluster_col,
+        )
+        .select(
+            cluster_col,
+            "n_vecs",
+            "n_kept",
+            (F.col("n_vecs") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
