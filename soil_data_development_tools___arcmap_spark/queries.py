@@ -1476,11 +1476,22 @@ def valu1_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with the ns→long legacy conf: ``ts`` is exact integer
-    nanoseconds (Spark rejects TIMESTAMP(NANOS) parquet otherwise, and
-    integer ns keeps every derived value engine-exact)."""
+    """events with ``ts`` normalized to exact integer nanoseconds
+    since epoch (UTC). The driver's parquet stores ``ts`` as
+    TIMESTAMP(µs, NTZ); converting once at the scan (session tz UTC,
+    so Spark ``unix_micros`` == DuckDB ``epoch_us``) keeps every
+    derived value engine-exact integer math downstream. Long-typed
+    ``ts`` (ns, older generations) passes through unchanged."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") in ("timestamp", "timestamp_ntz"):
+        ev = ev.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "long"
+            ),
+        )
+    return ev
 
 
 def valu1_first_restriction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,8 +8,11 @@ file-source readStream, so the correctness oracle for the batch form
 certifies the streaming form (exactly-once file source + deterministic
 agg ⇒ identical results at availableNow completion).
 
-Timestamps: ``ts`` is integer nanoseconds (see queries.read_events);
-day = µs // 86_400_000_000 keeps everything in exact integer space.
+Timestamps: the parquet source carries ``ts`` as TIMESTAMP(µs, NTZ);
+``_ts_ns`` converts it to integer nanoseconds right after the scan
+(UTC session timezone, matching DuckDB's ``epoch_us``) so every
+downstream expression stays in exact integer space —
+day = µs // 86_400_000_000.
 At scale, the file source becomes Kafka and the watermark bounds
 state: ``with_watermark=True`` derives an event-time column and a
 1-day watermark so late data older than a day is dropped instead of
@@ -28,6 +31,7 @@ from pyspark.sql.types import (
     DoubleType,
     LongType,
     StringType,
+    TimestampNTZType,
     StructField,
     StructType,
 )
@@ -35,7 +39,7 @@ from pyspark.sql.types import (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
+        StructField("ts", TimestampNTZType()),  # µs-precision wall time
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -46,8 +50,22 @@ EVENTS_SCHEMA = StructType(
 US_PER_DAY = 86_400_000_000
 
 
+def _ts_ns(df: DataFrame) -> DataFrame:
+    """Replace the TIMESTAMP_NTZ ``ts`` with exact integer ns since
+    epoch (UTC). Long-typed ``ts`` (pre-regeneration testdata) passes
+    through untouched."""
+    if dict(df.dtypes).get("ts") in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "long"
+            ),
+        )
+    return df
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file source only accepts directories; sf_dir mixes all tables
     # in one dir, so expose just the events file through a symlink dir
     # (zero-copy; in production the source is a real directory/Kafka).
@@ -63,7 +81,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dir = tempfile.mkdtemp(prefix="sddt_events_stream_")
         os.symlink(src, os.path.join(stream_dir, "events.parquet"))
         cache[src] = stream_dir
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    return _ts_ns(spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir))
 
 
 def tumbling_daily(events: DataFrame, with_watermark: bool = False) -> DataFrame:
@@ -370,7 +388,11 @@ def _stream_dir_with_flush_sentinels(spark: SparkSession, sf_dir: str) -> str:
             (-1, SENTINEL_TS_NS, -1, "click", 0.0, None),
             (-2, SENTINEL_TS_NS, -2, "purchase", 0.0, None),
         ],
-        EVENTS_SCHEMA,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
     )
     tmp_out = tempfile.mkdtemp(prefix="sddt_sentinel_")
     sent.coalesce(1).write.mode("overwrite").parquet(tmp_out)
@@ -396,7 +418,7 @@ def run_attribution_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = _stream_dir_with_flush_sentinels(spark, sf_dir)
 
     def _stream():
-        return spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+        return _ts_ns(spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir))
 
     clicks = (
         _stream()
@@ -460,8 +482,7 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, os.path.join(stream_dir, "events_copy.parquet"))
         cache[src] = stream_dir
     ev = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(stream_dir)
+        _ts_ns(spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir))
         .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("event_time", "1 day")
         .dropDuplicatesWithinWatermark(["event_id"])
