@@ -178,6 +178,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_dups": Q.emb_cosine_dups,
     "emb_dup_groups": Q.emb_dup_groups,
     "emb_norm_stats": Q.emb_norm_stats,
+    # round 4: presentation cores (Bezier ramp, locale format, rotation),
+    # as-of join, cluster-pruned ANN + recall, SemDeDup pruning
+    "legend_color_ramp": Q.legend_color_ramp,
+    "report_number_format": Q.report_number_format,
+    "map_offset_angle": Q.map_offset_angle,
+    "events_asof_attribution": Q.events_asof_attribution,
+    "emb_knn_cluster": Q.emb_knn_cluster,
+    "emb_cluster_recall": Q.emb_cluster_recall,
+    "emb_semdedup": Q.emb_semdedup,
 }
 
 

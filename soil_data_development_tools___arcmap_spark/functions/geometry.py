@@ -64,3 +64,48 @@ def acres_e4(area2x: Column) -> Column:
     return F.floor(
         area2x * F.lit(ACRES_PER_SQM) / 2.0 * 10000.0
     ).cast("long")
+
+
+def offset_angle_d10(
+    ax: Column, ay: Column, bx: Column, by: Column, cx: Column, cy: Column
+) -> Column:
+    """Map-rotation offset angle in integer tenths of a degree — the
+    computation core of the reference's rotate-to-north tool
+    (OffsetAngle, MapRotateNorth.py:61-111): the signed angle ∠ABC
+    between vectors B→A and B→C, sign from the x-ordering of A and C,
+    rounded to one decimal like the reference (``round(degrees, 1)``)
+    then scaled ×10 into an exact integer. Applying the angle to the
+    ArcGIS data-frame is presentation; computing it is portable math.
+
+    Floating-point note: cos∠ = dot/(‖ba‖·‖bc‖) clamped to [−1, 1]
+    (the reference normalizes each vector first — same value, one
+    fewer rounding step here; the clamp replaces its try/except on
+    acos domain errors). The tenth-of-a-degree rounding absorbs any
+    cross-engine libm ulp differences."""
+    bax, bay = ax - bx, ay - by
+    bcx, bcy = cx - bx, cy - by
+    dot = bax * bcx + bay * bcy
+    nba = F.sqrt(bax * bax + bay * bay)
+    nbc = F.sqrt(bcx * bcx + bcy * bcy)
+    scale = F.least(F.greatest(dot / (nba * nbc), F.lit(-1.0)), F.lit(1.0))
+    deg1 = F.round(F.degrees(F.acos(scale)), 1)
+    s = F.signum(cx - ax)
+    return F.round(s * (F.lit(-1.0) * deg1) * 10).cast("long")
+
+
+def rotate_about_e4(
+    px: Column, py: Column, ox: Column, oy: Column, angle_d10: Column
+) -> tuple[Column, Column]:
+    """Affine rotation of point P about origin O by an angle given in
+    integer tenths of a degree (the ``offset_angle_d10`` output —
+    MapRotateNorth.py:124-161 applies exactly this rotation to the map
+    frame). Returns (x', y') quantized to round(v·10⁴) BIGINT so the
+    trig results hash identically across engines."""
+    theta = F.radians(angle_d10.cast("double") / 10.0)
+    dx, dy = px - ox, py - oy
+    rx = ox + F.cos(theta) * dx - F.sin(theta) * dy
+    ry = oy + F.sin(theta) * dx + F.cos(theta) * dy
+    return (
+        F.round(rx * 10000).cast("long"),
+        F.round(ry * 10000).cast("long"),
+    )

@@ -452,3 +452,77 @@ def semantic_dedup(
             (F.col("n_vecs") - F.col("n_kept")).alias("n_dropped"),
         )
     )
+
+
+def cluster_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+    col: str = "embedding",
+) -> DataFrame:
+    """Cluster-pruned cosine top-k: candidates are searched only inside
+    the query's precomputed partition (``cluster_col`` — a label, a
+    k-means assignment, an IVF list id). This is the search half of an
+    IVF index with nprobe=1 once the assignment column exists, and the
+    degenerate-fast member of the ANN family (brute force > IVF/LSH >
+    cluster-pruned): one equi-join on the partition key instead of a
+    cross product, so each query scans n/k of the data and the whole
+    pass is a broadcast-hash-join against the tiny query set — no
+    shuffle of the candidate side at any scale. Recall is measurable
+    against ``brute_force_topk`` via ``knn_recall``."""
+    from .dedup import _spread
+
+    qz = quantize_embedding(col)
+    q = emb.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("qid"),
+        F.col(cluster_col).alias("cl"),
+        qz.alias("qv"),
+    )
+    c = _spread(emb.where(F.col(id_col) >= query_ids_below), id_col).select(
+        F.col(id_col).alias("cid"),
+        F.col(cluster_col).alias("cl"),
+        qz.alias("cv"),
+    )
+    scored = c.join(F.broadcast(q), "cl").select(
+        "qid",
+        "cid",
+        _cos_e6(
+            _dot(F.col("qv"), F.col("cv")),
+            _norm2(F.col("qv")),
+            _norm2(F.col("cv")),
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("qid", "cid", "cos_e6", "rn")
+    )
+
+
+def knn_recall(exact: DataFrame, approx: DataFrame, topk: int = 5) -> DataFrame:
+    """recall@k of an approximate ANN result against the exact one:
+    per query, how many of the true top-k ids the approximate search
+    returned (hits ∈ 0..k, exact integers — no float recall ratio, so
+    the measurement itself is oracle-hashable). Both inputs are
+    (qid, cid, ...) top-k tables; the join is on the tiny result sets
+    (queries × k rows), never the data."""
+    e = exact.select("qid", "cid")
+    a = approx.select("qid", "cid")
+    hits = (
+        e.join(a, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        e.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "k",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        )
+    )

@@ -2569,3 +2569,157 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_name = 'NATION_7'
   AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
 """
+
+
+# ------------------------------------------------- round 4 additions
+
+ORACLES["legend_color_ramp"] = """
+WITH nn AS (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n
+            FROM orders),
+ctrl AS (SELECT * FROM (VALUES (0,255,0,0),(1,255,255,0),(2,0,255,0),
+                               (3,0,255,255),(4,0,0,255)) t(ci,r,g,b)),
+pairs AS (
+  SELECT a.ci AS p, a.r sr, a.g sg, a.b sb, f.r fr, f.g fg, f.b fb
+  FROM ctrl a JOIN ctrl f ON f.ci = a.ci + 1),
+pts AS (
+  SELECT p, gs.j, CAST(gs.j AS DOUBLE) / (nn.n - 1) AS t, nn.n,
+         sr, sg, sb, fr, fg, fb
+  FROM pairs, nn, generate_series(0, 4095) gs(j)
+  WHERE gs.j <= nn.n - 1),
+colors AS (
+  SELECT p * n + j AS pos,
+         CAST(floor((1.0 - t) * sr) + floor(t * fr) AS BIGINT) AS r,
+         CAST(floor((1.0 - t) * sg) + floor(t * fg) AS BIGINT) AS g,
+         CAST(floor((1.0 - t) * sb) + floor(t * fb) AS BIGINT) AS b,
+         n
+  FROM pts),
+lagd AS (
+  SELECT *, lag(r) OVER (ORDER BY pos) pr, lag(g) OVER (ORDER BY pos) pg,
+         lag(b) OVER (ORDER BY pos) pb
+  FROM colors),
+master AS (
+  SELECT row_number() OVER (ORDER BY pos) - 1 AS i, r, g, b, n
+  FROM lagd
+  WHERE pr IS NULL OR r <> pr OR g <> pg OR b <> pb),
+sized AS (
+  SELECT *, MAX(i) OVER () + 1 AS m FROM master),
+kept AS (
+  SELECT *,
+     CAST(round((m - n) / CAST(n - 1 AS DOUBLE)) AS BIGINT) AS skip
+  FROM sized)
+SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS class_idx,
+       r, g, b,
+       '#' || printf('%02x%02x%02x', r, g, b) AS hex
+FROM kept WHERE i % (skip + 1) = 0
+"""
+
+ORACLES["report_number_format"] = """
+WITH agg AS (
+  SELECT o_orderpriority AS rating, COUNT(*) AS n,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_c
+  FROM orders GROUP BY 1)
+SELECT rating,
+       format('{:,}', CAST(n AS BIGINT)) AS n_fmt,
+       format('{:,}', CAST(total_c // 100 AS BIGINT)) || '.' ||
+         lpad(CAST(total_c % 100 AS VARCHAR), 2, '0') AS total_fmt
+FROM agg
+"""
+
+ORACLES["map_offset_angle"] = """
+WITH pt AS (
+  SELECT c_custkey AS okey,
+         CAST(c_custkey % 50 AS DOUBLE) AS bx,
+         CAST(c_custkey % 30 AS DOUBLE) AS by,
+         CAST(c_custkey % 50 AS DOUBLE) + CAST(1 + c_custkey % 13 AS DOUBLE) AS ax,
+         CAST(c_custkey % 30 AS DOUBLE) + CAST(2 + c_custkey % 7 AS DOUBLE) AS ay,
+         CAST(c_custkey % 50 AS DOUBLE) + CAST(3 + c_custkey % 11 AS DOUBLE) AS cx,
+         CAST(c_custkey % 30 AS DOUBLE) - CAST(1 + c_custkey % 5 AS DOUBLE) AS cy
+  FROM customer),
+ang AS (
+  SELECT okey, ax, ay, bx, by,
+    CAST(round(sign(cx - ax) * (-1.0 *
+      round(degrees(acos(
+        LEAST(GREATEST(
+          ((ax-bx)*(cx-bx) + (ay-by)*(cy-by)) /
+          (sqrt((ax-bx)*(ax-bx) + (ay-by)*(ay-by)) *
+           sqrt((cx-bx)*(cx-bx) + (cy-by)*(cy-by))),
+        -1.0), 1.0))), 1)) * 10) AS BIGINT) AS angle_d10
+  FROM pt)
+SELECT okey, angle_d10,
+  CAST(round((bx + cos(radians(CAST(angle_d10 AS DOUBLE)/10.0))*(ax-bx)
+                 - sin(radians(CAST(angle_d10 AS DOUBLE)/10.0))*(ay-by))
+             * 10000) AS BIGINT) AS rx_e4,
+  CAST(round((by + sin(radians(CAST(angle_d10 AS DOUBLE)/10.0))*(ax-bx)
+                 + cos(radians(CAST(angle_d10 AS DOUBLE)/10.0))*(ay-by))
+             * 10000) AS BIGINT) AS ry_e4
+FROM ang
+"""
+
+ORACLES["events_asof_attribution"] = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('click', 'purchase')),
+m AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER w AS lc_id,
+    last_value(CASE WHEN event_type = 'click' THEN ts_us END
+               IGNORE NULLS) OVER w AS lc_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id AS purchase_id,
+       CASE WHEN ts_us - lc_ts <= 3600000000 THEN lc_id END AS click_id,
+       CASE WHEN ts_us - lc_ts <= 3600000000 THEN ts_us - lc_ts END AS gap_us
+FROM m WHERE event_type = 'purchase'
+"""
+
+ORACLES["emb_knn_cluster"] = f"""
+WITH {_EMB_Q},
+el AS (SELECT e.vec_id, emb.label, e.v
+       FROM e JOIN embeddings emb USING (vec_id)),
+q AS (SELECT vec_id AS qid, label, v AS qv FROM el WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, label, v AS cv FROM el WHERE vec_id >= 8),
+s AS (SELECT qid, cid, {_COS} AS cos_e6 FROM c JOIN q USING (label))
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+ORACLES["emb_cluster_recall"] = f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+approx AS ({ORACLES["emb_knn_cluster"]}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid
+"""
+
+ORACLES["emb_semdedup"] = """
+WITH e AS (
+  SELECT vec_id AS vid, label AS cl,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+  FROM embeddings),
+n2 AS (
+  SELECT vid, cl, v, list_dot_product(v, v) AS n2 FROM e),
+dropped AS (
+  SELECT DISTINCT b.cl, b.vid
+  FROM n2 a JOIN n2 b ON a.cl = b.cl AND a.vid < b.vid
+  WHERE list_dot_product(a.v, b.v) > 0
+    AND list_dot_product(a.v, b.v) * list_dot_product(a.v, b.v) * 10000
+        > 900 * a.n2 * b.n2),
+kept AS (
+  SELECT e.cl, COUNT(*) AS n_kept
+  FROM n2 e LEFT JOIN dropped d ON e.cl = d.cl AND e.vid = d.vid
+  WHERE d.vid IS NULL GROUP BY e.cl)
+SELECT e.cl AS label, COUNT(*) AS n_vecs, k.n_kept,
+       COUNT(*) - k.n_kept AS n_dropped
+FROM n2 e JOIN kept k ON e.cl = k.cl
+GROUP BY e.cl, k.n_kept
+"""

@@ -1480,9 +1480,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     since epoch (UTC). The driver's parquet stores ``ts`` as
     TIMESTAMP(µs, NTZ); converting once at the scan (session tz UTC,
     so Spark ``unix_micros`` == DuckDB ``epoch_us``) keeps every
-    derived value engine-exact integer math downstream. Long-typed
-    ``ts`` (ns, older generations) passes through unchanged."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    derived value engine-exact integer math downstream (``_t`` pins
+    the session tz to UTC). A plain-int64 ``ts`` (already ns) passes
+    through unchanged; Parquet TIMESTAMP(NANOS) files are not
+    supported — regenerate or read with
+    ``spark.sql.legacy.parquet.nanosAsLong``."""
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") in ("timestamp", "timestamp_ntz"):
         ev = ev.withColumn(
@@ -1923,7 +1925,6 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink) — hash-checked against the BATCH oracle SQL."""
     from .streaming.events import run_stream_to_table
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return run_stream_to_table(spark, sf_dir)
 
 
@@ -1933,7 +1934,6 @@ def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch events_sessionize."""
     from .streaming.events import run_sessionize_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return run_sessionize_stream(spark, sf_dir)
 
 
@@ -1956,7 +1956,6 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_sliding_window oracle (generate_series fan-out form)."""
     from .streaming.events import run_sliding_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return run_sliding_stream(spark, sf_dir)
 
 
@@ -1974,7 +1973,6 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch oracle."""
     from .streaming.events import run_enriched_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return run_enriched_stream(spark, sf_dir)
 
 
@@ -1996,7 +1994,6 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_attribution (inner-join output is micro-batch invariant)."""
     from .streaming.events import run_attribution_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return run_attribution_stream(spark, sf_dir)
 
 
@@ -2492,7 +2489,6 @@ def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict-``>`` batch sessionize oracle."""
     from .streaming.events import run_session_window_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return run_session_window_stream(spark, sf_dir)
 
 
@@ -2920,7 +2916,6 @@ def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch funnel oracle certifies the stream)."""
     from .streaming.events import run_funnel_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return run_funnel_stream(spark, sf_dir)
 
 
@@ -3196,3 +3191,150 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# round 4: presentation-core closers (SURVEY §2.7/§2.8 "out of scope" rows
+# re-expressed as portable computation) + ANN recall/pruning + as-of join
+# --------------------------------------------------------------------------
+
+
+def legend_color_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bezier legend color ramp (BezierColorRamp.py:180-282 Process;
+    ColorRamp, gSSURGO_CreateSoilMap.py:512-591): ramp size = the
+    legend's class count, data-derived as COUNT(DISTINCT
+    o_orderpriority) — the unique-values legend cardinality."""
+    from .functions.colorramp import bezier_legend_ramp
+
+    n_df = _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_orderpriority").alias("n")
+    )
+    return bezier_legend_ramp(n_df)
+
+
+def report_number_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale number formatting core (Number_Format,
+    gSSURGO_CreateSoilMap.py:205-219): the acreage-report presentation
+    pass — counts with thousands separators, money from exact cents
+    (integer-only formatting, so the strings hash identically across
+    engines; no float printf anywhere)."""
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("rating"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("total_c"),
+        )
+    )
+    return agg.select(
+        "rating",
+        F.format_number(F.col("n"), 0).alias("n_fmt"),
+        F.concat(
+            F.format_number((F.col("total_c") / 100).cast("long"), 0),
+            F.lit("."),
+            F.lpad((F.col("total_c") % 100).cast("string"), 2, "0"),
+        ).alias("total_fmt"),
+    )
+
+
+def map_offset_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotate-to-north core (MapRotateNorth.py:61-161): per customer a
+    deterministic point triple (A, B, C) is synthesized from the key
+    (same convention as acreage_geom's synthetic polygons), the signed
+    offset angle ∠ABC computed in integer tenths of a degree, and A
+    rotated about B by that angle — the affine transform the reference
+    applies to the ArcGIS data frame, minus the frame."""
+    from .functions.geometry import offset_angle_d10, rotate_about_e4
+
+    k = F.col("c_custkey")
+    d = lambda c: c.cast("double")  # noqa: E731
+    bx, by = d(k % 50), d(k % 30)
+    ax, ay = bx + d(1 + k % 13), by + d(2 + k % 7)
+    cx, cy = bx + d(3 + k % 11), by - d(1 + k % 5)
+    angle = offset_angle_d10(ax, ay, bx, by, cx, cy)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"), angle.alias("angle_d10"),
+        ax.alias("_ax"), ay.alias("_ay"), bx.alias("_bx"), by.alias("_by"),
+    )
+    rx, ry = rotate_about_e4(
+        F.col("_ax"), F.col("_ay"), F.col("_bx"), F.col("_by"),
+        F.col("angle_d10"),
+    )
+    return cust.select(
+        "okey", "angle_d10", rx.alias("rx_e4"), ry.alias("ry_e4")
+    )
+
+
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the LAST click of the same
+    user at-or-before it (ties on ts broken by event_id order), nulled
+    when the gap exceeds 1 hour. The scalable shape: one window over
+    the user-partitioned event stream — ``last(..., ignorenulls)``
+    over preceding rows — instead of a range self-join, so the plan is
+    a single shuffle on user_id regardless of how many clicks precede
+    each purchase (the range-join form explodes with click density;
+    this form is O(events))."""
+    ev = read_events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    lc_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    lc_ts = F.last(F.when(is_click, F.col("ts_us")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("lc_id", lc_id)
+        .withColumn("lc_ts", lc_ts)
+        .where(~is_click & (F.col("event_type") == "purchase"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.when(
+                F.col("ts_us") - F.col("lc_ts") <= 3600 * 1000000,
+                F.col("lc_id"),
+            ).alias("click_id"),
+            F.when(
+                F.col("ts_us") - F.col("lc_ts") <= 3600 * 1000000,
+                F.col("ts_us") - F.col("lc_ts"),
+            ).alias("gap_us"),
+        )
+    )
+
+
+def emb_knn_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pruned ANN: search only the query's label partition
+    (IVF search with a precomputed assignment, nprobe=1)."""
+    from .functions.similarity import cluster_topk
+
+    return cluster_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_cluster_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the cluster-pruned search against the exact
+    brute-force top-k — the measurement every ANN deployment needs
+    before trading accuracy for scan cost. Integer hits per query."""
+    from .functions.similarity import (
+        brute_force_topk,
+        cluster_topk,
+        knn_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), cluster_topk(emb))
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) cluster-scoped semantic pruning:
+    per label partition, drop any vector whose cosine to a lower-id
+    vector in the same partition exceeds tau; report per-cluster
+    kept/dropped counts. All-integer cross-multiplied comparisons."""
+    from .functions.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))

@@ -52,8 +52,16 @@ US_PER_DAY = 86_400_000_000
 
 def _ts_ns(df: DataFrame) -> DataFrame:
     """Replace the TIMESTAMP_NTZ ``ts`` with exact integer ns since
-    epoch (UTC). Long-typed ``ts`` (pre-regeneration testdata) passes
-    through untouched."""
+    epoch. The NTZ→TIMESTAMP cast below renders wall time in the
+    SESSION timezone, so it is pinned to UTC here — at the conversion
+    site — covering every streaming path (a driver-supplied non-UTC
+    session would otherwise shift every ts by the tz offset and
+    diverge from the DuckDB oracle, which compares in UTC).
+
+    Streaming readers always go through ``EVENTS_SCHEMA`` (NTZ), so
+    only the timestamp branch is live here; the guard merely keeps the
+    helper total if handed an already-converted long column."""
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     if dict(df.dtypes).get("ts") in ("timestamp", "timestamp_ntz"):
         df = df.withColumn(
             "ts",
@@ -374,6 +382,9 @@ def _stream_dir_with_flush_sentinels(spark: SparkSession, sf_dir: str) -> str:
     import glob
     import shutil
 
+    # the instant→NTZ cast below renders wall time in the session tz;
+    # pin UTC so the sentinel lands at the intended absolute position
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     cache = getattr(_stream_dir_with_flush_sentinels, "_dirs", None)
     if cache is None:
@@ -414,7 +425,6 @@ def run_attribution_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     completely; the result then equals the batch twin and the same
     oracle certifies both."""
     name = "events_attro_" + uuid.uuid4().hex[:8]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream_dir = _stream_dir_with_flush_sentinels(spark, sf_dir)
 
     def _stream():
@@ -470,7 +480,6 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates whose key set grows with the stream forever. The
     deduped output equals the single-copy batch table, so the batch
     oracle certifies the streaming run."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     cache = getattr(run_dedup_stream, "_dirs", None)
     if cache is None:

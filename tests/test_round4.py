@@ -1,0 +1,115 @@
+"""Round-4 operators: presentation cores (Bezier ramp, locale format,
+rotation), the as-of join, and cluster-pruned ANN + recall."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+
+from soil_data_development_tools___arcmap_spark import queries as Q
+
+
+def test_color_ramp_endpoints_and_size(spark):
+    rows = {r["class_idx"]: r for r in Q.legend_color_ramp(spark, SF_SMOKE).collect()}
+    # 5 distinct order priorities -> a 5-class ramp
+    assert len(rows) == 5
+    # the reference ramp runs Red -> ... -> Blue; endpoints survive the
+    # skip-sampling exactly
+    assert (rows[1]["r"], rows[1]["g"], rows[1]["b"]) == (255, 0, 0)
+    assert (rows[5]["r"], rows[5]["g"], rows[5]["b"]) == (0, 0, 255)
+    assert rows[1]["hex"] == "#ff0000" and rows[5]["hex"] == "#0000ff"
+
+
+def test_number_format_grouping(spark):
+    rows = Q.report_number_format(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # money strings carry thousands separators and exact cents
+        assert "." in r["total_fmt"]
+        whole, cents_part = r["total_fmt"].rsplit(".", 1)
+        assert len(cents_part) == 2
+        if len(whole.replace(",", "")) > 3:
+            assert "," in whole
+
+
+def test_offset_angle_rotation_preserves_radius(spark):
+    from pyspark.sql import functions as F
+
+    df = Q.map_offset_angle(spark, SF_SMOKE)
+    # rebuild the synthesized points exactly as the query does
+    k = F.col("okey")
+    bx, by = (k % 50).cast("double"), (k % 30).cast("double")
+    ax = bx + (1 + k % 13).cast("double")
+    ay = by + (2 + k % 7).cast("double")
+    chk = df.select(
+        "okey",
+        ((F.col("rx_e4") / 1e4 - bx) ** 2 + (F.col("ry_e4") / 1e4 - by) ** 2).alias(
+            "r2_rot"
+        ),
+        ((ax - bx) ** 2 + (ay - by) ** 2).alias("r2_orig"),
+        "angle_d10",
+    ).collect()
+    assert chk
+    for r in chk:
+        # rotation about B preserves |BA| (e4 quantization slack)
+        assert abs(r["r2_rot"] - r["r2_orig"]) < 1e-2
+        assert -1800 <= r["angle_d10"] <= 1800
+
+
+def test_asof_attribution_semantics(spark):
+    import pandas as pd  # noqa: F401
+
+    us = 1_000_000
+    rows = [
+        # user 1: clicks at t=0 and t=30min, purchase at t=45min ->
+        # matched to the LAST click (id 2), gap 15min
+        (1, 0 * us * 1000, 1, "click", 0.0, None),
+        (2, 1800 * us * 1000, 1, "click", 0.0, None),
+        (3, 2700 * us * 1000, 1, "purchase", 5.0, None),
+        # user 2: click 2h BEFORE purchase -> outside 1h window -> null
+        (4, 0 * us * 1000, 2, "click", 0.0, None),
+        (5, 7200 * us * 1000, 2, "purchase", 5.0, None),
+        # user 3: purchase with no click at all -> null
+        (6, 50 * us * 1000, 3, "purchase", 5.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import soil_data_development_tools___arcmap_spark.queries as Qm
+
+    orig = Qm.read_events
+    Qm.read_events = lambda _s, _d: ev
+    try:
+        got = {
+            r["purchase_id"]: (r["click_id"], r["gap_us"])
+            for r in Q.events_asof_attribution(spark, "ignored").collect()
+        }
+    finally:
+        Qm.read_events = orig
+    assert got == {
+        3: (2, 900 * us),
+        5: (None, None),
+        6: (None, None),
+    }
+
+
+def test_cluster_knn_is_broadcast_and_recall_bounded(spark):
+    df = Q.emb_knn_cluster(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the candidate side must never shuffle: the tiny query set is
+    # broadcast and joined on the cluster key
+    assert "BroadcastHashJoin" in plan
+    rec = Q.emb_cluster_recall(spark, SF_SMOKE).collect()
+    assert len(rec) == 8
+    for r in rec:
+        assert 0 <= r["hits"] <= r["k"] == 5
+
+
+def test_semdedup_counts_consistent(spark):
+    rows = Q.emb_semdedup(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # one row per label cluster
+    assert sum(r["n_vecs"] for r in rows) == 500
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vecs"]
+        assert r["n_kept"] >= 1

@@ -65,6 +65,7 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     )
     from soil_data_development_tools___arcmap_spark.streaming.events import (
         EVENTS_SCHEMA,
+        _ts_ns,
     )
 
     ev = read_events(spark, SF_SMOKE).withColumn(
@@ -74,11 +75,13 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     src = str(tmp_path / "ev_stream")
     os.makedirs(src, exist_ok=True)
     # one file per day, written oldest-first so the file source picks
-    # them up in chronological order
+    # them up in chronological order; ts back to the on-disk NTZ form
+    # so the files match EVENTS_SCHEMA
     for i, d in enumerate(days):
-        ev.where(F.col("day_num") == d).drop("day_num").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        ev.where(F.col("day_num") == d).drop("day_num").withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        ).coalesce(1).write.mode("append").parquet(src)
 
     import uuid
 
@@ -86,12 +89,11 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = 30 * 60 * 1_000_000
-    stream = (
+    stream = _ts_ns(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
-    )
+    ).select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
 
     def fn(key, pdfs, state):
         n_sess, n_ev, last = state.get if state.exists else (0, 0, None)
@@ -163,7 +165,13 @@ def test_stream_static_and_stream_stream_joins(spark, tmp_path):
         (5, 7200 * us * 1000, 2, "click", 1.0, "{}"),
         (6, 100 * us * 1000, 2, "error", 0.0, "{}"),
     ]
-    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    # ts as long ns — the in-memory form every helper consumes (the
+    # NTZ EVENTS_SCHEMA is only the on-disk/stream-source shape)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
 
     enr = {(r["day_num"], r["category"]): r["n"]
            for r in enriched_daily(ev, _category_dim(spark)).collect()}
@@ -226,3 +234,52 @@ def test_stateful_funnel_equals_batch(spark):
     assert batch == stream
     assert stream["n_users"] >= stream["n_view"] >= stream["n_click"]
     assert stream["n_click"] >= stream["n_purchase"]
+
+
+def test_non_utc_session_still_matches_oracle(spark):
+    """Regression for the ADVICE r03 item: a driver-supplied non-UTC
+    session must not shift event timestamps — _ts_ns pins the session
+    tz at the conversion site, so streaming results stay equal to the
+    batch form regardless of the inherited timezone."""
+    from soil_data_development_tools___arcmap_spark.queries import (
+        events_attribution_outer,
+        events_stream_dedup,
+        read_events,
+    )
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        run_attribution_outer_stream,
+        run_dedup_stream,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        dedup = run_dedup_stream(spark, SF_SMOKE)
+        got = {r["event_id"]: (r["day_num"], r["value_c"]) for r in dedup.collect()}
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = read_events(spark, SF_SMOKE)
+        from pyspark.sql import functions as F
+
+        want = {
+            r["event_id"]: (r["day_num"], r["value_c"])
+            for r in ev.select(
+                "event_id",
+                F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+                F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        outer = {
+            (r["click_id"], r["purchase_id"])
+            for r in run_attribution_outer_stream(spark, SF_SMOKE).collect()
+        }
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        batch = {
+            (r["click_id"], r["purchase_id"])
+            for r in events_attribution_outer(spark, SF_SMOKE).collect()
+        }
+        assert outer == batch and len(outer) > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
