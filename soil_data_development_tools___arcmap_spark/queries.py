@@ -3291,8 +3291,9 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
     lc_ts = F.last(F.when(is_click, F.col("ts_us")), ignorenulls=True).over(w)
     return (
-        ev.withColumn("lc_id", lc_id)
-        .withColumn("lc_ts", lc_ts)
+        # both window columns in ONE select so they collapse into a
+        # single Window operator (one pass over the sorted partition)
+        ev.select("*", lc_id.alias("lc_id"), lc_ts.alias("lc_ts"))
         .where(~is_click & (F.col("event_type") == "purchase"))
         .select(
             F.col("event_id").alias("purchase_id"),
