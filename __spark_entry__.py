@@ -187,6 +187,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_cluster": Q.emb_knn_cluster,
     "emb_cluster_recall": Q.emb_cluster_recall,
     "emb_semdedup": Q.emb_semdedup,
+    "raster_rating_cells": Q.raster_rating_cells,
+    "report_pagination": Q.report_pagination,
+    "docs_decontaminate_bloom": Q.docs_decontaminate_bloom,
 }
 
 

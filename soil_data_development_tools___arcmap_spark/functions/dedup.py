@@ -759,3 +759,60 @@ def dup_spans(
             F.expr("n_dup_spans * 10000 div n_spans").alias("dup_frac_e4"),
         )
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 3,
+    m_bits: int = 1 << 16,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom-filter pre-prune — the 100 TB
+    shape. Two hash functions over the benchmark shingle set become two
+    tiny DISTINCT position tables (≤ m_bits rows each, broadcast); a
+    training shingle reaches the exact membership join only if BOTH its
+    positions are set. False positives are removed by that final exact
+    join, so the output is bit-identical to ``decontaminate`` (same
+    oracle certifies both).
+
+    Why bother when the benchmark set already broadcasts: at real scale
+    the eval-suite shingle inventory outgrows the broadcast threshold
+    and the membership join becomes a shuffle of EVERY training shingle
+    — the Bloom pass (still broadcastable at any benchmark size, m_bits
+    is fixed) then prunes ~all clean shingles map-side before that
+    shuffle. No driver-side bitmap: the position sets stay DataFrames,
+    so the plan is two broadcast semi-joins, not a collected literal."""
+    bench = (
+        _explode_ss(shingle_sets(benchmark, id_col, col, k))
+        .select("s")
+        .distinct()
+    )
+    h1 = F.pmod(F.xxhash64(F.col("s")), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(F.concat(F.col("s"), F.lit("#2"))), F.lit(m_bits))
+    p1 = bench.select(h1.alias("h1")).distinct()
+    p2 = bench.select(h2.alias("h2")).distinct()
+    ex = _explode_ss(shingle_sets(_spread(train, id_col), id_col, col, k))
+    pruned = (
+        ex.withColumn("h1", h1)
+        .join(F.broadcast(p1), "h1", "left_semi")
+        .withColumn("h2", h2)
+        .join(F.broadcast(p2), "h2", "left_semi")
+    )
+    hits = (
+        pruned.join(F.broadcast(bench), "s")
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits.withColumnRenamed("did", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -47,3 +47,46 @@ def attach_cellvalues(
     assignment). The lookup side is explicitly broadcast — it is the
     distinct-key inventory, always tiny next to the fact side."""
     return fact.join(F.broadcast(lookup), key)
+
+
+def rating_raster_cells(
+    rated_mukeys: DataFrame,
+    rating_col: str = "rating",
+    cellsize_m: float = 30.0,
+) -> DataFrame:
+    """Rating-raster core (gSSURGO_ExportRasters.py:720-1746
+    CreateRasterLayers): the reference Lookup()s each rating onto the
+    mapunit raster and the raster's acreage = cell count × cellsize²
+    (SURVEY §2.8). Writing the TIFF stays GIS-bound; the computation a
+    rating raster carries — per-rating cell counts and acreage from a
+    synthetic cell inventory (mukey % 7 + 1 cells per mapunit) — is
+    re-expressed here. Input: one row per mukey with its rating.
+    Output: per rating, mapunit count, cell count, acres in exact
+    floor(x·10⁴) quantization (count is an exact integer; the one
+    float op is the final count × cellsize² × convAcres per group).
+
+    Scale: the explode multiplies only the per-MAPUNIT inventory (CONUS
+    ≈ 300k rows), never a fact table, and collapses straight into a
+    per-rating partial aggregate — one exchange of a rating-sized
+    table."""
+    from .geometry import ACRES_PER_SQM
+
+    cells = rated_mukeys.select(
+        rating_col,
+        "mukey",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("mukey") % 7 + 1).cast("int"))
+        ).alias("cell"),
+    )
+    return cells.groupBy(rating_col).agg(
+        F.countDistinct("mukey").alias("n_mapunits"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.floor(
+            F.count(F.lit(1))
+            * F.lit(cellsize_m * cellsize_m)
+            * F.lit(ACRES_PER_SQM)
+            * 10000.0
+        )
+        .cast("long")
+        .alias("acres_e4"),
+    )

@@ -3339,3 +3339,60 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import semantic_dedup
 
     return semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+def raster_rating_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rating-raster sink core (gSSURGO_ExportRasters.py:720-1746):
+    dominant-component drainage class per mapunit (row_number over
+    comppct desc) Lookup()ed onto the synthetic cell inventory; output
+    the per-rating raster attribute summary — mapunit count, cell
+    count, raster acreage (count × cellsize² × convAcres, SURVEY
+    §2.8's raster-acres formula)."""
+    from .functions.raster import rating_raster_cells
+
+    co = ssurgo_synth(spark, sf_dir)["component"]
+    w = Window.partitionBy("mukey").orderBy(
+        F.col("comppct_r").desc(), F.col("cokey").asc()
+    )
+    rated = (
+        co.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("mukey", F.col("drainagecl").alias("rating"))
+    )
+    return rating_raster_cells(rated)
+
+
+def report_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report layout core (gSSURGO_TabularReport.py:140-260 picks the
+    .rlf template and hands rows to the ArcGIS report engine): the
+    engine's pagination — key-ordered rows split into 50-line pages
+    with per-page line numbers and group summaries — is portable
+    computation: one global sort (range partitioning at scale, the
+    inherent cost of an ordered report), then page assembly is a
+    map-side aggregate. Output: one row per page with its line count,
+    key span, and exact cent subtotal."""
+    rows = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), cents("o_totalprice").alias("c")
+    )
+    w = Window.orderBy("okey")
+    paged = rows.withColumn(
+        "page", ((F.row_number().over(w) - 1) / 50).cast("long") + 1
+    )
+    return paged.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("okey").alias("first_okey"),
+        F.max("okey").alias("last_okey"),
+        F.sum("c").alias("page_total_c"),
+    )
+
+
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — output bit-identical to
+    docs_decontaminate (same oracle); the Bloom pass is the scale path
+    for benchmark shingle sets too large to broadcast."""
+    from .functions.dedup import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(train, bench)

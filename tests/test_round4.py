@@ -113,3 +113,38 @@ def test_semdedup_counts_consistent(spark):
     for r in rows:
         assert r["n_kept"] + r["n_dropped"] == r["n_vecs"]
         assert r["n_kept"] >= 1
+
+
+def test_raster_rating_cells_consistency(spark):
+    rows = Q.raster_rating_cells(spark, SF_SMOKE).collect()
+    assert {r["rating"] for r in rows} == {
+        "Poorly drained", "Very poorly drained", "Well drained"
+    }
+    for r in rows:
+        # 1..8 cells per mapunit
+        assert r["n_mapunits"] <= r["n_cells"] <= 8 * r["n_mapunits"]
+        assert r["acres_e4"] > 0
+
+
+def test_report_pagination_page_shape(spark):
+    rows = sorted(
+        Q.report_pagination(spark, SF_SMOKE).collect(), key=lambda r: r["page"]
+    )
+    assert rows[0]["page"] == 1
+    assert all(r["n_lines"] == 50 for r in rows[:-1])
+    assert 1 <= rows[-1]["n_lines"] <= 50
+    # pages tile the key range without overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_okey"] < b["first_okey"]
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    exact = {
+        (r["doc_id"], r["n_hits"], r["contaminated"])
+        for r in Q.docs_decontaminate(spark, SF_SMOKE).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_hits"], r["contaminated"])
+        for r in Q.docs_decontaminate_bloom(spark, SF_SMOKE).collect()
+    }
+    assert exact == bloom and len(exact) > 0
