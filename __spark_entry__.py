@@ -190,6 +190,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raster_rating_cells": Q.raster_rating_cells,
     "report_pagination": Q.report_pagination,
     "docs_decontaminate_bloom": Q.docs_decontaminate_bloom,
+    "state_survey_partition": Q.state_survey_partition,
+    "emb_hard_negatives": Q.emb_hard_negatives,
+    "docs_char_entropy": Q.docs_char_entropy,
 }
 
 

@@ -2757,3 +2757,47 @@ FROM rows_ GROUP BY 1
 
 # Bloom pre-prune changes the plan, not the result
 ORACLES["docs_decontaminate_bloom"] = ORACLES["docs_decontaminate"]
+
+ORACLES["state_survey_partition"] = """
+SELECT n.n_name AS areaname, COUNT(*) AS n_surveys,
+       MIN('AS' || lpad(CAST(c.c_custkey AS VARCHAR), 6, '0'))
+         AS first_areasymbol,
+       MAX('AS' || lpad(CAST(c.c_custkey AS VARCHAR), 6, '0'))
+         AS last_areasymbol
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+ORACLES["emb_hard_negatives"] = f"""
+WITH {_EMB_Q},
+el AS (SELECT e.vec_id, emb.label, e.v
+       FROM e JOIN embeddings emb USING (vec_id)),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM el WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, label AS clabel, v AS cv FROM el WHERE vec_id >= 8),
+s AS (SELECT qid, cid, {_COS} AS cos_e6
+      FROM c JOIN q ON c.clabel <> q.qlabel)
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+# left fold over the SORTED count list reproduces Spark's
+# F.aggregate(0.0, acc - (c/n)*log2(c/n)) double-for-double:
+# 0.0 - t1 == -t1 exactly, then the same ordered subtraction chain.
+ORACLES["docs_char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id AS did, unnest(regexp_extract_all(text, '.', 0, 's')) AS ch
+  FROM documents),
+counts AS (
+  SELECT did, ch, COUNT(*) AS c FROM chars GROUP BY did, ch),
+per_doc AS (
+  SELECT did, list(c ORDER BY c) AS cs, SUM(c) AS n
+  FROM counts GROUP BY did)
+SELECT did, CAST(n AS BIGINT) AS n_chars_counted,
+  CAST(floor(list_reduce(
+    list_transform(cs,
+      c -> -(CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)/n)),
+    (a, b) -> a + b) * 1000000) AS BIGINT) AS entropy_e6
+FROM per_doc
+"""

@@ -3396,3 +3396,122 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return decontaminate_bloom(train, bench)
+
+
+def state_survey_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONUS-build partition planning (SSURGO_gSSURGO_byState.py:10-15,
+    :284-300): the state→areasymbol resolution — legend ⨝ laoverlap
+    WHERE areatypename = 'State or Territory' — that decides which
+    surveys land in each per-state build. Legend synthesized from
+    customer (one survey per customer), overlap from the customer's
+    nation; output one planning row per state: survey count and the
+    areasymbol span (what the batch driver iterates). Both sides of
+    the resolve are dimension-sized; the fact-scale work this plan
+    feeds (per-state ingest) is the partitioned-write path in
+    sources/sinks.py."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    legend = cust.select(
+        F.col("c_custkey").alias("lkey"),
+        F.concat(F.lit("AS"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")).alias(
+            "areasymbol"
+        ),
+        F.col("c_nationkey"),
+    )
+    laoverlap = nation.select(
+        F.col("n_nationkey"),
+        F.lit("State or Territory").alias("areatypename"),
+        F.col("n_name").alias("areaname"),
+    )
+    return (
+        legend.join(
+            F.broadcast(laoverlap),
+            legend["c_nationkey"] == laoverlap["n_nationkey"],
+        )
+        .where(F.col("areatypename") == "State or Territory")
+        .groupBy("areaname")
+        .agg(
+            F.count(F.lit(1)).alias("n_surveys"),
+            F.min("areasymbol").alias("first_areasymbol"),
+            F.max("areasymbol").alias("last_areasymbol"),
+        )
+    )
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 most-similar candidates with a DIFFERENT label — the
+    highest-value negatives a retrieval/embedding trainer wants.
+    Same broadcast-scored shape as the brute-force top-k with the
+    label-inequality predicate in the join."""
+    from .functions.similarity import (
+        _cos_e6,
+        _dot,
+        _norm2,
+        quantize_embedding,
+    )
+    from .functions.dedup import _spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        quantize_embedding().alias("qv"),
+    )
+    c = _spread(emb.where(F.col("vec_id") >= 8), "vec_id").select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        quantize_embedding().alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("clabel") != F.col("qlabel")
+    ).select(
+        "qid",
+        "cid",
+        _cos_e6(
+            _dot(F.col("qv"), F.col("cv")),
+            _norm2(F.col("qv")),
+            _norm2(F.col("cv")),
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_e6").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "cid", "cos_e6", "rn")
+    )
+
+
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (the cheap perplexity proxy a
+    corpus filter runs before any model-based scorer): per doc,
+    Shannon entropy of the character distribution in floor(H·10⁶)
+    micro-bits. Determinism: counts are exact integers; the float fold
+    runs over the SORTED (count, char-order-free) array left-to-right,
+    so both engines execute the identical double sequence."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.dedup import _spread
+
+    chars = _spread(docs, "doc_id").select(
+        F.col("doc_id").alias("did"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("did", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("did").agg(
+        F.sort_array(F.collect_list("c")).alias("cs"),
+        F.sum("c").alias("n"),
+    )
+    ent = F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (c.cast("double") / F.col("n"))
+        * F.log2(c.cast("double") / F.col("n")),
+    )
+    return per_doc.select(
+        "did",
+        F.col("n").alias("n_chars_counted"),
+        F.floor(ent * 1000000).cast("long").alias("entropy_e6"),
+    )

@@ -148,3 +148,33 @@ def test_bloom_decontaminate_equals_exact(spark):
         for r in Q.docs_decontaminate_bloom(spark, SF_SMOKE).collect()
     }
     assert exact == bloom and len(exact) > 0
+
+
+def test_state_survey_partition_covers_all_surveys(spark):
+    rows = Q.state_survey_partition(spark, SF_SMOKE).collect()
+    assert len(rows) == 25  # every nation has at least one customer here
+    assert sum(r["n_surveys"] for r in rows) == 150  # sf0.001 customers
+    for r in rows:
+        assert r["first_areasymbol"] <= r["last_areasymbol"]
+
+
+def test_hard_negatives_exclude_own_label(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = Q.emb_hard_negatives(spark, SF_SMOKE).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert labels[r["qid"]] != labels[r["cid"]]
+
+
+def test_char_entropy_bounds(spark):
+    import math
+
+    rows = Q.docs_char_entropy(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # 0 <= H <= log2(alphabet); ASCII corpus -> < log2(128)
+        assert 0 <= r["entropy_e6"] <= math.log2(128) * 1e6
+        assert r["n_chars_counted"] > 0
