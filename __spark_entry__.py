@@ -193,6 +193,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "state_survey_partition": Q.state_survey_partition,
     "emb_hard_negatives": Q.emb_hard_negatives,
     "docs_char_entropy": Q.docs_char_entropy,
+    "docs_pii_scrub": Q.docs_pii_scrub,
+    "events_volume_anomaly": Q.events_volume_anomaly,
 }
 
 

@@ -2801,3 +2801,38 @@ SELECT did, CAST(n AS BIGINT) AS n_chars_counted,
     (a, b) -> a + b) * 1000000) AS BIGINT) AS entropy_e6
 FROM per_doc
 """
+
+ORACLES["docs_pii_scrub"] = """
+WITH planted AS (
+  SELECT doc_id AS did,
+         text ||
+         CASE WHEN doc_id % 13 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 17 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              ELSE '' END AS text
+  FROM documents)
+SELECT did,
+  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS INTEGER)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+'))
+    AS INTEGER) AS n_ips,
+  md5(regexp_replace(
+        regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g')) AS scrubbed_md5
+FROM planted
+"""
+
+ORACLES["events_volume_anomaly"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num, COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS s2
+  FROM daily GROUP BY 1)
+SELECT d.event_type, d.day_num, d.x,
+       CAST(CASE WHEN (n*x - s)*(n*x - s) > 4*(n*s2 - s*s)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM daily d JOIN stats USING (event_type)
+"""

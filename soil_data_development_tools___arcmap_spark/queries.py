@@ -3515,3 +3515,81 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_chars_counted"),
         F.floor(ent * 1000000).cast("long").alias("entropy_e6"),
     )
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus runs
+    before the tokenizer: e-mails and dotted-quad IPs replaced with
+    typed placeholders, per-doc match counts kept for the audit trail.
+    PII is planted deterministically (doc_id % 13 / % 17) so the scrub
+    is non-vacuous at every SF; the patterns use only regex constructs
+    with identical semantics in Java regex and RE2/DuckDB (no \\d, no
+    lookaround). Map-only: one projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.col("doc_id").alias("did"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    email = "[a-z0-9._]+@[a-z0-9.]+"
+    ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    return planted.select(
+        "did",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(ip), F.lit(0))).alias("n_ips"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), email, "<EMAIL>"), ip, "<IP>"
+            )
+        ).alias("scrubbed_md5"),
+    )
+
+
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags per event type — the ops-monitoring
+    query a pipeline runs over its ingest counts. A day is anomalous
+    when |x − mean| > 2σ, evaluated WITHOUT floats: with n days,
+    S = Σx, S2 = Σx², the test is (n·x − S)² > 4·(n·S2 − S²) — pure
+    BIGINT cross-multiplication, so the oracle reproduces every flag
+    exactly. Two exchanges: the daily rollup, then the per-type stats
+    broadcast back onto the 150-row day table."""
+    daily = (
+        read_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    d = F.col("n") * F.col("x") - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day_num",
+        "x",
+        (d * d > 4 * var_n2).cast("int").alias("is_anomaly"),
+    )

@@ -178,3 +178,20 @@ def test_char_entropy_bounds(spark):
         # 0 <= H <= log2(alphabet); ASCII corpus -> < log2(128)
         assert 0 <= r["entropy_e6"] <= math.log2(128) * 1e6
         assert r["n_chars_counted"] > 0
+
+
+def test_pii_scrub_finds_planted_pii(spark):
+    rows = {r["did"]: r for r in Q.docs_pii_scrub(spark, SF_SMOKE).collect()}
+    assert len(rows) == 500
+    for did, r in rows.items():
+        assert r["n_emails"] == (1 if did % 13 == 0 else 0)
+        assert r["n_ips"] == (1 if did % 17 == 0 else 0)
+    assert sum(r["n_emails"] for r in rows.values()) > 0
+    assert sum(r["n_ips"] for r in rows.values()) > 0
+
+
+def test_volume_anomaly_discriminates(spark):
+    rows = Q.events_volume_anomaly(spark, SF_SMOKE).collect()
+    n_anom = sum(r["is_anomaly"] for r in rows)
+    # 2-sigma flags a few days, never none, never most
+    assert 0 < n_anom < len(rows) // 4
