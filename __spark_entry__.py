@@ -195,6 +195,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_char_entropy": Q.docs_char_entropy,
     "docs_pii_scrub": Q.docs_pii_scrub,
     "events_volume_anomaly": Q.events_volume_anomaly,
+    "events_cogroup_profile": Q.events_cogroup_profile,
 }
 
 

@@ -2836,3 +2836,30 @@ SELECT d.event_type, d.day_num, d.x,
                  THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
 FROM daily d JOIN stats USING (event_type)
 """
+
+ORACLES["events_cogroup_profile"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')),
+c AS (SELECT user_id, ts_us FROM ev WHERE event_type = 'click'),
+p AS (SELECT user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+keys AS (SELECT DISTINCT user_id FROM ev),
+nc AS (SELECT user_id, COUNT(*) AS n_clicks FROM c GROUP BY 1),
+np AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY 1),
+na AS (
+  SELECT p.user_id, COUNT(*) AS n_attributed
+  FROM p
+  WHERE EXISTS (SELECT 1 FROM c
+                WHERE c.user_id = p.user_id
+                  AND c.ts_us <= p.ts_us
+                  AND c.ts_us >= p.ts_us - 3600000000)
+  GROUP BY 1)
+SELECT k.user_id,
+       COALESCE(nc.n_clicks, 0) AS n_clicks,
+       COALESCE(np.n_purchases, 0) AS n_purchases,
+       COALESCE(na.n_attributed, 0) AS n_attributed
+FROM keys k
+LEFT JOIN nc ON k.user_id = nc.user_id
+LEFT JOIN np ON k.user_id = np.user_id
+LEFT JOIN na ON k.user_id = na.user_id
+"""

@@ -3593,3 +3593,56 @@ def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         (d * d > 4 * var_n2).cast("int").alias("is_anomaly"),
     )
+
+
+def events_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement profile via COGROUPED applyInPandas — the
+    one grouped-Pandas surface the rest of the repo doesn't exercise
+    (groupby().cogroup().applyInPandas): clicks and purchases arrive
+    as two aligned per-user Arrow batches and the attribution count
+    (purchases with any click in the preceding hour) is computed with
+    a numpy searchsorted per group. This op exists as the documented
+    escape hatch for per-key logic Spark expressions can't state; for
+    THIS metric the JVM form exists too (events_asof_attribution), so
+    the same oracle certifies the Python path — the point of the
+    query. One shuffle per side on user_id; Arrow batches bounded by
+    per-user row counts."""
+    import pandas as pd
+
+    ev = read_events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+    )
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    purch = ev.where(F.col("event_type") == "purchase").drop("event_type")
+
+    def profile(key, cdf: pd.DataFrame, pdf: pd.DataFrame):
+        import numpy as np
+
+        cts = np.sort(cdf["ts_us"].to_numpy())
+        pts = pdf["ts_us"].to_numpy()
+        if len(cts) and len(pts):
+            # any click in [p-1h, p]  <=>  searchsorted windows differ
+            lo = np.searchsorted(cts, pts - 3600_000_000, side="left")
+            hi = np.searchsorted(cts, pts, side="right")
+            n_attr = int((hi > lo).sum())
+        else:
+            n_attr = 0
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(cts)],
+                "n_purchases": [len(pts)],
+                "n_attributed": [n_attr],
+            }
+        )
+
+    return (
+        clicks.groupby("user_id")
+        .cogroup(purch.groupby("user_id"))
+        .applyInPandas(
+            profile,
+            "user_id long, n_clicks long, n_purchases long, n_attributed long",
+        )
+    )

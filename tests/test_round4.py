@@ -195,3 +195,31 @@ def test_volume_anomaly_discriminates(spark):
     n_anom = sum(r["is_anomaly"] for r in rows)
     # 2-sigma flags a few days, never none, never most
     assert 0 < n_anom < len(rows) // 4
+
+
+def test_cogroup_profile_matches_jvm_asof(spark):
+    """The Python cogroup path must agree with the JVM window form on
+    the attribution count (same 1h at-or-before semantics)."""
+    prof = {
+        r["user_id"]: (r["n_clicks"], r["n_purchases"], r["n_attributed"])
+        for r in Q.events_cogroup_profile(spark, SF_SMOKE).collect()
+    }
+    asof = Q.events_asof_attribution(spark, SF_SMOKE).collect()
+    # n.b. asof matches the LAST click only; attributed = non-null click
+    attr_by_user = {}
+    ev = Q.read_events(spark, SF_SMOKE)
+    from pyspark.sql import functions as F
+
+    owner = {
+        r["event_id"]: r["user_id"]
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+        .collect()
+    }
+    for r in asof:
+        u = owner[r["purchase_id"]]
+        attr_by_user[u] = attr_by_user.get(u, 0) + (r["click_id"] is not None)
+    for u, (nc, np_, na) in prof.items():
+        assert na == attr_by_user.get(u, 0)
+        assert na <= np_
+    assert sum(v[2] for v in prof.values()) > 0
