@@ -196,6 +196,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_scrub": Q.docs_pii_scrub,
     "events_volume_anomaly": Q.events_volume_anomaly,
     "events_cogroup_profile": Q.events_cogroup_profile,
+    "clip_select_by_location": Q.clip_select_by_location,
 }
 
 

@@ -109,3 +109,33 @@ def rotate_about_e4(
         F.round(rx * 10000).cast("long"),
         F.round(ry * 10000).cast("long"),
     )
+
+
+def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:
+    """Ray-casting point-in-polygon over the exterior WKT ring — the
+    select-by-location core of the clip tool (gSSURGO_Clip.py runs the
+    GIS's Clip/Select By Location; the containment TEST is portable).
+    Standard even-odd rule, one +x ray: edge (p1,p2) crosses when
+    (y1 > py) != (y2 > py) and the intersection lies right of the
+    point. The x-comparison is cross-multiplied — (px−x1)·(y2−y1)
+    versus (x2−x1)·(py−y1), orientation-corrected by the sign of
+    y2−y1 — so with integral vertices and a point that avoids edge
+    incidence the decision is exact BIGINT arithmetic, no division,
+    reproducible in any engine."""
+    coords = ring_coords(wkt)
+    crossings = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(coords) - 2, F.lit(0))),
+        lambda i: F.when(
+            (coords[i]["y"] > py) != (coords[i + 1]["y"] > py),
+            F.when(
+                (
+                    (px - coords[i]["x"]) * (coords[i + 1]["y"] - coords[i]["y"])
+                    < (coords[i + 1]["x"] - coords[i]["x"]) * (py - coords[i]["y"])
+                )
+                == (coords[i + 1]["y"] > coords[i]["y"]),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0)),
+    )
+    total = F.aggregate(crossings, F.lit(0), lambda acc, v: acc + v)
+    return (total % 2 == 1).cast("int")

@@ -2863,3 +2863,17 @@ LEFT JOIN nc ON k.user_id = nc.user_id
 LEFT JOIN np ON k.user_id = np.user_id
 LEFT JOIN na ON k.user_id = na.user_id
 """
+
+# truth derived from the rectangle bounds, NOT by re-running the
+# ray cast — an independent certification of the WKT parse + crossing
+ORACLES["clip_select_by_location"] = """
+SELECT c_custkey AS okey,
+       (c_custkey % 100) * 2 + (c_custkey % 23) * 2 - 9 AS px,
+       (c_custkey % 57) * 2 + (c_custkey % 19) * 2 - 7 AS py,
+       CAST(CASE WHEN (c_custkey % 23) * 2 - 9 > 0
+                  AND (c_custkey % 23) * 2 - 9 < (c_custkey % 13 + 1) * 2
+                  AND (c_custkey % 19) * 2 - 7 > 0
+                  AND (c_custkey % 19) * 2 - 7 < (c_custkey % 7 + 1) * 2
+            THEN 1 ELSE 0 END AS INTEGER) AS inside
+FROM customer
+"""

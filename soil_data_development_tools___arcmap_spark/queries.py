@@ -3646,3 +3646,38 @@ def events_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_clicks long, n_purchases long, n_attributed long",
         )
     )
+
+
+def clip_select_by_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip / Select-By-Location core (gSSURGO_Clip.py drives the
+    GIS's clip; the containment test is the portable half): synthetic
+    rectangle polygons on an even-coordinate grid (doubled
+    acreage_geom rectangles), probe points on the odd grid (never
+    edge-incident), containment decided by the GENERAL ray-casting
+    expression over the parsed WKT ring. The oracle derives truth
+    INDEPENDENTLY from the rectangle bounds, certifying the ray-cast
+    parse + crossing logic end-to-end. Map-only: zero shuffles."""
+    from .functions.geometry import point_in_ring
+
+    k = F.col("c_custkey")
+    x0, y0 = (k % 100) * 2, (k % 57) * 2
+    x1 = x0 + (k % 13 + 1) * 2
+    y1 = y0 + (k % 7 + 1) * 2
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
+        sep, pt(x0, y0),
+        F.lit("))"),
+    )
+    px = x0 + (k % 23) * 2 - 9  # odd: misses every even-grid edge
+    py = y0 + (k % 19) * 2 - 7
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        px.alias("px"),
+        py.alias("py"),
+        point_in_ring(wkt, px, py).alias("inside"),
+    )

@@ -223,3 +223,37 @@ def test_cogroup_profile_matches_jvm_asof(spark):
         assert na == attr_by_user.get(u, 0)
         assert na <= np_
     assert sum(v[2] for v in prof.values()) > 0
+
+
+def test_point_in_ring_triangle_and_rect(spark):
+    """Diagonal-edge coverage the query's rectangles don't exercise:
+    crafted triangle + points with hand-derived truth."""
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        point_in_ring,
+    )
+
+    # right triangle (0,0)-(8,0)-(0,8); diagonal x+y=8
+    cases = [
+        ("POLYGON ((0 0, 8 0, 0 8, 0 0))", 1, 1, 1),   # well inside
+        ("POLYGON ((0 0, 8 0, 0 8, 0 0))", 3, 3, 1),   # inside, near diagonal
+        ("POLYGON ((0 0, 8 0, 0 8, 0 0))", 5, 5, 0),   # beyond diagonal
+        ("POLYGON ((0 0, 8 0, 0 8, 0 0))", 9, 1, 0),   # right of the leg
+        ("POLYGON ((0 0, 8 0, 0 8, 0 0))", -1, 1, 0),  # left, ray crosses 2 edges
+        ("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", 3, 5, 1),
+        ("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", 7, 5, 0),
+        ("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", 3, 7, 0),
+    ]
+    df = spark.createDataFrame(cases, "wkt string, px long, py long, want int")
+    got = df.select(
+        "want", point_in_ring(F.col("wkt"), F.col("px"), F.col("py")).alias("got")
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"]
+
+
+def test_clip_query_has_both_classes(spark):
+    rows = Q.clip_select_by_location(spark, SF_SMOKE).collect()
+    inside = sum(r["inside"] for r in rows)
+    assert 0 < inside < len(rows)
