@@ -197,6 +197,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_volume_anomaly": Q.events_volume_anomaly,
     "events_cogroup_profile": Q.events_cogroup_profile,
     "clip_select_by_location": Q.clip_select_by_location,
+    "emb_ivf_recall": Q.emb_ivf_recall,
+    "docs_length_histogram": Q.docs_length_histogram,
 }
 
 

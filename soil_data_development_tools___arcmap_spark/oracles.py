@@ -2877,3 +2877,26 @@ SELECT c_custkey AS okey,
             THEN 1 ELSE 0 END AS INTEGER) AS inside
 FROM customer
 """
+
+ORACLES["emb_ivf_recall"] = f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+approx AS ({ORACLES["emb_knn_ivf"]}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid
+"""
+
+# floor(log2(n)) as bit length, integer-exact in both engines
+ORACLES["docs_length_histogram"] = """
+SELECT CAST(length(to_binary_string_no) - 1 AS INTEGER) AS log2_bucket,
+       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM (SELECT n_chars, bin(n_chars) AS to_binary_string_no
+      FROM documents WHERE n_chars >= 1)
+GROUP BY 1
+"""

@@ -3681,3 +3681,36 @@ def clip_select_by_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         py.alias("py"),
         point_in_ring(wkt, px, py).alias("inside"),
     )
+
+
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF search (deterministic stand-in centroids,
+    nprobe=4) against the exact brute-force top-k — completes the
+    accuracy measurement across the ANN family (brute force / LSH /
+    IVF / cluster-pruned)."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), ivf_topk(emb))
+
+
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning histogram: docs bucketed by
+    floor(log2(n_chars)) — the distribution a packing/batching stage
+    sizes its budgets from. Integer bucket via bit length
+    (63 − leading-zeros), no float log anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    # floor(log2(n)) == bit_length(n) - 1 for n >= 1, via base-2 string
+    bucket = F.expr(
+        "length(conv(cast(n_chars as string), 10, 2)) - 1"
+    ).cast("int")
+    return (
+        docs.where(F.col("n_chars") >= 1)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
