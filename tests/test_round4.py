@@ -257,3 +257,37 @@ def test_clip_query_has_both_classes(spark):
     rows = Q.clip_select_by_location(spark, SF_SMOKE).collect()
     inside = sum(r["inside"] for r in rows)
     assert 0 < inside < len(rows)
+
+
+def test_color_ramp_matches_reference_algorithm(spark):
+    """Pin the Column-expression ramp to a direct Python transcription
+    of the reference algorithm (BezierColorRamp.Process with 2-point
+    segments) across many legend sizes."""
+    import pytest
+
+    from soil_data_development_tools___arcmap_spark.functions.colorramp import (
+        RAMP_CONTROLS,
+        bezier_legend_ramp,
+    )
+
+    def reference_ramp(n):
+        master, last = [], None
+        for p in range(len(RAMP_CONTROLS) - 1):
+            s, f = RAMP_CONTROLS[p], RAMP_CONTROLS[p + 1]
+            for j in range(n):
+                t = float(j) / (n - 1)
+                rgb = [int((1 - t) * s[c]) + int(t * f[c]) for c in range(3)]
+                if rgb != last:
+                    master.append(rgb)
+                last = rgb
+        skip = int(round((len(master) - n) / float(n - 1)))
+        return master[:: skip + 1]
+
+    for n in (2, 3, 4, 5, 7, 9, 12, 30):
+        n_df = spark.createDataFrame([(n,)], "n int")
+        got = [
+            (r["r"], r["g"], r["b"])
+            for r in bezier_legend_ramp(n_df).orderBy("class_idx").collect()
+        ]
+        want = [tuple(c) for c in reference_ramp(n)]
+        assert got == want, f"n={n}: {got} != {want}"
