@@ -199,6 +199,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clip_select_by_location": Q.clip_select_by_location,
     "emb_ivf_recall": Q.emb_ivf_recall,
     "docs_length_histogram": Q.docs_length_histogram,
+    "events_stream_volume_anomaly": Q.events_stream_volume_anomaly,
 }
 
 

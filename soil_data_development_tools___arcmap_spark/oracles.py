@@ -2900,3 +2900,5 @@ FROM (SELECT n_chars, bin(n_chars) AS to_binary_string_no
       FROM documents WHERE n_chars >= 1)
 GROUP BY 1
 """
+
+ORACLES["events_stream_volume_anomaly"] = ORACLES["events_volume_anomaly"]

@@ -3714,3 +3714,11 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def events_stream_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily rollup + offline 2σ scoring — certified by the
+    SAME oracle as the batch events_volume_anomaly."""
+    from .streaming.events import run_volume_anomaly_stream
+
+    return run_volume_anomaly_stream(spark, sf_dir)

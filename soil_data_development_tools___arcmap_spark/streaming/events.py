@@ -648,3 +648,48 @@ def run_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_click"),
         F.count("t3").alias("n_purchase"),
     )
+
+
+def run_volume_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rollup feeding an offline detector: the per-(type,
+    day) counts accumulate incrementally in a complete-mode streaming
+    aggregation (the only stateful op — bounded by the day×type
+    cardinality, the same state HLL/tumbling keep); anomaly scoring
+    (per-type 2σ over ALL days — a second aggregation level streaming
+    cannot nest) then runs as a BATCH pass over the completed rollup.
+    At availableNow completion the rollup equals the batch daily
+    table, so the batch anomaly oracle certifies the composition."""
+    name = "events_vol_" + uuid.uuid4().hex[:8]
+    daily = (
+        _ts_ns(read_events_stream(spark, sf_dir))
+        .groupBy(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    q = (
+        daily.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # localCheckpoint: the completed rollup is day×type-sized (~150
+    # rows); checkpointing gives the self-join fresh attribute ids
+    # (MemorySink views share refs and fail analysis otherwise)
+    rolled = spark.table(name).localCheckpoint()
+    stats = rolled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    d = F.col("n") * F.col("x") - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return rolled.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day_num",
+        "x",
+        (d * d > 4 * var_n2).cast("int").alias("is_anomaly"),
+    )

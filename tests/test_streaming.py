@@ -283,3 +283,20 @@ def test_non_utc_session_still_matches_oracle(spark):
         assert outer == batch and len(outer) > 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_stream_volume_anomaly_equals_batch(spark):
+    from soil_data_development_tools___arcmap_spark.queries import (
+        events_stream_volume_anomaly,
+        events_volume_anomaly,
+    )
+
+    batch = {
+        (r["event_type"], r["day_num"]): (r["x"], r["is_anomaly"])
+        for r in events_volume_anomaly(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r["event_type"], r["day_num"]): (r["x"], r["is_anomaly"])
+        for r in events_stream_volume_anomaly(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream and len(batch) > 0
