@@ -200,6 +200,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_recall": Q.emb_ivf_recall,
     "docs_length_histogram": Q.docs_length_histogram,
     "events_stream_volume_anomaly": Q.events_stream_volume_anomaly,
+    "events_dau_wau": Q.events_dau_wau,
 }
 
 

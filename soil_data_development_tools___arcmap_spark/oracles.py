@@ -2902,3 +2902,17 @@ GROUP BY 1
 """
 
 ORACLES["events_stream_volume_anomaly"] = ORACLES["events_volume_anomaly"]
+
+ORACLES["events_dau_wau"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num
+  FROM events),
+dau AS (
+  SELECT day_num, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT ud.day_num + gs.off AS day_num, COUNT(DISTINCT user_id) AS wau
+  FROM ud, generate_series(0, 6) gs(off)
+  GROUP BY 1)
+SELECT d.day_num, d.dau, w.wau
+FROM dau d JOIN wau w ON d.day_num = w.day_num
+"""

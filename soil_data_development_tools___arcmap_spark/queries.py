@@ -3722,3 +3722,32 @@ def events_stream_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import run_volume_anomaly_stream
 
     return run_volume_anomaly_stream(spark, sf_dir)
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day — the engagement dashboard's
+    first chart. The scale-correct order of operations: collapse to
+    DISTINCT (user, day) FIRST (events per user-day can be huge; this
+    is the map-side-combining shuffle), then fan each user-day into
+    the ≤7 windows it serves and count distinct users per window.
+    Day space stays exact-integer; WAU windows at the stream head
+    (fewer than 7 prior days) simply cover the days that exist, like
+    every dashboard draws them."""
+    ud = (
+        read_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day_num").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        ud.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select((F.col("day_num") + F.col("off")).alias("win_day"), "user_id")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("win_day", "day_num")
+    )
+    # windows whose end lies past the last real day are not reported
+    return dau.join(wau, "day_num").select("day_num", "dau", "wau")

@@ -291,3 +291,10 @@ def test_color_ramp_matches_reference_algorithm(spark):
         ]
         want = [tuple(c) for c in reference_ramp(n)]
         assert got == want, f"n={n}: {got} != {want}"
+
+
+def test_dau_wau_monotone_relationship(spark):
+    rows = Q.events_dau_wau(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["wau"] >= r["dau"] > 0
