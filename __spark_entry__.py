@@ -201,6 +201,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_length_histogram": Q.docs_length_histogram,
     "events_stream_volume_anomaly": Q.events_stream_volume_anomaly,
     "events_dau_wau": Q.events_dau_wau,
+    "docs_rare_bigram_score": Q.docs_rare_bigram_score,
 }
 
 

@@ -2916,3 +2916,19 @@ wau AS (
 SELECT d.day_num, d.dau, w.wau
 FROM dau d JOIN wau w ON d.day_num = w.day_num
 """
+
+ORACLES["docs_rare_bigram_score"] = """
+WITH toks AS (
+  SELECT doc_id AS did, string_split(text, ' ') AS tk FROM documents),
+bg AS (
+  SELECT did, tk[i] || ' ' || tk[i+1] AS b
+  FROM toks, generate_series(1, 65535) gs(i)
+  WHERE len(tk) >= 2 AND i <= len(tk) - 1),
+gc AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b)
+SELECT did, COUNT(*) AS n_bigrams,
+       SUM(CASE WHEN c <= 5 THEN 1 ELSE 0 END) AS n_rare,
+       (SUM(CASE WHEN c <= 5 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+         AS rare_e6
+FROM bg JOIN gc USING (b)
+GROUP BY did
+"""

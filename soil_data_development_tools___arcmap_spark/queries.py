@@ -3751,3 +3751,41 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # windows whose end lies past the last real day are not reported
     return dau.join(wau, "day_num").select("day_num", "dau", "wau")
+
+
+def docs_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integerized LM-quality filter (the KenLM-perplexity stand-in a
+    corpus pipeline runs when no model is at hand): a document scores
+    badly when many of its word bigrams are globally rare. Two passes
+    over the bigram explode — global counts, then the per-doc rare
+    fraction in exact micro-units ((n_rare·10⁶) div n_bigrams, integer
+    division — no float log-prob sum to de-determinize ranks). The
+    bigram self-frequency join shuffles on the bigram key; counts
+    combine map-side."""
+    from .functions.dedup import _spread
+    from .functions.text import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tk = docs.select(F.col("doc_id").alias("did"), tokens().alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    bg = tk.select(
+        "did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.concat_ws(" ", F.col("tk")[i], F.col("tk")[i + 1]),
+            )
+        ).alias("b"),
+    )
+    gc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    scored = bg.join(gc, "b").groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("c") <= 5).cast("long")).alias("n_rare"),
+    )
+    return scored.select(
+        "did",
+        "n_bigrams",
+        "n_rare",
+        F.expr("(n_rare * 1000000) div n_bigrams").alias("rare_e6"),
+    )

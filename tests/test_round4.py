@@ -298,3 +298,12 @@ def test_dau_wau_monotone_relationship(spark):
     assert rows
     for r in rows:
         assert r["wau"] >= r["dau"] > 0
+
+
+def test_rare_bigram_score_bounds(spark):
+    rows = Q.docs_rare_bigram_score(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_rare"] <= r["n_bigrams"]
+        assert 0 <= r["rare_e6"] <= 1_000_000
+    assert any(r["n_rare"] > 0 for r in rows)
