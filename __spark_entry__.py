@@ -202,6 +202,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_volume_anomaly": Q.events_stream_volume_anomaly,
     "events_dau_wau": Q.events_dau_wau,
     "docs_rare_bigram_score": Q.docs_rare_bigram_score,
+    "events_stream_dau": Q.events_stream_dau,
 }
 
 

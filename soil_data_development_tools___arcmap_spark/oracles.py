@@ -2932,3 +2932,9 @@ SELECT did, COUNT(*) AS n_bigrams,
 FROM bg JOIN gc USING (b)
 GROUP BY did
 """
+
+ORACLES["events_stream_dau"] = """
+SELECT epoch_us(ts) // 86400000000 AS day_num,
+       COUNT(DISTINCT user_id) AS dau
+FROM events GROUP BY 1
+"""

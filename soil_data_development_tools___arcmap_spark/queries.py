@@ -3789,3 +3789,11 @@ def docs_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rare",
         F.expr("(n_rare * 1000000) div n_bigrams").alias("rare_e6"),
     )
+
+
+def events_stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU (stateful user-day dedup chained into the daily
+    count) — certified by the batch COUNT(DISTINCT) oracle."""
+    from .streaming.events import run_dau_stream
+
+    return run_dau_stream(spark, sf_dir)

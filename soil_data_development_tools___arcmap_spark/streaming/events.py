@@ -693,3 +693,31 @@ def run_volume_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         (d * d > 4 * var_n2).cast("int").alias("is_anomaly"),
     )
+
+
+def run_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU: stateful exact dedup on (user, day) CHAINED into
+    a complete-mode daily count — two stateful operators in one
+    incremental query (dedup state evicted by the 1-day watermark;
+    count state bounded by day cardinality). At availableNow
+    completion the counts equal batch COUNT(DISTINCT user) per day, so
+    the batch oracle certifies the chain."""
+    name = "events_dau_" + uuid.uuid4().hex[:8]
+    ud = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("day_num", F.expr("(ts div 1000) div 86400000000"))
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "1 day")
+        .dropDuplicates(["user_id", "day_num"])
+    )
+    q = (
+        ud.groupBy("day_num")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -300,3 +300,25 @@ def test_stream_volume_anomaly_equals_batch(spark):
         for r in events_stream_volume_anomaly(spark, SF_SMOKE).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_stream_dau_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.queries import (
+        events_stream_dau,
+        read_events,
+    )
+
+    batch = {
+        r["day_num"]: r["dau"]
+        for r in read_events(spark, SF_SMOKE)
+        .groupBy(F.expr("(ts div 1000) div 86400000000").alias("day_num"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    stream = {
+        r["day_num"]: r["dau"]
+        for r in events_stream_dau(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream and len(batch) > 0
