@@ -307,3 +307,49 @@ def test_rare_bigram_score_bounds(spark):
         assert 0 <= r["n_rare"] <= r["n_bigrams"]
         assert 0 <= r["rare_e6"] <= 1_000_000
     assert any(r["n_rare"] > 0 for r in rows)
+
+
+def test_point_in_ring_randomized_rect_and_triangle(spark):
+    """200 seeded random polygons (rects + right triangles) with truth
+    computed independently from the defining inequalities; points on
+    the odd grid so no edge incidence (diagonal incidence filtered)."""
+    import random
+
+    rng = random.Random(20260813)
+    cases = []
+    while len(cases) < 200:
+        x0, y0 = rng.randrange(0, 50) * 2, rng.randrange(0, 50) * 2
+        dx, dy = rng.randrange(1, 10) * 2, rng.randrange(1, 10) * 2
+        px = x0 + rng.randrange(-6, 26) * 2 - 1
+        py = y0 + rng.randrange(-6, 26) * 2 - 1
+        if rng.random() < 0.5:
+            wkt = (
+                f"POLYGON (({x0} {y0}, {x0+dx} {y0}, {x0+dx} {y0+dy}, "
+                f"{x0} {y0+dy}, {x0} {y0}))"
+            )
+            want = int(x0 < px < x0 + dx and y0 < py < y0 + dy)
+        else:
+            # right triangle (x0,y0)-(x0+dx,y0)-(x0,y0+dy); interior:
+            # px>x0, py>y0, (px-x0)*dy + (py-y0)*dx < dx*dy
+            lhs = (px - x0) * dy + (py - y0) * dx
+            if lhs == dx * dy:
+                continue  # on the diagonal — undefined by convention
+            wkt = (
+                f"POLYGON (({x0} {y0}, {x0+dx} {y0}, {x0} {y0+dy}, "
+                f"{x0} {y0}))"
+            )
+            want = int(px > x0 and py > y0 and lhs < dx * dy)
+        cases.append((wkt, px, py, want))
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        point_in_ring,
+    )
+
+    df = spark.createDataFrame(cases, "wkt string, px long, py long, want int")
+    bad = df.select(
+        "wkt", "px", "py", "want",
+        point_in_ring(F.col("wkt"), F.col("px"), F.col("py")).alias("got"),
+    ).where(F.col("got") != F.col("want")).collect()
+    assert not bad, bad[:5]
