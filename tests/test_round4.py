@@ -353,3 +353,27 @@ def test_point_in_ring_randomized_rect_and_triangle(spark):
         point_in_ring(F.col("wkt"), F.col("px"), F.col("py")).alias("got"),
     ).where(F.col("got") != F.col("want")).collect()
     assert not bad, bad[:5]
+
+
+def test_no_cartesian_product_in_any_plan(spark):
+    """Scale hygiene sweep: build the physical plan of every registered
+    batch query at sf0.001 and reject CartesianProduct anywhere.
+    (Broadcast nested-loop joins against tiny broadcast sets are
+    acceptable and appear under a different operator name.) Streaming
+    run-to-completion entries are skipped — building them executes the
+    stream; their plans are covered by their own tests."""
+    import __spark_entry__ as E
+
+    skip_prefixes = ("events_stream_", "events_sessionize_stateful")
+    checked = 0
+    offenders = []
+    for name, fn in E.queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        checked += 1
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert checked > 140
+    assert not offenders, offenders
