@@ -2938,3 +2938,6 @@ SELECT epoch_us(ts) // 86400000000 AS day_num,
        COUNT(DISTINCT user_id) AS dau
 FROM events GROUP BY 1
 """
+
+# UDTF path, same semantics as the declarative chunker
+ORACLES["docs_chunk_udtf"] = ORACLES["docs_chunk"]

@@ -3797,3 +3797,34 @@ def events_stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import run_dau_stream
 
     return run_dau_stream(spark, sf_dir)
+
+
+def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking through a PYTHON UDTF (Spark 4's
+    table-function surface — @udtf with lateral join), certified by
+    the SAME oracle as the declarative docs_chunk: one input doc row
+    fans out to its 32-token / stride-24 chunk rows inside the UDTF.
+    Exists to keep the UDTF escape hatch tested (the declarative
+    explode form in functions/text.py is the production path — same
+    policy as events_cogroup_profile vs the JVM as-of join)."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tok int, chunk_fp string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            n = max(len(toks) - 1, 0)
+            for idx, start in enumerate(range(0, n + 1, 24)):
+                window = toks[start : start + 32]
+                fp = hashlib.md5(" ".join(window).encode()).hexdigest()[:16]
+                yield doc_id, idx, len(window), fp
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs_in")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.* FROM _udtf_docs_in d, "
+        "LATERAL chunk_doc(d.doc_id, d.text) c"
+    )

@@ -377,3 +377,15 @@ def test_no_cartesian_product_in_any_plan(spark):
             offenders.append(name)
     assert checked > 140
     assert not offenders, offenders
+
+
+def test_udtf_chunker_equals_declarative(spark):
+    decl = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tok"], r["chunk_fp"])
+        for r in Q.docs_chunk(spark, SF_SMOKE).collect()
+    }
+    udtf_rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tok"], r["chunk_fp"])
+        for r in Q.docs_chunk_udtf(spark, SF_SMOKE).collect()
+    }
+    assert decl == udtf_rows and len(decl) > 0
