@@ -204,6 +204,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_rare_bigram_score": Q.docs_rare_bigram_score,
     "events_stream_dau": Q.events_stream_dau,
     "docs_chunk_udtf": Q.docs_chunk_udtf,
+    "events_stream_wau": Q.events_stream_wau,
 }
 
 

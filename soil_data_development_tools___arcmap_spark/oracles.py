@@ -2941,3 +2941,15 @@ FROM events GROUP BY 1
 
 # UDTF path, same semantics as the declarative chunker
 ORACLES["docs_chunk_udtf"] = ORACLES["docs_chunk"]
+
+ORACLES["events_stream_wau"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num
+  FROM events),
+wau AS (
+  SELECT ud.day_num + gs.off AS day_num, COUNT(DISTINCT user_id) AS wau
+  FROM ud, generate_series(0, 6) gs(off)
+  GROUP BY 1)
+SELECT day_num, wau FROM wau
+WHERE day_num <= (SELECT MAX(epoch_us(ts) // 86400000000) FROM events)
+"""

@@ -3828,3 +3828,11 @@ def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM _udtf_docs_in d, "
         "LATERAL chunk_doc(d.doc_id, d.text) c"
     )
+
+
+def events_stream_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-7d WAU (dedup state + window fanout +
+    complete-mode count) — certified by the batch fanout oracle."""
+    from .streaming.events import run_wau_stream
+
+    return run_wau_stream(spark, sf_dir)

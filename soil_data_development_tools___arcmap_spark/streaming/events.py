@@ -721,3 +721,44 @@ def run_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_wau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-7-day WAU: fan each event into the ≤7 window
+    ends it serves, dedup statefully on (user, window) — a user active
+    on several days of one window still counts once — then the
+    complete-mode per-window count. The dedup watermark is 7 days
+    because a duplicate (user, window) pair can arrive from an event
+    up to 6 days after the first contributor; count state stays
+    day-bounded. Windows ending past the final real day are trimmed in
+    the batch post-pass so the result matches the batch fanout's
+    reporting range."""
+    name = "events_wau_" + uuid.uuid4().hex[:8]
+    fanned = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("day_num", F.expr("(ts div 1000) div 86400000000"))
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "7 days")
+        .withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(
+            (F.col("day_num") + F.col("off")).alias("win_day"),
+            "user_id",
+            "event_time",
+        )
+        .dropDuplicates(["user_id", "win_day"])
+    )
+    q = (
+        fanned.groupBy("win_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rolled = spark.table(name).localCheckpoint()
+    last_day = rolled.agg(F.max("win_day") - 6).collect()[0][0]
+    return rolled.where(F.col("win_day") <= last_day).select(
+        F.col("win_day").alias("day_num"), "wau"
+    )

@@ -322,3 +322,20 @@ def test_stream_dau_equals_batch(spark):
         for r in events_stream_dau(spark, SF_SMOKE).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_stream_wau_equals_batch(spark):
+    from soil_data_development_tools___arcmap_spark.queries import (
+        events_dau_wau,
+        events_stream_wau,
+    )
+
+    batch = {
+        r["day_num"]: r["wau"]
+        for r in events_dau_wau(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r["day_num"]: r["wau"]
+        for r in events_stream_wau(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream and len(batch) > 0
