@@ -38,9 +38,6 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     # Quieter driver logs in test runs.
     "spark.ui.enabled": "false",
-    # The events table ships nanosecond parquet timestamps, which Spark
-    # rejects by default; read them as integer nanoseconds (exact).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

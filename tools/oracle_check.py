@@ -51,7 +51,20 @@ def main() -> int:
     from soil_data_development_tools___arcmap_spark import get_spark
     from soil_data_development_tools___arcmap_spark.sources.testdata import TABLES
 
-    spark = get_spark("oracle-check", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-like session: NO repo factory confs — proves every
+        # query pins the semantics it needs (timezone etc.) itself
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "12g")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
