@@ -205,6 +205,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_dau": Q.events_stream_dau,
     "docs_chunk_udtf": Q.docs_chunk_udtf,
     "events_stream_wau": Q.events_stream_wau,
+    "merge_upsert_latest": Q.merge_upsert_latest,
+    "events_late_data_audit": Q.events_late_data_audit,
 }
 
 

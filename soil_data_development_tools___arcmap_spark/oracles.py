@@ -2953,3 +2953,33 @@ wau AS (
 SELECT day_num, wau FROM wau
 WHERE day_num <= (SELECT MAX(epoch_us(ts) // 86400000000) FROM events)
 """
+
+ORACLES["merge_upsert_latest"] = """
+WITH base AS (
+  SELECT o_orderkey AS okey, 1 AS version,
+         CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+  FROM orders),
+revised AS (
+  SELECT o_orderkey AS okey, 2 AS version,
+         CAST(round(o_totalprice*100) AS BIGINT) + 100 AS total_c
+  FROM orders WHERE o_orderkey % 5 = 0),
+merged AS (SELECT * FROM base UNION ALL SELECT * FROM revised)
+SELECT okey, CAST(version AS INTEGER) AS version, total_c
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY okey ORDER BY version DESC, total_c DESC) AS rn
+      FROM merged)
+WHERE rn = 1
+"""
+
+ORACLES["events_late_data_audit"] = """
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+lat AS (
+  SELECT GREATEST(COALESCE(MAX(ts_us) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us, 0),
+         0) AS late_us
+  FROM ev)
+SELECT CAST(late_us // 86400000000 AS BIGINT) AS late_days,
+       COUNT(*) AS n_events
+FROM lat GROUP BY 1
+"""

@@ -3836,3 +3836,64 @@ def events_stream_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import run_wau_stream
 
     return run_wau_stream(spark, sf_dir)
+
+
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey re-download upsert (SSURGO_BatchDownload.py:611 replaces
+    a stale survey folder before re-import; SSURGO_MergeDatabases
+    overwrite mode): new-version rows REPLACE same-key rows instead of
+    appending. Version 2 re-ships every fifth order with a corrected
+    total; the merged current view keeps exactly one row per key —
+    newest version wins — via one argbest struct aggregate (max of
+    (version, payload)), not a window: the shuffle carries partial
+    maxima, combine happens map-side, and there is no sort."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit(1).alias("version"),
+        cents("o_totalprice").alias("total_c"),
+    )
+    revised = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.lit(2).alias("version"),
+            (cents("o_totalprice") + 100).alias("total_c"),
+        )
+    )
+    merged = base.unionByName(revised)
+    best = F.max(F.struct("version", "total_c")).alias("b")
+    return (
+        merged.groupBy("okey")
+        .agg(best)
+        .select(
+            "okey",
+            F.col("b.version").alias("version"),
+            F.col("b.total_c").alias("total_c"),
+        )
+    )
+
+
+def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: per event, lateness = how far behind
+    the running maximum event time (in ARRIVAL order — event_id is the
+    ingest sequence) this event arrived; reported as a per-day-bucket
+    histogram. This is the profile a streaming deployment reads to
+    pick its watermark delay (a 1-day watermark drops exactly the
+    rows in buckets ≥ 1). One window over arrival order (single sort),
+    one tiny aggregate."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    late_us = F.greatest(
+        F.coalesce(F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0)),
+        F.lit(0),
+    )
+    return (
+        ev.withColumn("late_days", (late_us / F.lit(86400000000)).cast("long"))
+        .groupBy("late_days")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -389,3 +389,19 @@ def test_udtf_chunker_equals_declarative(spark):
         for r in Q.docs_chunk_udtf(spark, SF_SMOKE).collect()
     }
     assert decl == udtf_rows and len(decl) > 0
+
+
+def test_upsert_latest_semantics(spark):
+    rows = {r["okey"]: (r["version"], r["total_c"])
+            for r in Q.merge_upsert_latest(spark, SF_SMOKE).collect()}
+    assert len(rows) == 1500  # one row per order key, no dup appends
+    v2 = [k for k, (v, _) in rows.items() if v == 2]
+    assert v2 and all(k % 5 == 0 for k in v2)
+    assert all(v == 1 for k, (v, _) in rows.items() if k % 5 != 0)
+
+
+def test_late_data_audit_buckets(spark):
+    rows = {r["late_days"]: r["n_events"]
+            for r in Q.events_late_data_audit(spark, SF_SMOKE).collect()}
+    assert sum(rows.values()) == 1000  # every sf0.001 event audited
+    assert 0 in rows  # on-time bucket always present
