@@ -3880,20 +3880,38 @@ def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest sequence) this event arrived; reported as a per-day-bucket
     histogram. This is the profile a streaming deployment reads to
     pick its watermark delay (a 1-day watermark drops exactly the
-    rows in buckets ≥ 1). One window over arrival order (single sort),
-    one tiny aggregate."""
+    rows in buckets ≥ 1).
+
+    A running max over a global order is inherently sequential, so it
+    is computed as a PARALLEL PREFIX SCAN — the shape that survives
+    100×: arrival ids bucket into 1M-id chunks; the within-chunk
+    running max is a PARTITIONED window (parallel), the cross-chunk
+    carry is a prefix max over the chunk maxima (one row per chunk —
+    the only global window, thousands of rows at any scale), joined
+    back by chunk id. No single-partition sort of the fact table
+    anywhere."""
     ev = read_events(spark, sf_dir).select(
         "event_id", F.expr("ts div 1000").alias("ts_us")
+    ).withColumn("bkt", F.expr("event_id div 1000000"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    within = ev.withColumn("in_max", F.max("ts_us").over(w_in))
+    bmax = ev.groupBy("bkt").agg(F.max("ts_us").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bmax.select(
+        "bkt", F.max("bmax").over(w_b).alias("carry_max")
     )
-    late_us = F.greatest(
-        F.coalesce(F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0)),
-        F.lit(0),
+    run_max = F.greatest(
+        F.coalesce(F.col("in_max"), F.lit(-1)),
+        F.coalesce(F.col("carry_max"), F.lit(-1)),
     )
+    late_us = F.greatest(run_max - F.col("ts_us"), F.lit(0))
     return (
-        ev.withColumn("late_days", (late_us / F.lit(86400000000)).cast("long"))
+        within.join(carry, "bkt")
+        .withColumn("late_days", (late_us / F.lit(86400000000)).cast("long"))
         .groupBy("late_days")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
