@@ -2171,11 +2171,14 @@ def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_sets(_spread(_t(spark, sf_dir, "documents"), "doc_id"))
     )
     counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # top-20 then a 20-row merge, never a global sort of the (at
+    # corpus scale, billions-row) distinct-shingle table; the rank
+    # window then runs on 20 rows
+    top = counts.orderBy(F.col("n").desc(), F.col("s").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("s").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("s", "n", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "s", "n", "rank"
     )
 
 
@@ -3367,16 +3370,25 @@ def report_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     .rlf template and hands rows to the ArcGIS report engine): the
     engine's pagination — key-ordered rows split into 50-line pages
     with per-page line numbers and group summaries — is portable
-    computation: one global sort (range partitioning at scale, the
-    inherent cost of an ordered report), then page assembly is a
-    map-side aggregate. Output: one row per page with its line count,
-    key span, and exact cent subtotal."""
+    computation. The global row number is a parallel prefix scan (the
+    same shape as events_late_data_audit): a PARTITIONED window inside
+    1M-key chunks plus a per-chunk row-count carry — the only global
+    window runs over one row per chunk, so no single-partition sort of
+    the report rows at any scale. Output: one row per page with its
+    line count, key span, and exact cent subtotal."""
     rows = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), cents("o_totalprice").alias("c")
+    ).withColumn("bkt", F.expr("okey div 1000000"))
+    w_in = Window.partitionBy("bkt").orderBy("okey")
+    within = rows.withColumn("rn_in", F.row_number().over(w_in))
+    bcount = rows.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bcount.select(
+        "bkt", F.coalesce(F.sum("bn").over(w_b), F.lit(0)).alias("rn_base")
     )
-    w = Window.orderBy("okey")
-    paged = rows.withColumn(
-        "page", ((F.row_number().over(w) - 1) / 50).cast("long") + 1
+    paged = within.join(carry, "bkt").withColumn(
+        "page",
+        ((F.col("rn_base") + F.col("rn_in") - 1) / 50).cast("long") + 1,
     )
     return paged.groupBy("page").agg(
         F.count(F.lit(1)).alias("n_lines"),
