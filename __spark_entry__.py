@@ -207,6 +207,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_wau": Q.events_stream_wau,
     "merge_upsert_latest": Q.merge_upsert_latest,
     "events_late_data_audit": Q.events_late_data_audit,
+    "docs_remove_dup_spans": Q.docs_remove_dup_spans,
 }
 
 

@@ -2983,3 +2983,28 @@ SELECT CAST(late_us // 86400000000 AS BIGINT) AS late_days,
        COUNT(*) AS n_events
 FROM lat GROUP BY 1
 """
+
+ORACLES["docs_remove_dup_spans"] = """
+WITH toks AS (
+  SELECT doc_id AS did, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT did, i - 1 AS i0, array_to_string(list_slice(tk, i, i+4), ' ') AS gram
+  FROM toks, generate_series(1, 65535) gs(i)
+  WHERE len(tk) >= 5 AND i <= len(tk) - 4),
+pop AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+st AS (SELECT did, list(i0) AS starts FROM g JOIN pop USING (gram) GROUP BY did),
+cl AS (
+  SELECT t.did, t.tk, COALESCE(s.starts, []) AS starts
+  FROM toks t LEFT JOIN st s ON t.did = s.did),
+k AS (
+  SELECT did, len(tk) AS n_tokens,
+         list_filter(tk, (x, i) ->
+           len(list_filter(starts, s -> i-1 >= s AND i-1 <= s+4)) = 0)
+           AS kept
+  FROM cl)
+SELECT did, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_tokens - len(kept) AS INTEGER) AS n_removed,
+       -- array_to_string([]) is NULL in DuckDB but concat_ws gives ''
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_fp
+FROM k
+"""

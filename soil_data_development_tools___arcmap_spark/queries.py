@@ -3927,3 +3927,67 @@ def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("late_days")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup APPLIED (the Lee et al. 2022 step after
+    the docs_dup_spans profile): tokens covered by any globally
+    repeated 5-gram span are removed from every document; output the
+    per-doc removal audit plus the cleaned-text fingerprint. The span
+    membership test is a nested higher-order filter over the doc's
+    popular-span start list — pure array expressions, no UDF. Two
+    shuffles: the global gram count and the per-doc start-list
+    collect; the removal itself is map-side."""
+    from .functions.dedup import _spread
+    from .functions.text import tokens
+
+    toks = _spread(_t(spark, sf_dir, "documents"), "doc_id").select(
+        F.col("doc_id").alias("did"), tokens().alias("tk")
+    )
+    grams = toks.where(F.size("tk") >= 5).select(
+        "did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 5),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("tk"), i + 1, 5)
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("did", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    pop = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    starts = (
+        grams.join(pop, "gram", "left_semi")
+        .groupBy("did")
+        .agg(F.collect_list("i").alias("starts"))
+    )
+    cleaned = (
+        toks.join(starts, "did", "left")
+        .withColumn(
+            "starts",
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "kept",
+            F.filter(
+                "tk",
+                lambda t, i: ~F.exists(
+                    F.col("starts"), lambda s: (i >= s) & (i <= s + 4)
+                ),
+            ),
+        )
+    )
+    return cleaned.select(
+        "did",
+        F.size("tk").alias("n_tokens"),
+        (F.size("tk") - F.size("kept")).alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_fp"),
+    )

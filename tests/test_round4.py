@@ -405,3 +405,13 @@ def test_late_data_audit_buckets(spark):
             for r in Q.events_late_data_audit(spark, SF_SMOKE).collect()}
     assert sum(rows.values()) == 1000  # every sf0.001 event audited
     assert 0 in rows  # on-time bucket always present
+
+
+def test_remove_dup_spans_consistency(spark):
+    rows = Q.docs_remove_dup_spans(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    removed = sum(r["n_removed"] for r in rows)
+    assert removed > 0  # repeated 5-grams exist in the corpus
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        assert len(r["cleaned_fp"]) == 32
