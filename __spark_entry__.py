@@ -208,6 +208,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert_latest": Q.merge_upsert_latest,
     "events_late_data_audit": Q.events_late_data_audit,
     "docs_remove_dup_spans": Q.docs_remove_dup_spans,
+    "events_burst_users": Q.events_burst_users,
 }
 
 

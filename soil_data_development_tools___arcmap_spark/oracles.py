@@ -3008,3 +3008,13 @@ SELECT did, CAST(n_tokens AS INTEGER) AS n_tokens,
        md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_fp
 FROM k
 """
+
+ORACLES["events_burst_users"] = """
+WITH m AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT user_id, MAX(n) AS peak_per_hour,
+       CAST(CASE WHEN MAX(n) >= 3 THEN 1 ELSE 0 END AS INTEGER) AS burst_flag,
+       SUM(n) AS n_events
+FROM m GROUP BY user_id
+"""

@@ -3991,3 +3991,20 @@ def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("tk") - F.size("kept")).alias("n_removed"),
         F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_fp"),
     )
+
+
+def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/bot screening — the rate-based filter a training pipeline
+    runs before ingesting user-generated content: per user, the peak
+    events-in-one-hour rate and a burst flag (peak ≥ 3). Two integer
+    aggregates (user×hour rollup, then per-user max), both combining
+    map-side; no windows, no floats."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.expr("(ts div 1000) div 3600000000").alias("hour")
+    )
+    hourly = ev.groupBy("user_id", "hour").agg(F.count(F.lit(1)).alias("n"))
+    return hourly.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_hour"),
+        (F.max("n") >= 3).cast("int").alias("burst_flag"),
+        F.sum("n").alias("n_events"),
+    )

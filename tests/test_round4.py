@@ -415,3 +415,11 @@ def test_remove_dup_spans_consistency(spark):
     for r in rows:
         assert 0 <= r["n_removed"] <= r["n_tokens"]
         assert len(r["cleaned_fp"]) == 32
+
+
+def test_burst_users_flags(spark):
+    rows = Q.events_burst_users(spark, SF_SMOKE).collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert r["peak_per_hour"] >= 1
+        assert r["burst_flag"] == (1 if r["peak_per_hour"] >= 3 else 0)
