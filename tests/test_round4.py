@@ -419,7 +419,7 @@ def test_remove_dup_spans_consistency(spark):
 
 def test_burst_users_flags(spark):
     rows = Q.events_burst_users(spark, SF_SMOKE).collect()
-    assert len(rows) == 150
+    assert len(rows) == 15  # sf0.001 has 15 distinct users
     for r in rows:
         assert r["peak_per_hour"] >= 1
         assert r["burst_flag"] == (1 if r["peak_per_hour"] >= 3 else 0)
