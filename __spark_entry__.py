@@ -209,6 +209,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_late_data_audit": Q.events_late_data_audit,
     "docs_remove_dup_spans": Q.docs_remove_dup_spans,
     "events_burst_users": Q.events_burst_users,
+    "docs_pipeline_funnel": Q.docs_pipeline_funnel,
 }
 
 

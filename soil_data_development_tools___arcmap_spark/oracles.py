@@ -3018,3 +3018,34 @@ SELECT user_id, MAX(n) AS peak_per_hour,
        SUM(n) AS n_events
 FROM m GROUP BY user_id
 """
+
+ORACLES["docs_pipeline_funnel"] = f"""
+WITH d AS ({_DOCS_T}),
+q AS (SELECT doc_id FROM d WHERE len(t) >= 20),
+la AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CASE WHEN s_de = b THEN 'de' WHEN s_en = b THEN 'en'
+                WHEN s_es = b THEN 'es' WHEN s_fr = b THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS b FROM (
+      SELECT doc_id,
+        len(list_filter(t, w -> w IN ('hash','sort','value'))) AS s_de,
+        len(list_filter(t, w -> w IN ('the','a','data','order'))) AS s_en,
+        len(list_filter(t, w -> w IN ('query','row','table'))) AS s_es,
+        len(list_filter(t, w -> w IN ('group','line','vector'))) AS s_fr,
+        len(list_filter(t, w -> w IN ('spark','big','dup'))) AS s_zh
+      FROM d)))
+  WHERE lang_pred = 'en'),
+ke AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+nj AS (SELECT DISTINCT j AS doc_id FROM ({ORACLES["docs_ngram_jaccard"]})),
+s1 AS (SELECT doc_id FROM documents WHERE doc_id IN (SELECT doc_id FROM q)),
+s2 AS (SELECT doc_id FROM s1 WHERE doc_id IN (SELECT doc_id FROM la)),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM ke)),
+s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM nj))
+SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT '1_quality', COUNT(*) FROM s1
+UNION ALL SELECT '2_language', COUNT(*) FROM s2
+UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM s3
+UNION ALL SELECT '4_near_dedup', COUNT(*) FROM s4
+"""

@@ -4008,3 +4008,43 @@ def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("n") >= 3).cast("int").alias("burst_flag"),
         F.sum("n").alias("n_events"),
     )
+
+
+def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline observability: how many docs survive each
+    CUMULATIVE stage of docs_clean_corpus (input → quality → +lang →
+    +exact-dedup → +near-dedup) — the funnel a data-quality dashboard
+    tracks per ingest batch. Five counts stacked into one result; each
+    stage reuses the same semi/anti-join logic as the cleaning query
+    itself, so the funnel can never drift from the pipeline."""
+    from .functions.dedup import exact_dedup, ngram_jaccard_pairs
+    from .functions.text import langid_scores, quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs).where(F.col("n_tokens") >= 20).select("doc_id")
+    la = langid_scores(docs).where(F.col("lang_pred") == "en").select("doc_id")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    near_j = (
+        ngram_jaccard_pairs(docs, threshold_e4=3000, max_freq=100)
+        .select(F.col("j").alias("doc_id"))
+        .distinct()
+    )
+    s0 = docs.select("doc_id")
+    s1 = s0.join(q, "doc_id", "left_semi")
+    s2 = s1.join(la, "doc_id", "left_semi")
+    s3 = s2.join(keep, "doc_id", "left_semi")
+    s4 = s3.join(near_j, "doc_id", "left_anti")
+    stages = [
+        ("0_input", s0),
+        ("1_quality", s1),
+        ("2_language", s2),
+        ("3_exact_dedup", s3),
+        ("4_near_dedup", s4),
+    ]
+    counted = None
+    for name, df in stages:
+        c = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        counted = c if counted is None else counted.unionByName(c)
+    return counted

@@ -423,3 +423,15 @@ def test_burst_users_flags(spark):
     for r in rows:
         assert r["peak_per_hour"] >= 1
         assert r["burst_flag"] == (1 if r["peak_per_hour"] >= 3 else 0)
+
+
+def test_pipeline_funnel_monotone(spark):
+    rows = {r["stage"]: r["n_docs"]
+            for r in Q.docs_pipeline_funnel(spark, SF_SMOKE).collect()}
+    order = ["0_input", "1_quality", "2_language", "3_exact_dedup", "4_near_dedup"]
+    vals = [rows[s] for s in order]
+    assert vals[0] == 500
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert vals[-1] > 0
+    # the funnel's tail equals the cleaned corpus row count
+    assert vals[-1] == Q.docs_clean_corpus(spark, SF_SMOKE).count()
