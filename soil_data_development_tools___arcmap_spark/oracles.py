@@ -2584,8 +2584,7 @@ pairs AS (
 pts AS (
   SELECT p, gs.j, CAST(gs.j AS DOUBLE) / (nn.n - 1) AS t, nn.n,
          sr, sg, sb, fr, fg, fb
-  FROM pairs, nn, generate_series(0, 4095) gs(j)
-  WHERE gs.j <= nn.n - 1),
+  FROM pairs, nn, unnest(generate_series(0, nn.n - 1)) gs(j)),
 colors AS (
   SELECT p * n + j AS pos,
          CAST(floor((1.0 - t) * sr) + floor(t * fr) AS BIGINT) AS r,
@@ -2922,8 +2921,8 @@ WITH toks AS (
   SELECT doc_id AS did, string_split(text, ' ') AS tk FROM documents),
 bg AS (
   SELECT did, tk[i] || ' ' || tk[i+1] AS b
-  FROM toks, generate_series(1, 65535) gs(i)
-  WHERE len(tk) >= 2 AND i <= len(tk) - 1),
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) gs(i)
+  WHERE len(tk) >= 2),
 gc AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b)
 SELECT did, COUNT(*) AS n_bigrams,
        SUM(CASE WHEN c <= 5 THEN 1 ELSE 0 END) AS n_rare,
@@ -2989,8 +2988,8 @@ WITH toks AS (
   SELECT doc_id AS did, string_split(text, ' ') AS tk FROM documents),
 g AS (
   SELECT did, i - 1 AS i0, array_to_string(list_slice(tk, i, i+4), ' ') AS gram
-  FROM toks, generate_series(1, 65535) gs(i)
-  WHERE len(tk) >= 5 AND i <= len(tk) - 4),
+  FROM toks, unnest(generate_series(1, len(tk) - 4)) gs(i)
+  WHERE len(tk) >= 5),
 pop AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
 st AS (SELECT did, list(i0) AS starts FROM g JOIN pop USING (gram) GROUP BY did),
 cl AS (

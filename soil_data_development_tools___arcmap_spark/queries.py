@@ -2257,33 +2257,48 @@ def docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float interpolation to diverge across engines), and the discrete
     p95 order statistic at integer index (19·(n−1)) div 20 + 1 —
     percentile_approx's GK sketch and interpolated percentiles are NOT
-    engine-reproducible, order statistics are. One window + one
-    groupBy, both on the source key."""
+    engine-reproducible, order statistics are.
+
+    Scale posture: the raw docs collapse to a (source, n_tok) count
+    HISTOGRAM first (combine-friendly groupBy, map-side partial agg),
+    and the order statistics are read off the histogram's cumulative
+    counts. A distinct value with count c occupies rank interval
+    [cum−c+1, cum]; the median/p95 ranks land in exactly one interval,
+    so the selected values are identical to a per-row row_number sort.
+    The only window runs over the histogram — bounded by the number of
+    DISTINCT token counts per source (≤ max doc length), independent
+    of the doc count — so a terabyte-scale hot source never sorts its
+    raw rows on one task (the round-4 `weak` flag)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )
+    hist = tok.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("c"))
     ws = Window.partitionBy("source")
-    w = ws.orderBy(F.col("n_tok").asc())
-    r = (
-        tok.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(ws))
+    wcum = ws.orderBy(F.col("n_tok").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    h = (
+        hist.withColumn("hi", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(ws))
+        .withColumn("lo", F.col("hi") - F.col("c") + 1)
+    )
+
+    def _hits(rank):
+        return (rank >= F.col("lo")) & (rank <= F.col("hi"))
+
     odd = F.col("n") % 2 == 1
-    med_w = (
-        F.when(odd & (F.col("rn") == (F.col("n") + 1) / 2), 2)
-        .when(
-            ~odd
-            & ((F.col("rn") == F.col("n") / 2) | (F.col("rn") == F.col("n") / 2 + 1)),
-            1,
-        )
-        .otherwise(0)
+    m_mid = F.expr("(n + 1) div 2")
+    m_a = F.expr("n div 2")
+    m_b = F.expr("n div 2 + 1")
+    med_w = F.when(odd, F.when(_hits(m_mid), 2).otherwise(0)).otherwise(
+        F.when(_hits(m_a), 1).otherwise(0) + F.when(_hits(m_b), 1).otherwise(0)
     )
     p95_idx = F.expr("(19 * (n - 1)) div 20 + 1")
-    return r.groupBy("source").agg(
+    return h.groupBy("source").agg(
         F.max("n").alias("n_docs"),
         F.sum(med_w * F.col("n_tok")).alias("med2_tok"),
-        F.max(F.when(F.col("rn") == p95_idx, F.col("n_tok"))).alias("p95_tok"),
+        F.max(F.when(_hits(p95_idx), F.col("n_tok"))).alias("p95_tok"),
     )
 
 
@@ -3233,7 +3248,7 @@ def report_number_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rating",
         F.format_number(F.col("n"), 0).alias("n_fmt"),
         F.concat(
-            F.format_number((F.col("total_c") / 100).cast("long"), 0),
+            F.format_number(F.expr("total_c div 100"), 0),
             F.lit("."),
             F.lpad((F.col("total_c") % 100).cast("string"), 2, "0"),
         ).alias("total_fmt"),
