@@ -695,70 +695,112 @@ def run_volume_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_dau_stream(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Streaming DAU: stateful exact dedup on (user, day) CHAINED into
-    a complete-mode daily count — two stateful operators in one
-    incremental query (dedup state evicted by the 1-day watermark;
-    count state bounded by day cardinality). At availableNow
-    completion the counts equal batch COUNT(DISTINCT user) per day, so
-    the batch oracle certifies the chain."""
+    an UPDATE-mode 1-day-windowed count — two stateful operators in one
+    incremental query, BOTH watermark-evicted. Dedup state expires one
+    day after a (user, day) pair's first sighting
+    (``dropDuplicatesWithinWatermark``: in-day duplicates are < 1 day
+    apart in event time, so none survive eviction); count state is a
+    windowed aggregation on the watermarked column, so closed days are
+    dropped from the store once the watermark passes the window end.
+    Unlike the round-4 complete-mode form, state no longer grows with
+    the day count — an unbounded production stream holds ~2 days of
+    (user, day) keys plus the open windows.
+
+    The update-mode memory sink appends one row per touched window per
+    micro-batch; deduped contributions only ever ADD to a day's count,
+    so the per-day count is monotone across batches and MAX(dau) is the
+    final value — no batch-id bookkeeping, no driver collect. At
+    availableNow completion the result equals batch
+    COUNT(DISTINCT user) per day (single-batch AND day-ordered
+    multi-batch replay — both pinned in tests/test_streaming.py).
+
+    ``source`` overrides the default single-file reader with any
+    ns-``ts`` events stream (the multi-batch test feeds a
+    file-per-day source under maxFilesPerTrigger=1)."""
     name = "events_dau_" + uuid.uuid4().hex[:8]
     ud = (
-        read_events_stream(spark, sf_dir)
+        (source if source is not None else read_events_stream(spark, sf_dir))
         .withColumn("day_num", F.expr("(ts div 1000) div 86400000000"))
         .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("event_time", "1 day")
-        .dropDuplicates(["user_id", "day_num"])
+        .dropDuplicatesWithinWatermark(["user_id", "day_num"])
     )
     q = (
-        ud.groupBy("day_num")
+        ud.groupBy(F.window("event_time", "1 day").alias("w"))
         .agg(F.count(F.lit(1)).alias("dau"))
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.expr("unix_micros(w.start) div 86400000000").alias("day_num")
+        )
+        .agg(F.max("dau").alias("dau"))
+    )
 
 
-def run_wau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_wau_stream(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Streaming trailing-7-day WAU: fan each event into the ≤7 window
     ends it serves, dedup statefully on (user, window) — a user active
-    on several days of one window still counts once — then the
-    complete-mode per-window count. The dedup watermark is 7 days
-    because a duplicate (user, window) pair can arrive from an event
-    up to 6 days after the first contributor; count state stays
-    day-bounded. Windows ending past the final real day are trimmed in
-    the batch post-pass so the result matches the batch fanout's
-    reporting range."""
+    on several days of one window still counts once — then an
+    UPDATE-mode 1-day-windowed count keyed by the window-end day. Both
+    stateful operators are watermark-evicted: the event-time column is
+    re-based to the fanned window-end day (``win_time``), so every
+    contributor to one (user, win_day) pair carries the IDENTICAL
+    instant and the 7-day watermark delay covers the 6-day fanout
+    spread plus in-order multi-batch replay; the count is a windowed
+    aggregation on ``win_time``, so closed windows leave the store.
+    State is bounded by ~7 open days of (user, win_day) keys — no
+    complete-mode day-count growth, unlike the round-4 form.
+
+    Deduped contributions only add, so per-day MAX over the update-mode
+    sink rows is the final count. Windows ending past the final real
+    day are trimmed via a broadcast join against the streamed maximum
+    (no driver collect)."""
     name = "events_wau_" + uuid.uuid4().hex[:8]
     fanned = (
-        read_events_stream(spark, sf_dir)
+        (source if source is not None else read_events_stream(spark, sf_dir))
         .withColumn("day_num", F.expr("(ts div 1000) div 86400000000"))
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("event_time", "7 days")
         .withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
-        .select(
-            (F.col("day_num") + F.col("off")).alias("win_day"),
-            "user_id",
-            "event_time",
+        .withColumn("win_day", F.col("day_num") + F.col("off"))
+        .withColumn(
+            "win_time", F.timestamp_micros(F.col("win_day") * 86_400_000_000)
         )
-        .dropDuplicates(["user_id", "win_day"])
+        .withWatermark("win_time", "7 days")
+        .select("win_day", "win_time", "user_id")
+        .dropDuplicatesWithinWatermark(["user_id", "win_day"])
     )
     q = (
-        fanned.groupBy("win_day")
+        fanned.groupBy(F.window("win_time", "1 day").alias("w"))
         .agg(F.count(F.lit(1)).alias("wau"))
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    rolled = spark.table(name).localCheckpoint()
-    last_day = rolled.agg(F.max("win_day") - 6).collect()[0][0]
-    return rolled.where(F.col("win_day") <= last_day).select(
-        F.col("win_day").alias("day_num"), "wau"
+    rolled = (
+        spark.table(name)
+        .groupBy(
+            F.expr("unix_micros(w.start) div 86400000000").alias("win_day")
+        )
+        .agg(F.max("wau").alias("wau"))
+        .localCheckpoint()
+    )
+    mx = rolled.agg((F.max("win_day") - F.lit(6)).alias("last_day"))
+    return (
+        rolled.join(F.broadcast(mx), F.col("win_day") <= F.col("last_day"))
+        .select(F.col("win_day").alias("day_num"), "wau")
     )

@@ -339,3 +339,65 @@ def test_stream_wau_equals_batch(spark):
         for r in events_stream_wau(spark, SF_SMOKE).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_dau_wau_across_batches(spark, tmp_path):
+    """Watermark-evicted DAU/WAU must survive multi-batch replay: one
+    file per day, oldest first, one file per trigger — dedup and count
+    state for old days is evicted as the watermark advances, yet the
+    final counts still equal the batch COUNT(DISTINCT) (pins the
+    in-order multi-batch contract the update-mode rewrite added)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.queries import (
+        events_dau_wau,
+        read_events,
+    )
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        _ts_ns,
+        run_dau_stream,
+        run_wau_stream,
+    )
+
+    ev = read_events(spark, SF_SMOKE).withColumn(
+        "day_num", F.expr("(ts div 1000) div 86400000000")
+    )
+    days = sorted(r[0] for r in ev.select("day_num").distinct().collect())
+    src = str(tmp_path / "ev_daily")
+    os.makedirs(src, exist_ok=True)
+    for d in days:
+        ev.where(F.col("day_num") == d).drop("day_num").withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def mb_source():
+        return _ts_ns(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    batch_dau = {
+        r["day_num"]: r["dau"]
+        for r in ev.groupBy("day_num")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    stream_dau = {
+        r["day_num"]: r["dau"]
+        for r in run_dau_stream(spark, SF_SMOKE, source=mb_source()).collect()
+    }
+    assert batch_dau == stream_dau and len(batch_dau) > 1
+
+    batch_wau = {
+        r["day_num"]: r["wau"] for r in events_dau_wau(spark, SF_SMOKE).collect()
+    }
+    stream_wau = {
+        r["day_num"]: r["wau"]
+        for r in run_wau_stream(spark, SF_SMOKE, source=mb_source()).collect()
+    }
+    assert batch_wau == stream_wau and len(batch_wau) > 1
