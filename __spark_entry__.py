@@ -210,6 +210,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_remove_dup_spans": Q.docs_remove_dup_spans,
     "events_burst_users": Q.events_burst_users,
     "docs_pipeline_funnel": Q.docs_pipeline_funnel,
+    # round 5: metadata-generated catalog ingest + catalog-proven planner
+    "ingest_full_catalog": Q.ingest_full_catalog,
+    "planner_sdv_extended": Q.planner_sdv_extended,
 }
 
 

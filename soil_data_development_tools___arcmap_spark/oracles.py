@@ -3048,3 +3048,81 @@ UNION ALL SELECT '2_language', COUNT(*) FROM s2
 UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM s3
 UNION ALL SELECT '4_near_dedup', COUNT(*) FROM s4
 """
+
+
+# ------------------------------------------------- round 5 additions
+
+ORACLES["ingest_full_catalog"] = """
+SELECT 'legend' AS table_name, CAST(1 AS INTEGER) AS load_rank,
+       CAST(14 AS INTEGER) AS n_cols,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(r_regionkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CASE WHEN r_regionkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(0 AS BIGINT) AS n_special
+FROM region
+UNION ALL
+SELECT 'legendtext', 2, 7, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(r_regionkey) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN r_regionkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM region
+UNION ALL
+SELECT 'mapunit', 3, 24, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_nationkey) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'component', 4, 109, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(c_custkey) AS BIGINT),
+       CAST(SUM(CASE WHEN c_custkey % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'cotaxmoistcl', 5, 3, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(c_custkey) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM customer
+"""
+
+_TAXMOIST_RANK = (
+    "CASE v WHEN 'Aquic' THEN 1 WHEN 'Udic' THEN 2 WHEN 'Ustic' THEN 3 "
+    "WHEN 'Xeric' THEN 4 WHEN 'Aridic' THEN 5 ELSE 6 END"
+)
+
+ORACLES["planner_sdv_extended"] = f"""
+WITH {_SYN},
+syn_tax AS (
+  SELECT cokey,
+         CASE WHEN cokey % 11 <> 0 THEN
+           (['Aquic','Udic','Ustic','Xeric','Aridic'])[cokey % 5 + 1]
+         END AS taxmoistcl
+  FROM syn_co),
+flt AS (
+  SELECT c.mukey, c.cokey, c.comppct_r, t.taxmoistcl
+  FROM syn_co c LEFT JOIN syn_tax t ON c.cokey = t.cokey
+  WHERE c.comppct_r IS NOT NULL AND c.comppct_r >= 10
+    AND (c.compname IS NULL OR c.compname <> 'NOTCOM')),
+br AS (
+  SELECT mukey, taxmoistcl AS v, SUM(comppct_r) AS sw, MIN(cokey) AS mm,
+         MAX(comppct_r) AS mw,
+         MIN(CASE WHEN comppct_r = mwr THEN cokey END) AS mmd
+  FROM (SELECT *, MAX(comppct_r) OVER (PARTITION BY mukey, taxmoistcl) AS mwr
+        FROM flt)
+  GROUP BY mukey, taxmoistcl),
+tt AS (
+  SELECT mukey, v, sw, mm, mw, mmd,
+         SUM(sw) OVER (PARTITION BY mukey) AS tw,
+         row_number() OVER (
+           PARTITION BY mukey
+           ORDER BY sw DESC, {_TAXMOIST_RANK} ASC, mm ASC) AS rn,
+         row_number() OVER (
+           PARTITION BY mukey
+           ORDER BY mw DESC, {_TAXMOIST_RANK} ASC, mmd ASC) AS rn_dcp
+  FROM br)
+SELECT d.mukey,
+       CAST((200*d.sw + d.tw) // (2*d.tw) AS INTEGER) AS comppct_r,
+       CASE WHEN p.mw >= 50 THEN p.v ELSE d.v END AS rating
+FROM (SELECT * FROM tt WHERE rn = 1) d
+JOIN (SELECT * FROM tt WHERE rn_dcp = 1) p USING (mukey)
+"""

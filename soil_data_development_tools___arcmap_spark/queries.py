@@ -19,6 +19,8 @@ engines), rounded once.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4063,3 +4065,222 @@ def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counted = c if counted is None else counted.unionByName(c)
     return counted
+
+
+# ------------------------------------------------- round 5 additions
+
+
+def ingest_full_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-generated full-catalog ingest end-to-end (SURVEY §1.3;
+    SSURGO_Convert_to_Geodatabase.py:1227-1412, GetTableInfo :656-708):
+    synthesize a WSS-style tabular export — pipe-delimited, cp1252,
+    blank→NULL, QUOTE_MINIMAL — from the parquet tables, including the
+    export's OWN mstab/mstabcol/msrsdet metadata files; bootstrap the
+    catalog from those files (schemas_from_metadata), then load every
+    data table with its GENERATED StructType in FK order and emit a
+    per-table reconciliation row:
+
+    - load_rank: the table's position in the FK-safe topological order
+      (catches ordering regressions);
+    - n_cols: width of the metadata-generated schema (legend 14,
+      mapunit 24, component 109 — full SSURGO layout, not the pruned
+      projections);
+    - n_rows / key_sum: distributed count + key checksum after the
+      text round-trip;
+    - n_null: blank→NULL coercion proof on a designated column;
+    - n_special: cp1252 recode proof (U+2019 survives the 0x92 byte).
+
+    Exercises tables absent from the hand-written SSURGO_SCHEMAS
+    (cotaxmoistcl, legendtext) — the extended catalog is the load
+    path, not a declaration."""
+    import csv as _csv
+    import tempfile
+
+    from .catalog import catalog_from_export, embedded_catalog, load_full_export
+
+    emb = embedded_catalog()
+    tmp = tempfile.mkdtemp(prefix="sddt_full_catalog_")
+
+    def _write(table: str, rows: list[tuple]) -> None:
+        cols = [f.name for f in emb.schemas[table].fields]
+        path = os.path.join(tmp, f"{emb.iefile[table]}.txt")
+        with open(path, "w", encoding="cp1252", newline="") as fh:
+            w = _csv.writer(
+                fh, delimiter="|", quotechar='"', doublequote=True,
+                quoting=_csv.QUOTE_MINIMAL,
+            )
+            for r in rows:
+                full = {k: v for k, v in r}
+                w.writerow(
+                    ["" if full.get(c) is None else str(full[c]) for c in cols]
+                )
+
+    # the export's own metadata files, from the embedded public model
+    _write(
+        "mdstattabs",
+        [[("tabphyname", t), ("iefilename", f)] for t, f in emb.iefile.items()],
+    )
+    from . import ssurgo_metadata as _M
+
+    _write(
+        "mdstattabcols",
+        [
+            [("tabphyname", t), ("colsequence", s), ("colphyname", c),
+             ("logicaldatatype", lt), ("fieldsize", sz)]
+            for (t, s, c, lt, sz) in _M.MDSTATTABCOLS
+        ],
+    )
+    _write(
+        "mdstatrshipdet",
+        [
+            [("ltabphyname", l), ("rtabphyname", r), ("relationshipname", n),
+             ("ltabcolphyname", lc), ("rtabcolphyname", rc)]
+            for (l, r, n, lc, rc) in _M.MDSTATRSHIPDET
+        ],
+    )
+
+    # data tables synthesized from the parquet views (deterministic)
+    region = _t(spark, sf_dir, "region").collect()
+    nation = _t(spark, sf_dir, "nation").collect()
+    customer = _t(spark, sf_dir, "customer").collect()
+    RQ = "’"  # cp1252 0x92
+    _write(
+        "legend",
+        [
+            [("lkey", r["r_regionkey"]), ("areasymbol", f"AS{r['r_regionkey']}"),
+             ("areatypename",
+              None if r["r_regionkey"] % 2 == 0 else "Non-MLRA Soil Survey Area")]
+            for r in region
+        ],
+    )
+    _write(
+        "legendtext",
+        [
+            [("legtextkey", r["r_regionkey"]), ("lkey", r["r_regionkey"]),
+             ("textcat", "misc"),
+             ("text", r["r_name"] + (RQ if r["r_regionkey"] % 2 == 1 else ""))]
+            for r in region
+        ],
+    )
+    _write(
+        "mapunit",
+        [
+            [("mukey", n["n_nationkey"]), ("musym", f"M{n['n_nationkey']}"),
+             ("muname", n["n_name"] + RQ), ("lkey", n["n_regionkey"])]
+            for n in nation
+        ],
+    )
+    _write(
+        "component",
+        [
+            [("cokey", c["c_custkey"]), ("mukey", c["c_nationkey"]),
+             ("compname", c["c_mktsegment"]),
+             ("comppct_r", c["c_custkey"] % 97 + 3),
+             ("majcompflag", "Yes" if c["c_custkey"] % 4 != 0 else "No"),
+             ("compkind", None if c["c_custkey"] % 5 == 1 else "Series")]
+            for c in customer
+        ],
+    )
+    _write(
+        "cotaxmoistcl",
+        [
+            [("cotaxmckey", c["c_custkey"]), ("cokey", c["c_custkey"]),
+             ("taxmoistcl",
+              ["Aquic", "Udic", "Ustic", "Xeric", "Aridic"][c["c_custkey"] % 5])]
+            for c in customer
+        ],
+    )
+
+    loaded = ["legend", "legendtext", "mapunit", "component", "cotaxmoistcl"]
+    cat = catalog_from_export(spark, tmp)
+    dfs = load_full_export(spark, tmp, catalog=cat, tables=loaded)
+    order = [t for t in cat.load_order() if t in dfs]
+    spec = {  # table -> (key col, null-proof col, special-proof col)
+        "legend": ("lkey", "areatypename", None),
+        "legendtext": ("legtextkey", "textsubcat", "text"),
+        "mapunit": ("mukey", "muname", "muname"),
+        "component": ("cokey", "compkind", None),
+        "cotaxmoistcl": ("cotaxmckey", "taxmoistcl", None),
+    }
+    out = None
+    for rank, t in enumerate(order, start=1):
+        key, nullc, spc = spec[t]
+        d = dfs[t].agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(key).cast("long")).alias("key_sum"),
+            F.sum(F.col(nullc).isNull().cast("int")).alias("n_null"),
+            F.sum(
+                (F.coalesce(F.col(spc), F.lit("")).contains(RQ)).cast("int")
+                if spc
+                else F.lit(0)
+            ).alias("n_special"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            F.lit(rank).alias("load_rank"),
+            F.lit(len(cat.schemas[t].fields)).alias("n_cols"),
+            "n_rows",
+            "key_sum",
+            "n_null",
+            "n_special",
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def planner_sdv_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rating planner walking a relationship that exists ONLY in
+    the metadata-generated catalog: cotaxmoistcl→component→mapunit
+    (taxonomic moisture class is a real SDV attribute whose table the
+    hand-written schema set never declared). The join path comes from
+    the embedded MDSTATRSHIPDET rows — the same rows a real export's
+    msrsdet.txt carries — so the planner is catalog-proven, not
+    fixture-proven (gSSURGO_CreateSoilMap.py:9994-10107 walk)."""
+    from .catalog import embedded_catalog
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    ok = F.col("cokey")
+    cotaxmoistcl = t["component"].select(
+        ok.alias("cotaxmckey"),
+        "cokey",
+        F.when(
+            ok % 11 != 0,
+            F.element_at(
+                F.array(*[F.lit(v) for v in
+                          ["Aquic", "Udic", "Ustic", "Xeric", "Aridic"]]),
+                (ok % 5 + 1).cast("int"),
+            ),
+        ).alias("taxmoistcl"),
+    )
+    tables = {
+        "mapunit": t["component"].select("mukey").distinct(),
+        "component": t["component"],
+        "cotaxmoistcl": cotaxmoistcl,
+    }
+    relations = [
+        {
+            "ltabphyname": l,
+            "rtabphyname": r,
+            "ltabcolphyname": lc,
+            "rtabcolphyname": rc,
+        }
+        for (l, r, lc, rc) in embedded_catalog().edges
+    ]
+    sdv_row = {
+        "attributename": "Taxonomic Moisture Class",
+        "attributetablename": "cotaxmoistcl",
+        "attributecolumnname": "taxmoistcl",
+        "algorithmname": "Dominant Condition",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": "taxmoistcl_dom",
+        "notratedphrase": "Not rated",
+    }
+    domdet = [
+        {"domainname": "taxmoistcl_dom", "choice": v, "choicesequence": i}
+        for i, v in enumerate(
+            ["Aquic", "Udic", "Ustic", "Xeric", "Aridic"], start=1
+        )
+    ]
+    req = hydrate(sdv_row, domdet, cutoff=10)
+    return create_soil_map(tables, relations, req)

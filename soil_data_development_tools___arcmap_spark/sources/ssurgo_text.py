@@ -54,10 +54,15 @@ def read_ssurgo_table(
     spark: SparkSession,
     path: str,
     table: str,
+    schema=None,
 ) -> DataFrame:
     """Read one SSURGO pipe-text table (file, directory or glob of
-    per-survey files) with the declared schema."""
-    schema = SSURGO_SCHEMAS[table]
+    per-survey files). The schema defaults to the hand-pruned
+    engine-read projection (SSURGO_SCHEMAS); pass the full
+    metadata-generated StructType (catalog.py) for export-fidelity
+    ingest of all 69 tables."""
+    if schema is None:
+        schema = SSURGO_SCHEMAS[table]
     df = (
         spark.read.csv(
             path,
