@@ -213,6 +213,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 5: metadata-generated catalog ingest + catalog-proven planner
     "ingest_full_catalog": Q.ingest_full_catalog,
     "planner_sdv_extended": Q.planner_sdv_extended,
+    "tile_survey_partition": Q.tile_survey_partition,
 }
 
 

@@ -3126,3 +3126,30 @@ SELECT d.mukey,
 FROM (SELECT * FROM tt WHERE rn = 1) d
 JOIN (SELECT * FROM tt WHERE rn_dcp = 1) p USING (mukey)
 """
+
+ORACLES["tile_survey_partition"] = """
+WITH surveys AS (
+  SELECT 'AS' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS areasymbol,
+         (c_custkey % 100) * 2 AS x0, (c_custkey % 57) * 2 AS y0,
+         (c_custkey % 100) * 2 + (c_custkey % 13 + 1) * 2 AS x1,
+         (c_custkey % 57) * 2 + (c_custkey % 7 + 1) * 2 AS y1,
+         (c_custkey % 100) * 2 + 1 AS px, (c_custkey % 57) * 2 + 1 AS py
+  FROM customer),
+tiles AS (
+  SELECT n_nationkey AS tile_id,
+         (n_nationkey % 5) * 48 AS tx0, (n_nationkey // 5) * 28 AS ty0,
+         (n_nationkey % 5) * 48 + 48 AS tx1,
+         (n_nationkey // 5) * 28 + 28 AS ty1
+  FROM nation WHERE n_nationkey < 25),
+j AS (
+  SELECT t.tile_id, s.areasymbol,
+         CASE WHEN s.px > t.tx0 AND s.px < t.tx1
+               AND s.py > t.ty0 AND s.py < t.ty1 THEN 1 ELSE 0 END AS anch
+  FROM surveys s JOIN tiles t
+    ON s.x0 < t.tx1 AND s.x1 > t.tx0 AND s.y0 < t.ty1 AND s.y1 > t.ty0)
+SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_intersect,
+       CAST(SUM(anch) AS BIGINT) AS n_anchored,
+       MIN(CASE WHEN anch = 1 THEN areasymbol END) AS first_areasymbol,
+       MAX(CASE WHEN anch = 1 THEN areasymbol END) AS last_areasymbol
+FROM j GROUP BY tile_id
+"""

@@ -4284,3 +4284,83 @@ def planner_sdv_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     req = hydrate(sdv_row, domdet, cutoff=10)
     return create_soil_map(tables, relations, req)
+
+
+def tile_survey_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """By-tile ETL partition planning (SSURGO_gSSURGO_byTile.py:267
+    SelectLayerByLocation INTERSECT against tile polygons; :250-290
+    extent selection): which surveys feed each per-tile build — the
+    one §3.3 partitioning strategy the by-state twin
+    (state_survey_partition) didn't cover.
+
+    Tiles are a 5×5 grid over the survey plane synthesized from nation
+    (tile dimension — broadcast, like the reference's tile featureclass
+    vs the CONUS soils layer); survey footprints are the same
+    even-grid rectangles clip_select_by_location uses (customer).
+    Per tile:
+
+    - n_intersect: surveys whose footprint INTERSECTs the tile
+      (strict interval overlap — exact integer comparisons);
+    - n_anchored: surveys whose interior probe point (odd coordinates,
+      never tile-edge-incident) falls inside the tile's WKT ring via
+      the GENERAL ray-cast (point_in_ring) — the dedup rule that
+      assigns each survey to exactly ONE owning tile so per-tile
+      builds don't double-ingest;
+    - the anchored areasymbol span the batch driver iterates.
+
+    Scale: the fact side streams map-only against 25 broadcast tiles
+    (BroadcastNestedLoopJoin on the range predicate); tile counts are
+    dimension-sized at any SF, surveys never shuffle."""
+    from .functions.geometry import point_in_ring
+
+    k = F.col("c_custkey")
+    x0, y0 = (k % 100) * 2, (k % 57) * 2
+    x1 = x0 + (k % 13 + 1) * 2
+    y1 = y0 + (k % 7 + 1) * 2
+    surveys = _t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lit("AS"), F.lpad(k.cast("string"), 6, "0")
+        ).alias("areasymbol"),
+        x0.alias("x0"), y0.alias("y0"), x1.alias("x1"), y1.alias("y1"),
+        (x0 + 1).alias("px"), (y0 + 1).alias("py"),
+    )
+    n = F.col("n_nationkey")
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    tiles = _t(spark, sf_dir, "nation").where(n < 25).select(
+        n.alias("tile_id"),
+        ((n % 5) * 48).alias("tx0"),
+        (F.floor(n / 5) * 28).alias("ty0"),
+        ((n % 5) * 48 + 48).alias("tx1"),
+        (F.floor(n / 5) * 28 + 28).alias("ty1"),
+    )
+    tiles = tiles.withColumn(
+        "tile_wkt",
+        F.concat(
+            F.lit("POLYGON (("),
+            pt(F.col("tx0"), F.col("ty0")), sep,
+            pt(F.col("tx1"), F.col("ty0")), sep,
+            pt(F.col("tx1"), F.col("ty1")), sep,
+            pt(F.col("tx0"), F.col("ty1")), sep,
+            pt(F.col("tx0"), F.col("ty0")),
+            F.lit("))"),
+        ),
+    )
+    j = surveys.join(
+        F.broadcast(tiles),
+        (F.col("x0") < F.col("tx1")) & (F.col("x1") > F.col("tx0"))
+        & (F.col("y0") < F.col("ty1")) & (F.col("y1") > F.col("ty0")),
+    )
+    anchored = point_in_ring(F.col("tile_wkt"), F.col("px"), F.col("py"))
+    return j.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_intersect"),
+        F.sum(anchored).alias("n_anchored"),
+        F.min(F.when(anchored == 1, F.col("areasymbol"))).alias(
+            "first_areasymbol"
+        ),
+        F.max(F.when(anchored == 1, F.col("areasymbol"))).alias(
+            "last_areasymbol"
+        ),
+    )
