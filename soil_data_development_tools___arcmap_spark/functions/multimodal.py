@@ -6,12 +6,16 @@ run as Arrow-batched Pandas functions over ``mapInPandas`` (the 10-100x
 faster path vs row-at-a-time Python UDFs — batch in, batch out, zero
 per-row Python call overhead).
 
-The real codec libraries (PIL / librosa / av) are NOT available in this
-environment, so the decode step is STUBBED: requesting a real codec
-raises ``NotImplementedError`` at plan-build time, while the default
-``fake`` codec is a deterministic byte-level decoder that keeps every
-piece of Spark-side plumbing real and testable — schema, partitioning,
-UDF signature, Arrow batch shape, multi-row (frame) fan-out.
+Codec policy (optional dependencies): the default ``fake`` codec is a
+deterministic byte-level decoder that keeps every piece of Spark-side
+plumbing real and testable without any media library — schema,
+partitioning, UDF signature, Arrow batch shape, multi-row (frame)
+fan-out. The ``png`` codec is a REAL pillow-backed decode/resize path
+taken whenever ``PIL`` imports (an extras dependency); when it does
+not — as in this container — requesting it raises
+``NotImplementedError`` at plan-build time (fail-fast on the driver,
+never half-way through a 100 TB job on the executors). Audio/video
+codecs (librosa / av) remain declared stubs.
 
 Scale notes: payloads stay inside the executors end-to-end (no
 collect); ``_spread`` repartitions before the Pandas stages so Arrow
@@ -36,6 +40,29 @@ from .dedup import _spread
 MEDIA_FORMATS = ["png", "wav", "mp4"]
 
 REAL_CODECS = {"png": "PIL", "wav": "librosa", "mp4": "av"}
+
+
+def codec_available(codec: str) -> bool:
+    """True when the optional library backing ``codec`` imports
+    ('fake' needs nothing). Driver-side check so unavailable codecs
+    fail at plan build, not mid-job on an executor."""
+    if codec == "fake":
+        return True
+    import importlib.util
+
+    lib = REAL_CODECS.get(codec)
+    return lib is not None and importlib.util.find_spec(lib) is not None
+
+
+def _require_codec(codec: str) -> None:
+    if codec in ("fake", "png"):
+        if codec_available(codec):
+            return
+    lib = REAL_CODECS.get(codec, codec)
+    raise NotImplementedError(
+        f"codec {codec!r} needs the optional dependency {lib!r}, which is "
+        "not installed; use codec='fake' for the deterministic byte decoder"
+    )
 
 
 def attach_media(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
@@ -132,78 +159,141 @@ def sample_frames(
 
 
 def decode_media(
-    df: DataFrame, id_col: str = "doc_id", col: str = "text", codec: str = "fake"
+    df: DataFrame | None,
+    id_col: str = "doc_id",
+    col: str = "text",
+    codec: str = "fake",
+    media: DataFrame | None = None,
 ) -> DataFrame:
     """Decode payloads to (did, height, width, head array<int>).
 
     ``codec='fake'`` interprets the bytes as a side×side grayscale
     image (side = isqrt(n_bytes)) and returns the first 16 pixel
-    values — deterministic, library-free. Any real codec raises
-    ``NotImplementedError`` because the decoder libraries are not in
-    this container; the Spark plumbing (schema, batching, partitioning)
-    is identical either way.
+    values — deterministic, library-free. ``codec='png'`` is the REAL
+    decode: pillow opens each payload inside the Arrow batch loop
+    (grayscale-converted; head = first 16 pixels row-major) — taken
+    only when the optional ``PIL`` dependency imports, else
+    ``NotImplementedError`` at plan build. The Spark plumbing (schema,
+    batching, partitioning) is identical either way.
+
+    ``media`` overrides the text-derived stand-in payloads with a real
+    (did, media binary) DataFrame — the production entry point.
     """
-    if codec != "fake":
-        lib = REAL_CODECS.get(codec, codec)
-        raise NotImplementedError(
-            f"codec {codec!r} needs {lib}, which is not installed here; "
-            "use codec='fake' for the deterministic byte decoder"
-        )
-    media = _spread(attach_media(df, id_col, col).select("did", "media"), "did")
+    _require_codec(codec)
+    src = media if media is not None else attach_media(df, id_col, col)
+    m = _spread(src.select("did", "media"), "did")
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            sides = pdf["media"].map(lambda b: math.isqrt(len(b)))
-            yield pd.DataFrame(
-                {
-                    "did": pdf["did"],
-                    "height": sides,
-                    "width": sides,
-                    "head": pdf["media"].map(lambda b: [int(x) for x in b[:16]]),
-                }
-            )
+    if codec == "fake":
 
-    return media.mapInPandas(batches, "did long, height int, width int, head array<int>")
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                sides = pdf["media"].map(lambda b: math.isqrt(len(b)))
+                yield pd.DataFrame(
+                    {
+                        "did": pdf["did"],
+                        "height": sides,
+                        "width": sides,
+                        "head": pdf["media"].map(
+                            lambda b: [int(x) for x in b[:16]]
+                        ),
+                    }
+                )
+
+    else:
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            def one(blob: bytes):
+                with Image.open(io.BytesIO(bytes(blob))) as img:
+                    g = img.convert("L")
+                    px = list(g.getdata())
+                    return g.height, g.width, [int(x) for x in px[:16]]
+
+            for pdf in it:
+                decoded = pdf["media"].map(one)
+                yield pd.DataFrame(
+                    {
+                        "did": pdf["did"],
+                        "height": decoded.map(lambda t: t[0]),
+                        "width": decoded.map(lambda t: t[1]),
+                        "head": decoded.map(lambda t: t[2]),
+                    }
+                )
+
+    return m.mapInPandas(batches, "did long, height int, width int, head array<int>")
 
 
 def resize_media(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str = "doc_id",
     col: str = "text",
     out_side: int = 8,
     codec: str = "fake",
+    media: DataFrame | None = None,
 ) -> DataFrame:
-    """'Resize' via stride-sampling the fake decoder's pixel grid down
-    to out_side×out_side; returns the resized payload's md5 + dims.
-    Real codecs are stubbed exactly as in ``decode_media``."""
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r} not available here; use codec='fake'"
-        )
-    media = _spread(attach_media(df, id_col, col).select("did", "media"), "did")
+    """Resize to out_side×out_side; returns the resized pixel grid's
+    md5 + byte count. ``fake`` stride-samples the byte grid
+    (library-free); ``png`` is the real pillow path
+    (grayscale + NEAREST resample — deterministic across pillow
+    versions, unlike antialiased filters) behind the same optional-
+    dependency gate as ``decode_media``."""
+    _require_codec(codec)
+    src = media if media is not None else attach_media(df, id_col, col)
+    m = _spread(src.select("did", "media"), "did")
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(blob: bytes) -> bytes:
-            side = math.isqrt(len(blob))
-            if side == 0:
-                return b""
-            stride = max(side // out_side, 1)
-            return bytes(
-                blob[r * side + c]
-                for r in range(0, side, stride)
-                for c in range(0, side, stride)
-            )
+    if codec == "fake":
 
-        for pdf in it:
-            resized = pdf["media"].map(one)
-            yield pd.DataFrame(
-                {
-                    "did": pdf["did"],
-                    "out_bytes": resized.map(len),
-                    "out_md5": resized.map(
-                        lambda b: hashlib.md5(b).hexdigest()
-                    ),
-                }
-            )
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def one(blob: bytes) -> bytes:
+                side = math.isqrt(len(blob))
+                if side == 0:
+                    return b""
+                stride = max(side // out_side, 1)
+                return bytes(
+                    blob[r * side + c]
+                    for r in range(0, side, stride)
+                    for c in range(0, side, stride)
+                )
 
-    return media.mapInPandas(batches, "did long, out_bytes int, out_md5 string")
+            for pdf in it:
+                resized = pdf["media"].map(one)
+                yield pd.DataFrame(
+                    {
+                        "did": pdf["did"],
+                        "out_bytes": resized.map(len),
+                        "out_md5": resized.map(
+                            lambda b: hashlib.md5(b).hexdigest()
+                        ),
+                    }
+                )
+
+    else:
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            def one(blob: bytes) -> bytes:
+                with Image.open(io.BytesIO(bytes(blob))) as img:
+                    g = img.convert("L").resize(
+                        (out_side, out_side), Image.Resampling.NEAREST
+                    )
+                    return g.tobytes()
+
+            for pdf in it:
+                resized = pdf["media"].map(one)
+                yield pd.DataFrame(
+                    {
+                        "did": pdf["did"],
+                        "out_bytes": resized.map(len),
+                        "out_md5": resized.map(
+                            lambda b: hashlib.md5(b).hexdigest()
+                        ),
+                    }
+                )
+
+    return m.mapInPandas(batches, "did long, out_bytes int, out_md5 string")

@@ -74,13 +74,63 @@ def test_sample_frames_fanout(docs):
 
 
 def test_decode_fake_and_stub(docs):
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        codec_available,
+    )
+
     got = {r.did: r for r in decode_media(docs).collect()}
     assert got[0].height == got[0].width == 10
     assert got[0].head == [ord("a")] * 16
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_media(docs, codec="png")
+    if not codec_available("png"):
+        # without the optional pillow dependency the real codec must
+        # fail at plan build, on the driver
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_media(docs, codec="png")
     with pytest.raises(NotImplementedError):
         resize_media(docs, codec="mp4")
+
+
+def _png_media(spark):
+    """(did, media) rows of REAL png bytes: did 1 → a 4×6 gradient,
+    did 2 → a 10×10 constant-7 image."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    img1 = Image.new("L", (4, 6))  # width 4, height 6
+    img1.putdata([(x * 40 + 5) % 251 for x in range(24)])
+    img2 = Image.new("L", (10, 10), color=7)
+    for did, img in ((1, img1), (2, img2)):
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append((did, bytearray(buf.getvalue())))
+    return spark.createDataFrame(rows, "did long, media binary")
+
+
+def test_decode_png_real(spark):
+    pytest.importorskip("PIL")
+    media = _png_media(spark)
+    got = {r.did: r for r in decode_media(None, codec="png", media=media).collect()}
+    assert (got[1].height, got[1].width) == (6, 4)
+    assert got[1].head == [(x * 40 + 5) % 251 for x in range(16)]
+    assert (got[2].height, got[2].width) == (10, 10)
+    assert got[2].head == [7] * 16
+
+
+def test_resize_png_real(spark):
+    pytest.importorskip("PIL")
+    media = _png_media(spark)
+    got = {
+        r.did: r
+        for r in resize_media(
+            None, out_side=2, codec="png", media=media
+        ).collect()
+    }
+    assert got[1].out_bytes == 4 and got[2].out_bytes == 4
+    import hashlib as _h
+
+    assert got[2].out_md5 == _h.md5(bytes([7] * 4)).hexdigest()
 
 
 def test_resize_deterministic(docs):
