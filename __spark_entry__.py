@@ -214,6 +214,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_full_catalog": Q.ingest_full_catalog,
     "planner_sdv_extended": Q.planner_sdv_extended,
     "tile_survey_partition": Q.tile_survey_partition,
+    "project_coordinates": Q.project_coordinates,
 }
 
 

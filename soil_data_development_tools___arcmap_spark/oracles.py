@@ -3153,3 +3153,43 @@ SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_intersect,
        MAX(CASE WHEN anch = 1 THEN areasymbol END) AS last_areasymbol
 FROM j GROUP BY tile_id
 """
+
+ORACLES["project_coordinates"] = """
+WITH params AS (
+  SELECT (sin(radians(29.5)) + sin(radians(45.5))) / 2 AS n,
+         cos(radians(29.5))*cos(radians(29.5))
+           + 2*(sin(radians(29.5)) + sin(radians(45.5)))/2*sin(radians(29.5))
+           AS c,
+         6370997.0 AS r),
+p2 AS (SELECT n, c, r, r * sqrt(c - 2*n*sin(radians(23.0))) / n AS rho0
+       FROM params),
+pts AS (
+  SELECT c_custkey AS okey,
+         -125.0 + (c_custkey % 561) / 10.0 AS lon,
+         24.0 + (c_custkey % 251) / 10.0 AS lat
+  FROM customer),
+fwd AS (
+  SELECT okey, lon, lat, n, c, r, rho0,
+         r * sqrt(c - 2*n*sin(radians(lat))) / n AS rho,
+         n * (radians(lon) - radians(-96.0)) AS theta
+  FROM pts, p2),
+xy AS (
+  SELECT okey, lon, lat, n, c, r, rho0,
+         rho * sin(theta) AS x, rho0 - rho * cos(theta) AS y
+  FROM fwd),
+inv AS (
+  SELECT okey, lon, lat, x, y, n,
+         degrees(asin((c - (sqrt(x*x + (rho0-y)*(rho0-y))*n/r)
+                          *(sqrt(x*x + (rho0-y)*(rho0-y))*n/r)) / (2*n)))
+           AS rlat,
+         -96.0 + degrees(atan2(x, rho0 - y) / n) AS rlon
+  FROM xy)
+SELECT okey,
+       CAST(round(x * 100) AS BIGINT) AS x_cm,
+       CAST(round(y * 100) AS BIGINT) AS y_cm,
+       CAST(round(rlon * 1000000) AS BIGINT) AS rt_lon_e6,
+       CAST(round(rlat * 1000000) AS BIGINT) AS rt_lat_e6,
+       CAST(round(rlon * 1000000) = round(lon * 1000000) AS INTEGER)
+         AS roundtrip_ok
+FROM inv
+"""

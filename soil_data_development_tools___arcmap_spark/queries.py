@@ -4364,3 +4364,41 @@ def tile_survey_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_areasymbol"
         ),
     )
+
+
+def project_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS reprojection core end-to-end
+    (SSURGO_ProjectSoilShapefilesbyAreasymbol.py:89-147 — the
+    reference's largest tool, which reprojects every survey shapefile
+    through the GIS engine; the portable math is the Albers pair in
+    functions/projection.py): CONUS-range lon/lat points synthesized
+    from customer, projected forward to Albers meters and round-tripped
+    back. Outputs quantized for cross-engine hashing — centimeter grid
+    for the projected meters, 1e-6° for the recovered geographics
+    (the closed-form round-trip error is ~1e-12°, so the recovered
+    micro-degrees equal the inputs exactly — the oracle certifies both
+    the forward constants and the inverse). Map-only: no shuffle, no
+    Python."""
+    from .functions.projection import albers_forward, albers_inverse
+
+    k = F.col("c_custkey")
+    lon = (F.lit(-125.0) + (k % 561).cast("double") / 10.0).alias("lon")
+    lat = (F.lit(24.0) + (k % 251).cast("double") / 10.0).alias("lat")
+    pts = _t(spark, sf_dir, "customer").select(
+        k.alias("okey"), lon, lat
+    )
+    x, y = albers_forward(F.col("lon"), F.col("lat"))
+    proj = pts.select(
+        "okey", "lon", "lat", x.alias("x_m"), y.alias("y_m")
+    )
+    rlon, rlat = albers_inverse(F.col("x_m"), F.col("y_m"))
+    return proj.select(
+        "okey",
+        F.round(F.col("x_m") * 100).cast("long").alias("x_cm"),
+        F.round(F.col("y_m") * 100).cast("long").alias("y_cm"),
+        F.round(rlon * 1000000).cast("long").alias("rt_lon_e6"),
+        F.round(rlat * 1000000).cast("long").alias("rt_lat_e6"),
+        (F.round(rlon * 1000000) == F.round(F.col("lon") * 1000000))
+        .cast("int")
+        .alias("roundtrip_ok"),
+    )

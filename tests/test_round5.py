@@ -61,3 +61,46 @@ def test_planner_extended_matches_manual_relations(spark):
     out = Q.planner_sdv_extended(spark, SF_SMOKE)
     assert out.where(F.col("rating").isNotNull()).count() > 0
     assert out.count() == 150
+
+
+def test_albers_projection_properties(spark):
+    """Closed-form invariants of the Albers pair: the projection
+    origin maps to (0, 0); scale along a standard parallel is true
+    (arc length preserved to <1e-6 relative); the inverse recovers
+    the forward exactly at double precision."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.projection import (
+        CONUS,
+        albers_forward,
+        albers_inverse,
+    )
+
+    x, y = albers_forward(F.lit(CONUS.lon0), F.lit(CONUS.lat0))
+    r = spark.range(1).select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(r["x"]) < 1e-6 and abs(r["y"]) < 1e-6
+
+    # true scale along standard parallel 1: project two points 0.1°
+    # apart on lat1; planar distance == R·cos(lat1)·Δλ
+    x1, y1 = albers_forward(F.lit(-96.0), F.lit(CONUS.lat1))
+    x2, y2 = albers_forward(F.lit(-95.9), F.lit(CONUS.lat1))
+    row = spark.range(1).select(
+        x1.alias("x1"), y1.alias("y1"), x2.alias("x2"), y2.alias("y2")
+    ).collect()[0]
+    chord = math.hypot(row["x2"] - row["x1"], row["y2"] - row["y1"])
+    arc = CONUS.radius * math.cos(math.radians(CONUS.lat1)) * math.radians(0.1)
+    assert abs(chord - arc) / arc < 1e-6
+
+    lon, lat = albers_inverse(*albers_forward(F.lit(-104.3), F.lit(37.7)))
+    rr = spark.range(1).select(lon.alias("lon"), lat.alias("lat")).collect()[0]
+    assert abs(rr["lon"] - (-104.3)) < 1e-9 and abs(rr["lat"] - 37.7) < 1e-9
+
+
+def test_project_coordinates_roundtrip_all_ok(spark):
+    from pyspark.sql import functions as F
+
+    df = Q.project_coordinates(spark, SF_SMOKE)
+    assert df.where(F.col("roundtrip_ok") == 0).count() == 0
+    assert df.count() == 150
