@@ -542,6 +542,25 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataF
     return agg.select("did", sig.cast("long").alias("simhash"))
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a ``localCheckpoint()``-ed
+    DataFrame. ``Dataset.unpersist`` does NOT do this (it only clears
+    CacheManager cache entries, and a checkpoint is not a cache entry),
+    so an iterative loop that re-checkpoints every round accumulates
+    every superseded round's blocks until the JVM happens to GC the
+    references — under memory pressure that lands as a driver
+    broadcast-build OOM long before ContextCleaner runs (observed at
+    500k-doc end-to-end dedup, SCALING.md). Only call once the data is
+    fully consumed: the checkpoint truncated lineage, so the blocks are
+    the ONLY copy."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.nodeName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: a non-checkpointed plan has nothing to free
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -601,11 +620,17 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the superseded round's checkpoint blocks are dead now that
+        # `changed` consumed them — free deterministically instead of
+        # waiting for a JVM GC (see _free_checkpoint)
+        _free_checkpoint(labels)
         labels = new
         if changed == 0:
+            _free_checkpoint(edges)
             return labels.select(
                 F.col("a").alias(id_col), F.col("lbl").alias("group_rep")
             )
+    _free_checkpoint(edges)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
