@@ -56,6 +56,61 @@ HEADLINE = [
 ]
 
 
+# 10×-replica regression guard (SCALING.md method, now in the per-round
+# bench so scale regressions surface in the BENCH diff): steady-state
+# timings of representative queries on 10× fact data. Group cardinality
+# scales with the data (orderkey/custkey shifted per replica); the
+# dimension tables are shared via symlink.
+SCALE10 = [
+    "q1_pricing_summary",
+    "sdv_dcd",
+    "planner_sdv_rating",
+    "valu1_aws_ranges",
+]
+
+
+def _build_scale10(spark, sf_dir: str) -> str:
+    """Materialize (once, cached in /tmp keyed by sf) a directory whose
+    orders/lineitem are the sf_dir tables replicated 10× with shifted
+    order/customer keys; every other table is symlinked unchanged."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_scale10_{sf_tag}"
+    done = os.path.join(out, "_BENCH_SCALE10_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    maxo = orders.selectExpr("max(o_orderkey)").collect()[0][0] + 1
+    maxc = orders.selectExpr("max(o_custkey)").collect()[0][0] + 1
+    reps = spark.range(10).selectExpr("id AS rep")
+    (
+        orders.crossJoin(reps)
+        .selectExpr(
+            "o_orderkey + rep * {} AS o_orderkey".format(maxo),
+            "o_custkey + rep * {} AS o_custkey".format(maxc),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    (
+        li.crossJoin(reps)
+        .selectExpr(
+            "l_orderkey + rep * {} AS l_orderkey".format(maxo),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    for f in os.listdir(sf_dir):
+        dst = os.path.join(out, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f), dst)
+    open(done, "w").close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -80,9 +135,16 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
-    warm = spark.range(100000).selectExpr("id", "id % 97 AS k", "id % 7 AS v")
+    warm = spark.range(100000).selectExpr(
+        "id", "id % 97 AS k", "id % 50000 AS j", "id % 7 AS v"
+    )
     warm.groupBy("k").sum("v").write.mode("overwrite").format("noop").save()
-    j = warm.alias("a").join(warm.alias("b"), "k")
+    # SMJ warm-up: join on a HIGH-cardinality key (~2 rows/key, ~200k
+    # output rows — not the 100M-row fan-out a 97-key self-join emits)
+    # with the merge hint so the sort-merge machinery really compiles
+    # (the small side would otherwise broadcast under the 10 MB
+    # threshold and warm the wrong join).
+    j = warm.alias("a").hint("merge").join(warm.alias("b"), "j")
     j.write.mode("overwrite").format("noop").save()
     warm.selectExpr(
         "sum(v) OVER (PARTITION BY k ORDER BY id) AS rs"
@@ -106,6 +168,22 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         steady[name] = round(best, 3)
 
+    scale10 = {}
+    s10_build = None
+    if os.environ.get("SPARK_GRAFT_SCALE10", "1") != "0":
+        t0 = time.time()
+        s10_dir = _build_scale10(spark, sf_dir)
+        s10_build = round(time.time() - t0, 3)
+        for name in SCALE10:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            fn(spark, s10_dir).write.mode("overwrite").format("noop").save()
+            spark._jvm.System.gc()
+            t0 = time.time()
+            fn(spark, s10_dir).write.mode("overwrite").format("noop").save()
+            scale10[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -114,6 +192,8 @@ def main() -> None:
         "queries": timings,
         "value_steady": round(sum(steady.values()), 3),
         "queries_steady": steady,
+        "scale10": scale10,
+        "scale10_build_sec": s10_build,
         "sf": sf,
     }))
 
