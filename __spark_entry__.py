@@ -215,6 +215,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_sdv_extended": Q.planner_sdv_extended,
     "tile_survey_partition": Q.tile_survey_partition,
     "project_coordinates": Q.project_coordinates,
+    "validate_referential_integrity": Q.validate_referential_integrity,
+    "docs_bm25_search": Q.docs_bm25_search,
+    "docs_train_split": Q.docs_train_split,
 }
 
 

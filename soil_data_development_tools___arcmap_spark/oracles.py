@@ -3193,3 +3193,95 @@ SELECT okey,
          AS roundtrip_ok
 FROM inv
 """
+
+ORACLES["validate_referential_integrity"] = f"""
+WITH {_SYN},
+syn_hz AS (
+  SELECT l_orderkey
+           + CASE WHEN (l_orderkey*10 + l_linenumber) % 37 = 0
+                  THEN 10000000000 ELSE 0 END AS cokey,
+         l_orderkey*10 + l_linenumber AS chkey
+  FROM lineitem),
+syn_tg AS (
+  SELECT (l_orderkey*10 + l_linenumber)
+           + CASE WHEN (l_orderkey*10 + l_linenumber) % 53 = 0
+                  THEN 10000000000 ELSE 0 END AS chkey,
+         l_orderkey*10 + l_linenumber AS chtgkey
+  FROM lineitem),
+syn_tx AS (
+  SELECT l_orderkey*10 + l_linenumber AS chtgkey FROM lineitem),
+syn_rs AS (
+  SELECT l_orderkey AS cokey FROM lineitem WHERE l_partkey % 13 = 0),
+mu AS (SELECT DISTINCT mukey FROM syn_co)
+SELECT * FROM (
+SELECT 'chorizon' AS parent_table, 'chtexturegrp' AS child_table,
+       'chkey' AS fk_col, CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN chkey IN (SELECT chkey FROM syn_hz)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_orphans
+FROM syn_tg
+UNION ALL
+SELECT 'chtexturegrp', 'chtexture', 'chtgkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN chtgkey IN (SELECT chtgkey FROM syn_tg)
+                THEN 0 ELSE 1 END) AS BIGINT)
+FROM syn_tx
+UNION ALL
+SELECT 'component', 'chorizon', 'cokey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN cokey IN (SELECT cokey FROM syn_co)
+                THEN 0 ELSE 1 END) AS BIGINT)
+FROM syn_hz
+UNION ALL
+SELECT 'component', 'corestrictions', 'cokey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN cokey IN (SELECT cokey FROM syn_co)
+                THEN 0 ELSE 1 END) AS BIGINT)
+FROM syn_rs
+UNION ALL
+SELECT 'mapunit', 'component', 'mukey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN mukey IN (SELECT mukey FROM mu)
+                THEN 0 ELSE 1 END) AS BIGINT)
+FROM syn_co)
+"""
+
+ORACLES["docs_bm25_search"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*)*1.0 / COUNT(DISTINCT doc_id) FROM toks) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES (0,'hash'),(0,'join'),(1,'window'),(1,'sort'),
+                            (2,'stream'),(2,'batch'),(2,'data')) v(qid, term)),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dft d ON tf.term = d.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s),
+agg AS (
+  SELECT qid, doc_id, CAST(floor(SUM(c) * 10000) AS BIGINT) AS score_e4,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM scored GROUP BY qid, doc_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score_e4 DESC, doc_id ASC) AS rank
+  FROM agg)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4, n_terms_hit
+FROM r WHERE rank <= 10
+"""
+
+ORACLES["docs_train_split"] = """
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+FROM (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100 AS b
+  FROM documents)
+"""

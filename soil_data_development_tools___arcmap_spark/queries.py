@@ -4402,3 +4402,153 @@ def project_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("roundtrip_ok"),
     )
+
+
+def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity scan driven by the metadata catalog's
+    relationship classes (Create_SSURGO_RelationshipClasses.py:216-530
+    builds these as geodatabase constraints; SSURGO_CheckgSSURGO's
+    structure pass assumes them): for each catalog edge among the
+    loaded tables, count child rows whose FK finds no parent — the
+    orphan report a merge/partial-ingest pipeline runs before
+    publishing. Orphans are injected deterministically (every 37th
+    horizon's cokey is shifted out of range) so the scan has real
+    positives. Each edge is one left-anti count; Catalyst picks
+    broadcast or shuffle per side size."""
+    from .catalog import embedded_catalog
+
+    t = ssurgo_synth(spark, sf_dir)
+    component = t["component"]
+    chorizon = t["chorizon"].withColumn(
+        "cokey",
+        F.col("cokey")
+        + F.when(F.col("chkey") % 37 == 0, F.lit(10_000_000_000)).otherwise(0),
+    )
+    chtexturegrp = t["chtexturegrp"].withColumn(
+        "chkey",
+        F.col("chkey")
+        + F.when(F.col("chtgkey") % 53 == 0, F.lit(10_000_000_000)).otherwise(0),
+    )
+    tables = {
+        "mapunit": component.select("mukey").distinct(),
+        "component": component,
+        "chorizon": chorizon,
+        "chtexturegrp": chtexturegrp,
+        "chtexture": t["chtexture"],
+        "corestrictions": t["corestrictions"],
+    }
+    out = None
+    for left, right, lc, rc in embedded_catalog().edges:
+        if left not in tables or right not in tables:
+            continue
+        child, parent = tables[right], tables[left]
+        orphans = child.join(
+            parent.select(F.col(lc).alias("__pk")).distinct(),
+            child[rc] == F.col("__pk"),
+            "left_anti",
+        )
+        d = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(left).alias("parent_table"),
+            F.lit(right).alias("child_table"),
+            F.lit(rc).alias("fk_col"),
+            "n_orphans",
+        )
+        row_d = child.agg(F.count(F.lit(1)).alias("n_child")).select(
+            F.lit(right).alias("child_table"), "n_child"
+        )
+        d = d.join(row_d, "child_table")
+        out = d if out is None else out.unionByName(d)
+    return out.select(
+        "parent_table", "child_table", "fk_col", "n_child", "n_orphans"
+    )
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the query-based example
+    selection a data pipeline uses to mine topic-relevant training
+    docs. Exact term statistics (df via distinct doc-term pairs, tf,
+    doc length, average length), classic BM25 with k1=1.2 b=0.75,
+    score quantized to e4 for cross-engine hashing, rank computed on
+    the QUANTIZED integer (ties → doc_id) so both engines sort
+    identical keys; top-10 per query. One shuffle on the term for df,
+    one on (query, doc) for scoring — no cartesian: docs join the
+    3-term query table through the inverted term list."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_total = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    avgdl = toks.agg(
+        (F.count(F.lit(1)) / F.countDistinct("doc_id")).alias("avgdl")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    queries = [
+        (0, ["hash", "join"]),
+        (1, ["window", "sort"]),
+        (2, ["stream", "batch", "data"]),
+    ]
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in ts], "qid int, term string"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t.join(F.broadcast(qterms), "term").select("term", "df")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(avgdl))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (
+        1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * 2.2) / denom
+    agg = scored.groupBy("qid", "doc_id").agg(
+        F.floor(F.sum(contrib) * 10000).cast("long").alias("score_e4"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_e4").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "doc_id", "score_e4", "n_terms_hit")
+    )
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/val/test split (90/5/5) — the
+    leakage-safe corpus partitioning every training run needs:
+    membership is a pure function of (salt, doc_id), so re-runs,
+    engines and machines agree, and adding docs never reshuffles
+    existing assignments (unlike randomSplit). Bucket = first 15 hex
+    digits of md5('split1:'||doc_id) mod 100 — exact integer in both
+    engines. Output: one row per doc (the hash pins EVERY membership
+    assignment, not just split totals)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
