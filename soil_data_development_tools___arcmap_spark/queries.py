@@ -4442,9 +4442,10 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
         if left not in tables or right not in tables:
             continue
         child, parent = tables[right], tables[left]
+        parent_keys = parent.select(F.col(lc).alias("__pk")).distinct()
         orphans = child.join(
-            parent.select(F.col(lc).alias("__pk")).distinct(),
-            child[rc] == F.col("__pk"),
+            parent_keys,
+            child[rc] == parent_keys["__pk"],
             "left_anti",
         )
         d = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
@@ -4477,15 +4478,15 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_total = docs.select(
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    avgdl = toks.agg(
-        (F.count(F.lit(1)) / F.countDistinct("doc_id")).alias("avgdl")
-    )
+    # ONE shuffle materializes (doc, term, tf); doc length, corpus size
+    # and avgdl all derive from it (dl = Σ tf) instead of re-scanning
+    # the exploded tokens three times
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
     queries = [
         (0, ["hash", "join"]),
         (1, ["window", "sort"]),
@@ -4494,12 +4495,17 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(
         [(q, t) for q, ts in queries for t in ts], "qid int, term string"
     )
+    # df only matters for query terms: restrict BEFORE the per-term count
+    df_t = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     scored = (
         tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_t.join(F.broadcast(qterms), "term").select("term", "df")), "term")
+        .join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n_total))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
     )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
