@@ -158,3 +158,87 @@ def report_template(df: DataFrame, rating_col: str | None = None) -> dict:
         layout = "SDV_MapDescription_Portrait.mxd"
     return {"template": tmpl, "layout": layout, "field_map": fm,
             "rating_col": rating, "rating_type": kind}
+
+
+# --------------------------------------------------------------------
+# PDF byte renderer (round 5): the reference exports its report via
+# ArcMap's PDF engine (SDV_AttributeReport.py:214-231
+# ExportReport/PDFDocumentCreate); the portable half that was missing
+# is the FILE — a deterministic, dependency-free PDF 1.4 writer good
+# for tabular report pages (Helvetica, one text block per page).
+
+
+def encode_pdf_report(
+    title: str,
+    pages: list[list[str]],
+    page_w: int = 612,
+    page_h: int = 792,
+    font_size: int = 10,
+) -> bytes:
+    """Minimal valid PDF 1.4: catalog → pages → N page objects, one
+    content stream per page drawing the title + each line with Tj.
+    Deterministic bytes (no timestamps, no ids) so the output can be
+    content-addressed in a manifest like the raster tiles.
+
+    ``pages``: the paginated line lists the report pagination operator
+    already produces (attribute_report) — this is the sink for them.
+    """
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        )
+
+    objs: list[bytes] = []  # 1-indexed
+
+    n_pages = max(len(pages), 1)
+    page_obj_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{i} 0 R" for i in page_obj_ids)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )  # 3
+    for i in range(n_pages):
+        lines = pages[i] if pages else [""]
+        y = page_h - 54
+        parts = [
+            f"BT /F1 {font_size + 2} Tf 54 {y} Td ({esc(title)}) Tj ET"
+        ]
+        y -= 2 * font_size
+        for ln in lines:
+            y -= int(font_size * 1.4)
+            parts.append(
+                f"BT /F1 {font_size} Tf 54 {y} Td ({esc(ln)}) Tj ET"
+            )
+        stream = "\n".join(parts).encode("latin-1", "replace")
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w} "
+                f"{page_h}] /Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {page_obj_ids[i] + 1} 0 R >>"
+            ).encode()
+        )
+        objs.append(
+            f"<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
