@@ -218,6 +218,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_referential_integrity": Q.validate_referential_integrity,
     "docs_bm25_search": Q.docs_bm25_search,
     "docs_train_split": Q.docs_train_split,
+    "emb_knn_pq": Q.emb_knn_pq,
+    "emb_pq_recall": Q.emb_pq_recall,
+    "raster_tile_export": Q.raster_tile_export,
 }
 
 

@@ -526,3 +526,141 @@ def knn_recall(exact: DataFrame, approx: DataFrame, topk: int = 5) -> DataFrame:
             F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
         )
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    train: bool = False,
+    train_iters: int = 3,
+) -> DataFrame:
+    """Product-quantization ANN (the fourth family member next to
+    brute force / RP-LSH / IVF): candidate vectors are ENCODED as m
+    subspace codes — each 1/m-th of the vector snapped to its nearest
+    codebook entry by exact integer L2 — and queries score the
+    RECONSTRUCTION (the concatenated chosen centroids): asymmetric
+    distance computation, here with the family's cosine metric so
+    recall is measured against the same brute-force truth.
+
+    The codebook is deterministic like IVF's coarse quantizer: per
+    subspace, the subvectors of the first ``n_codes`` candidates by id
+    — oracle-reproducible; swapping in k-means codebooks changes only
+    the codebook DataFrame. Memory story at scale: candidates persist
+    as m small ints (m·log₂k bits) instead of dim floats — 64× here —
+    and the scoring side touches only reconstructions.
+
+    Plan: candidates explode ×m subspaces, broadcast-join the m·k
+    codebook, argbest struct-min per (cid, subspace) (map-side
+    combine, no window), regroup to the reconstruction — two shuffles
+    on cid, codebook always broadcast, queries broadcast at scoring.
+    """
+    from .dedup import _spread
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    qz = quantize_embedding(col)
+    base = emb.where(F.col(id_col) >= query_ids_below)
+    cand = _spread(base, id_col).select(F.col(id_col).alias("cid"), qz.alias("cv"))
+    if train:
+        # production codebooks: Lloyd's per subspace over the SLICED
+        # float vectors (train_ivf_centroids quantizes internally);
+        # m tiny k×sub matrices collected, search path unchanged
+        rows = []
+        for j in range(m):
+            sliced = base.select(
+                F.col(id_col),
+                F.slice(F.col(col), j * sub + 1, sub).alias(col),
+            )
+            for kid, kv in train_ivf_centroids(
+                sliced, n_centroids=n_codes, iters=train_iters,
+                id_col=id_col, col=col,
+            ):
+                rows.append((kid, j, list(kv)))
+        cb = emb.sparkSession.createDataFrame(
+            rows, "kid int, j int, kv array<long>"
+        )
+        return _pq_search(cand, cb, emb, qz, query_ids_below, topk, m,
+                          sub, id_col)
+
+    cb = (
+        base.where(F.col(id_col) < query_ids_below + n_codes)
+        .select(
+            (F.col(id_col) - query_ids_below).cast("int").alias("kid"),
+            qz.alias("cv"),
+        )
+        .select("kid", F.explode(_pq_subspaces(F.col("cv"), m, sub)).alias("s"))
+        .select("kid", F.col("s.j").alias("j"), F.col("s.sv").alias("kv"))
+    )
+    return _pq_search(cand, cb, emb, qz, query_ids_below, topk, m, sub, id_col)
+
+
+def _pq_subspaces(v, m: int, sub: int):
+    return F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.slice(v, j * sub + 1, sub).alias("sv"),
+        )
+        for j in range(m)
+    ])
+
+
+def _pq_search(cand, cb, emb, qz, query_ids_below, topk, m, sub, id_col):
+    """Shared PQ search path: encode candidates against the given
+    (kid, j, kv) codebook, reconstruct, score queries by cosine."""
+    cand_sub = cand.select(
+        "cid", F.explode(_pq_subspaces(F.col("cv"), m, sub)).alias("s")
+    ).select("cid", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("kv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        cand_sub.join(F.broadcast(cb), "j")
+        .groupBy("cid", "j")
+        .agg(
+            F.min(
+                F.struct(
+                    d2.alias("d"), F.col("kid").alias("k"), F.col("kv").alias("kv")
+                )
+            ).alias("b")
+        )
+    )
+    recon = best.groupBy("cid").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), F.col("b.kv").alias("kv")))
+                ),
+                lambda s: s["kv"],
+            )
+        ).alias("rv")
+    )
+    q = emb.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("qid"), qz.alias("qv")
+    )
+    scored = recon.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        _cos_e6(
+            _dot(F.col("qv"), F.col("rv")),
+            _norm2(F.col("qv")),
+            _norm2(F.col("rv")),
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_e6").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .select("qid", "cid", "cos_e6", "rn")
+    )

@@ -3285,3 +3285,69 @@ FROM (
                               1, 15)) AS BIGINT) % 100 AS b
   FROM documents)
 """
+
+_PQ = f"""
+WITH {_EMB_Q},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
+subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) s(j)),
+cb AS (
+  SELECT CAST(cid - 8 AS INTEGER) AS kid, j,
+         list_slice(cv, j*16 + 1, j*16 + 16) AS kv
+  FROM c, subs WHERE cid < 24),
+cs AS (
+  SELECT cid, j, list_slice(cv, j*16 + 1, j*16 + 16) AS sv
+  FROM c, subs),
+dist AS (
+  SELECT cs.cid, cs.j, cb.kid, cb.kv,
+         list_dot_product(sv, sv) - 2*list_dot_product(sv, kv)
+           + list_dot_product(kv, kv) AS d
+  FROM cs JOIN cb USING (j)),
+best AS (
+  SELECT cid, j, kv FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid, j
+                                 ORDER BY d ASC, kid ASC) AS rnk
+    FROM dist) WHERE rnk = 1),
+recon AS (
+  SELECT cid, flatten(list(kv ORDER BY j)) AS rv
+  FROM best GROUP BY cid),
+s AS (
+  SELECT qid, cid,
+         CASE WHEN list_dot_product(qv, qv) = 0
+                OR list_dot_product(rv, rv) = 0 THEN -2000000
+              ELSE CAST(floor((list_dot_product(qv, rv)/
+                     (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(rv, rv))))*1000000) AS BIGINT)
+         END AS cos_e6
+  FROM recon CROSS JOIN q)
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+ORACLES["emb_knn_pq"] = _PQ
+
+ORACLES["emb_pq_recall"] = f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+approx AS ({_PQ}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid
+"""
+
+ORACLES["raster_tile_export"] = """
+WITH cells AS (
+  SELECT c_custkey % 4 AS tile_id, c_custkey % 16 AS row,
+         (c_custkey // 16) % 16 AS col,
+         MAX(c_custkey % 97 + 1) AS cellvalue
+  FROM customer GROUP BY 1, 2, 3)
+SELECT tile_id, CAST(256 AS INTEGER) AS n_pixels,
+       CAST(256 - COUNT(*) AS INTEGER) AS n_nodata
+FROM cells GROUP BY tile_id
+"""

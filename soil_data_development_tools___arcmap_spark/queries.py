@@ -4558,3 +4558,46 @@ def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
     )
+
+
+def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table — codes +
+    asymmetric (reconstruction) scoring; see functions/similarity.pq_topk."""
+    from .functions.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of PQ search against the exact brute-force top-k —
+    completes the measured-accuracy story across all four ANN family
+    members (brute / LSH / IVF+cluster / PQ)."""
+    from .functions.similarity import brute_force_topk, knn_recall, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), pq_topk(emb))
+
+
+def raster_tile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed raster export end-to-end (SSURGO_ExportMuRaster →
+    TIFF; the GeoTIFF bytes are encoded and written per tile ON THE
+    EXECUTORS by write_raster_tiles): mapunit cell values synthesized
+    from customer onto 16×16 tiles, files land in a temp dir, and the
+    oracle checks the manifest facts derivable from the cell table
+    (pixel/nodata counts per tile). The byte-exactness of the TIFF
+    itself is pinned by the round-trip decoder tests."""
+    import tempfile
+
+    from .functions.raster import write_raster_tiles
+
+    k = F.col("c_custkey")
+    cells = _t(spark, sf_dir, "customer").select(
+        (k % 4).alias("tile_id"),
+        (k % 16).alias("row"),
+        (F.floor(k / 16) % 16).alias("col"),
+        (k % 97 + 1).alias("cellvalue"),
+    ).groupBy("tile_id", "row", "col").agg(
+        F.max("cellvalue").alias("cellvalue")
+    )
+    out = write_raster_tiles(cells, tempfile.mkdtemp(prefix="sddt_tiles_"))
+    return out.select("tile_id", "n_pixels", "n_nodata")

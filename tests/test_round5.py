@@ -104,3 +104,21 @@ def test_project_coordinates_roundtrip_all_ok(spark):
     df = Q.project_coordinates(spark, SF_SMOKE)
     assert df.where(F.col("roundtrip_ok") == 0).count() == 0
     assert df.count() == 150
+
+
+def test_pq_trained_mode_runs_and_differs(spark):
+    """train=True swaps in per-subspace Lloyd's codebooks; the search
+    path is shared, output schema identical, and the trained encoding
+    actually changes the reconstruction-based ranking for at least one
+    query (same-ranking would mean the trained codebook was ignored)."""
+    from soil_data_development_tools___arcmap_spark.functions.similarity import (
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    standin = {(r.qid, r.rn): r.cid for r in pq_topk(emb).collect()}
+    trained = {
+        (r.qid, r.rn): r.cid for r in pq_topk(emb, train=True, train_iters=2).collect()
+    }
+    assert set(standin) == set(trained)  # same (qid, rank) grid
+    assert standin != trained
