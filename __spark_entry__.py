@@ -221,6 +221,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_pq": Q.emb_knn_pq,
     "emb_pq_recall": Q.emb_pq_recall,
     "raster_tile_export": Q.raster_tile_export,
+    "docs_mix_temperature": Q.docs_mix_temperature,
 }
 
 

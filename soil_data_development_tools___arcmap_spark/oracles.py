@@ -3351,3 +3351,24 @@ SELECT tile_id, CAST(256 AS INTEGER) AS n_pixels,
        CAST(256 - COUNT(*) AS INTEGER) AS n_nodata
 FROM cells GROUP BY tile_id
 """
+
+ORACLES["docs_mix_temperature"] = """
+WITH sizes AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+mx AS (SELECT MAX(n_s) AS n_max FROM sizes),
+rates AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(CAST(n_s AS DOUBLE))
+                    / sqrt(CAST(n_max AS DOUBLE)) * 1000000) AS BIGINT)
+           AS rate_e6
+  FROM sizes, mx),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                             1, 15)) AS BIGINT) % 1000000 < r.rate_e6
+  GROUP BY d.source)
+SELECT r.source, r.n_s, r.rate_e6,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""

@@ -4601,3 +4601,54 @@ def raster_tile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = write_raster_tiles(cells, tempfile.mkdtemp(prefix="sddt_tiles_"))
     return out.select("tile_id", "n_pixels", "n_nodata")
+
+
+def docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus
+    sampling rule: sample probability ∝ sizeᵅ, α=0.5, largest source
+    kept in full) — upweights small sources without letting the head
+    swamp the mixture. Per-source keep-rate = floor(√n_s/√n_max·10⁶);
+    membership = md5-bucket(doc) < rate, so the draw is deterministic,
+    engine-stable, and consistent under corpus growth. √ is
+    IEEE-exactly-rounded in every engine (unlike pow/log), which is
+    why α is expressed as a square root and not a general exponent.
+    Two tiny aggregates + a broadcast join; the corpus side is one
+    map-only pass."""
+    docs = _t(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    mx = sizes.agg(F.max("n_s").alias("n_max"))
+    rates = sizes.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_s",
+        F.floor(
+            F.sqrt(F.col("n_s").cast("double"))
+            / F.sqrt(F.col("n_max").cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("rate_e6"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(bucket < F.col("rate_e6"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_s",
+        "rate_e6",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
