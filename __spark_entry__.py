@@ -222,6 +222,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pq_recall": Q.emb_pq_recall,
     "raster_tile_export": Q.raster_tile_export,
     "docs_mix_temperature": Q.docs_mix_temperature,
+    "q4_order_priority": Q.q4_order_priority,
+    "q12_shipmode_priority": Q.q12_shipmode_priority,
+    "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
 }
 
 

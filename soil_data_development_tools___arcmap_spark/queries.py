@@ -4652,3 +4652,74 @@ def docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_e6",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (adapted to the reduced schema: the EXISTS
+    correlate is 'some line shipped after the order date', standing in
+    for commit<receipt): per-priority count of orders in a quarter
+    with at least one late-shipping line — the left-semi-join anchor.
+    Catalyst plans the EXISTS as a shuffle semi-join on orderkey;
+    the quarter filter pushes to the orders scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (returnflag plays shipmode in the reduced
+    schema): per-flag counts of high- vs low-priority orders among
+    lines shipped in 1995 — the conditional-aggregation-after-join
+    anchor. One fact-fact shuffle join on orderkey, map-side CASE
+    counts."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: revenue from three OR'd brand/size/quantity
+    brackets — the disjunctive-predicate pushdown anchor (the OR of
+    ANDs must not defeat the join pushdown: the common
+    part-join stays a single equi-join with the brackets evaluated as
+    a residual filter). Exact cents, one broadcast of part."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    qty = F.col("l_quantity")
+    br = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15)
+           & qty.between(20, 30))
+    )
+    return j.where(br).agg(
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+            "revenue_c2"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

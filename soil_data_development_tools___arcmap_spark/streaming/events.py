@@ -658,18 +658,23 @@ def run_volume_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-type 2σ over ALL days — a second aggregation level streaming
     cannot nest) then runs as a BATCH pass over the completed rollup.
     At availableNow completion the rollup equals the batch daily
-    table, so the batch anomaly oracle certifies the composition."""
+    table, so the batch anomaly oracle certifies the composition.
+
+    Round-5: UPDATE mode with a 1-day event-time window, so closed
+    days leave the state store once the watermark passes (the same
+    bounded-state posture the DAU/WAU streams moved to) — counts are
+    monotone, so per-(type, day) MAX over the update sink is the
+    final rollup."""
     name = "events_vol_" + uuid.uuid4().hex[:8]
     daily = (
-        _ts_ns(read_events_stream(spark, sf_dir))
-        .groupBy(
-            "event_type",
-            F.expr("(ts div 1000) div 86400000000").alias("day_num"),
-        )
+        read_events_stream(spark, sf_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "1 day")
+        .groupBy("event_type", F.window("event_time", "1 day").alias("w"))
         .agg(F.count(F.lit(1)).alias("x"))
     )
     q = (
-        daily.writeStream.outputMode("complete")
+        daily.writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -679,7 +684,15 @@ def run_volume_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the completed rollup is day×type-sized (~150
     # rows); checkpointing gives the self-join fresh attribute ids
     # (MemorySink views share refs and fail analysis otherwise)
-    rolled = spark.table(name).localCheckpoint()
+    rolled = (
+        spark.table(name)
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(w.start) div 86400000000").alias("day_num"),
+        )
+        .agg(F.max("x").alias("x"))
+        .localCheckpoint()
+    )
     stats = rolled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s"),
