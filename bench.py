@@ -84,6 +84,10 @@ def _build_scale10(spark, sf_dir: str) -> str:
     maxo = orders.selectExpr("max(o_orderkey)").collect()[0][0] + 1
     maxc = orders.selectExpr("max(o_custkey)").collect()[0][0] + 1
     reps = spark.range(10).selectExpr("id AS rep")
+    # repartition before writing: the crossJoin inherits the source's
+    # 1-2 input splits, which would leave the replica as one giant
+    # file — a layout no real 10× table has and a scan-parallelism
+    # bottleneck that distorts the measurements
     (
         orders.crossJoin(reps)
         .selectExpr(
@@ -91,6 +95,7 @@ def _build_scale10(spark, sf_dir: str) -> str:
             "o_custkey + rep * {} AS o_custkey".format(maxc),
             *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
         )
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{out}/orders.parquet")
     )
@@ -100,6 +105,7 @@ def _build_scale10(spark, sf_dir: str) -> str:
             "l_orderkey + rep * {} AS l_orderkey".format(maxo),
             *[c for c in li.columns if c != "l_orderkey"],
         )
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{out}/lineitem.parquet")
     )
