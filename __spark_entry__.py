@@ -225,6 +225,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_order_priority": Q.q4_order_priority,
     "q12_shipmode_priority": Q.q12_shipmode_priority,
     "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
+    "shapefile_merge_acres": Q.shapefile_merge_acres,
 }
 
 

@@ -3406,3 +3406,11 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 5 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)
 """
+
+ORACLES["shapefile_merge_acres"] = """
+SELECT 'AS' || CAST(n_regionkey AS VARCHAR) AS areasymbol,
+       CAST(COUNT(*) AS BIGINT) AS n_polys,
+       CAST(SUM(2 * (n_nationkey % 5 + 1) * (n_nationkey % 3 + 1)) AS BIGINT)
+         AS area2x
+FROM nation GROUP BY n_regionkey
+"""

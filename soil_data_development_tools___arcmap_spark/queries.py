@@ -4723,3 +4723,46 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def shapefile_merge_acres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile ingest → merge → acreage, end-to-end
+    (SSURGO_MergeSoilShapefilesbyAreasymbol.py merges the per-survey
+    soilmu_a shapefiles; the acreage report then sums polygon areas):
+    per-region .shp/.dbf pairs are synthesized from nation (one
+    rectangle polygon per nation, attributes in the dbf), read back
+    through the DISTRIBUTED pure-codec reader (one task per file),
+    and reduced to per-areasymbol polygon counts + exact shoelace
+    2×-area sums. The oracle derives every area independently from
+    the synthesis formulas — certifying .shp geometry bytes, .dbf
+    attributes, the WKT bridge and the shoelace parse in one pass."""
+    from .functions.geometry import shoelace_area2x
+    from .sources.shapefile import write_shapefile
+
+    import tempfile
+
+    nations = _t(spark, sf_dir, "nation").collect()
+    tmp = tempfile.mkdtemp(prefix="sddt_shp_")
+    fields = [("AREASYMBOL", 20), ("MUSYM", 6), ("MUKEY", 30)]
+    by_region: dict[int, list] = {}
+    for n in nations:
+        by_region.setdefault(n["n_regionkey"], []).append(n)
+    paths = []
+    for rk, ns in sorted(by_region.items()):
+        rows, polys = [], []
+        for n in sorted(ns, key=lambda r: r["n_nationkey"]):
+            k = n["n_nationkey"]
+            x0, y0 = (k % 10) * 3.0, (k % 7) * 2.0
+            w, h = k % 5 + 1.0, k % 3 + 1.0
+            rows.append([f"AS{rk}", f"M{k}", str(1000 + k)])
+            polys.append([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+        stem = os.path.join(tmp, f"soilmu_a_as{rk}")
+        write_shapefile(stem, fields, rows, polys)
+        paths.append(stem + ".shp")
+    from .sources.shapefile import read_shapefiles
+
+    df = read_shapefiles(spark, paths)
+    return df.groupBy("areasymbol").agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        F.sum(shoelace_area2x(F.col("wkt")).cast("long")).alias("area2x"),
+    )

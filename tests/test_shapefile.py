@@ -1,0 +1,84 @@
+"""Shapefile ingest: pure-codec round-trips and the distributed
+reader feeding the geometry operators."""
+
+from __future__ import annotations
+
+import os
+
+from soil_data_development_tools___arcmap_spark.sources.shapefile import (
+    decode_dbf,
+    decode_shp,
+    encode_dbf,
+    encode_shp,
+    read_shapefiles,
+    write_shapefile,
+)
+
+
+def test_shp_roundtrip():
+    rings = [
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (0.0, 4.0)],
+        [(100.0, 100.0), (106.0, 100.0), (103.0, 105.0)],
+    ]
+    buf = encode_shp(rings)
+    assert buf == encode_shp(rings)  # deterministic
+    shapes = decode_shp(buf)
+    assert len(shapes) == 2
+    # rings come back closed
+    assert shapes[0][0][0] == shapes[0][0][-1] == (0.0, 0.0)
+    assert shapes[0][0][:4] == [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (0.0, 4.0)]
+    assert shapes[1][0][2] == (103.0, 105.0)
+
+
+def test_dbf_roundtrip_cp1252_and_deleted():
+    fields = [("AREASYMBOL", 20), ("MUSYM", 6), ("MUKEY", 30)]
+    rows = [["IA001", "55B", "409914"], ["NE137’", "W", "757"]]
+    buf = encode_dbf(fields, rows)
+    names, got = decode_dbf(buf)
+    assert names == ["AREASYMBOL", "MUSYM", "MUKEY"]
+    assert got == rows
+    # a deleted row (flag '*') is skipped by the reader
+    hacked = bytearray(buf)
+    rec_size = 1 + 20 + 6 + 30
+    hdr_size = 32 + 32 * 3 + 1
+    hacked[hdr_size] = ord("*")
+    _, got2 = decode_dbf(bytes(hacked))
+    assert got2 == rows[1:]
+
+
+def test_read_shapefiles_distributed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        point_in_ring,
+    )
+
+    fields = [("AREASYMBOL", 20), ("MUSYM", 6), ("MUKEY", 30)]
+    for i, sym in enumerate(["IA001", "NE137"]):
+        stem = str(tmp_path / f"soilmu_a_{sym.lower()}")
+        write_shapefile(
+            stem,
+            fields,
+            [[sym, f"M{i}", str(1000 + i)], [sym, f"N{i}", str(2000 + i)]],
+            [
+                [(0.0 + i * 100, 0.0), (10.0 + i * 100, 0.0),
+                 (10.0 + i * 100, 4.0), (0.0 + i * 100, 4.0)],
+                [(50.0 + i * 100, 50.0), (54.0 + i * 100, 50.0),
+                 (54.0 + i * 100, 54.0), (50.0 + i * 100, 54.0)],
+            ],
+        )
+    paths = sorted(str(p) for p in tmp_path.glob("*.shp"))
+    df = read_shapefiles(spark, paths)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {r["areasymbol"] for r in rows} == {"IA001", "NE137"}
+    assert all(r["wkt"].startswith("POLYGON ((") for r in rows)
+    # the WKT feeds the existing ray-cast: centers are inside,
+    # far-away probes are not
+    checked = df.select(
+        "mukey",
+        point_in_ring(F.col("wkt"), F.lit(5), F.lit(1)).alias("inside_a"),
+        point_in_ring(F.col("wkt"), F.lit(-999), F.lit(-999)).alias("out"),
+    ).collect()
+    assert all(r["out"] == 0 for r in checked)
+    assert sum(r["inside_a"] for r in checked) == 1  # only IA001's first poly
