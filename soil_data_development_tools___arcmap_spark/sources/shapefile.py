@@ -28,6 +28,8 @@ import struct
 
 from pyspark.sql import DataFrame, SparkSession
 
+SHP_POINT = 1
+SHP_POLYLINE = 3
 SHP_POLYGON = 5
 
 
@@ -79,7 +81,11 @@ def decode_shp(buf: bytes) -> list[list[list[tuple[float, float]]]]:
         (stype,) = struct.unpack_from("<i", buf, off)
         if stype == 0:
             out.append([])
-        elif stype == SHP_POLYGON:
+        elif stype == SHP_POINT:
+            # special-feature points (soilsf_p_*): one single-point "ring"
+            out.append([[struct.unpack_from("<2d", buf, off + 4)]])
+        elif stype in (SHP_POLYLINE, SHP_POLYGON):
+            # identical part/point layout; a polyline's parts are open
             n_parts, n_pts = struct.unpack_from("<2i", buf, off + 36)
             parts = list(
                 struct.unpack_from(f"<{n_parts}i", buf, off + 44)

@@ -82,3 +82,34 @@ def test_read_shapefiles_distributed(spark, tmp_path):
     ).collect()
     assert all(r["out"] == 0 for r in checked)
     assert sum(r["inside_a"] for r in checked) == 1  # only IA001's first poly
+
+
+def test_decode_point_and_polyline_records():
+    """The other SSURGO shapefile types: special-feature points
+    (soilsf_p) and lines (soilsl) — same part/point layout for
+    polylines, single coordinate for points."""
+    import struct
+
+    from soil_data_development_tools___arcmap_spark.sources.shapefile import (
+        SHP_POINT,
+        SHP_POLYLINE,
+    )
+
+    pt = struct.pack("<i2d", SHP_POINT, 3.5, -2.25)
+    line_pts = [(0.0, 0.0), (5.0, 5.0), (9.0, 2.0)]
+    line = struct.pack("<i", SHP_POLYLINE)
+    line += struct.pack("<4d", 0, 0, 9, 5)
+    line += struct.pack("<2i", 1, 3) + struct.pack("<i", 0)
+    for x, y in line_pts:
+        line += struct.pack("<2d", x, y)
+    body = (
+        struct.pack(">2i", 1, len(pt) // 2) + pt
+        + struct.pack(">2i", 2, len(line) // 2) + line
+    )
+    header = struct.pack(">i", 9994) + b"\x00" * 20
+    header += struct.pack(">i", (100 + len(body)) // 2)
+    header += struct.pack("<2i", 1000, SHP_POINT)
+    header += struct.pack("<8d", 0, -2.25, 9, 5, 0, 0, 0, 0)
+    shapes = decode_shp(header + body)
+    assert shapes[0] == [[(3.5, -2.25)]]
+    assert shapes[1] == [line_pts]
