@@ -113,3 +113,49 @@ def test_decode_point_and_polyline_records():
     shapes = decode_shp(header + body)
     assert shapes[0] == [[(3.5, -2.25)]]
     assert shapes[1] == [line_pts]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+coord = st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rings=st.lists(
+        st.lists(st.tuples(coord, coord), min_size=3, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_shp_roundtrip_property(rings):
+    shapes = decode_shp(encode_shp(rings))
+    assert len(shapes) == len(rings)
+    for ring, shape in zip(rings, shapes):
+        closed = ring + [ring[0]] if ring[0] != ring[-1] else ring
+        assert shape[0] == closed
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                max_size=10,
+            ),
+            min_size=2,
+            max_size=2,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_dbf_roundtrip_property(rows):
+    fields = [("A", 12), ("B", 12)]
+    names, got = decode_dbf(encode_dbf(fields, rows))
+    assert names == ["A", "B"]
+    assert got == [[v.strip() for v in r] for r in rows]

@@ -97,3 +97,42 @@ def test_pdf_report_bytes():
     # escaping: parentheses in content can't break the text operator
     esc = encode_pdf_report("t", [["a(b)c"]])
     assert rb"(a\(b\)c) Tj" in esc
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    data=st.data(),
+    ox=st.floats(-1e7, 1e7, allow_nan=False),
+    cell=st.floats(0.1, 1000, allow_nan=False),
+)
+def test_geotiff_roundtrip_property(w, h, data, ox, cell):
+    vals = data.draw(
+        st.lists(st.integers(0, 2**32 - 1), min_size=w * h, max_size=w * h)
+    )
+    buf = encode_geotiff(w, h, vals, origin_x=ox, cell_size=cell)
+    got = decode_geotiff(buf)
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["values"] == vals
+    assert got["origin_x"] == ox and got["cell_size"] == cell
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pages=st.lists(
+        st.lists(st.text(min_size=0, max_size=40), min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_pdf_structure_property(pages):
+    buf = encode_pdf_report("T", pages)
+    assert buf.startswith(b"%PDF-1.4") and b"%%EOF" in buf
+    assert buf.count(b"/Type /Page ") == len(pages)
+    # xref table has catalog+pages+font+2*pages objects
+    assert f"/Size {3 + 2 * len(pages) + 1}".encode() in buf
