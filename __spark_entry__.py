@@ -226,6 +226,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_shipmode_priority": Q.q12_shipmode_priority,
     "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
     "shapefile_merge_acres": Q.shapefile_merge_acres,
+    "lineitem_profile": Q.lineitem_profile,
 }
 
 

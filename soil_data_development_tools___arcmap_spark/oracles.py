@@ -3414,3 +3414,31 @@ SELECT 'AS' || CAST(n_regionkey AS VARCHAR) AS areasymbol,
          AS area2x
 FROM nation GROUP BY n_regionkey
 """
+
+ORACLES["lineitem_profile"] = """
+WITH src AS (
+  SELECT CAST(l_quantity AS BIGINT) AS quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CASE WHEN l_linenumber <> 1 THEN l_suppkey END AS suppkey_sparse
+  FROM lineitem),
+long AS (
+  SELECT 'quantity' AS col_name, quantity AS v FROM src
+  UNION ALL SELECT 'price_c', price_c FROM src
+  UNION ALL SELECT 'suppkey_sparse', suppkey_sparse FROM src),
+nn AS (SELECT col_name, v FROM long WHERE v IS NOT NULL),
+r AS (
+  SELECT col_name, v,
+         row_number() OVER (PARTITION BY col_name ORDER BY v ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY col_name) AS n
+  FROM nn),
+tot AS (SELECT COUNT(*) AS n_rows FROM src)
+SELECT col_name, CAST(MAX(n) AS BIGINT) AS n,
+       CAST((SELECT n_rows FROM tot) - MAX(n) AS BIGINT) AS n_null,
+       MIN(v) AS vmin, MAX(v) AS vmax,
+       CAST(SUM(CASE
+         WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN 2 * v
+         WHEN n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1) THEN v
+         ELSE 0 END) AS BIGINT) AS med2,
+       MAX(CASE WHEN rn = (19 * (n - 1)) // 20 + 1 THEN v END) AS p95
+FROM r GROUP BY col_name
+"""

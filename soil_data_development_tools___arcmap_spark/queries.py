@@ -2255,52 +2255,25 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile for mixture design: doc count, DOUBLED
-    median token count (2·median is integral for either parity — no
-    float interpolation to diverge across engines), and the discrete
-    p95 order statistic at integer index (19·(n−1)) div 20 + 1 —
-    percentile_approx's GK sketch and interpolated percentiles are NOT
-    engine-reproducible, order statistics are.
+    median token count and the discrete p95 order statistic — exact,
+    engine-reproducible (percentile_approx's GK sketch is not), via the
+    reusable count-histogram order-statistics operator
+    (functions/profile.exact_order_stats): raw docs collapse to a
+    (source, n_tok) histogram, ranks read off cumulative counts, the
+    only window bounded by DISTINCT token counts per source — no
+    per-source raw-row sort at any scale (the round-4 `weak` fix,
+    measured in SCALING.md)."""
+    from .functions.profile import exact_order_stats
 
-    Scale posture: the raw docs collapse to a (source, n_tok) count
-    HISTOGRAM first (combine-friendly groupBy, map-side partial agg),
-    and the order statistics are read off the histogram's cumulative
-    counts. A distinct value with count c occupies rank interval
-    [cum−c+1, cum]; the median/p95 ranks land in exactly one interval,
-    so the selected values are identical to a per-row row_number sort.
-    The only window runs over the histogram — bounded by the number of
-    DISTINCT token counts per source (≤ max doc length), independent
-    of the doc count — so a terabyte-scale hot source never sorts its
-    raw rows on one task (the round-4 `weak` flag)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )
-    hist = tok.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("c"))
-    ws = Window.partitionBy("source")
-    wcum = ws.orderBy(F.col("n_tok").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    h = (
-        hist.withColumn("hi", F.sum("c").over(wcum))
-        .withColumn("n", F.sum("c").over(ws))
-        .withColumn("lo", F.col("hi") - F.col("c") + 1)
-    )
-
-    def _hits(rank):
-        return (rank >= F.col("lo")) & (rank <= F.col("hi"))
-
-    odd = F.col("n") % 2 == 1
-    m_mid = F.expr("(n + 1) div 2")
-    m_a = F.expr("n div 2")
-    m_b = F.expr("n div 2 + 1")
-    med_w = F.when(odd, F.when(_hits(m_mid), 2).otherwise(0)).otherwise(
-        F.when(_hits(m_a), 1).otherwise(0) + F.when(_hits(m_b), 1).otherwise(0)
-    )
-    p95_idx = F.expr("(19 * (n - 1)) div 20 + 1")
-    return h.groupBy("source").agg(
-        F.max("n").alias("n_docs"),
-        F.sum(med_w * F.col("n_tok")).alias("med2_tok"),
-        F.max(F.when(_hits(p95_idx), F.col("n_tok"))).alias("p95_tok"),
+    return exact_order_stats(tok, ["source"], "n_tok").select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("med2").alias("med2_tok"),
+        F.col("p95").alias("p95_tok"),
     )
 
 
@@ -4766,3 +4739,23 @@ def shapefile_merge_acres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_polys"),
         F.sum(shoelace_area2x(F.col("wkt")).cast("long")).alias("area2x"),
     )
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact table profiling (DESCRIBE/SUMMARY with engine-exact order
+    statistics): per-column non-null/null counts, min/max, doubled
+    median and discrete p95 over lineitem — quantity, cents-quantized
+    price, and supplier key in one histogram pass (the columns unpivot
+    into a long table first, so column count doesn't multiply scans).
+    The plausibility report a data contract checks before publishing
+    a table (gSSURGO_ValidateData's numeric scans, generalized)."""
+    from .functions.profile import table_profile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("quantity"),
+        cents("l_extendedprice").alias("price_c"),
+        F.when(F.col("l_linenumber") != 1, F.col("l_suppkey")).alias(
+            "suppkey_sparse"
+        ),
+    )
+    return table_profile(li, ["quantity", "price_c", "suppkey_sparse"])
