@@ -227,6 +227,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
     "shapefile_merge_acres": Q.shapefile_merge_acres,
     "lineitem_profile": Q.lineitem_profile,
+    "docs_training_manifest": Q.docs_training_manifest,
 }
 
 

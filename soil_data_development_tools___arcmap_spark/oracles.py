@@ -3442,3 +3442,31 @@ SELECT col_name, CAST(MAX(n) AS BIGINT) AS n,
        MAX(CASE WHEN rn = (19 * (n - 1)) // 20 + 1 THEN v END) AS p95
 FROM r GROUP BY col_name
 """
+
+ORACLES["docs_training_manifest"] = f"""
+WITH cleaned AS ({ORACLES["docs_clean_corpus"]}),
+cd AS (
+  SELECT d.doc_id, d.text,
+         CASE WHEN CAST(('0x' || substr(md5('split1:'
+                || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+              THEN 'train'
+              WHEN CAST(('0x' || substr(md5('split1:'
+                || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents d JOIN cleaned c ON d.doc_id = c.doc_id),
+t AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM cd),
+s AS (SELECT doc_id, split, t,
+             unnest(generate_series(0, greatest(len(t)-1, 0), 24)) AS start
+      FROM t),
+ch AS (
+  SELECT doc_id, split,
+         len(list_slice(t, start+1, start+32)) AS n_tok,
+         substr(md5(array_to_string(list_slice(t, start+1, start+32), ' ')),
+                1, 8) AS fp8
+  FROM s)
+SELECT split, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(('0x' || fp8) AS BIGINT)) AS BIGINT) AS fp_sum
+FROM ch GROUP BY split
+"""

@@ -4759,3 +4759,45 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return table_profile(li, ["quantity", "price_c", "suppkey_sparse"])
+
+
+def docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data story composed end-to-end in ONE declarative
+    plan: clean (quality → language → exact-dedup → near-dedup, the
+    docs_clean_corpus chain) → deterministic salted-hash split →
+    token-window chunking → the per-split manifest a training run is
+    configured from (docs, chunks, token budget, chunk-fingerprint
+    xor-ish checksum). Every stage is the SAME operator the individual
+    gate queries certify — the composition proves they compose, and
+    Catalyst fuses the semi-join chain into the chunker's scan."""
+    from .functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned_ids = docs_clean_corpus(spark, sf_dir).select("doc_id")
+    clean_docs = docs.join(cleaned_ids, "doc_id", "left_semi")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    chunks = chunk_documents(clean_docs).join(
+        clean_docs.select("doc_id", split.alias("split")), "doc_id"
+    )
+    return chunks.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(
+            F.conv(F.substring(F.col("chunk_fp"), 1, 8), 16, 10).cast("long")
+        ).alias("fp_sum"),
+    )
