@@ -228,6 +228,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shapefile_merge_acres": Q.shapefile_merge_acres,
     "lineitem_profile": Q.lineitem_profile,
     "docs_training_manifest": Q.docs_training_manifest,
+    "docs_shuffle_shards": Q.docs_shuffle_shards,
+    "docs_incremental_dedup": Q.docs_incremental_dedup,
+    "docs_quality_classifier": Q.docs_quality_classifier,
 }
 
 

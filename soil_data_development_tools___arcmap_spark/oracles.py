@@ -3470,3 +3470,48 @@ SELECT split, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(SUM(CAST(('0x' || fp8) AS BIGINT)) AS BIGINT) AS fp_sum
 FROM ch GROUP BY split
 """
+
+ORACLES["docs_shuffle_shards"] = """
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuffle1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents)
+SELECT doc_id, h % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+            AS INTEGER) AS pos,
+       CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_offset,
+       CAST(n_tok AS INTEGER) AS n_tok
+FROM k
+"""
+
+ORACLES["docs_incremental_dedup"] = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+old AS (SELECT DISTINCT h FROM h WHERE doc_id % 3 != 0),
+new AS (SELECT doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM h WHERE doc_id % 3 = 0)
+SELECT n.doc_id,
+       CASE WHEN o.h IS NOT NULL THEN 'dup_of_old'
+            WHEN n.rn > 1 THEN 'dup_in_new'
+            ELSE 'kept' END AS status
+FROM new n LEFT JOIN old o ON n.h = o.h
+"""
+
+ORACLES["docs_quality_classifier"] = """
+WITH s AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok,
+         COALESCE(list_sum(list_transform(string_split(text, ' '),
+           t -> CAST(('0x' || substr(md5('w1:' || t), 1, 15)) AS BIGINT)
+                % 2001 - 1000)), 0) AS score
+  FROM documents)
+SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok,
+       CAST(score AS BIGINT) AS score,
+       CAST(CASE WHEN score * 64 > n_tok * -640 THEN 1 ELSE 0 END AS INTEGER)
+         AS keep
+FROM s
+"""

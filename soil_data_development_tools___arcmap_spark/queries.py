@@ -4801,3 +4801,125 @@ def docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.col("chunk_fp"), 1, 8), 16, 10).cast("long")
         ).alias("fp_sum"),
     )
+
+
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the
+    reproducible-training-order primitive: every epoch-0 data loader
+    must see the SAME pseudo-random document order on every rerun,
+    engine, and machine. Order key = md5('shuffle1:'||doc_id) (a pure
+    function of the seed and the id, so adding docs never perturbs the
+    relative order of existing ones); shard = key % 8; within-shard
+    position and cumulative token offset come from ONE window pass
+    partitioned by shard.
+
+    100 TB posture: there is deliberately NO global ordering window —
+    a corpus-wide running sum would serialize onto one task. Sharding
+    first bounds every window partition to corpus/n_shards, and a real
+    deployment raises n_shards with the data (100k shards at 100 TB);
+    the per-shard (pos, tok_offset) pair is exactly what a sharded
+    data loader consumes. One shuffle total (the window's hash
+    partition); everything else is map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuffle1:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = F.size(F.split(F.col("text"), " "))
+    keyed = docs.select(
+        "doc_id", h.alias("h"), (h % 8).alias("shard"), toks.alias("n_tok")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("tok_offset"),
+        "n_tok",
+    )
+
+
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup — the CommonCrawl-shaped
+    pipeline step: a NEW crawl batch (doc_id % 3 == 0 stands in for
+    the arriving snapshot) is deduplicated against the already-kept
+    corpus (the other docs) without ever rescanning-and-regrouping the
+    union. Per new doc: 'dup_of_old' if its content md5 exists in the
+    prior corpus (precedence over everything), else 'dup_in_new' if an
+    earlier-id new doc has the same hash, else 'kept'.
+
+    100 TB posture: the old side reduces to its DISTINCT hash set once
+    (in production: the persisted dedup index, not a rescan), the
+    probe is one hash equi-join (left-semi shaped), and the
+    within-batch pass is a window partitioned by content hash (group
+    size = duplicate multiplicity, never corpus-sized). The new batch
+    is typically ~1% of the corpus, so the join build side is the
+    small, bounded one. No all-pairs surface anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text")).alias("h")
+    old_hashes = (
+        docs.where(F.col("doc_id") % 3 != 0).select(h).distinct()
+        .withColumn("in_old", F.lit(1))
+    )
+    new = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", h)
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    return (
+        new.join(old_hashes, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_old").isNotNull(), "dup_of_old")
+            .when(rn > 1, "dup_in_new")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words quality classifier inference (the
+    fastText-shaped filter every web-scale corpus runs): score =
+    Σ w(token) over the document, with hashed feature weights
+    w(t) = md5-bucket('w1:'||t) in [-1000, 1000] standing in for a
+    trained weight table — deterministic, so the gate pins every
+    per-document score, and structurally identical to real inference
+    (swap the hash for a broadcast weight lookup).
+
+    100 TB posture: map-only — tokenize, transform to per-token
+    weights, fold with F.aggregate, all inside whole-stage codegen;
+    no shuffle, no UDF, no driver participation. The keep decision is
+    an integer cross-multiply (score·64 > n_tok·margin), no float."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    weights = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit("w1:"), t)), 1, 15), 16, 10
+        ).cast("long")
+        % 2001
+        - 1000,
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "score"
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "score",
+        (F.col("score") * 64 > F.col("n_tok") * F.lit(-640))
+        .cast("int")
+        .alias("keep"),
+    )

@@ -1,0 +1,134 @@
+"""Round-5 breadth batch B: deterministic shuffle/sharding,
+snapshot-incremental dedup, and linear quality-classifier inference.
+
+Each operator also has a DuckDB oracle entry (the gate pins full
+per-row membership); these tests pin the *semantics* on crafted rows
+where the synthetic corpus is vacuous (no exact text dups at sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from soil_data_development_tools___arcmap_spark import queries as Q
+
+from conftest import SF_SMOKE
+
+
+def _write_docs(spark, tmp_path, rows):
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    return str(tmp_path)
+
+
+def test_shuffle_shards_offsets_consistent(spark):
+    out = Q.docs_shuffle_shards(spark, SF_SMOKE).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(8))
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        # positions are dense 0..n-1 and offsets are the running token sum
+        cum = 0
+        for i, r in enumerate(rows):
+            assert r.pos == i
+            assert r.tok_offset == cum
+            cum += r.n_tok
+
+
+def test_shuffle_shards_stable_under_growth(spark):
+    """Adding documents must not perturb existing (shard, relative
+    order) assignments — the property that makes the seeded-hash order
+    resumable across corpus versions."""
+    full = Q.docs_shuffle_shards(spark, SF_SMOKE)
+    # simulate the smaller, earlier corpus: docs with even doc_id
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sub_ids = {r.doc_id for r in docs.where("doc_id % 2 = 0").select("doc_id").collect()}
+    full_rows = [r for r in full.collect() if r.doc_id in sub_ids]
+    order_full = {}
+    for r in full_rows:
+        order_full.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    # relative order within each shard for the subset, from the full run
+    rel_full = {s: [d for _, d in sorted(v)] for s, v in order_full.items()}
+    # same docs hashed alone must give the same shard + relative order
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuffle1:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    alone = (
+        docs.where("doc_id % 2 = 0")
+        .select("doc_id", (h % 8).alias("shard"), h.alias("h"))
+        .collect()
+    )
+    rel_alone: dict[int, list] = {}
+    for r in sorted(alone, key=lambda r: (r.shard, r.h, r.doc_id)):
+        rel_alone.setdefault(r.shard, []).append(r.doc_id)
+    assert rel_alone == rel_full
+
+
+def test_incremental_dedup_planted(spark, tmp_path):
+    rows = [
+        # old snapshot (doc_id % 3 != 0)
+        (1, "alpha beta", "en", "a", 10),
+        (2, "gamma delta", "en", "a", 11),
+        # new batch (doc_id % 3 == 0)
+        (3, "alpha beta", "en", "a", 10),   # dup of old doc 1
+        (6, "epsilon zeta", "en", "a", 12), # fresh -> kept
+        (9, "epsilon zeta", "en", "a", 12), # dup within new batch
+        (12, "eta theta", "en", "a", 9),    # fresh -> kept
+    ]
+    out = Q.docs_incremental_dedup(spark, _write_docs(spark, tmp_path, rows))
+    got = {r.doc_id: r.status for r in out.collect()}
+    assert got == {
+        3: "dup_of_old",
+        6: "kept",
+        9: "dup_in_new",
+        12: "kept",
+    }
+
+
+def test_incremental_dedup_old_precedence(spark, tmp_path):
+    """A new doc that duplicates BOTH the old corpus and an earlier
+    new doc reports dup_of_old (the index hit wins)."""
+    rows = [
+        (1, "same text", "en", "a", 9),
+        (3, "same text", "en", "a", 9),
+        (6, "same text", "en", "a", 9),
+    ]
+    out = Q.docs_incremental_dedup(spark, _write_docs(spark, tmp_path, rows))
+    got = {r.doc_id: r.status for r in out.collect()}
+    assert got == {3: "dup_of_old", 6: "dup_of_old"}
+
+
+def test_quality_classifier_recompute(spark):
+    import hashlib
+
+    out = Q.docs_quality_classifier(spark, SF_SMOKE)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(5).collect()
+    }
+    got = {r.doc_id: r for r in out.collect()}
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        score = sum(
+            int(hashlib.md5(f"w1:{t}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+            for t in toks
+        )
+        r = got[doc_id]
+        assert r.n_tok == len(toks)
+        assert r.score == score
+        assert r.keep == int(score * 64 > len(toks) * -640)
+
+
+def test_quality_classifier_no_shuffle(spark):
+    """Map-only contract: no Exchange in the classifier's plan."""
+    plan = Q.docs_quality_classifier(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
