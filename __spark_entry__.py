@@ -231,6 +231,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_shuffle_shards": Q.docs_shuffle_shards,
     "docs_incremental_dedup": Q.docs_incremental_dedup,
     "docs_quality_classifier": Q.docs_quality_classifier,
+    "events_transition_matrix": Q.events_transition_matrix,
+    "events_skew_audit": Q.events_skew_audit,
 }
 
 

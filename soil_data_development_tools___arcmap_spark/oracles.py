@@ -3515,3 +3515,33 @@ SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok,
          AS keep
 FROM s
 """
+
+ORACLES["events_transition_matrix"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+tot AS (SELECT SUM(n) AS total FROM pairs)
+SELECT prev_type, event_type, n,
+       CAST(n * 1000000 // total AS BIGINT) AS ppm
+FROM pairs, tot
+"""
+
+ORACLES["events_skew_audit"] = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id),
+stats AS (SELECT SUM(n) AS total_rows, COUNT(*) AS total_keys FROM counts)
+SELECT user_id, n,
+       CAST(n * 1000000 // total_rows AS BIGINT) AS ppm,
+       CAST(CASE WHEN n * total_keys > 8 * total_rows THEN 1 ELSE 0 END
+            AS INTEGER) AS skew_flag
+FROM counts, stats
+ORDER BY n DESC, user_id ASC
+LIMIT 10
+"""

@@ -4923,3 +4923,73 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence transition matrix (the first-order
+    Markov summary behind session-flow dashboards and next-event
+    models): for every consecutive (prev_type → type) pair in each
+    user's event-time order, the global count and its parts-per-million
+    share of all transitions. Deterministic order inside ts ties via
+    event_id.
+
+    100 TB posture: ONE user_id exchange carries the lag window (state
+    = one row lookback per task, not per user); the pair counting is a
+    map-side-combined groupBy on a key space of |types|² rows; the
+    share denominator is a 1-row broadcast. No skew surface — the
+    window partitions by user (bounded) and the final agg key space is
+    tiny."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"), F.col("event_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = pairs.agg(F.sum("n").alias("total"))
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.expr("n * 1000000 div total").alias("ppm"),
+    )
+
+
+def events_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight a 100 TB engine runs
+    BEFORE shuffling on a key: per-key row counts for user_id, the
+    top-10 heavy hitters (count desc, key asc tiebreak so the set is
+    deterministic), each with its ppm share and an integer skew flag
+    (count > 8× the mean key load, cross-multiplied so no float ever
+    enters the decision). The operator exists because a single hot key
+    at 8× mean is the difference between an even shuffle and one
+    straggler task holding the stage.
+
+    100 TB posture: one map-side-combined groupBy; the global (rows,
+    keys) denominator is a 1-row broadcast; the top-10 plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    rows), never a global sort."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("total_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n",
+            F.expr("n * 1000000 div total_rows").alias("ppm"),
+            (F.col("n") * F.col("total_keys") > 8 * F.col("total_rows"))
+            .cast("int")
+            .alias("skew_flag"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -132,3 +132,79 @@ def test_quality_classifier_no_shuffle(spark):
     """Map-only contract: no Exchange in the classifier's plan."""
     plan = Q.docs_quality_classifier(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _write_events(spark, tmp_path, rows):
+    p = os.path.join(str(tmp_path), "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    return str(tmp_path)
+
+
+def test_transition_matrix_crafted(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: a -> b -> a  (pairs: a->b, b->a)
+        (1, t0, 1, "a", 0.0, ""),
+        (2, t0 + s, 1, "b", 0.0, ""),
+        (3, t0 + 2 * s, 1, "a", 0.0, ""),
+        # user 2: a -> b       (pair: a->b)
+        (4, t0, 2, "a", 0.0, ""),
+        (5, t0 + s, 2, "b", 0.0, ""),
+        # user 3: single event, no pair
+        (6, t0, 3, "c", 0.0, ""),
+    ]
+    out = Q.events_transition_matrix(spark, _write_events(spark, tmp_path, rows))
+    got = {(r.prev_type, r.event_type): (r.n, r.ppm) for r in out.collect()}
+    assert got == {
+        ("a", "b"): (2, 666666),
+        ("b", "a"): (1, 333333),
+    }
+
+
+def test_transition_matrix_ts_tiebreak(spark, tmp_path):
+    """Identical timestamps fall back to event_id order — the pair
+    set must be deterministic, not partition-order-dependent."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (10, t0, 1, "x", 0.0, ""),
+        (11, t0, 1, "y", 0.0, ""),
+        (12, t0, 1, "z", 0.0, ""),
+    ]
+    out = Q.events_transition_matrix(spark, _write_events(spark, tmp_path, rows))
+    got = {(r.prev_type, r.event_type) for r in out.collect()}
+    assert got == {("x", "y"), ("y", "z")}
+
+
+def test_skew_audit_flags_hot_key(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 99 has 90 events; users 1..10 have 1 each => mean ~ 9.09,
+    # 90 * 11 keys = 990 > 8 * 100 rows = 800 -> flagged
+    rows = [(i, t0, 99, "a", 0.0, "") for i in range(90)]
+    rows += [(100 + u, t0, u, "a", 0.0, "") for u in range(1, 11)]
+    out = Q.events_skew_audit(spark, _write_events(spark, tmp_path, rows)).collect()
+    assert out[0].user_id == 99 and out[0].n == 90 and out[0].skew_flag == 1
+    assert all(r.skew_flag == 0 for r in out[1:])
+    assert len(out) == 10  # top-10 of the 11 keys
+
+
+def test_skew_audit_plan_is_topk(spark):
+    from conftest import SF_T2
+
+    plan = (
+        Q.events_skew_audit(spark, SF_T2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
