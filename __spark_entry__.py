@@ -233,6 +233,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_classifier": Q.docs_quality_classifier,
     "events_transition_matrix": Q.events_transition_matrix,
     "events_skew_audit": Q.events_skew_audit,
+    "bucketed_rating_join": Q.bucketed_rating_join,
 }
 
 

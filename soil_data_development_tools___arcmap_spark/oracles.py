@@ -3545,3 +3545,11 @@ FROM counts, stats
 ORDER BY n DESC, user_id ASC
 LIMIT 10
 """
+
+ORACLES["bucketed_rating_join"] = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_c
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""

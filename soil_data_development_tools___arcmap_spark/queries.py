@@ -4993,3 +4993,66 @@ def events_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(10)
     )
+
+
+def bucketed_rating_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join WITHOUT shuffling either side — the bucketed
+    (co-located) join layout a 100 TB deployment uses for the
+    mapunit⨝component⨝horizon spine it joins every day: both tables
+    are written ONCE as 8-bucket, key-sorted parquet tables
+    (``bucketBy``/``sortBy`` — Spark's analog of the reference's
+    AddIndex step, SSURGO_Convert_to_Geodatabase.py:2715-2779), after
+    which every equi-join on the bucket key plans as a SortMergeJoin
+    with ZERO Exchange on the fact sides (plan-asserted in tests) —
+    only the final small groupBy aggregates exchange anything. The
+    remaining Sort nodes are LOCAL per-bucket sorts (no shuffle):
+    Spark keeps them because a bucket written by several tasks spans
+    several files and only each file is internally sorted. At 100 TB
+    this converts the nightly join's dominant cost — two full-table
+    shuffles — into a co-located per-bucket merge.
+
+    The bucketed tables live in the session warehouse and are created
+    on first use per (session, sf_dir); the result is identical to the
+    plain parquet join, which is exactly what the oracle checks."""
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    t_orders, t_lines = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def _ensure(name: str, df_fn) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # the table catalog is per-session (in-memory) but the
+        # warehouse dir persists — clear a stale location from an
+        # earlier session before the managed-table write
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        key = df_fn.columns[0]
+        df_fn.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(name)
+
+    _ensure(t_orders, _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"))
+    _ensure(
+        t_lines,
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", cents("l_extendedprice").alias("price_c")
+        ),
+    )
+    o = spark.table(t_orders)
+    li = spark.table(t_lines)
+    # hint the merge strategy: at gate SF the orders side fits the
+    # broadcast threshold and Catalyst would (rightly) broadcast it,
+    # hiding the layout; at 100 TB neither side broadcasts and the
+    # bucketed SMJ below IS the plan — the hint pins that plan at
+    # every scale so the test and the deployment see the same shape
+    return (
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("price_c").alias("total_c"),
+        )
+    )

@@ -208,3 +208,29 @@ def test_skew_audit_plan_is_topk(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_no_fact_exchange(spark):
+    """The bucketed layout must remove BOTH fact-side shuffles AND
+    fact-side sorts: the only Exchange left is the final groupBy's."""
+    df = Q.bucketed_rating_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
+    # values identical to the plain parquet join
+    import pyspark.sql.functions as SF
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    exp = {
+        r.o_orderpriority: (r.n_lines, r.total_c)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_lines"),
+            SF.sum(SF.round(SF.col("l_extendedprice") * 100).cast("long")).alias("total_c"),
+        )
+        .collect()
+    }
+    got = {r.o_orderpriority: (r.n_lines, r.total_c) for r in df.collect()}
+    assert got == exp
