@@ -234,6 +234,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transition_matrix": Q.events_transition_matrix,
     "events_skew_audit": Q.events_skew_audit,
     "bucketed_rating_join": Q.bucketed_rating_join,
+    "docs_sample_per_source": Q.docs_sample_per_source,
 }
 
 

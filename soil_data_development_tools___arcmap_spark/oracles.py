@@ -3553,3 +3553,17 @@ SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """
+
+ORACLES["docs_sample_per_source"] = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('sample1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 1000000 AS h
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+              AS INTEGER) AS rk
+  FROM keyed)
+SELECT doc_id, source, rk FROM ranked WHERE rk <= 20
+"""

@@ -5056,3 +5056,78 @@ def bucketed_rating_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").alias("total_c"),
         )
     )
+
+
+def docs_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — exactly k=20 docs per
+    source (or all of a smaller source), drawn uniformly,
+    reproducibly, and stably under corpus growth: the sample is the k
+    SMALLEST md5('sample1:'||doc_id) values per source (bottom-k
+    sketch), so membership is a pure function of the seed and the ids
+    present.
+
+    100 TB posture: the naive per-source row_number window sorts every
+    document of a source on one task — the docs_source_stats
+    hot-partition mistake. Instead: (1) count per source (map-side
+    combined); (2) keep only hashes under a per-source THRESHOLD
+    (~4k/n of the key space — a broadcast-joined map-only prefilter
+    that discards ~99.99% of a large source BEFORE any window);
+    (3) verify the prefilter per source (one tiny count) and widen to
+    full-keep for any source whose survivor count fell under k — the
+    monotone-prefix property means survivors always ARE the true
+    bottom of the hash order, so the final row_number window over the
+    (tiny) survivor set returns exactly the global bottom-k. The
+    verify step makes the operator exact by construction, not
+    with-high-probability; the widen branch fires with probability
+    ~e^-22 per source (Chernoff at 4x margin), so its cost is the
+    count, not the rescan."""
+    docs = _t(spark, sf_dir, "documents")
+    k = 20
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    keyed = docs.select("doc_id", "source", h.alias("h"))
+    provisional = (
+        keyed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .select(
+            "source",
+            F.when(F.col("n_s") <= 4 * k, F.lit(1000000))
+            .otherwise((4 * k * F.lit(1000000)) / F.col("n_s"))
+            .cast("long")
+            .alias("thresh"),
+        )
+    )
+    surv_cnt = (
+        keyed.join(F.broadcast(provisional), "source")
+        .where(F.col("h") < F.col("thresh"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    final_thresh = (
+        provisional.join(surv_cnt, "source", "left")
+        .select(
+            "source",
+            F.when(F.coalesce("c_s", F.lit(0)) >= k, F.col("thresh"))
+            .otherwise(F.lit(1000000))
+            .alias("thresh"),
+        )
+    )
+    survivors = keyed.join(F.broadcast(final_thresh), "source").where(
+        F.col("h") < F.col("thresh")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "source", "rk")
+    )

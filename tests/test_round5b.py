@@ -234,3 +234,86 @@ def test_bucketed_join_no_fact_exchange(spark):
     }
     got = {r.o_orderpriority: (r.n_lines, r.total_c) for r in df.collect()}
     assert got == exp
+
+
+def test_sample_per_source_exact_bottom_k(spark):
+    """The threshold prefilter must return EXACTLY the true bottom-k
+    per source — compare against the unfiltered window."""
+    import hashlib
+
+    out = Q.docs_sample_per_source(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        h = int(hashlib.md5(f"sample1:{r.doc_id}".encode()).hexdigest()[:15], 16) % 1000000
+        by_src.setdefault(r.source, []).append((h, r.doc_id))
+    exp = set()
+    for src, rows in by_src.items():
+        for rk, (_, d) in enumerate(sorted(rows)[:20], 1):
+            exp.add((d, src, rk))
+    assert {(r.doc_id, r.source, r.rk) for r in out} == exp
+
+
+def test_sample_per_source_widens_on_undershoot(spark, tmp_path):
+    """A source whose provisional threshold keeps < k rows must fall
+    back to full keep (exactness guarantee) — force it with a tiny
+    threshold scenario: many docs whose hashes all land high."""
+    import hashlib
+
+    # pick 100 doc_ids with hash >= 4*20*1e6/100 = 800000 bucket-space
+    # fraction; provisional thresh for n=100 (>4k=80) keeps h < 800000,
+    # so choosing ids hashing >= 800000 gives 0 survivors -> widen.
+    ids, i = [], 0
+    while len(ids) < 100:
+        h = int(hashlib.md5(f"sample1:{i}".encode()).hexdigest()[:15], 16) % 1000000
+        if h >= 800000:
+            ids.append(i)
+        i += 1
+    rows = [(d, f"text {d}", "en", "hot", 8) for d in ids]
+    out = Q.docs_sample_per_source(spark, _write_docs(spark, tmp_path, rows)).collect()
+    assert len(out) == 20
+    exp = sorted(
+        (int(hashlib.md5(f"sample1:{d}".encode()).hexdigest()[:15], 16) % 1000000, d)
+        for d in ids
+    )[:20]
+    assert {r.doc_id for r in out} == {d for _, d in exp}
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Design-for-scale evidence: with AQE skew handling on, a hot
+    join key is split across tasks at runtime (skew=true in the final
+    plan) instead of becoming one straggler. This is the runtime
+    safety net behind every fact-fact SMJ in the repo; the explicit
+    salting/bucket-cap guards in dedup cover the cases AQE can't see
+    (aggregations, exploded candidate pairs)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400000).selectExpr(
+            "CASE WHEN id % 4 = 0 THEN 0 ELSE id END AS k", "id AS v"
+        )
+        right = spark.range(1000).selectExpr("id AS k", "id AS w")
+        j = left.join(right, "k")
+        # 100000 rows collapse onto hot key 0; 750 spread rows match
+        # right keys 1..999 (those not divisible by 4). collect() so
+        # THIS DataFrame's adaptive plan is finalized (count() would
+        # plan a separate query).
+        assert len(j.collect()) == 100750
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
