@@ -235,6 +235,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_skew_audit": Q.events_skew_audit,
     "bucketed_rating_join": Q.bucketed_rating_join,
     "docs_sample_per_source": Q.docs_sample_per_source,
+    "sda_source_counts": Q.sda_source_counts,
 }
 
 

@@ -3567,3 +3567,9 @@ ranked AS (
   FROM keyed)
 SELECT doc_id, source, rk FROM ranked WHERE rk <= 20
 """
+
+ORACLES["sda_source_counts"] = """
+SELECT n.n_name AS areasymbol, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
