@@ -236,6 +236,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_rating_join": Q.bucketed_rating_join,
     "docs_sample_per_source": Q.docs_sample_per_source,
     "sda_source_counts": Q.sda_source_counts,
+    "docs_media_decode_ppm": Q.docs_media_decode_ppm,
 }
 
 

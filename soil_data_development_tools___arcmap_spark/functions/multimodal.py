@@ -44,9 +44,9 @@ REAL_CODECS = {"png": "PIL", "wav": "librosa", "mp4": "av"}
 
 def codec_available(codec: str) -> bool:
     """True when the optional library backing ``codec`` imports
-    ('fake' needs nothing). Driver-side check so unavailable codecs
-    fail at plan build, not mid-job on an executor."""
-    if codec == "fake":
+    ('fake' and 'ppm' need nothing). Driver-side check so unavailable
+    codecs fail at plan build, not mid-job on an executor."""
+    if codec in ("fake", "ppm"):
         return True
     import importlib.util
 
@@ -55,7 +55,7 @@ def codec_available(codec: str) -> bool:
 
 
 def _require_codec(codec: str) -> None:
-    if codec in ("fake", "png"):
+    if codec in ("fake", "ppm", "png"):
         if codec_available(codec):
             return
     lib = REAL_CODECS.get(codec, codec)
@@ -63,6 +63,57 @@ def _require_codec(codec: str) -> None:
         f"codec {codec!r} needs the optional dependency {lib!r}, which is "
         "not installed; use codec='fake' for the deterministic byte decoder"
     )
+
+
+# ----------------------------------------------------------- PPM codec
+# Dependency-free REAL image format (same policy as the repo's GeoTIFF/
+# PDF/shapefile byte codecs): binary PPM "P6" — 3-field ASCII header +
+# raw RGB triplets. Lets the real decode path run where pillow isn't
+# installed, and gives the gate an image pipeline whose pixel
+# arithmetic an SQL oracle can reproduce exactly.
+
+#: integer ITU-R 601 luma — exact in every engine (no float)
+def _luma(r: int, g: int, b: int) -> int:
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255). ``rgb`` = row-major R,G,B bytes."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length != 3*width*height")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(blob: bytes) -> tuple[int, int, list[int]]:
+    """(height, width, row-major GRAYSCALE pixels) from a P6 PPM.
+
+    Accepts the canonical whitespace-separated header (comments
+    excluded — this is a data-plane codec, not a file importer);
+    maxval must be 255 (the only form ``encode_ppm`` emits)."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        fields.append(int(blob[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    px = blob[i : i + 3 * width * height]
+    if len(px) != 3 * width * height:
+        raise ValueError("truncated pixel data")
+    gray = [
+        _luma(px[3 * k], px[3 * k + 1], px[3 * k + 2])
+        for k in range(width * height)
+    ]
+    return height, width, gray
 
 
 def attach_media(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
@@ -169,7 +220,11 @@ def decode_media(
 
     ``codec='fake'`` interprets the bytes as a side×side grayscale
     image (side = isqrt(n_bytes)) and returns the first 16 pixel
-    values — deterministic, library-free. ``codec='png'`` is the REAL
+    values — deterministic, library-free. ``codec='ppm'`` is a REAL
+    image decode with zero dependencies (binary P6 parse + integer
+    ITU-R 601 grayscale — see ``decode_ppm``), so the genuine decode
+    path runs and is gate-checked even in codec-less containers.
+    ``codec='png'`` is the pillow-backed
     decode: pillow opens each payload inside the Arrow batch loop
     (grayscale-converted; head = first 16 pixels row-major) — taken
     only when the optional ``PIL`` dependency imports, else
@@ -196,6 +251,20 @@ def decode_media(
                         "head": pdf["media"].map(
                             lambda b: [int(x) for x in b[:16]]
                         ),
+                    }
+                )
+
+    elif codec == "ppm":
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                decoded = pdf["media"].map(lambda b: decode_ppm(bytes(b)))
+                yield pd.DataFrame(
+                    {
+                        "did": pdf["did"],
+                        "height": decoded.map(lambda t: t[0]),
+                        "width": decoded.map(lambda t: t[1]),
+                        "head": decoded.map(lambda t: t[2][:16]),
                     }
                 )
 
@@ -256,6 +325,32 @@ def resize_media(
                     blob[r * side + c]
                     for r in range(0, side, stride)
                     for c in range(0, side, stride)
+                )
+
+            for pdf in it:
+                resized = pdf["media"].map(one)
+                yield pd.DataFrame(
+                    {
+                        "did": pdf["did"],
+                        "out_bytes": resized.map(len),
+                        "out_md5": resized.map(
+                            lambda b: hashlib.md5(b).hexdigest()
+                        ),
+                    }
+                )
+
+    elif codec == "ppm":
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def one(blob: bytes) -> bytes:
+                h, w, gray = decode_ppm(bytes(blob))
+                # NEAREST sampling at fixed integer strides — the same
+                # rule as the fake codec, on the decoded gray grid
+                sr, sc = max(h // out_side, 1), max(w // out_side, 1)
+                return bytes(
+                    gray[r * w + c]
+                    for r in range(0, h, sr)
+                    for c in range(0, w, sc)
                 )
 
             for pdf in it:

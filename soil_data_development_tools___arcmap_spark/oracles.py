@@ -3573,3 +3573,19 @@ SELECT n.n_name AS areasymbol, CAST(COUNT(*) AS BIGINT) AS n
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
+
+ORACLES["docs_media_decode_ppm"] = """
+SELECT doc_id AS did,
+       CAST(6 + doc_id % 7 AS INTEGER) AS height,
+       CAST(8 + doc_id % 5 AS INTEGER) AS width,
+       CAST(SUM(
+         (299 * (((gs.k % (8 + doc_id % 5)) * 7
+                  + (gs.k // (8 + doc_id % 5)) * 13 + doc_id) % 256)
+        + 587 * (((gs.k % (8 + doc_id % 5)) * 3
+                  + (gs.k // (8 + doc_id % 5)) * 5 + 2 * doc_id) % 256)
+        + 114 * (((gs.k % (8 + doc_id % 5)) * 11
+                  + (gs.k // (8 + doc_id % 5)) + 3 * doc_id) % 256)) // 1000
+       ) AS BIGINT) AS head_sum
+FROM documents, generate_series(0, 15) AS gs(k)
+GROUP BY doc_id
+"""

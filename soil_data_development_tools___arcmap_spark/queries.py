@@ -5184,3 +5184,54 @@ def sda_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.select("areasymbol", F.col("n").cast("long").alias("n"))
+
+
+def docs_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end with zero native dependencies:
+    deterministic RGB images are synthesized per doc_id, encoded as
+    binary PPM (P6) ON THE EXECUTORS, then decoded by the 'ppm' codec
+    (header parse + integer ITU-R 601 grayscale) through the same
+    ``decode_media`` mapInPandas plumbing the pillow path uses. The
+    oracle recomputes the expected grayscale values straight from the
+    pixel formula — it never sees the bytes — so a decoder bug
+    (header offset, channel order, luma arithmetic) cannot cancel out.
+
+    100 TB posture: payloads are born, encoded, and decoded inside the
+    executors (two Arrow-batched stages, no driver participation, no
+    shuffle of pixel data; the only exchange is _spread's rebalance of
+    (did, media) rows)."""
+    from .functions.multimodal import decode_media, encode_ppm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, hgt = 8 + d % 5, 6 + d % 7
+                rgb = bytes(
+                    v
+                    for y in range(hgt)
+                    for x in range(w)
+                    for v in (
+                        (x * 7 + y * 13 + d) % 256,
+                        (x * 3 + y * 5 + 2 * d) % 256,
+                        (x * 11 + y + 3 * d) % 256,
+                    )
+                )
+                medias.append(encode_ppm(w, hgt, rgb))
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    media = docs.mapInPandas(gen, "did long, media binary")
+    dec = decode_media(None, media=media, codec="ppm")
+    return dec.select(
+        "did",
+        "height",
+        "width",
+        F.aggregate(
+            F.col("head"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("head_sum"),
+    )

@@ -147,3 +147,75 @@ def test_partitioned_batches(docs):
     out = media_features(big)
     assert out.count() == 10
     assert out.select("did").distinct().count() == 10
+
+
+# ----------------------------------------------------------- PPM codec
+
+
+def test_ppm_roundtrip():
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rgb = bytes(range(2 * 3 * 3))  # 3 wide, 2 tall
+    blob = encode_ppm(3, 2, rgb)
+    h, w, gray = decode_ppm(blob)
+    assert (h, w) == (2, 3)
+    exp = [
+        (299 * rgb[3 * k] + 587 * rgb[3 * k + 1] + 114 * rgb[3 * k + 2]) // 1000
+        for k in range(6)
+    ]
+    assert gray == exp
+
+
+def test_ppm_rejects_bad_input():
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\x00")
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(2, 2, bytes(12))[:-1])  # truncated pixels
+    with pytest.raises(ValueError):
+        encode_ppm(2, 2, bytes(11))  # wrong payload length
+
+
+def test_decode_media_ppm_path(spark):
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        decode_media,
+        encode_ppm,
+    )
+
+    rows = [
+        (1, bytearray(encode_ppm(4, 2, bytes([10, 20, 30]) * 8))),
+        (2, bytearray(encode_ppm(2, 2, bytes([255, 255, 255]) * 4))),
+    ]
+    media = spark.createDataFrame(rows, "did long, media binary")
+    got = {r.did: r for r in decode_media(None, media=media, codec="ppm").collect()}
+    g = (299 * 10 + 587 * 20 + 114 * 30) // 1000
+    assert (got[1].height, got[1].width) == (2, 4)
+    assert got[1].head == [g] * 8
+    # 255,255,255 -> (299+587+114)*255//1000 = 255 exactly
+    assert got[2].head == [255] * 4
+
+
+def test_resize_media_ppm_path(spark):
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        encode_ppm,
+        resize_media,
+    )
+
+    # 8x8 image, out_side=2 -> strides 4: picks rows/cols 0 and 4
+    rgb = bytes(
+        v for y in range(8) for x in range(8) for v in (x * 10, x * 10, x * 10)
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_ppm(8, 8, rgb)))], "did long, media binary"
+    )
+    out = resize_media(None, out_side=2, codec="ppm", media=media).collect()[0]
+    assert out.out_bytes == 4
+    exp = bytes([0, 40, 0, 40])  # gray of gray-valued pixels = value
+    assert out.out_md5 == hashlib.md5(exp).hexdigest()
