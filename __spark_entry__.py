@@ -237,6 +237,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_sample_per_source": Q.docs_sample_per_source,
     "sda_source_counts": Q.sda_source_counts,
     "docs_media_decode_ppm": Q.docs_media_decode_ppm,
+    "docs_media_decode_wav": Q.docs_media_decode_wav,
 }
 
 

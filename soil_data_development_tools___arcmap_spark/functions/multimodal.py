@@ -84,6 +84,57 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
 
 
+def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Mono 16-bit PCM WAV (RIFF) from signed samples — stdlib only."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        sample_rate,
+        sample_rate * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(blob: bytes) -> tuple[int, int, list[int]]:
+    """(sample_rate, n_samples, all samples) from a mono 16-bit PCM
+    RIFF WAV — the real audio-decode path, zero dependencies. Walks
+    the chunk list (so writers that add LIST/fact chunks still parse),
+    accepts only the PCM/mono/16-bit form ``encode_wav_pcm16`` emits."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, rate, data = 12, None, None
+    while i + 8 <= len(blob):
+        cid, size = blob[i : i + 4], struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        body = blob[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError("only mono 16-bit PCM supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return rate, n, samples
+
+
 def decode_ppm(blob: bytes) -> tuple[int, int, list[int]]:
     """(height, width, row-major GRAYSCALE pixels) from a P6 PPM.
 
@@ -392,3 +443,34 @@ def resize_media(
                 )
 
     return m.mapInPandas(batches, "did long, out_bytes int, out_md5 string")
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real audio decode + feature extraction over (did, media) WAV
+    payloads: sample rate, sample count, Σ|s| (integer loudness
+    stand-in for RMS — exact across engines) and peak amplitude. Same
+    Arrow-batched mapInPandas shape as the image path; payloads never
+    leave the executors."""
+    m = _spread(media.select("did", "media"), "did")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["media"].map(lambda b: decode_wav_pcm16(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "did": pdf["did"],
+                    "sample_rate": decoded.map(lambda t: t[0]),
+                    "n_samples": decoded.map(lambda t: t[1]),
+                    "abs_sum": decoded.map(
+                        lambda t: sum(abs(s) for s in t[2])
+                    ),
+                    "peak": decoded.map(
+                        lambda t: max((abs(s) for s in t[2]), default=0)
+                    ),
+                }
+            )
+
+    return m.mapInPandas(
+        batches,
+        "did long, sample_rate int, n_samples int, abs_sum long, peak int",
+    )

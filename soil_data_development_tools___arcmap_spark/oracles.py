@@ -3589,3 +3589,16 @@ SELECT doc_id AS did,
 FROM documents, generate_series(0, 15) AS gs(k)
 GROUP BY doc_id
 """
+
+ORACLES["docs_media_decode_wav"] = """
+SELECT doc_id AS did,
+       CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(64 + doc_id % 17 AS INTEGER) AS n_samples,
+       CAST(SUM(abs(((doc_id * 31 + gs.k * 17) % 4096) - 2048)) AS BIGINT)
+         AS abs_sum,
+       CAST(MAX(abs(((doc_id * 31 + gs.k * 17) % 4096) - 2048)) AS INTEGER)
+         AS peak
+FROM documents,
+     LATERAL unnest(generate_series(0, 64 + doc_id % 17 - 1)) AS gs(k)
+GROUP BY doc_id
+"""

@@ -5235,3 +5235,38 @@ def docs_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("head"), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("head_sum"),
     )
+
+
+def docs_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, zero dependencies: mono 16-bit
+    PCM WAVs are synthesized per doc_id from an integer sample formula
+    (s_k = ((doc_id*31 + k*17) % 4096) - 2048), RIFF-encoded on the
+    executors, then chunk-walked back by ``decode_wav_pcm16`` and
+    reduced to integer loudness features by ``audio_features``. The
+    oracle recomputes Σ|s_k| and the peak straight from the formula —
+    it never sees the bytes — so any decoder fault (chunk offsets,
+    endianness, sign handling) surfaces as a hash mismatch.
+
+    100 TB posture: identical to the image path — two Arrow-batched
+    executor stages, no shuffle of sample data, no driver
+    participation."""
+    from .functions.multimodal import audio_features, encode_wav_pcm16
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 64 + d % 17
+                samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
+                medias.append(
+                    encode_wav_pcm16(8000 + (d % 3) * 4000, samples)
+                )
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    media = docs.mapInPandas(gen, "did long, media binary")
+    return audio_features(media)

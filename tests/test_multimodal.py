@@ -219,3 +219,66 @@ def test_resize_media_ppm_path(spark):
     assert out.out_bytes == 4
     exp = bytes([0, 40, 0, 40])  # gray of gray-valued pixels = value
     assert out.out_md5 == hashlib.md5(exp).hexdigest()
+
+
+# ----------------------------------------------------------- WAV codec
+
+
+def test_wav_roundtrip():
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    rate, n, got = decode_wav_pcm16(encode_wav_pcm16(16000, samples))
+    assert (rate, n) == (16000, 6)
+    assert got == samples
+
+
+def test_wav_chunk_walk_skips_extras():
+    """A LIST chunk between fmt and data must be walked over, and an
+    odd-sized chunk must respect RIFF word alignment."""
+    import struct
+
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    base = encode_wav_pcm16(8000, [5, -5])
+    hdr, fmt_chunk, data_chunk = base[:12], base[12:36], base[36:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    blob = hdr + fmt_chunk + extra + data_chunk
+    rate, n, got = decode_wav_pcm16(blob)
+    assert (rate, n, got) == (8000, 2, [5, -5])
+
+
+def test_wav_rejects_bad_input():
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        decode_wav_pcm16,
+    )
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFX\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFF\x04\x00\x00\x00WAVE")  # no chunks
+
+
+def test_audio_features_values(spark):
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    rows = [
+        (1, bytearray(encode_wav_pcm16(8000, [100, -200, 300]))),
+        (2, bytearray(encode_wav_pcm16(12000, []))),
+    ]
+    media = spark.createDataFrame(rows, "did long, media binary")
+    got = {r.did: r for r in audio_features(media).collect()}
+    assert got[1].sample_rate == 8000
+    assert got[1].n_samples == 3
+    assert got[1].abs_sum == 600
+    assert got[1].peak == 300
+    assert got[2].n_samples == 0 and got[2].abs_sum == 0 and got[2].peak == 0
