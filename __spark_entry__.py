@@ -238,6 +238,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sda_source_counts": Q.sda_source_counts,
     "docs_media_decode_ppm": Q.docs_media_decode_ppm,
     "docs_media_decode_wav": Q.docs_media_decode_wav,
+    "wss_source_ingest": Q.wss_source_ingest,
 }
 
 

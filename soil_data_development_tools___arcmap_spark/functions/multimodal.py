@@ -10,12 +10,16 @@ Codec policy (optional dependencies): the default ``fake`` codec is a
 deterministic byte-level decoder that keeps every piece of Spark-side
 plumbing real and testable without any media library — schema,
 partitioning, UDF signature, Arrow batch shape, multi-row (frame)
-fan-out. The ``png`` codec is a REAL pillow-backed decode/resize path
+fan-out. The ``ppm`` (binary P6 image) and WAV
+(RIFF mono 16-bit PCM) codecs are REAL decoders with zero
+dependencies, so a genuine image and audio decode path runs — and is
+oracle-gated — even in this codec-less container. The ``png`` codec
+is a REAL pillow-backed decode/resize path
 taken whenever ``PIL`` imports (an extras dependency); when it does
 not — as in this container — requesting it raises
 ``NotImplementedError`` at plan-build time (fail-fast on the driver,
-never half-way through a 100 TB job on the executors). Audio/video
-codecs (librosa / av) remain declared stubs.
+never half-way through a 100 TB job on the executors). Compressed
+audio/video codecs (librosa / av) remain declared stubs.
 
 Scale notes: payloads stay inside the executors end-to-end (no
 collect); ``_spread`` repartitions before the Pandas stages so Arrow

@@ -3602,3 +3602,13 @@ FROM documents,
      LATERAL unnest(generate_series(0, 64 + doc_id % 17 - 1)) AS gs(k)
 GROUP BY doc_id
 """
+
+ORACLES["wss_source_ingest"] = """
+SELECT 'NE' || CAST(100 + r_regionkey AS VARCHAR) AS areasymbol,
+       CAST(20200101 + r_regionkey AS BIGINT) AS surveydate,
+       'ok' AS status,
+       CAST(20200000 + (1 + r_regionkey) * 100 + 10 + r_regionkey AS BIGINT)
+         AS tabular_date,
+       CAST(2 AS INTEGER) AS n_files
+FROM region
+"""

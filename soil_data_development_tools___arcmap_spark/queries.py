@@ -5270,3 +5270,56 @@ def docs_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "did long, media binary")
     return audio_features(media)
+
+
+def wss_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WSS survey acquisition as a FIRST-CLASS Spark source: per-region
+    survey zips (tabular/sacatlog.txt + a spatial stub, the real WSS
+    folder layout) are staged as fixtures standing in for the public
+    cache, then ``spark.read.format("wss")`` runs the whole
+    acquire→unzip→version-check pipeline ON THE EXECUTORS — one input
+    partition per survey area, exactly how a CONUS build would fan
+    3000 downloads across a cluster instead of the reference's serial
+    driver loop (SSURGO_BatchDownload.py:694-792).
+
+    The gate certifies the acquisition semantics end-to-end: cache
+    zip naming, extraction + folder-convention resolution, the
+    sacatlog SAVEREST parse (tabular_date), and the per-survey file
+    audit — the oracle recomputes every field from the region-key
+    formulas without ever seeing a zip."""
+    import io
+    import tempfile
+    import zipfile as _zf
+
+    from .sources.wss import wss_zip_name
+    from .sources.wss_datasource import register
+
+    regions = sorted(
+        r.r_regionkey
+        for r in _t(spark, sf_dir, "region").select("r_regionkey").collect()
+    )
+    fixture = tempfile.mkdtemp(prefix="wss_fixture_")
+    out_dir = tempfile.mkdtemp(prefix="wss_out_")
+    syms, dates = [], []
+    for k in regions:
+        sym = f"NE{100 + k}"
+        date = 20200101 + k
+        mm, dd = 1 + k, 10 + k
+        rec = f'"{sym}"|"Survey {k}"|"2"|"{mm:02d}/{dd:02d}/2020 08:30:00"\n'
+        buf = io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr(f"{sym}/tabular/sacatlog.txt", rec)
+            z.writestr(f"{sym}/spatial/soilmu_a_{sym}.txt", "stub\n")
+        with open(os.path.join(fixture, wss_zip_name(sym, date)), "wb") as fh:
+            fh.write(buf.getvalue())
+        syms.append(sym)
+        dates.append(str(date))
+    register(spark)
+    return (
+        spark.read.format("wss")
+        .option("areasymbols", ",".join(syms))
+        .option("surveydates", ",".join(dates))
+        .option("output_dir", out_dir)
+        .option("fixture_dir", fixture)
+        .load()
+    )
