@@ -239,6 +239,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_decode_ppm": Q.docs_media_decode_ppm,
     "docs_media_decode_wav": Q.docs_media_decode_wav,
     "wss_source_ingest": Q.wss_source_ingest,
+    "emb_matryoshka_recall": Q.emb_matryoshka_recall,
 }
 
 

@@ -3612,3 +3612,27 @@ SELECT 'NE' || CAST(100 + r_regionkey AS VARCHAR) AS areasymbol,
        CAST(2 AS INTEGER) AS n_files
 FROM region
 """
+
+
+ORACLES["emb_matryoshka_recall"] = f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+e16 AS (SELECT vec_id,
+             list_transform(list_slice(embedding, 1, 16),
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e16 WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e16 WHERE vec_id >= 8),
+s AS (SELECT qid, cid, {_COS} AS cos_e6 FROM c CROSS JOIN q),
+approx AS (
+  SELECT qid, cid FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+  WHERE rn <= 5),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid
+"""

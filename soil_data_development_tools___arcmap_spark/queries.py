@@ -5323,3 +5323,24 @@ def wss_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("fixture_dir", fixture)
         .load()
     )
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@5 of
+    exact kNN run on only the FIRST 16 of 64 embedding dimensions,
+    measured against the full-dimension exact top-k — the
+    retrieve-cheap-then-rerank design decision (how much accuracy does
+    a 4× smaller index buy back?) made measurable with the same
+    integer recall contract as the LSH/IVF/PQ evaluations.
+
+    100 TB posture: truncation is a map-side slice; the scoring rides
+    the same broadcast-queries shape as the brute-force baseline it is
+    compared to — the recall join itself touches queries × k rows."""
+    from .functions.similarity import brute_force_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb)
+    trunc = brute_force_topk(
+        emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    )
+    return knn_recall(exact, trunc)

@@ -317,3 +317,15 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_matryoshka_recall_bounds(spark):
+    out = Q.emb_matryoshka_recall(spark, SF_SMOKE).collect()
+    assert len(out) == 8  # one row per query vector
+    for r in out:
+        assert r.k == 5 and 0 <= r.hits <= 5
+    # on ISOTROPIC synthetic embeddings a quarter of the dims carries
+    # a quarter of the signal, so truncation must lose neighbors —
+    # the measurement discriminates (real Matryoshka-trained vectors
+    # would sit near 40/40; these sit low)
+    assert 0 < sum(r.hits for r in out) < 5 * len(out)
