@@ -240,6 +240,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_decode_wav": Q.docs_media_decode_wav,
     "wss_source_ingest": Q.wss_source_ingest,
     "emb_matryoshka_recall": Q.emb_matryoshka_recall,
+    # round-5 breadth batch C: warehouse/layout/retrieval/graph ops
+    "events_scd2_history": Q.events_scd2_history,
+    "events_retention_cohorts": Q.events_retention_cohorts,
+    "layout_zorder": Q.layout_zorder,
+    "docs_inverted_index": Q.docs_inverted_index,
+    "events_pagerank": Q.events_pagerank,
+    "docs_normalize_text": Q.docs_normalize_text,
 }
 
 

@@ -3636,3 +3636,140 @@ SELECT e.qid, COUNT(*) AS k,
 FROM exact e LEFT JOIN hits h ON e.qid = h.qid
 GROUP BY e.qid
 """
+
+# --- Round 5 breadth batch C ------------------------------------------------
+
+ORACLES["events_scd2_history"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+chg AS (
+  SELECT * FROM (
+    SELECT user_id, us, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS prev_state
+    FROM ev)
+  WHERE prev_state IS NULL OR prev_state <> event_type)
+SELECT user_id, event_type AS state, us AS valid_from_us,
+       LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         AS valid_to_us,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS INTEGER) AS version,
+       CAST(CASE WHEN LEAD(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) IS NULL
+            THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM chg
+"""
+
+ORACLES["events_retention_cohorts"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num
+  FROM events),
+c AS (
+  SELECT user_id, day_num,
+         MIN(day_num) OVER (PARTITION BY user_id) AS cohort_day
+  FROM ud),
+ret AS (
+  SELECT cohort_day, day_num - cohort_day AS day_offset,
+         COUNT(DISTINCT user_id) AS retained
+  FROM c GROUP BY 1, 2),
+sz AS (SELECT cohort_day, retained AS cohort_n FROM ret WHERE day_offset = 0)
+SELECT r.cohort_day, r.day_offset, r.retained, s.cohort_n,
+       r.retained * 1000000 // s.cohort_n AS ppm
+FROM ret r JOIN sz s USING (cohort_day)
+"""
+
+
+def _zorder_sql() -> str:
+    from .functions.layout import morton_sql
+
+    z = morton_sql("u", "d", 6, " // ")
+    return f"""
+WITH pts AS (
+  SELECT user_id % 64 AS u,
+         (epoch_us(ts) // 86400000000) % 64 AS d
+  FROM events),
+zs AS (SELECT u, d, {z} AS zval FROM pts)
+SELECT 'zorder' AS layout, zval // 256 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(u) AS min_u, MAX(u) AS max_u, MIN(d) AS min_d, MAX(d) AS max_d
+FROM zs GROUP BY 2
+UNION ALL
+SELECT 'linear' AS layout, u // 4 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(u) AS min_u, MAX(u) AS max_u, MIN(d) AS min_d, MAX(d) AS max_d
+FROM pts GROUP BY 2
+"""
+
+
+ORACLES["layout_zorder"] = _zorder_sql()
+
+ORACLES["docs_inverted_index"] = """
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       unnest(generate_series(1, len(tk))) gs(i)
+  WHERE tk[i] <> ''),
+perdoc AS (
+  SELECT term, doc_id, COUNT(*) AS tf,
+         array_to_string(list_sort(list(pos)), ',') AS ps
+  FROM tok GROUP BY term, doc_id),
+terms AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM perdoc GROUP BY term),
+postings AS (
+  SELECT p.term,
+         string_agg(p.doc_id || ':' || p.ps, ';' ORDER BY p.doc_id)
+           AS postings
+  FROM perdoc p JOIN terms t USING (term)
+  WHERE t.df <= 32
+  GROUP BY p.term)
+SELECT t.term, t.df, t.cf, po.postings
+FROM terms t LEFT JOIN postings po USING (term)
+"""
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    sql = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+pairs AS (
+  SELECT src, dst FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS src,
+           event_type AS dst
+    FROM ev)
+  WHERE src IS NOT NULL),
+edges AS (SELECT src, dst, COUNT(*) AS c FROM pairs GROUP BY src, dst),
+nodes AS (SELECT DISTINCT event_type AS node FROM ev),
+outd AS (SELECT src, SUM(c) AS outc FROM edges GROUP BY src),
+pr0 AS (
+  SELECT node,
+         CAST(1000000 // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS r
+  FROM nodes)"""
+    for k in range(iters):
+        sql += f""",
+acc{k} AS (
+  SELECT e.dst AS node, SUM((p.r * e.c) // o.outc) AS acc
+  FROM pr{k} p JOIN edges e ON e.src = p.node
+  JOIN outd o ON o.src = p.node
+  GROUP BY e.dst),
+pr{k + 1} AS (
+  SELECT n.node,
+         CAST(150000 // (SELECT COUNT(*) FROM nodes)
+              + (850000 * COALESCE(a.acc, 0)) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN acc{k} a USING (node))"""
+    return sql + f"\nSELECT node, r FROM pr{iters}"
+
+
+ORACLES["events_pagerank"] = _pagerank_sql()
+
+ORACLES["docs_normalize_text"] = """
+SELECT doc_id,
+       CAST(length(trim(regexp_replace(lower(text), '[ \\t]+', ' ', 'g')))
+            AS INTEGER) AS n_chars_norm,
+       md5(trim(regexp_replace(lower(text), '[ \\t]+', ' ', 'g')))
+         AS norm_md5,
+       CAST(CASE WHEN trim(regexp_replace(lower(text), '[ \\t]+', ' ', 'g'))
+                      <> text THEN 1 ELSE 0 END AS INTEGER) AS changed
+FROM documents
+"""

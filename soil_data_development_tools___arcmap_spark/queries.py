@@ -5344,3 +5344,265 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn("embedding", F.slice("embedding", 1, 16))
     )
     return knn_recall(exact, trunc)
+
+
+# ---------------------------------------------------------------------------
+# Round 5 breadth batch C: warehouse history (SCD2), retention cohorts,
+# Z-order data layout, inverted index, integer-exact PageRank, text
+# normalization.
+# ---------------------------------------------------------------------------
+
+
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history build from a change
+    log — the CDC pattern every warehouse ingest needs: collapse each
+    user's event stream to its state-CHANGE rows (event_type as the
+    tracked attribute) and emit validity intervals
+    ``[valid_from_us, valid_to_us)`` with a per-user version number
+    and an ``is_current`` flag on the open interval. Ties inside one
+    timestamp resolve by event_id, so the history is deterministic.
+
+    100 TB posture: ONE user_id exchange serves both window passes
+    (lag to detect changes, lead/row_number to close intervals —
+    same partitioning, Catalyst reuses the shuffle); state per task is
+    a one-row lookback, never a per-user buffer. Interval times stay
+    exact-integer microseconds (< 2^53, so the hash survives the
+    nullable-column float64 round-trip bit-for-bit)."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = ev.withColumn("prev_state", F.lag("event_type").over(w)).where(
+        F.col("prev_state").isNull()
+        | (F.col("prev_state") != F.col("event_type"))
+    )
+    return (
+        chg.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("us").alias("valid_from_us"),
+            F.lead("us").over(w).alias("valid_to_us"),
+            F.row_number().over(w).alias("version"),
+        )
+        .withColumn(
+            "is_current", F.col("valid_to_us").isNull().cast("int")
+        )
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the growth dashboard behind every
+    'day-N retention' chart: cohort = the user's first active day,
+    and for each (cohort_day, day_offset) cell the count of distinct
+    users from that cohort active that day, the cohort size, and the
+    retention share in exact ppm (integer division, no float).
+
+    100 TB posture: collapse to DISTINCT (user, day) FIRST (the only
+    big shuffle, map-side combined); the cohort day rides a window
+    min over the same user partitioning; the final key space is
+    days × offsets (tiny) and the cohort-size denominator joins back
+    broadcast."""
+    ud = (
+        read_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    c = ud.withColumn("cohort_day", F.min("day_num").over(w))
+    ret = c.groupBy(
+        "cohort_day",
+        (F.col("day_num") - F.col("cohort_day")).alias("day_offset"),
+    ).agg(F.countDistinct("user_id").alias("retained"))
+    size = ret.where(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("retained").alias("cohort_n")
+    )
+    return ret.join(F.broadcast(size), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "retained",
+        "cohort_n",
+        F.expr("retained * 1000000 div cohort_n").alias("ppm"),
+    )
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data-layout clustering audit — the
+    multi-dimensional file-skipping story at 100 TB: interleave the
+    low 6 bits of (user bucket, day) into a Z-value, cut the Z range
+    into 16 layout buckets (= files after ``repartitionByRange`` on
+    the Z-value at write time), and report each bucket's min/max
+    footer stats in BOTH dimensions — next to the same stats for a
+    naive single-dimension (user-sorted) layout. Z buckets are tight
+    in user AND day at once, so a 2-D box predicate prunes files;
+    the linear layout's day span covers the whole range (its test
+    pins exactly that). Pure ``* div %`` integer math (see
+    functions/layout.py), engine-exact by construction.
+
+    100 TB posture: the audit itself is one map-side-combined groupBy
+    on 16+16 keys; the layout it models is a one-time range
+    repartition at write, after which pruning is free forever."""
+    from .functions.layout import morton_sql
+
+    pts = read_events(spark, sf_dir).select(
+        F.expr("user_id % 64").alias("u"),
+        F.expr("((ts div 1000) div 86400000000) % 64").alias("d"),
+    )
+
+    def stats(df: DataFrame, bucket: F.Column, layout: str) -> DataFrame:
+        return (
+            df.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("u").alias("min_u"),
+                F.max("u").alias("max_u"),
+                F.min("d").alias("min_d"),
+                F.max("d").alias("max_d"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    z = pts.withColumn(
+        "zval", F.expr(morton_sql("u", "d", 6, " div "))
+    )
+    return stats(z, F.expr("zval div 256"), "zorder").unionByName(
+        stats(pts, F.expr("u div 4"), "linear")
+    )
+
+
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index build — the retrieval-side artifact
+    a corpus engine materializes once per crawl: for every term its
+    document frequency, collection frequency, and a canonical posting
+    string ``doc:pos1,pos2;doc:...`` (docs ascending, positions
+    ascending). Terms more frequent than ``MAX_DF`` docs keep their
+    df/cf statistics but get a NULL posting list — the stop-word
+    guard that keeps any single term's posting payload bounded (at
+    100 TB the posting list of 'the' is a multi-GB value no single
+    reducer should materialize).
+
+    100 TB posture: shuffle on (term, doc) with map-side combine,
+    then ONE term exchange shared by the df window, the statistics
+    aggregate, and the bounded posting collect (Catalyst reuses the
+    partitioning); the df > MAX_DF filter runs BEFORE the collect, so
+    the unbounded aggregation state never exists."""
+    MAX_DF = 32
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).where(F.col("term") != "")
+    perdoc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda p: p.cast("string"),
+            ),
+            ",",
+        ).alias("ps"),
+    )
+    wdf = Window.partitionBy("term")
+    perdoc = perdoc.withColumn("dfw", F.count(F.lit(1)).over(wdf))
+    terms = perdoc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    postings = (
+        perdoc.where(F.col("dfw") <= MAX_DF)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "ps"))),
+                    lambda s: F.concat_ws(
+                        ":", s.doc_id.cast("string"), s.ps
+                    ),
+                ),
+                ";",
+            ).alias("postings")
+        )
+    )
+    return terms.join(postings, "term", "left").select(
+        "term", "df", "cf", "postings"
+    )
+
+
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the event-type transition graph
+    (10 power iterations, damping 0.85): ranks live in exact ppm
+    integers and every per-edge contribution is a floor division
+    ``(r·c) div out``, so the fixed-point is bit-identical across
+    engines — the determinism trick that makes an ITERATIVE algorithm
+    oracle-checkable at all. Edges come from the same lag-window
+    transition pairs as ``events_transition_matrix``.
+
+    100 TB posture: the rank table is O(|node types|) and broadcast
+    into each iteration's edge join — the 100 TB edge list shuffles
+    ONCE (the pair count), never per iteration; the driver touches
+    only the node count (an O(1) scalar). For graphs whose node set
+    itself is huge the same loop holds with the rank side hash-
+    partitioned instead of broadcast (the CC operator's
+    pointer-jumping shows that shape, functions/dedup.py)."""
+    ITERS, DAMP_PPM = 10, 850000
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    edges = edges.localCheckpoint()  # iterate over a settled edge list
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    outd = edges.groupBy("src").agg(F.sum("c").alias("outc"))
+    n_nodes = nodes.count()
+    rank = nodes.withColumn(
+        "r", F.lit(1000000 // n_nodes).cast("long")
+    )
+    # teleport share is (1-d)/N so total mass stays ~1e6 ppm (dangling
+    # nodes would leak mass; the event-type graph has none)
+    base_ppm = (1000000 - DAMP_PPM) // n_nodes
+    for _ in range(ITERS):
+        acc = (
+            edges.join(
+                F.broadcast(rank.withColumnRenamed("node", "src")), "src"
+            )
+            .join(F.broadcast(outd), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(r * c) div outc")).alias("acc"))
+        )
+        rank = nodes.join(
+            F.broadcast(acc.withColumnRenamed("dst", "node")), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base_ppm)
+                + F.expr(f"({DAMP_PPM} * coalesce(acc, 0)) div 1000000")
+            ).cast("long").alias("r"),
+        )
+    return rank
+
+
+def docs_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass (the first stage of every cleaning
+    pipeline): lowercase, collapse space/tab runs, trim — reported as
+    the normalized length, an md5 fingerprint of the normalized form
+    (the key exact dedup runs on AFTER normalization), and a changed
+    flag. ASCII-deterministic by construction (the corpus is ASCII;
+    ``lower``/``md5`` agree across engines on ASCII).
+
+    100 TB posture: map-only — no shuffle, no Python; the fingerprint
+    feeds the same hash-groupBy dedup path as docs_exact_dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \\t]+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+    )

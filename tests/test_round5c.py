@@ -1,0 +1,233 @@
+"""Round-5 breadth batch C: SCD2 history, retention cohorts, Z-order
+layout, inverted index, integer-exact PageRank, text normalization.
+
+Each operator also has a DuckDB oracle entry (the gate pins full
+per-row membership at sf0.01); these tests pin the *semantics* on
+crafted rows where the synthetic tables are vacuous (e.g. the corpus
+vocabulary is 31 near-stop-words, so the posting-list branch needs
+crafted docs to be exercised meaningfully).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from soil_data_development_tools___arcmap_spark import queries as Q
+from soil_data_development_tools___arcmap_spark.functions.layout import morton_sql
+
+from conftest import SF_SMOKE
+
+
+def _write_events(spark, tmp_path, rows):
+    p = os.path.join(str(tmp_path), "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    return str(tmp_path)
+
+
+def _write_docs(spark, tmp_path, rows):
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    return str(tmp_path)
+
+
+T0 = dt.datetime(2024, 1, 1)
+S = dt.timedelta(seconds=1)
+DAY = dt.timedelta(days=1)
+
+
+# --- SCD Type-2 history -----------------------------------------------------
+
+
+def test_scd2_collapses_repeats_and_chains_intervals(spark, tmp_path):
+    rows = [
+        # user 1: a, a, b, a  -> 3 versions (repeat collapsed)
+        (1, T0, 1, "a", 0.0, ""),
+        (2, T0 + S, 1, "a", 0.0, ""),
+        (3, T0 + 2 * S, 1, "b", 0.0, ""),
+        (4, T0 + 3 * S, 1, "a", 0.0, ""),
+        # user 2: single state
+        (5, T0, 2, "x", 0.0, ""),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {
+        (r.user_id, r.version): r
+        for r in Q.events_scd2_history(spark, d).collect()
+    }
+    assert len(out) == 4
+    u1 = [out[(1, v)] for v in (1, 2, 3)]
+    assert [r.state for r in u1] == ["a", "b", "a"]
+    # intervals chain: valid_to of version k == valid_from of k+1
+    assert u1[0].valid_to_us == u1[1].valid_from_us
+    assert u1[1].valid_to_us == u1[2].valid_from_us
+    # repeat at t+1s did NOT open a new version
+    assert u1[0].valid_from_us == int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert u1[1].valid_from_us - u1[0].valid_from_us == 2_000_000
+    # only the open interval is current
+    assert [r.is_current for r in u1] == [0, 0, 1]
+    assert u1[2].valid_to_us is None
+    assert out[(2, 1)].is_current == 1
+
+
+def test_scd2_ts_tie_resolved_by_event_id(spark, tmp_path):
+    rows = [
+        (10, T0, 1, "b", 0.0, ""),
+        (9, T0, 1, "a", 0.0, ""),  # same ts, lower event_id -> first
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = sorted(Q.events_scd2_history(spark, d).collect(), key=lambda r: r.version)
+    assert [r.state for r in out] == ["a", "b"]
+    assert out[1].is_current == 1
+
+
+# --- retention cohorts ------------------------------------------------------
+
+
+def test_retention_cohorts_crafted(spark, tmp_path):
+    rows = [
+        # cohort day0: users 1,2 ; user 1 returns day1, both return day2
+        (1, T0, 1, "a", 0.0, ""),
+        (2, T0, 2, "a", 0.0, ""),
+        (3, T0 + DAY, 1, "a", 0.0, ""),
+        (4, T0 + 2 * DAY, 1, "a", 0.0, ""),
+        (5, T0 + 2 * DAY, 2, "a", 0.0, ""),
+        # cohort day1: user 3 only
+        (6, T0 + DAY, 3, "a", 0.0, ""),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {
+        (r.cohort_day, r.day_offset): r
+        for r in Q.events_retention_cohorts(spark, d).collect()
+    }
+    d0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert out[(d0, 0)].retained == 2 and out[(d0, 0)].cohort_n == 2
+    assert out[(d0, 1)].retained == 1
+    assert out[(d0, 1)].ppm == 500000
+    assert out[(d0, 2)].retained == 2 and out[(d0, 2)].ppm == 1000000
+    assert out[(d0 + 1, 0)].retained == 1 and out[(d0 + 1, 0)].cohort_n == 1
+    # day-0 cell of every cohort is by construction the cohort size
+    for (_, off), r in out.items():
+        if off == 0:
+            assert r.retained == r.cohort_n
+
+
+# --- Z-order layout ---------------------------------------------------------
+
+
+def test_morton_interleave_known_values(spark):
+    # u=0b101 (bits at even slots), d=0b011 (odd slots):
+    # z = 1*1 + 1*2 + 0*4 + 1*8 + 1*16 + 0*32 = 27
+    row = spark.sql(
+        f"SELECT {morton_sql('5', '3', 3, ' div ')} AS z"
+    ).collect()[0]
+    assert row.z == 27
+
+    def py_morton(u, d, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((d >> i) & 1) << (2 * i + 1)
+        return z
+
+    for u, d in [(0, 0), (63, 63), (17, 42), (1, 62)]:
+        got = spark.sql(
+            f"SELECT {morton_sql(str(u), str(d), 6, ' div ')} AS z"
+        ).collect()[0].z
+        assert got == py_morton(u, d, 6)
+
+
+def test_zorder_buckets_tighter_than_linear_in_day_dim(spark):
+    out = Q.layout_zorder(spark, SF_SMOKE).collect()
+    span = lambda r: r.max_d - r.min_d  # noqa: E731
+    zspans = [span(r) for r in out if r.layout == "zorder"]
+    lspans = [span(r) for r in out if r.layout == "linear"]
+    # the Z layout bounds BOTH dims per bucket; the user-sorted layout
+    # leaves the day dimension unclustered (full-range spans)
+    assert max(zspans) < max(lspans)
+    assert sum(zspans) / len(zspans) < sum(lspans) / len(lspans)
+    # every event is in exactly one bucket per layout
+    zn = sum(r.n for r in out if r.layout == "zorder")
+    ln = sum(r.n for r in out if r.layout == "linear")
+    assert zn == ln > 0
+
+
+# --- inverted index ---------------------------------------------------------
+
+
+def test_inverted_index_postings_and_stopword_cap(spark, tmp_path):
+    rows = [
+        (1, "apple banana apple", "en", "s", 0),
+        (2, "banana cherry", "en", "s", 0),
+        (3, "apple", "en", "s", 0),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.term: r for r in Q.docs_inverted_index(spark, d).collect()}
+    assert out["apple"].df == 2 and out["apple"].cf == 3
+    assert out["apple"].postings == "1:0,2;3:0"
+    assert out["banana"].postings == "1:1;2:0"
+    assert out["cherry"].df == 1 and out["cherry"].postings == "2:1"
+
+
+def test_inverted_index_max_df_nulls_postings_not_stats(spark, tmp_path):
+    # 40 docs all containing 'the' (> MAX_DF=32) plus one rare term
+    rows = [(i, "the", "en", "s", 0) for i in range(40)]
+    rows.append((99, "the rare", "en", "s", 0))
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.term: r for r in Q.docs_inverted_index(spark, d).collect()}
+    assert out["the"].df == 41 and out["the"].cf == 41
+    assert out["the"].postings is None  # stop-word guard
+    assert out["rare"].df == 1 and out["rare"].postings == "99:1"
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def test_pagerank_sink_outranks_source(spark, tmp_path):
+    # every user walks a -> b -> b is absorbing-ish: b gets all of a's
+    # mass plus most of its own back; ranks must order b > a.
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for k, t in enumerate(["a", "b", "b", "b"]):
+            rows.append((eid, T0 + k * S, u, t, 0.0, ""))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.node: r.r for r in Q.events_pagerank(spark, d).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"] > out["a"]
+    # teleport floor: every node keeps at least (1-d)/N mass
+    assert all(r >= 150000 // len(out) for r in out.values())
+    # total mass conserved up to floor-division loss (strictly <= 1e6,
+    # within |nodes| + |edges| integer-floor drops of it)
+    assert 1_000_000 - 20 <= sum(out.values()) <= 1_000_000
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    a = sorted(Q.events_pagerank(spark, SF_SMOKE).collect())
+    b = sorted(Q.events_pagerank(spark, SF_SMOKE).collect())
+    assert a == b
+
+
+# --- normalization ----------------------------------------------------------
+
+
+def test_normalize_text_crafted(spark, tmp_path):
+    rows = [
+        (1, "  Hello \t  WORLD  ", "en", "s", 0),
+        (2, "already clean", "en", "s", 0),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in Q.docs_normalize_text(spark, d).collect()}
+    assert out[1].n_chars_norm == len("hello world")
+    assert out[1].changed == 1
+    assert out[2].changed == 0
+    import hashlib
+
+    assert out[1].norm_md5 == hashlib.md5(b"hello world").hexdigest()
+    assert out[2].norm_md5 == hashlib.md5(b"already clean").hexdigest()
