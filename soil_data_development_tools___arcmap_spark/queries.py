@@ -5419,10 +5419,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_day",
         (F.col("day_num") - F.col("cohort_day")).alias("day_offset"),
     ).agg(F.countDistinct("user_id").alias("retained"))
-    size = ret.where(F.col("day_offset") == 0).select(
-        "cohort_day", F.col("retained").alias("cohort_n")
-    )
-    return ret.join(F.broadcast(size), "cohort_day").select(
+    # cohort size = the offset-0 cell, pulled via a window over the
+    # (tiny) cohort partition — single lineage, no second scan of the
+    # event log to rebuild the denominator side
+    wc = Window.partitionBy("cohort_day")
+    return ret.withColumn(
+        "cohort_n",
+        F.max(F.when(F.col("day_offset") == 0, F.col("retained"))).over(wc),
+    ).select(
         "cohort_day",
         "day_offset",
         "retained",
@@ -5508,26 +5512,34 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wdf = Window.partitionBy("term")
     perdoc = perdoc.withColumn("dfw", F.count(F.lit(1)).over(wdf))
-    terms = perdoc.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    )
-    postings = (
-        perdoc.where(F.col("dfw") <= MAX_DF)
-        .groupBy("term")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "ps"))),
-                    lambda s: F.concat_ws(
-                        ":", s.doc_id.cast("string"), s.ps
-                    ),
+    # ONE aggregate produces stats AND postings: rows of an over-cap
+    # term enter the collect as NULL (collect_list drops them), so the
+    # stop-term aggregation state stays empty — no second scan, and
+    # the window's term partitioning is reused by the groupBy
+    return perdoc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("dfw") <= MAX_DF,
+                            F.struct("doc_id", "ps"),
+                        )
+                    )
                 ),
-                ";",
-            ).alias("postings")
-        )
-    )
-    return terms.join(postings, "term", "left").select(
-        "term", "df", "cf", "postings"
+                lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.ps),
+            ),
+            ";",
+        ).alias("postings_raw"),
+    ).select(
+        "term",
+        "df",
+        "cf",
+        F.when(F.col("df") <= MAX_DF, F.col("postings_raw")).alias(
+            "postings"
+        ),
     )
 
 
