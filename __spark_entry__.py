@@ -247,6 +247,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_inverted_index": Q.docs_inverted_index,
     "events_pagerank": Q.events_pagerank,
     "docs_normalize_text": Q.docs_normalize_text,
+    "events_stream_transition": Q.events_stream_transition,
 }
 
 

@@ -3773,3 +3773,5 @@ SELECT doc_id,
                       <> text THEN 1 ELSE 0 END AS INTEGER) AS changed
 FROM documents
 """
+
+ORACLES["events_stream_transition"] = ORACLES["events_transition_matrix"]

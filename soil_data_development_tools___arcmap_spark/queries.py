@@ -5618,3 +5618,13 @@ def docs_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         (norm != F.col("text")).cast("int").alias("changed"),
     )
+
+
+def events_stream_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming transition matrix: a custom applyInPandasWithState
+    operator (state = last event type per user) chained into a
+    complete-mode pair count — certified by the SAME oracle as the
+    batch ``events_transition_matrix``."""
+    from .streaming.events import run_transition_stream
+
+    return run_transition_stream(spark, sf_dir)

@@ -817,3 +817,79 @@ def run_wau_stream(
         rolled.join(F.broadcast(mx), F.col("win_day") <= F.col("last_day"))
         .select(F.col("win_day").alias("day_num"), "wau")
     )
+
+
+def transition_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first-order transition pair extraction as a CUSTOM
+    STATEFUL operator (``applyInPandasWithState``): state per user is
+    exactly the last event type seen; every arriving event emits one
+    (prev_type, event_type) pair and advances the state — the
+    incremental twin of the batch lag window in
+    ``queries.events_transition_matrix``. Events are processed in
+    (ts, event_id) order within each micro-batch; like the
+    sessionization operator, the availableNow single-batch harness
+    delivers the whole stream in order (a production deployment adds
+    an event-time ordering guard for cross-batch late data).
+
+    100 TB posture: state is ONE string per user (bounded by the user
+    population, evictable with a timeout in production); the pair
+    output feeds a |types|² aggregation — bounded keys, so even
+    complete output mode holds a tiny state table."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        prevs, curs = [], []
+        for t in rows["event_type"]:
+            if last is not None:
+                prevs.append(last)
+                curs.append(t)
+            last = t
+        state.update((last,))
+        yield pd.DataFrame({"prev_type": prevs, "event_type": curs})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="prev_type string, event_type string",
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_transition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful pair extraction chained into a pair-count
+    aggregation (two stateful operators in one incremental query —
+    the append-mode custom operator feeds a complete-mode count over
+    the bounded |types|² key space), then attach the exact-ppm share
+    exactly like the batch query. Certified by the SAME oracle as
+    ``events_transition_matrix``."""
+    name = "events_trans_" + uuid.uuid4().hex[:8]
+    q = (
+        transition_stateful(spark, sf_dir)
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = spark.table(name)
+    total = pairs.agg(F.sum("n").alias("total"))
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.expr("n * 1000000 div total").alias("ppm"),
+    )

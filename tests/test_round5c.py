@@ -231,3 +231,18 @@ def test_normalize_text_crafted(spark, tmp_path):
 
     assert out[1].norm_md5 == hashlib.md5(b"hello world").hexdigest()
     assert out[2].norm_md5 == hashlib.md5(b"already clean").hexdigest()
+
+
+# --- streaming transition matrix ---------------------------------------------
+
+
+def test_stream_transition_matches_batch(spark):
+    batch = {
+        (r.prev_type, r.event_type): (r.n, r.ppm)
+        for r in Q.events_transition_matrix(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r.prev_type, r.event_type): (r.n, r.ppm)
+        for r in Q.events_stream_transition(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch and len(batch) > 0
