@@ -222,7 +222,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pq_recall": Q.emb_pq_recall,
     "raster_tile_export": Q.raster_tile_export,
     "docs_mix_temperature": Q.docs_mix_temperature,
-    "q4_order_priority": Q.q4_order_priority,
     "q12_shipmode_priority": Q.q12_shipmode_priority,
     "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
     "shapefile_merge_acres": Q.shapefile_merge_acres,
@@ -242,7 +241,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_matryoshka_recall": Q.emb_matryoshka_recall,
     # round-5 breadth batch C: warehouse/layout/retrieval/graph ops
     "events_scd2_history": Q.events_scd2_history,
-    "events_retention_cohorts": Q.events_retention_cohorts,
     "layout_zorder": Q.layout_zorder,
     "docs_inverted_index": Q.docs_inverted_index,
     "events_pagerank": Q.events_pagerank,

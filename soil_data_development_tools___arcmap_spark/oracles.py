@@ -2196,17 +2196,6 @@ SELECT user_id,
 FROM l GROUP BY user_id
 """
 
-ORACLES["q4_order_priority"] = """
-WITH o AS (SELECT * FROM orders
-           WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01')
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM o
-WHERE EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
-GROUP BY o_orderpriority
-"""
-
 ORACLES["q13_customer_distribution"] = """
 WITH o AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
 pc AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -2286,16 +2275,6 @@ u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM c)
 SELECT COUNT(*) AS n_users, COUNT(t1) AS n_view,
        COUNT(t2) AS n_click, COUNT(t3) AS n_purchase
 FROM u
-"""
-
-ORACLES["events_retention_cohorts"] = """
-WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-             FROM events),
-c AS (SELECT user_id, day,
-             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
-      FROM act)
-SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_active
-FROM c GROUP BY cohort_day, day - cohort_day
 """
 
 ORACLES["events_hll_registers"] = """

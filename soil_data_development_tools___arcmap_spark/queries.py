@@ -2485,31 +2485,6 @@ def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_session_window_stream(spark, sf_dir)
 
 
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H q4-shaped order-priority check: EXISTS semi-join from
-    orders to late-shipped lineitems (adapted: l_shipdate ≥ orderdate
-    + 60 days plays the commit/receipt lateness the slim schema
-    lacks). left_semi carries no lineitem columns and never
-    multiplies order rows."""
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    o = orders.where(
-        (F.col("o_orderdate") >= F.lit("1995-01-01"))
-        & (F.col("o_orderdate") < F.lit("1995-04-01"))
-    )
-    late = li.join(
-        o,
-        (li["l_orderkey"] == o["o_orderkey"])
-        & (li["l_shipdate"] >= F.date_add(o["o_orderdate"], 60)),
-        "left_semi",
-    ).select("l_orderkey").distinct()
-    return (
-        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q13 — customer order-count distribution: LEFT OUTER join
     so zero-order customers survive with count 0 (adapted filter:
@@ -2625,28 +2600,6 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_click"),
         F.count("t3").alias("n_purchase"),
-    )
-
-
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle: cohort = a user's first active day;
-    count active users per (cohort_day, day_offset). Distinct
-    (user, day) first — the raw-event fan-in collapses map-side before
-    any window — then a min-over-user window (same user shuffle) and a
-    count per cell. The cell count is a plain count because (user,
-    day) is already distinct: no count(distinct) shuffle."""
-    ev = read_events(spark, sf_dir)
-    act = ev.select(
-        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
-    ).distinct()
-    w = Window.partitionBy("user_id")
-    d = act.withColumn("cohort_day", F.min("day").over(w))
-    return (
-        d.select(
-            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
-        )
-        .groupBy("cohort_day", "day_offset")
-        .agg(F.count(F.lit(1)).alias("n_active"))
     )
 
 
