@@ -246,6 +246,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pagerank": Q.events_pagerank,
     "docs_normalize_text": Q.docs_normalize_text,
     "events_stream_transition": Q.events_stream_transition,
+    # round-5 breadth batch D
+    "events_point_in_time_join": Q.events_point_in_time_join,
+    "docs_collocations": Q.docs_collocations,
+    "docs_length_deciles": Q.docs_length_deciles,
 }
 
 

@@ -3754,3 +3754,65 @@ FROM documents
 """
 
 ORACLES["events_stream_transition"] = ORACLES["events_transition_matrix"]
+
+# --- Round 5 breadth batch D ------------------------------------------------
+
+ORACLES["events_point_in_time_join"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+u AS (
+  SELECT user_id, us, event_id, event_type AS state, 0 AS kind
+  FROM ev WHERE event_type <> 'purchase'
+  UNION ALL
+  SELECT user_id, us, event_id, CAST(NULL AS VARCHAR) AS state, 1 AS kind
+  FROM ev WHERE event_type = 'purchase'),
+e AS (
+  SELECT user_id, us, event_id, kind,
+         last_value(state IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, kind, event_id
+           ROWS UNBOUNDED PRECEDING) AS state_asof
+  FROM u)
+SELECT event_id, user_id, us, state_asof FROM e WHERE kind = 1
+"""
+
+ORACLES["docs_collocations"] = """
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       unnest(generate_series(1, len(tk))) gs(i)
+  WHERE tk[i] <> ''),
+uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+sq AS (
+  SELECT doc_id, pos, w,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok),
+bg AS (
+  SELECT w AS x, nxt AS y, COUNT(*) AS c_xy
+  FROM sq WHERE nxt IS NOT NULL
+  GROUP BY w, nxt
+  HAVING COUNT(*) >= 5),
+n AS (
+  SELECT SUM(GREATEST(nb, 0)) AS n_bg FROM (
+    SELECT COUNT(*) - 1 AS nb FROM tok GROUP BY doc_id))
+SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+       (b.c_xy * n.n_bg * 1000000) // (ux.c * uy.c) AS pmi_e6
+FROM bg b JOIN uni ux ON ux.w = b.x
+JOIN uni uy ON uy.w = b.y, n
+ORDER BY pmi_e6 DESC, b.x ASC, b.y ASC
+LIMIT 100
+"""
+
+ORACLES["docs_length_deciles"] = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+hist AS (SELECT n_tok, COUNT(*) AS cnt FROM d GROUP BY n_tok),
+cum AS (
+  SELECT n_tok,
+         SUM(cnt) OVER (ORDER BY n_tok ROWS UNBOUNDED PRECEDING) - cnt
+           AS below
+  FROM hist),
+tot AS (SELECT SUM(cnt) AS n_total FROM hist)
+SELECT d.doc_id, CAST(d.n_tok AS INTEGER) AS n_tok,
+       (10 * c.below) // t.n_total AS decile
+FROM d JOIN cum c USING (n_tok), tot t
+"""

@@ -5581,3 +5581,161 @@ def events_stream_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import run_transition_stream
 
     return run_transition_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round 5 breadth batch D: point-in-time feature join, PMI collocations,
+# histogram-based global quantile binning.
+# ---------------------------------------------------------------------------
+
+
+def events_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup — the feature-store join
+    every training pipeline needs to avoid label leakage: each fact
+    (purchase) is enriched with the dimension state (the user's latest
+    non-purchase event type) AS OF the purchase instant, never a later
+    one. Same-instant dimension updates win over the fact (kind flag
+    orders dim rows first inside one timestamp; event_id breaks the
+    remaining ties), so the result is deterministic.
+
+    Implemented as the union-marker as-of pattern: interleave dim and
+    fact rows in ONE user-partitioned window and carry the last
+    non-null state forward (``last(ignorenulls)``) — an O(events)
+    single-shuffle plan, where the naive interval range-join explodes
+    with fact×state density.
+
+    100 TB posture: one user_id exchange, rowsBetween running state of
+    ONE value per task; no range join, no broadcast of the (huge)
+    dimension history."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    dim = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "us",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lit(0).alias("kind"),
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "us",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dim.unionByName(fact)
+        .withColumn(
+            "state_asof", F.last("state", ignorenulls=True).over(w)
+        )
+        .where(F.col("kind") == 1)
+        .select("event_id", "user_id", "us", "state_asof")
+    )
+
+
+def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by integer-exact PMI: for word bigrams
+    seen ≥5 times, score_e6 = (c_xy · N · 10⁶) div (c_x · c_y) — the
+    PMI ratio in exact micro-units (monotone in PMI, so the ranking
+    is identical to the log form without a float ever entering the
+    comparison; the integer form needs N·c_max·10⁶ < 2⁶³, fine at
+    gate SF — a 100 TB corpus moves to log-space doubles for the
+    score but keeps this exact form for the top-k candidate cut).
+
+    100 TB posture: bigram and unigram counts are map-side-combined
+    groupBys; the two unigram attachments join on the word key (small
+    side auto-broadcast at vocab scale); the top-100 plans as
+    TakeOrderedAndProject, never a global sort."""
+    from .functions.dedup import _spread
+    from .functions.text import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bg = (
+        tok.withColumn(
+            "nxt",
+            F.lead("w").over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("w").alias("x"), F.col("nxt").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    # N is the TOTAL bigram count (incl. sub-threshold pairs) so the
+    # score is a property of the corpus, not of the cutoff
+    n = (
+        tok.groupBy("doc_id")
+        .agg((F.count(F.lit(1)) - 1).alias("nb"))
+        .agg(F.sum(F.greatest("nb", F.lit(0))).alias("n_bg"))
+    )
+    return (
+        bg.join(uni.select(F.col("w").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("w").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("(c_xy * n_bg * 1000000) div (c_x * c_y)").alias(
+                "pmi_e6"
+            ),
+        )
+        .orderBy(F.desc("pmi_e6"), F.asc("x"), F.asc("y"))
+        .limit(100)
+    )
+
+
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based global decile binning WITHOUT a global sort — the
+    equal-frequency feature-binning step (and the pattern for any
+    exact global rank at scale): decile(d) = (10 · #docs with smaller
+    n_tok) div N, assigned by joining each doc to a (n_tok →
+    cumulative-count) broadcast histogram. All docs sharing a length
+    land in one decile (value-based quantile semantics — ties never
+    straddle a boundary, unlike ntile).
+
+    100 TB posture: the histogram is a map-side-combined groupBy
+    bounded by DISTINCT lengths (independent of doc count — same
+    argument as docs_source_stats); its cumulative sum runs over
+    histogram rows only; docs then map-side join the broadcast
+    thresholds. No row ever sorts against another row."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    )
+    hist = d.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    wh = (
+        Window.orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "n_tok",
+        (F.sum("cnt").over(wh) - F.col("cnt")).alias("below"),
+    )
+    total = hist.agg(F.sum("cnt").alias("n_total"))
+    return (
+        d.join(F.broadcast(cum), "n_tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr("(10 * below) div n_total").alias("decile"),
+        )
+    )

@@ -246,3 +246,59 @@ def test_stream_transition_matches_batch(spark):
         for r in Q.events_stream_transition(spark, SF_SMOKE).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+# --- batch D: PIT join, collocations, deciles --------------------------------
+
+
+def test_point_in_time_join_no_leakage(spark, tmp_path):
+    rows = [
+        (1, T0, 1, "view", 0.0, ""),
+        (2, T0 + S, 1, "purchase", 0.0, ""),   # state at t+1 = view
+        (3, T0 + 2 * S, 1, "click", 0.0, ""),
+        (4, T0 + 3 * S, 1, "purchase", 0.0, ""),  # state = click
+        # same-instant dim update wins over the fact
+        (5, T0 + 4 * S, 1, "error", 0.0, ""),
+        (6, T0 + 4 * S, 1, "purchase", 0.0, ""),
+        # purchase before any dim state -> NULL
+        (7, T0, 2, "purchase", 0.0, ""),
+        (8, T0 + S, 2, "view", 0.0, ""),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.event_id: r.state_asof
+           for r in Q.events_point_in_time_join(spark, d).collect()}
+    assert out == {2: "view", 4: "click", 6: "error", 7: None}
+
+
+def test_collocations_pmi_ranking(spark, tmp_path):
+    # "new york" always adjacent (high PMI); "the cat"/"the dog"/"cat the"...
+    # with promiscuous "the" (low PMI). 5+ occurrences to pass the cutoff.
+    text_hi = " ".join(["new york"] * 5)
+    text_lo = " ".join(["the cat the dog the fox the owl the hen"] * 2)
+    d = _write_docs(spark, tmp_path, [
+        (1, text_hi, "en", "s", 0), (2, text_lo, "en", "s", 0),
+    ])
+    out = Q.docs_collocations(spark, d).collect()
+    scores = {(r.x, r.y): r.pmi_e6 for r in out}
+    assert ("new", "york") in scores
+    top = out[0]
+    assert (top.x, top.y) == ("new", "york")
+    # every score is the exact integer formula
+    for r in out:
+        assert r.pmi_e6 == (r.c_xy * sum(
+            len(t.split()) - 1 for t in [text_hi, text_lo]
+        ) * 1_000_000) // (r.c_x * r.c_y)
+
+
+def test_length_deciles_value_based_ties(spark, tmp_path):
+    # 10 docs of 3 lengths: ties share a decile; deciles are monotone
+    rows = [(i, " ".join(["w"] * (3 if i < 4 else 7 if i < 8 else 9)),
+             "en", "s", 0) for i in range(10)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: (r.n_tok, r.decile)
+           for r in Q.docs_length_deciles(spark, d).collect()}
+    # 4 docs of len 3 -> below=0 -> decile 0; 4 of len 7 -> below=4 ->
+    # decile 4; 2 of len 9 -> below=8 -> decile 8
+    for i in range(10):
+        exp = 0 if i < 4 else 4 if i < 8 else 8
+        assert out[i][1] == exp
