@@ -3781,24 +3781,22 @@ WITH tok AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        unnest(generate_series(1, len(tk))) gs(i)
   WHERE tk[i] <> ''),
-uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
 sq AS (
   SELECT doc_id, pos, w,
          LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
   FROM tok),
-bg AS (
-  SELECT w AS x, nxt AS y, COUNT(*) AS c_xy
+pairs AS (
+  SELECT w AS x, nxt AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
   FROM sq WHERE nxt IS NOT NULL
-  GROUP BY w, nxt
-  HAVING COUNT(*) >= 5),
-n AS (
-  SELECT SUM(GREATEST(nb, 0)) AS n_bg FROM (
-    SELECT COUNT(*) - 1 AS nb FROM tok GROUP BY doc_id))
-SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y,
-       (b.c_xy * n.n_bg * 1000000) // (ux.c * uy.c) AS pmi_e6
-FROM bg b JOIN uni ux ON ux.w = b.x
-JOIN uni uy ON uy.w = b.y, n
-ORDER BY pmi_e6 DESC, b.x ASC, b.y ASC
+  GROUP BY w, nxt),
+xm AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pairs GROUP BY x),
+ym AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM pairs GROUP BY y),
+n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bg FROM pairs)
+SELECT p.x, p.y, p.c_xy, xm.c_x, ym.c_y,
+       (p.c_xy * n.n_bg * 1000000) // (xm.c_x * ym.c_y) AS pmi_e6
+FROM pairs p JOIN xm USING (x) JOIN ym USING (y), n
+WHERE p.c_xy >= 5
+ORDER BY pmi_e6 DESC, p.x ASC, p.y ASC
 LIMIT 100
 """
 

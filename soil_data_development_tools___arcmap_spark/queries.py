@@ -5598,34 +5598,24 @@ def events_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders dim rows first inside one timestamp; event_id breaks the
     remaining ties), so the result is deterministic.
 
-    Implemented as the union-marker as-of pattern: interleave dim and
-    fact rows in ONE user-partitioned window and carry the last
-    non-null state forward (``last(ignorenulls)``) — an O(events)
-    single-shuffle plan, where the naive interval range-join explodes
-    with fact×state density.
+    Implemented as the marker-column as-of pattern: dim/fact roles are
+    CONDITIONAL COLUMNS on one scan (no self-union, which would scan
+    the log twice), and one user-partitioned window carries the last
+    non-null state forward (``last(ignorenulls)`` over a running
+    frame, evaluated incrementally) — an O(events) single-shuffle
+    plan, where the naive interval range-join explodes with fact×state
+    density.
 
-    100 TB posture: one user_id exchange, rowsBetween running state of
-    ONE value per task; no range join, no broadcast of the (huge)
-    dimension history."""
+    100 TB posture: ONE scan, ONE user_id exchange, rowsBetween
+    running state of one value per task; no range join, no broadcast
+    of the (huge) dimension history."""
     ev = read_events(spark, sf_dir).select(
         "user_id",
         F.expr("ts div 1000").alias("us"),
         "event_id",
-        "event_type",
-    )
-    dim = ev.where(F.col("event_type") != "purchase").select(
-        "user_id",
-        "us",
-        "event_id",
-        F.col("event_type").alias("state"),
-        F.lit(0).alias("kind"),
-    )
-    fact = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "us",
-        "event_id",
-        F.lit(None).cast("string").alias("state"),
-        F.lit(1).alias("kind"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type"))
+        .alias("state"),
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -5633,8 +5623,7 @@ def events_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        dim.unionByName(fact)
-        .withColumn(
+        ev.withColumn(
             "state_asof", F.last("state", ignorenulls=True).over(w)
         )
         .where(F.col("kind") == 1)
@@ -5643,17 +5632,20 @@ def events_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 collocations by integer-exact PMI: for word bigrams
-    seen ≥5 times, score_e6 = (c_xy · N · 10⁶) div (c_x · c_y) — the
-    PMI ratio in exact micro-units (monotone in PMI, so the ranking
-    is identical to the log form without a float ever entering the
-    comparison; the integer form needs N·c_max·10⁶ < 2⁶³, fine at
-    gate SF — a 100 TB corpus moves to log-space doubles for the
-    score but keeps this exact form for the top-k candidate cut).
+    """Top-100 collocations by integer-exact PMI over the bigram
+    contingency table: for bigrams seen ≥5 times, score_e6 =
+    (c_xy · N · 10⁶) div (c_x · c_y) with c_x/c_y the LEFT/RIGHT
+    MARGINALS (Σ_y c_xy / Σ_x c_xy) and N = Σ c_xy — the standard
+    contingency-table PMI, in exact micro-units (monotone in PMI, so
+    the ranking is identical to the log form without a float entering
+    the comparison; the integer form needs N·c_max·10⁶ < 2⁶³, fine at
+    gate SF — a 100 TB corpus moves to log-space doubles for the score
+    but keeps this exact form for the top-k candidate cut).
 
-    100 TB posture: bigram and unigram counts are map-side-combined
-    groupBys; the two unigram attachments join on the word key (small
-    side auto-broadcast at vocab scale); the top-100 plans as
+    The marginal formulation is WHY this scales: the corpus is scanned
+    and shuffled ONCE (into the vocab²-bounded bigram count table,
+    localCheckpoint-settled); marginals and the total then re-aggregate
+    that small table, never the corpus. The top-100 plans as
     TakeOrderedAndProject, never a global sort."""
     from .functions.dedup import _spread
     from .functions.text import tokens
@@ -5662,8 +5654,7 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
     ).where(F.col("w") != "")
-    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    bg = (
+    pairs = (
         tok.withColumn(
             "nxt",
             F.lead("w").over(
@@ -5673,18 +5664,16 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nxt").isNotNull())
         .groupBy(F.col("w").alias("x"), F.col("nxt").alias("y"))
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .where(F.col("c_xy") >= 5)
+        .localCheckpoint()  # one corpus pass; everything below re-reads
+        # this vocab²-bounded table, not the corpus
     )
-    # N is the TOTAL bigram count (incl. sub-threshold pairs) so the
-    # score is a property of the corpus, not of the cutoff
-    n = (
-        tok.groupBy("doc_id")
-        .agg((F.count(F.lit(1)) - 1).alias("nb"))
-        .agg(F.sum(F.greatest("nb", F.lit(0))).alias("n_bg"))
-    )
+    xm = pairs.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    ym = pairs.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = pairs.agg(F.sum("c_xy").alias("n_bg"))
     return (
-        bg.join(uni.select(F.col("w").alias("x"), F.col("c").alias("c_x")), "x")
-        .join(uni.select(F.col("w").alias("y"), F.col("c").alias("c_y")), "y")
+        pairs.where(F.col("c_xy") >= 5)
+        .join(xm, "x")
+        .join(ym, "y")
         .crossJoin(F.broadcast(n))
         .select(
             "x",
@@ -5725,17 +5714,19 @@ def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("n_tok")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # fold the grand total into the same tiny histogram pass (an
+    # unpartitioned window over histogram ROWS, not documents) so the
+    # corpus isn't re-scanned for a 1-row denominator
     cum = hist.select(
         "n_tok",
         (F.sum("cnt").over(wh) - F.col("cnt")).alias("below"),
+        F.sum("cnt")
+        .over(Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing))
+        .alias("n_total"),
     )
-    total = hist.agg(F.sum("cnt").alias("n_total"))
-    return (
-        d.join(F.broadcast(cum), "n_tok")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "n_tok",
-            F.expr("(10 * below) div n_total").alias("decile"),
-        )
+    return d.join(F.broadcast(cum), "n_tok").select(
+        "doc_id",
+        "n_tok",
+        F.expr("(10 * below) div n_total").alias("decile"),
     )

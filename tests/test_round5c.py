@@ -283,11 +283,23 @@ def test_collocations_pmi_ranking(spark, tmp_path):
     assert ("new", "york") in scores
     top = out[0]
     assert (top.x, top.y) == ("new", "york")
-    # every score is the exact integer formula
+    # recompute the contingency table in python: every score is the
+    # exact integer marginal-PMI formula
+    from collections import Counter
+
+    pairs = Counter()
+    for t in [text_hi, text_lo]:
+        tk = t.split()
+        pairs.update(zip(tk, tk[1:]))
+    n_bg = sum(pairs.values())
+    xm, ym = Counter(), Counter()
+    for (x, y), c in pairs.items():
+        xm[x] += c
+        ym[y] += c
     for r in out:
-        assert r.pmi_e6 == (r.c_xy * sum(
-            len(t.split()) - 1 for t in [text_hi, text_lo]
-        ) * 1_000_000) // (r.c_x * r.c_y)
+        assert r.c_xy == pairs[(r.x, r.y)]
+        assert r.c_x == xm[r.x] and r.c_y == ym[r.y]
+        assert r.pmi_e6 == (r.c_xy * n_bg * 1_000_000) // (r.c_x * r.c_y)
 
 
 def test_length_deciles_value_based_ties(spark, tmp_path):
