@@ -250,6 +250,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_point_in_time_join": Q.events_point_in_time_join,
     "docs_collocations": Q.docs_collocations,
     "docs_length_deciles": Q.docs_length_deciles,
+    # round-5 breadth batch E
+    "events_multitouch_attribution": Q.events_multitouch_attribution,
+    "events_session_paths": Q.events_session_paths,
+    "docs_containment": Q.docs_containment,
 }
 
 

@@ -3814,3 +3814,58 @@ SELECT d.doc_id, CAST(d.n_tok AS INTEGER) AS n_tok,
        (10 * c.below) // t.n_total AS decile
 FROM d JOIN cum c USING (n_tok), tot t
 """
+
+# --- Round 5 breadth batch E ------------------------------------------------
+
+ORACLES["events_multitouch_attribution"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+t AS (
+  SELECT user_id, us, event_id, event_type,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+           AS n_touches
+  FROM ev)
+SELECT event_id, user_id, us,
+       CAST(COALESCE(n_touches, 0) AS BIGINT) AS n_touches,
+       CASE WHEN COALESCE(n_touches, 0) > 0
+            THEN 1000000 // n_touches END AS credit_ppm
+FROM t WHERE event_type = 'purchase'
+"""
+
+ORACLES["events_session_paths"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+g AS (
+  SELECT user_id, us, event_id, event_type,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)
+                   > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM ev),
+s AS (
+  SELECT user_id, us, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g),
+p AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM s GROUP BY user_id, sess_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+ORACLES["docs_containment"] = f"""
+WITH {_JACCARD_COMMON},
+inter AS (
+  SELECT a.did AS src, b.did AS dst, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.did <> b.did
+  GROUP BY 1, 2)
+SELECT i.src, i.dst, i.n_common, CAST(sz.nsh AS BIGINT) AS n_sh,
+       (i.n_common * 1000000) // sz.nsh AS containment_ppm
+FROM inter i JOIN sizes sz ON sz.did = i.src
+WHERE i.n_common * 2 >= sz.nsh * 1
+"""

@@ -5730,3 +5730,156 @@ def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.expr("(10 * below) div n_total").alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 breadth batch E: multi-touch attribution (range frames),
+# session path mining, asymmetric containment dedup.
+# ---------------------------------------------------------------------------
+
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-analytics twin
+    of the last-touch as-of join: every click in the hour BEFORE a
+    purchase shares the conversion credit equally (credit_ppm =
+    10⁶ div n_touches, exact integer). The touch count per purchase
+    comes from a VALUE-RANGE window frame (``rangeBetween`` on exact
+    µs over the user partition) — no self-join, no interval explode;
+    the frame slides incrementally, so a purchase preceded by a
+    million clicks costs a frame update, not a million joined rows.
+
+    100 TB posture: ONE user_id exchange; the range frame holds a
+    sliding count, never the rows; purchases with zero touches report
+    n_touches=0 / credit NULL (unattributable — kept, so the funnel
+    audit sees them)."""
+    HORIZON_US = 3600 * 1_000_000
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-HORIZON_US, -1)
+    )
+    return (
+        ev.withColumn(
+            "n_touches",
+            F.sum(
+                (F.col("event_type") == "click").cast("long")
+            ).over(w),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            F.coalesce("n_touches", F.lit(0)).alias("n_touches"),
+            F.expr(
+                "CASE WHEN coalesce(n_touches, 0) > 0 "
+                "THEN 1000000 div n_touches END"
+            ).alias("credit_ppm"),
+        )
+    )
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths — the flow-mining summary behind every
+    'how do users move through the product' dashboard: sessions are
+    cut at 30-min gaps (same arithmetic as ``events_sessionize``),
+    each session becomes its ordered event-type path string, and the
+    most frequent paths are reported with counts. Ties inside one
+    timestamp order by event_id; tied path counts order by path text,
+    so the top-20 is deterministic.
+
+    100 TB posture: ONE user_id exchange serves the gap window AND the
+    session-id running sum (same partitioning); the path build is a
+    per-(user, session) sorted collect — bounded by session length,
+    the natural unit — and the final count keys on path strings with
+    map-side combine. Top-20 is TakeOrderedAndProject."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum((gap > 1800 * 1_000_000).cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("sess_id", F.coalesce("sess_id", F.lit(0)))
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — catches what Jaccard misses: a
+    short document QUOTED inside a long one scores low Jaccard but
+    high containment C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+    For each ordered pair with containment ≥ 50% the exact ppm score
+    is reported — computed in exact integers (cross-multiplied cutoff,
+    ppm by integer division).
+
+    Shares the Jaccard operator's conventions exactly (3-token string
+    shingles, max_freq=100 stop-shingle cap, |A| from the FULL shingle
+    set while the intersection runs over capped shingles — the capped
+    intersection is a lower bound whose dropped members are
+    corpus-stopword shingles with no dedup signal).
+
+    100 TB posture: the shingle table is built ONCE
+    (localCheckpoint-settled, like ngram_jaccard's reuse path) and
+    serves sizes, the frequency cap, and both join sides; ordered-pair
+    mass is bounded by Σ freq² over kept shingles (≤ 100² per
+    shingle), never all-pairs; only (did, shingle) rows move."""
+    from .functions.dedup import _explode_ss, _spread, shingle_sets
+
+    MAX_FREQ, CUT_NUM, CUT_DEN = 100, 1, 2
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ex_all = _explode_ss(shingle_sets(docs)).localCheckpoint()
+    sizes = ex_all.groupBy("did").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = ex_all.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    kept = ex_all.join(
+        freq.where(F.col("f") <= MAX_FREQ).select("s"), "s"
+    )
+    inter = (
+        kept.alias("a")
+        .join(kept.alias("b"), "s")
+        .where(F.col("a.did") != F.col("b.did"))
+        .groupBy(
+            F.col("a.did").alias("src"), F.col("b.did").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("did").alias("src"), "n_sh"), "src")
+        .where(F.col("n_common") * CUT_DEN >= F.col("n_sh") * CUT_NUM)
+        .select(
+            "src",
+            "dst",
+            "n_common",
+            "n_sh",
+            F.expr("n_common * 1000000 div n_sh").alias(
+                "containment_ppm"
+            ),
+        )
+    )

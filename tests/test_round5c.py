@@ -314,3 +314,68 @@ def test_length_deciles_value_based_ties(spark, tmp_path):
     for i in range(10):
         exp = 0 if i < 4 else 4 if i < 8 else 8
         assert out[i][1] == exp
+
+
+# --- batch E: multi-touch, session paths, containment ------------------------
+
+
+def test_multitouch_range_frame(spark, tmp_path):
+    H = dt.timedelta(minutes=30)
+    rows = [
+        (1, T0, 1, "click", 0.0, ""),
+        (2, T0 + H, 1, "click", 0.0, ""),
+        (3, T0 + 2 * H, 1, "purchase", 0.0, ""),  # both clicks in 1h
+        (4, T0 + 5 * H, 1, "purchase", 0.0, ""),  # none in window
+        (5, T0, 2, "view", 0.0, ""),
+        (6, T0 + S, 2, "purchase", 0.0, ""),      # view is not a touch
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.event_id: (r.n_touches, r.credit_ppm)
+           for r in Q.events_multitouch_attribution(spark, d).collect()}
+    assert out[3] == (2, 500000)
+    assert out[4] == (0, None)
+    assert out[6] == (0, None)
+
+
+def test_multitouch_excludes_same_instant_click(spark, tmp_path):
+    rows = [
+        (1, T0, 1, "click", 0.0, ""),
+        (2, T0, 1, "purchase", 0.0, ""),  # strictly-before frame: 0 touches
+        (3, T0 + S, 1, "purchase", 0.0, ""),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.event_id: r.n_touches
+           for r in Q.events_multitouch_attribution(spark, d).collect()}
+    assert out[2] == 0 and out[3] == 1
+
+
+def test_session_paths_crafted(spark, tmp_path):
+    G = dt.timedelta(hours=1)
+    rows = [
+        # user 1: two sessions a>b and a>b
+        (1, T0, 1, "a", 0.0, ""), (2, T0 + S, 1, "b", 0.0, ""),
+        (3, T0 + G, 1, "a", 0.0, ""), (4, T0 + G + S, 1, "b", 0.0, ""),
+        # user 2: one session a>b, one c
+        (5, T0, 2, "a", 0.0, ""), (6, T0 + S, 2, "b", 0.0, ""),
+        (7, T0 + G, 2, "c", 0.0, ""),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.path: r.n_sessions for r in Q.events_session_paths(spark, d).collect()}
+    assert out == {"a>b": 3, "c": 1}
+
+
+def test_containment_quote_detected(spark, tmp_path):
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = "intro words here " + quote + " trailing material follows now"
+    other = "completely different content with nothing shared at all ok"
+    d = _write_docs(spark, tmp_path, [
+        (1, quote, "en", "s", 0), (2, host, "en", "s", 0),
+        (3, other, "en", "s", 0),
+    ])
+    out = {(r.src, r.dst): r for r in Q.docs_containment(spark, d).collect()}
+    # doc 1's 4 shingles all appear in doc 2 -> containment 100%
+    assert out[(1, 2)].containment_ppm == 1_000_000
+    assert out[(1, 2)].n_common == 4 and out[(1, 2)].n_sh == 4
+    # reverse direction dilutes below 50% -> absent
+    assert (2, 1) not in out
+    assert all(k[0] != 3 and k[1] != 3 for k in out)
