@@ -254,6 +254,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_multitouch_attribution": Q.events_multitouch_attribution,
     "events_session_paths": Q.events_session_paths,
     "docs_containment": Q.docs_containment,
+    "events_stream_scd2": Q.events_stream_scd2,
 }
 
 

@@ -3869,3 +3869,5 @@ SELECT i.src, i.dst, i.n_common, CAST(sz.nsh AS BIGINT) AS n_sh,
 FROM inter i JOIN sizes sz ON sz.did = i.src
 WHERE i.n_common * 2 >= sz.nsh * 1
 """
+
+ORACLES["events_stream_scd2"] = ORACLES["events_scd2_history"]

@@ -5883,3 +5883,12 @@ def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 history (applyInPandasWithState per-user
+    interval state; closed-beats-open revision resolution) — certified
+    by the SAME oracle as the batch ``events_scd2_history``."""
+    from .streaming.events import run_scd2_stream
+
+    return run_scd2_stream(spark, sf_dir)

@@ -379,3 +379,11 @@ def test_containment_quote_detected(spark, tmp_path):
     # reverse direction dilutes below 50% -> absent
     assert (2, 1) not in out
     assert all(k[0] != 3 and k[1] != 3 for k in out)
+
+
+def test_stream_scd2_matches_batch(spark):
+    batch = sorted(
+        map(tuple, Q.events_scd2_history(spark, SF_SMOKE).collect())
+    )
+    stream = sorted(map(tuple, Q.events_stream_scd2(spark, SF_SMOKE).collect()))
+    assert stream == batch and len(batch) > 0
