@@ -255,6 +255,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_paths": Q.events_session_paths,
     "docs_containment": Q.docs_containment,
     "events_stream_scd2": Q.events_stream_scd2,
+    "events_conversion_latency": Q.events_conversion_latency,
 }
 
 

@@ -3871,3 +3871,22 @@ WHERE i.n_common * 2 >= sz.nsh * 1
 """
 
 ORACLES["events_stream_scd2"] = ORACLES["events_scd2_history"]
+
+ORACLES["events_conversion_latency"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+t AS (
+  SELECT user_id, us, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN us END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us
+  FROM ev),
+lat AS (
+  SELECT CASE WHEN click_us IS NOT NULL
+              THEN CAST(length(bin((us - click_us) // 1000000)) AS INTEGER)
+         END AS bucket_log2s
+  FROM t WHERE event_type = 'purchase')
+SELECT bucket_log2s, CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM lat GROUP BY bucket_log2s
+"""

@@ -5892,3 +5892,51 @@ def events_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import run_scd2_stream
 
     return run_scd2_stream(spark, sf_dir)
+
+
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-latency distribution — the funnel
+    dashboard's 'how long does conversion take': each purchase takes
+    the delta to the user's LATEST prior click (the as-of carry, same
+    marker-column window as the point-in-time join) and lands in a
+    log₂ second bucket (bucket = length(bin(seconds)) — pure integer
+    string length, engine-exact; sub-second deltas land in bucket 1).
+    Purchases with no prior click report bucket NULL (unconverted
+    traffic stays visible).
+
+    100 TB posture: ONE user exchange; the latency histogram key space
+    is ~40 buckets, map-side combined."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        ev.withColumn(
+            "click_us",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("us")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("click_us").isNotNull(),
+                F.length(
+                    F.bin(
+                        F.expr("(us - click_us) div 1000000")
+                    )
+                ),
+            ).alias("bucket_log2s")
+        )
+    )
+    return lat.groupBy("bucket_log2s").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )

@@ -387,3 +387,19 @@ def test_stream_scd2_matches_batch(spark):
     )
     stream = sorted(map(tuple, Q.events_stream_scd2(spark, SF_SMOKE).collect()))
     assert stream == batch and len(batch) > 0
+
+
+def test_conversion_latency_buckets(spark, tmp_path):
+    M = dt.timedelta(minutes=1)
+    rows = [
+        (1, T0, 1, "click", 0.0, ""),
+        (2, T0 + S, 1, "purchase", 0.0, ""),      # 1 s  -> bin(1)   len 1
+        (3, T0 + 17 * M, 1, "purchase", 0.0, ""),  # 1019s -> bin len 10
+        (4, T0, 2, "purchase", 0.0, ""),           # no click -> NULL
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.bucket_log2s: r.n_purchases
+           for r in Q.events_conversion_latency(spark, d).collect()}
+    assert out[1] == 1
+    assert out[10] == 1
+    assert out[None] == 1
