@@ -256,6 +256,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_containment": Q.docs_containment,
     "events_stream_scd2": Q.events_stream_scd2,
     "events_conversion_latency": Q.events_conversion_latency,
+    "partitioned_sink_prune": Q.partitioned_sink_prune,
+    "events_incremental_rollup": Q.events_incremental_rollup,
 }
 
 

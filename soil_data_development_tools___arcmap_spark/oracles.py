@@ -3890,3 +3890,24 @@ lat AS (
 SELECT bucket_log2s, CAST(COUNT(*) AS BIGINT) AS n_purchases
 FROM lat GROUP BY bucket_log2s
 """
+
+ORACLES["partitioned_sink_prune"] = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events),
+fd AS (SELECT MIN(day_num) AS d0 FROM ev)
+SELECT day_num, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v_c) AS BIGINT) AS value_c
+FROM ev, fd
+WHERE day_num >= fd.d0 AND day_num < fd.d0 + 7
+GROUP BY day_num, event_type
+"""
+
+ORACLES["events_incremental_rollup"] = """
+SELECT epoch_us(ts) // 86400000000 AS day_num, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events
+GROUP BY 1, 2
+"""

