@@ -819,7 +819,9 @@ def run_wau_stream(
     )
 
 
-def transition_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transition_stateful(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Per-user first-order transition pair extraction as a CUSTOM
     STATEFUL operator (``applyInPandasWithState``): state per user is
     exactly the last event type seen; every arriving event emits one
@@ -838,7 +840,9 @@ def transition_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = read_events_stream(spark, sf_dir).select(
+    ev = (
+        source if source is not None else read_events_stream(spark, sf_dir)
+    ).select(
         "user_id",
         F.expr("ts div 1000").alias("ts_us"),
         "event_id",
@@ -866,7 +870,9 @@ def transition_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_transition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_transition_stream(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Run the stateful pair extraction chained into a pair-count
     aggregation (two stateful operators in one incremental query —
     the append-mode custom operator feeds a complete-mode count over
@@ -875,7 +881,7 @@ def run_transition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_transition_matrix``."""
     name = "events_trans_" + uuid.uuid4().hex[:8]
     q = (
-        transition_stateful(spark, sf_dir)
+        transition_stateful(spark, sf_dir, source)
         .groupBy("prev_type", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .writeStream.outputMode("complete")
@@ -895,7 +901,9 @@ def run_transition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def scd2_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scd2_stateful(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Incremental SCD Type-2 history build — the streaming CDC twin
     of ``queries.events_scd2_history``: state per user = (current
     state, its valid_from, version). Each micro-batch processes the
@@ -912,7 +920,9 @@ def scd2_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = read_events_stream(spark, sf_dir).select(
+    ev = (
+        source if source is not None else read_events_stream(spark, sf_dir)
+    ).select(
         "user_id",
         F.expr("ts div 1000").alias("us"),
         "event_id",
@@ -956,7 +966,9 @@ def scd2_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_scd2_stream(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Run the incremental SCD2 build to completion and resolve each
     (user, version) to its latest revision (closed beats open — an
     argbest struct aggregate, no window): the result hash-matches the
@@ -964,7 +976,7 @@ def run_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``is_current`` flag derived from the surviving open intervals."""
     name = "events_scd2_" + uuid.uuid4().hex[:8]
     q = (
-        scd2_stateful(spark, sf_dir)
+        scd2_stateful(spark, sf_dir, source)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)

@@ -434,3 +434,76 @@ def test_incremental_rollup_equals_full_recompute(spark):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("v_c").alias("value_c")).collect()}
     assert inc == full and len(full) > 0
+
+
+# --- multi-batch replay of the new stateful streams --------------------------
+
+
+def _day_split_source(spark, tmp_path):
+    """One parquet file per day, oldest-first, read back with
+    maxFilesPerTrigger=1 — each day arrives as its own micro-batch."""
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.queries import read_events
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        _ts_ns,
+    )
+
+    ev = read_events(spark, SF_SMOKE).withColumn(
+        "day_num", F.expr("(ts div 1000) div 86400000000")
+    )
+    days = sorted(r[0] for r in ev.select("day_num").distinct().collect())
+    src = str(tmp_path / "ev_daysplit")
+    os.makedirs(src, exist_ok=True)
+    for d in days:
+        ev.where(F.col("day_num") == d).drop("day_num").withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        ).coalesce(1).write.mode("append").parquet(src)
+    return _ts_ns(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_stream_transition_multibatch_matches_batch(spark, tmp_path):
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        run_transition_stream,
+    )
+
+    batch = {
+        (r.prev_type, r.event_type): (r.n, r.ppm)
+        for r in Q.events_transition_matrix(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r.prev_type, r.event_type): (r.n, r.ppm)
+        for r in run_transition_stream(
+            spark, SF_SMOKE, source=_day_split_source(spark, tmp_path)
+        ).collect()
+    }
+    # day boundaries cut nothing: state links the last event of day d
+    # to the first event of day d+1, so counts equal the batch lag form
+    assert stream == batch and len(batch) > 0
+
+
+def test_stream_scd2_multibatch_matches_batch(spark, tmp_path):
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        run_scd2_stream,
+    )
+
+    batch = sorted(
+        map(tuple, Q.events_scd2_history(spark, SF_SMOKE).collect())
+    )
+    stream = sorted(
+        map(
+            tuple,
+            run_scd2_stream(
+                spark, SF_SMOKE, source=_day_split_source(spark, tmp_path)
+            ).collect(),
+        )
+    )
+    # intervals spanning a day boundary close in a later batch; the
+    # closed revision supersedes the open one emitted earlier
+    assert stream == batch and len(batch) > 0
