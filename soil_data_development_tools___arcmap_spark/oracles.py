@@ -3911,3 +3911,14 @@ SELECT epoch_us(ts) // 86400000000 AS day_num, event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+ORACLES["events_props_variant"] = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM e GROUP BY event_type
+"""

@@ -507,3 +507,17 @@ def test_stream_scd2_multibatch_matches_batch(spark, tmp_path):
     # intervals spanning a day boundary close in a later batch; the
     # closed revision supersedes the open one emitted earlier
     assert stream == batch and len(batch) > 0
+
+
+def test_props_variant_typed_extraction(spark, tmp_path):
+    rows = [
+        (1, T0, 1, "a", 0.0, '{"k": 5}'),
+        (2, T0, 1, "a", 0.0, '{"k": -3}'),
+        (3, T0, 1, "a", 0.0, '{"other": 1}'),   # no k -> NULL, counted in n
+        (4, T0, 1, "b", 0.0, 'not json'),        # unparseable -> NULL k
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in Q.events_props_variant(spark, d).collect()}
+    a = out["a"]
+    assert (a.n, a.n_with_k, a.sum_k, a.min_k, a.max_k) == (3, 2, 2, -3, 5)
+    assert out["b"].n_with_k == 0 and out["b"].sum_k is None
