@@ -521,3 +521,41 @@ def test_props_variant_typed_extraction(spark, tmp_path):
     a = out["a"]
     assert (a.n, a.n_with_k, a.sum_k, a.min_k, a.max_k) == (3, 2, 2, -3, 5)
     assert out["b"].n_with_k == 0 and out["b"].sum_k is None
+
+
+def test_morton_property_matches_reference():
+    """Property: the portable SQL text equals the bit-interleave
+    reference for arbitrary inputs/widths (DuckDB-evaluated — the
+    builder emits the same arithmetic for both engines, so this pins
+    the oracle side; the Spark side is pinned by the known-value
+    test above)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from soil_data_development_tools___arcmap_spark.functions.layout import (
+        morton_sql,
+    )
+
+    con = duckdb.connect()
+
+    def py_morton(u, d, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((d >> i) & 1) << (2 * i + 1)
+        return z
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**16 - 1),
+        st.integers(min_value=0, max_value=2**16 - 1),
+        st.integers(min_value=1, max_value=16),
+    )
+    def check(u, d, bits):
+        got = con.sql(
+            f"SELECT {morton_sql(str(u), str(d), bits, ' // ')}"
+        ).fetchone()[0]
+        assert got == py_morton(u % (1 << bits), d % (1 << bits), bits)
+
+    check()
