@@ -3922,3 +3922,41 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        MIN(k) AS min_k, MAX(k) AS max_k
 FROM e GROUP BY event_type
 """
+
+ORACLES["events_cdc_diff"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         epoch_us(ts) // 86400000000
+           - (SELECT MIN(epoch_us(ts) // 86400000000) FROM events) AS d
+  FROM events),
+old AS (
+  SELECT user_id, event_type AS old_state FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM ev WHERE d < 20) WHERE rn = 1),
+new AS (
+  SELECT user_id, event_type AS new_state FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM ev WHERE d >= 10) WHERE rn = 1)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id, o.old_state, n.new_state,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            WHEN o.old_state <> n.new_state THEN 'update' END AS change
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+WHERE CASE WHEN o.user_id IS NULL THEN 'insert'
+           WHEN n.user_id IS NULL THEN 'delete'
+           WHEN o.old_state <> n.new_state THEN 'update' END IS NOT NULL
+"""
+
+ORACLES["events_rollup_cube"] = """
+SELECT epoch_us(ts) // 86400000000 AS day_num, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+       CAST(GROUPING(epoch_us(ts) // 86400000000) * 2
+            + GROUPING(event_type) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP (epoch_us(ts) // 86400000000, event_type)
+"""

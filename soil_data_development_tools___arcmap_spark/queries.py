@@ -6059,3 +6059,76 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def events_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed GENERATION — the snapshot diff a warehouse
+    publishes so downstreams don't rescan: each user's latest state
+    (last event type, ts-tiebreak by event_id) is computed for an OLD
+    window (days 0-19) and a NEW window (days 10-29), and the full
+    outer join classifies every key as insert (new only), delete
+    (old only), or update (state moved); unchanged keys are dropped —
+    a CDC feed carries changes, not the world.
+
+    100 TB posture: each snapshot is ONE argbest struct aggregate
+    (map-side combined, no window sort); the diff joins two
+    user-cardinality aggregates, not event logs."""
+    ev0 = read_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+    )
+    # day offset from the stream head (1-row broadcast, no collect) —
+    # an absolute-day modulo would WRAP and put the stream's last day
+    # inside both windows
+    d0 = ev0.agg(F.min("day_num").alias("d0"))
+    ev = ev0.crossJoin(F.broadcast(d0)).withColumn(
+        "d", F.col("day_num") - F.col("d0")
+    )
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("us", "event_id", "event_type")).alias("b")
+        ).select("user_id", F.col("b.event_type").alias("state"))
+
+    old = snapshot(ev.where(F.col("d") < 20)).withColumnRenamed(
+        "state", "old_state"
+    )
+    new = snapshot(ev.where(F.col("d") >= 10)).withColumnRenamed(
+        "state", "new_state"
+    )
+    j = old.join(new, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        "old_state",
+        "new_state",
+        F.when(F.col("old_state").isNull(), F.lit("insert"))
+        .when(F.col("new_state").isNull(), F.lit("delete"))
+        .when(F.col("old_state") != F.col("new_state"), F.lit("update"))
+        .alias("change"),
+    ).where(F.col("change").isNotNull())
+
+
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity OLAP aggregate via ROLLUP — (day, type)
+    cells, per-day subtotals, and the grand total from ONE pass with
+    grouping-set expansion (the surface every BI layer compiles to;
+    Spark expands the sets BEFORE the shuffle, so partial aggregation
+    still combines map-side). ``gid`` is the grouping bitmask
+    (0=cell, 1=day subtotal, 3=grand total), composed identically in
+    the DuckDB oracle from GROUPING() bits.
+
+    100 TB posture: one scan, one exchange; output cardinality is
+    cells + days + 1."""
+    ev = read_events(spark, sf_dir).select(
+        F.expr("(ts div 1000) div 86400000000").alias("day_num"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    return ev.rollup("day_num", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("value_c"),
+        F.grouping_id().alias("gid"),
+    )

@@ -559,3 +559,47 @@ def test_morton_property_matches_reference():
         assert got == py_morton(u % (1 << bits), d % (1 << bits), bits)
 
     check()
+
+
+def test_cdc_diff_classifies_all_three(spark, tmp_path):
+    D0, D15, D25 = T0, T0 + 15 * DAY, T0 + 25 * DAY
+    rows = [
+        # user 1: in both windows, state moves a -> b  => update
+        (1, D0, 1, "a", 0.0, ""), (2, D25, 1, "b", 0.0, ""),
+        # user 2: only early (day 0 < offset 10... keep < 10) => delete
+        (3, D0 + 2 * DAY, 2, "a", 0.0, ""),
+        # user 3: only late (offset 25 >= 20) => insert
+        (4, D25, 3, "a", 0.0, ""),
+        # user 4: same state both windows => dropped
+        (5, D0, 4, "x", 0.0, ""), (6, D25, 4, "x", 0.0, ""),
+        # user 5: overlap-window event only (offset 15) => both, unchanged
+        (7, D15, 5, "y", 0.0, ""),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.user_id: (r.change, r.old_state, r.new_state)
+           for r in Q.events_cdc_diff(spark, d).collect()}
+    assert out[1] == ("update", "a", "b")
+    assert out[2] == ("delete", "a", None)
+    assert out[3] == ("insert", None, "a")
+    assert 4 not in out and 5 not in out
+
+
+def test_rollup_gid_and_totals(spark, tmp_path):
+    rows = [
+        (1, T0, 1, "a", 1.0, ""),
+        (2, T0, 1, "b", 2.0, ""),
+        (3, T0 + DAY, 1, "a", 3.0, ""),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = Q.events_rollup_cube(spark, d).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert len(by_gid[0]) == 3          # (day, type) cells
+    assert len(by_gid[1]) == 2          # per-day subtotals
+    assert len(by_gid[3]) == 1          # grand total
+    g = by_gid[3][0]
+    assert g.n == 3 and g.value_c == 600
+    d0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    day0 = [r for r in by_gid[1] if r.day_num == d0][0]
+    assert day0.n == 2 and day0.value_c == 300
