@@ -3960,3 +3960,34 @@ SELECT epoch_us(ts) // 86400000000 AS day_num, event_type,
 FROM events
 GROUP BY ROLLUP (epoch_us(ts) // 86400000000, event_type)
 """
+
+ORACLES["docs_weighted_sample"] = """
+WITH d AS (
+  SELECT doc_id,
+         GREATEST(len(string_split(text, ' ')), 1) AS w,
+         CAST(('0x' || substr(md5('wsample1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, CAST(w AS INTEGER) AS w, h // w AS priority
+FROM d
+ORDER BY priority ASC, doc_id ASC
+LIMIT 100
+"""
+
+ORACLES["events_ab_assignment"] = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT user_id, converted,
+         CASE WHEN CAST(('0x' || substr(md5('exp1:' ||
+                CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 500
+              THEN 'treatment' ELSE 'control' END AS arm
+  FROM u)
+SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       SUM(converted) * 1000000 // COUNT(*) AS conv_ppm
+FROM a GROUP BY arm
+"""

@@ -6132,3 +6132,87 @@ def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_c").alias("value_c"),
         F.grouping_id().alias("gid"),
     )
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling — the training-mix primitive
+    'prefer higher-quality/longer docs, reproducibly': each doc draws
+    a seeded 60-bit hash and its priority is ``h div w`` (weight w =
+    token count, clamped ≥1), so inclusion odds scale with w exactly
+    as in bottom-k priority sampling; the sample is the 100 SMALLEST
+    priorities (doc_id tiebreak). Pure integer arithmetic — the same
+    seed and corpus always yield the same sample, across engines.
+
+    100 TB posture: map-side hash + weight, then TakeOrderedAndProject
+    bottom-100 (per-partition heaps, driver merge of 100) — never a
+    global sort; membership is stable under corpus growth exactly
+    like the stratified sampler."""
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("wsample1:"), F.col("doc_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.greatest(F.size(tokens("text")), F.lit(1)).alias("w"),
+            h.alias("h"),
+        )
+        .select(
+            "doc_id", "w", F.expr("h div w").alias("priority")
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment assignment + readout — the A/B
+    infrastructure primitive: users hash into 2 arms (seeded md5 mod
+    1000 < 500), and the readout reports per-arm exposed users,
+    converting users (≥1 purchase), and the conversion rate in exact
+    ppm. Assignment is a pure function of (seed, user_id): re-runs,
+    backfills, and cross-engine checks all agree — the property that
+    makes an experiment auditable.
+
+    100 TB posture: assignment is map-side; the readout is a distinct
+    (user, converted) collapse then a 2-row aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % 1000
+    users = (
+        ev.select(
+            "user_id",
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("conv").alias("converted"))
+        .withColumn(
+            "arm", F.when(bucket < 500, F.lit("treatment")).otherwise(
+                F.lit("control")
+            )
+        )
+    )
+    return users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.expr("sum(converted) * 1000000 div count(1)").alias(
+            "conv_ppm"
+        ),
+    )
