@@ -3991,3 +3991,24 @@ SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
        SUM(converted) * 1000000 // COUNT(*) AS conv_ppm
 FROM a GROUP BY arm
 """
+
+ORACLES["docs_simhash_pairs"] = f"""
+WITH ex AS (
+  SELECT doc_id AS did, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents),
+h AS (SELECT did, md5(w) AS h FROM ex),
+bits AS (SELECT did, {_SIMHASH_BITS} FROM h GROUP BY did),
+sig AS (SELECT did, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM bits),
+bands AS (
+  SELECT did, simhash, b.band,
+         (simhash // CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 16
+                                 WHEN 2 THEN 256 ELSE 4096 END) % 16 AS bv
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.did AS i, b.did AS j,
+                  a.simhash AS si, b.simhash AS sj
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.did < b.did)
+SELECT i, j, CAST(bit_count(xor(si, sj)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(si, sj)) <= 3
+"""

@@ -6223,3 +6223,52 @@ def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_ppm"
         ),
     )
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CANDIDATE PAIRS — completes the SimHash path
+    (the signature operator existed; this is the banded join that
+    makes it a dedup method): the 16-bit signature splits into 4
+    bands of 4 bits, docs sharing ANY exact band become candidates
+    (pigeonhole: hamming ≤ 3 ⇒ at least one band matches), and the
+    exact Hamming distance ``bit_count(xor)`` keeps pairs ≤ 3. Same
+    band-bucket shape as MinHash-LSH, so the same scale guards apply
+    (bucket mass follows signature collisions; a production 64-bit
+    signature with 4×16-bit bands makes buckets sparse — the 16-bit
+    gate form is deliberately collision-dense so the filter is
+    exercised).
+
+    100 TB posture: one signature pass, one band-key shuffle; the
+    Hamming filter is integer bit math on the joined signature pair —
+    no text ever joins."""
+    from .functions.dedup import simhash16
+
+    sig = simhash16(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).localCheckpoint()  # one signature pass serves all 4 band joins
+    bands = None
+    for b in range(4):
+        bd = sig.select(
+            "did",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.expr(f"(simhash div {16 ** b}) % 16").alias("bv"),
+        )
+        bands = bd if bands is None else bands.unionByName(bd)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.did") < F.col("b.did"))
+        .select(
+            F.col("a.did").alias("i"),
+            F.col("b.did").alias("j"),
+            F.col("a.simhash").alias("si"),
+            F.col("b.simhash").alias("sj"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "i",
+        "j",
+        F.expr("bit_count(si ^ sj)").cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= 3)

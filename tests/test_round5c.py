@@ -644,3 +644,36 @@ def test_ab_assignment_pure_and_exact(spark, tmp_path):
         assert out[a].n_users == exp[a][0]
         assert out[a].n_converted == exp[a][1]
         assert out[a].conv_ppm == exp[a][1] * 1_000_000 // exp[a][0]
+
+
+def test_simhash_pairs_crafted(spark, tmp_path):
+    import hashlib
+
+    def py_simhash16(text):
+        sums = [0] * 16
+        for w in set(text.split()):
+            h = hashlib.md5(w.encode()).hexdigest()
+            for i in range(16):
+                sums[i] += 1 if h[i] in "89abcdef" else -1
+        return sum((1 << i) for i in range(16) if sums[i] > 0)
+
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "alpha beta gamma delta zeta"      # one token swapped
+    t3 = "q r s t u v w x y z aa bb cc dd"  # disjoint vocab
+    d = _write_docs(spark, tmp_path, [
+        (1, t1, "en", "s", 0), (2, t1, "en", "s", 0),
+        (3, t2, "en", "s", 0), (4, t3, "en", "s", 0),
+    ])
+    out = {(r.i, r.j): r.hamming
+           for r in Q.docs_simhash_pairs(spark, d).collect()}
+    s1, s2, s3 = py_simhash16(t1), py_simhash16(t2), py_simhash16(t3)
+    assert out[(1, 2)] == 0  # identical docs: identical signatures
+    exp12 = bin(s1 ^ s2).count("1")
+    if exp12 <= 3:
+        assert out[(1, 3)] == exp12 and out[(2, 3)] == exp12
+    # the disjoint doc pairs appear iff their true hamming <= 3 AND a
+    # band collides — assert consistency with the reference either way
+    for (i, j), ham in out.items():
+        sigs = {1: s1, 2: s1, 3: s2, 4: s3}
+        assert ham == bin(sigs[i] ^ sigs[j]).count("1")
+        assert ham <= 3
