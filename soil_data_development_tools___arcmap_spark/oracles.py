@@ -4012,3 +4012,22 @@ cand AS (
 SELECT i, j, CAST(bit_count(xor(si, sj)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(si, sj)) <= 3
 """
+
+ORACLES["events_value_profile"] = """
+WITH src AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM src WHERE v IS NOT NULL)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(v) AS vmin, MAX(v) AS vmax,
+       CAST(SUM(CASE
+         WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN 2 * v
+         WHEN n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1) THEN v
+         ELSE 0 END) AS BIGINT) AS med2,
+       MAX(CASE WHEN rn = (19 * (n - 1)) // 20 + 1 THEN v END) AS p95
+FROM r GROUP BY event_type
+"""

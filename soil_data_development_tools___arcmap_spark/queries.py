@@ -6272,3 +6272,25 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j",
         F.expr("bit_count(si ^ sj)").cast("int").alias("hamming"),
     ).where(F.col("hamming") <= 3)
+
+
+def events_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value percentiles — the ops-dashboard latency/
+    amount profile (p50/p95 of the metric per type), computed with the
+    reusable exact histogram order-statistics operator: the corpus
+    collapses to a (type, cents) count histogram first, so the only
+    windows run over DISTINCT cent values per type, never raw events
+    (the docs_source_stats scale fix, packaged as the default way to
+    answer any percentile question at 100 TB). Exact integers
+    throughout — med2 is the doubled median, integral for both
+    parities.
+
+    100 TB posture: one map-side-combined histogram shuffle; per-type
+    single-task surface = distinct cent values, independent of event
+    count."""
+    from .functions.profile import exact_order_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
+    )
+    return exact_order_stats(ev, ["event_type"], "v_c")

@@ -677,3 +677,18 @@ def test_simhash_pairs_crafted(spark, tmp_path):
         sigs = {1: s1, 2: s1, 3: s2, 4: s3}
         assert ham == bin(sigs[i] ^ sigs[j]).count("1")
         assert ham <= 3
+
+
+def test_value_profile_exact_percentiles(spark, tmp_path):
+    vals = [1.00, 2.00, 3.00, 4.00, 5.00, 6.00, 7.00, 8.00, 9.00, 10.00]
+    rows = [(i, T0, 1, "a", v, "") for i, v in enumerate(vals)]
+    rows.append((99, T0, 2, "b", 7.50, ""))
+    d = _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in Q.events_value_profile(spark, d).collect()}
+    a = out["a"]
+    # even n: med2 = v[n/2] + v[n/2+1] = 500 + 600 cents
+    assert (a.n, a.vmin, a.vmax, a.med2) == (10, 100, 1000, 1100)
+    # p95 rank = (19*9)//20 + 1 = 9 -> 900 cents
+    assert a.p95 == 900
+    b = out["b"]
+    assert (b.n, b.med2, b.p95) == (1, 1500, 750)
