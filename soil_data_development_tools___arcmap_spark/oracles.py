@@ -1863,6 +1863,39 @@ SELECT mukey, CAST(SUM(comppct_r) AS BIGINT) AS comppct_r,
 FROM comp WHERE hzv IS NOT NULL GROUP BY mukey
 """
 
+ORACLES["planner_sdv_rv_low_high"] = f"""
+WITH {_SYN},
+syn_hz AS (
+  SELECT l_orderkey AS cokey,
+         CAST((l_linenumber-1)*15 AS BIGINT) AS hzdept_r,
+         CAST((l_linenumber-1)*15 + 5 + l_partkey % 11 AS BIGINT) AS hzdepb_r,
+         CAST(floor((l_partkey % 5) / 2) AS DOUBLE) AS awc_l,
+         CAST((l_partkey % 5) * 2 + 1 AS DOUBLE) AS awc_h
+  FROM lineitem),
+flt AS (
+  SELECT c.mukey, c.cokey, c.comppct_r, h.hzdept_r, h.hzdepb_r,
+         h.awc_l, h.awc_h
+  FROM syn_co c JOIN syn_hz h ON c.cokey = h.cokey
+  WHERE c.comppct_r IS NOT NULL
+    AND (c.compname IS NULL OR c.compname <> 'NOTCOM')
+    AND h.hzdept_r < 100 AND h.hzdepb_r > 0),
+comp AS (
+  SELECT mukey, cokey, comppct_r,
+         MAX(CASE WHEN greatest(least(hzdepb_r, 100) - greatest(hzdept_r, 0), 0) > 0
+                  THEN awc_l END) AS hzl,
+         MAX(CASE WHEN greatest(least(hzdepb_r, 100) - greatest(hzdept_r, 0), 0) > 0
+                  THEN awc_h END) AS hzh
+  FROM flt GROUP BY mukey, cokey, comppct_r),
+lo AS (
+  SELECT mukey, SUM(comppct_r*hzl)/SUM(comppct_r) AS rating_low
+  FROM comp WHERE hzl IS NOT NULL GROUP BY mukey),
+hi AS (
+  SELECT mukey, SUM(comppct_r*hzh)/SUM(comppct_r) AS rating_high
+  FROM comp WHERE hzh IS NOT NULL GROUP BY mukey)
+SELECT lo.mukey, rating_low, rating_high
+FROM lo JOIN hi ON lo.mukey = hi.mukey
+"""
+
 ORACLES["valu1_nccpi2"] = f"""
 WITH {_SYN},
 syn_ci2 AS (

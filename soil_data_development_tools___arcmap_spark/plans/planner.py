@@ -73,6 +73,10 @@ class RatingRequest:
     precision: int | None = None
     sqlwhereclause: str | None = None
     fuzzy: bool = False  # interp fuzzy value (INTERPHR) vs rating class
+    # which representative value to rate: None/'Representative' keeps
+    # the _r column; 'Low'/'High' swap to the _l/_h sibling
+    # (gSSURGO_CreateSoilMap.py:3774-3783)
+    rv: str | None = None
     # user params
     cutoff: int = 0  # component percent cutoff
     top: int = 0
@@ -138,7 +142,14 @@ def hydrate(
     attribute's tiebreakdomainname (GetRatingDomain :3865-3896),
     reversed for suitability interps ruledesign=2 (:9942-9944); interp
     attributes rating INTERPHR when fuzzy (:3719-3738). Known-broken
-    metadata is repaired first (repair_sdvattribute)."""
+    metadata is repaired first (repair_sdvattribute).
+
+    ``rv='Low'``/``'High'`` rates the low/high representative value by
+    swapping the ``_r`` attribute column to its ``_l``/``_h`` sibling
+    (:3774-3783 — "not available with SDV or WSS. Does not work with
+    interps", so fuzzy requests never swap). Pass ``columns`` (the
+    attribute table's column set) to guard the swap: a column without
+    an ``_l``/``_h`` sibling in the catalog stays at ``_r``."""
     sdv_row = repair_sdvattribute(sdv_row)
     method_name = aggmethod or sdv_row.get("algorithmname")
     if method_name not in METHODS:
@@ -166,12 +177,18 @@ def hydrate(
         sdv_row.get("attributetype") == "Interpretation"
         and (sdv_row.get("effectivelogicaldatatype") or "").lower() == "float"
     )
+    rv = params.pop("rv", None)
+    columns = params.pop("columns", None)
+    colname = "interphr" if fuzzy else sdv_row["attributecolumnname"].lower()
+    if rv in ("Low", "High") and not fuzzy and colname.endswith("_r"):
+        swapped = colname[:-2] + ("_l" if rv == "Low" else "_h")
+        if columns is None or swapped in {c.lower() for c in columns}:
+            colname = swapped
     req = RatingRequest(
         attributename=sdv_row["attributename"],
         attributetablename=sdv_row["attributetablename"].lower(),
-        attributecolumnname=(
-            "interphr" if fuzzy else sdv_row["attributecolumnname"].lower()
-        ),
+        attributecolumnname=colname,
+        rv=rv,
         method=METHODS[method_name],
         resultcolumn=(sdv_row.get("resultcolumnname") or "rating").lower(),
         mapunit_level=bool(sdv_row.get("mapunitlevelattribflag")),

@@ -1269,6 +1269,66 @@ def planner_sdv_no_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_soil_map(tables, relations, req)
 
 
+def planner_sdv_rv_low_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RV low/high rating (gSSURGO_CreateSoilMap.py:3774-3783): the
+    user rates the LOW or HIGH representative value instead of the
+    default — the planner swaps the ``_r`` attribute column to its
+    ``_l``/``_h`` sibling at hydrate time (guarded on the sibling
+    actually existing in the table's catalog columns), and the rest of
+    the pipeline is untouched. Exercised on the horizon MaxMin→WTA
+    dispatch: per-component max of awc_l (resp. awc_h) over [0,100),
+    weight-averaged per mapunit; both swaps run and join on mukey so
+    one result proves Low AND High.
+
+    awc_l/awc_h are exact-integer-valued doubles derived from awc_r
+    (floor(awc_r/2) and 2·awc_r+1), so the weighted average is a sum of
+    exact integers followed by one division — cross-engine
+    deterministic."""
+    from .plans.planner import create_soil_map, hydrate
+
+    t = ssurgo_synth(spark, sf_dir)
+    chorizon = t["chorizon"].withColumn(
+        "awc_l", F.floor(F.col("awc_r") / 2).cast("double")
+    ).withColumn("awc_h", F.col("awc_r") * 2 + 1)
+    tables = {
+        "mapunit": t["component"].select("mukey").distinct(),
+        "component": t["component"],
+        "chorizon": chorizon,
+    }
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        },
+        {
+            "ltabphyname": "component",
+            "rtabphyname": "chorizon",
+            "ltabcolphyname": "cokey",
+            "rtabcolphyname": "cokey",
+        },
+    ]
+    sdv_row = {
+        "attributename": "AWC Range Synth",
+        "attributetablename": "chorizon",
+        "attributecolumnname": "awc_r",
+        "algorithmname": "Minimum or Maximum",
+        "horzlevelattribflag": 1,
+        "tiebreakrule": 1,  # Higher wins -> maximum
+    }
+    cols = set(chorizon.columns)
+    lo = create_soil_map(
+        tables, relations,
+        hydrate(sdv_row, None, top=0, bot=100, rv="Low", columns=cols),
+    ).select("mukey", F.col("rating").alias("rating_low"))
+    hi = create_soil_map(
+        tables, relations,
+        hydrate(sdv_row, None, top=0, bot=100, rv="High", columns=cols),
+    ).select("mukey", F.col("rating").alias("rating_high"))
+    return lo.join(hi, "mukey")
+
+
 def validate_component_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gSSURGO_ValidateData plausibility report: per-mukey component
     percent sum with anomaly flags (sum <> 100, no major component)."""

@@ -142,3 +142,44 @@ def test_repair_sdvattribute_floodbandaid():
     # both the broken and repaired forms parse to valid Columns here
     for clause in (eco, res, out, out2):
         parse_where(clause)
+
+
+def test_hydrate_rv_low_high_swap():
+    """RV low/high column swap (gSSURGO_CreateSoilMap.py:3774-3783):
+    'Low'/'High' rates the _l/_h sibling of an _r column; interps
+    (fuzzy) and columns without catalog siblings never swap."""
+    row = dict(
+        attributename="AWC",
+        attributetablename="chorizon",
+        attributecolumnname="awc_r",
+        algorithmname="Weighted Average",
+        horzlevelattribflag=1,
+    )
+    cols = {"awc_r", "awc_l", "awc_h", "hzdept_r", "hzdepb_r"}
+    assert hydrate(row, None, rv="Low", columns=cols).attributecolumnname == "awc_l"
+    assert hydrate(row, None, rv="High", columns=cols).attributecolumnname == "awc_h"
+    # default / representative keeps _r
+    assert hydrate(row, None).attributecolumnname == "awc_r"
+    assert hydrate(row, None, rv="Representative",
+                   columns=cols).attributecolumnname == "awc_r"
+    # no _l/_h sibling in the catalog -> no swap
+    assert hydrate(row, None, rv="Low",
+                   columns={"awc_r"}).attributecolumnname == "awc_r"
+    # no catalog given -> reference behavior, swap unguarded
+    assert hydrate(row, None, rv="High").attributecolumnname == "awc_h"
+    # non-_r columns never swap
+    row2 = dict(row, attributecolumnname="drainagecl")
+    assert hydrate(row2, None, rv="Low", columns=cols
+                   ).attributecolumnname == "drainagecl"
+    # interps rate INTERPHR; the swap is explicitly unsupported there
+    irow = dict(
+        attributename="DHS - Suitability",
+        attributetablename="cointerp",
+        attributecolumnname="interphrc_r",
+        algorithmname="Dominant Condition",
+        complevelattribflag=1,
+        attributetype="Interpretation",
+        effectivelogicaldatatype="Float",
+    )
+    req = hydrate(irow, None, rv="Low")
+    assert req.fuzzy and req.attributecolumnname == "interphr"
