@@ -4125,56 +4125,110 @@ def ingest_full_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    # data tables synthesized from the parquet views (deterministic)
-    region = _t(spark, sf_dir, "region").collect()
-    nation = _t(spark, sf_dir, "nation").collect()
-    customer = _t(spark, sf_dir, "customer").collect()
+    # Data tables synthesized from the parquet views (deterministic)
+    # and exported FROM EXECUTORS: each table's `<iefile>.txt` is a
+    # DIRECTORY of per-partition pipe-text part files (spark.read.csv
+    # treats it as one table), written by a mapInPandas stage that
+    # csv-formats + cp1252-encodes its own partition — no fact table
+    # ever passes through the driver, so the export step is the same
+    # shape it would be at a 1000-executor 100 TB run.
+    def _write_distributed(table: str, df) -> None:
+        cols = [f.name for f in emb.schemas[table].fields]
+        have = set(df.columns)
+        proj = df.select(
+            *[
+                (F.col(c) if c in have else F.lit(None)).cast("string").alias(c)
+                for c in cols
+            ]
+        )
+        out_dir = os.path.join(tmp, f"{emb.iefile[table]}.txt")
+        os.makedirs(out_dir, exist_ok=True)
+
+        def _part(batches):
+            import csv as _c
+            import io
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            buf = io.StringIO()
+            w = _c.writer(
+                buf, delimiter="|", quotechar='"', doublequote=True,
+                quoting=_c.QUOTE_MINIMAL,
+            )
+            n = 0
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    w.writerow(["" if v is None else v for v in row])
+                n += len(pdf)
+            pid = TaskContext.get().partitionId()
+            with open(
+                os.path.join(out_dir, f"part-{pid:05d}.txt"), "wb"
+            ) as fh:  # partition-keyed name -> task retries are idempotent
+                fh.write(buf.getvalue().encode("cp1252"))
+            yield pd.DataFrame({"n": [n]})
+
+        proj.mapInPandas(_part, "n long").collect()
+
     RQ = "’"  # cp1252 0x92
-    _write(
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    rk, nk, ck = F.col("r_regionkey"), F.col("n_nationkey"), F.col("c_custkey")
+    _write_distributed(
         "legend",
-        [
-            [("lkey", r["r_regionkey"]), ("areasymbol", f"AS{r['r_regionkey']}"),
-             ("areatypename",
-              None if r["r_regionkey"] % 2 == 0 else "Non-MLRA Soil Survey Area")]
-            for r in region
-        ],
+        region.select(
+            rk.alias("lkey"),
+            F.concat(F.lit("AS"), rk).alias("areasymbol"),
+            F.when(rk % 2 != 0, "Non-MLRA Soil Survey Area").alias(
+                "areatypename"
+            ),
+        ),
     )
-    _write(
+    _write_distributed(
         "legendtext",
-        [
-            [("legtextkey", r["r_regionkey"]), ("lkey", r["r_regionkey"]),
-             ("textcat", "misc"),
-             ("text", r["r_name"] + (RQ if r["r_regionkey"] % 2 == 1 else ""))]
-            for r in region
-        ],
+        region.select(
+            rk.alias("legtextkey"),
+            rk.alias("lkey"),
+            F.lit("misc").alias("textcat"),
+            F.concat(
+                F.col("r_name"), F.when(rk % 2 == 1, RQ).otherwise("")
+            ).alias("text"),
+        ),
     )
-    _write(
+    _write_distributed(
         "mapunit",
-        [
-            [("mukey", n["n_nationkey"]), ("musym", f"M{n['n_nationkey']}"),
-             ("muname", n["n_name"] + RQ), ("lkey", n["n_regionkey"])]
-            for n in nation
-        ],
+        nation.select(
+            nk.alias("mukey"),
+            F.concat(F.lit("M"), nk).alias("musym"),
+            F.concat(F.col("n_name"), F.lit(RQ)).alias("muname"),
+            F.col("n_regionkey").alias("lkey"),
+        ),
     )
-    _write(
+    _write_distributed(
         "component",
-        [
-            [("cokey", c["c_custkey"]), ("mukey", c["c_nationkey"]),
-             ("compname", c["c_mktsegment"]),
-             ("comppct_r", c["c_custkey"] % 97 + 3),
-             ("majcompflag", "Yes" if c["c_custkey"] % 4 != 0 else "No"),
-             ("compkind", None if c["c_custkey"] % 5 == 1 else "Series")]
-            for c in customer
-        ],
+        customer.select(
+            ck.alias("cokey"),
+            F.col("c_nationkey").alias("mukey"),
+            F.col("c_mktsegment").alias("compname"),
+            (ck % 97 + 3).alias("comppct_r"),
+            F.when(ck % 4 != 0, "Yes").otherwise("No").alias("majcompflag"),
+            F.when(ck % 5 != 1, "Series").alias("compkind"),
+        ),
     )
-    _write(
+    _write_distributed(
         "cotaxmoistcl",
-        [
-            [("cotaxmckey", c["c_custkey"]), ("cokey", c["c_custkey"]),
-             ("taxmoistcl",
-              ["Aquic", "Udic", "Ustic", "Xeric", "Aridic"][c["c_custkey"] % 5])]
-            for c in customer
-        ],
+        customer.select(
+            ck.alias("cotaxmckey"),
+            ck.alias("cokey"),
+            F.element_at(
+                F.array(
+                    *[F.lit(x) for x in
+                      ["Aquic", "Udic", "Ustic", "Xeric", "Aridic"]]
+                ),
+                (ck % 5 + 1).cast("int"),
+            ).alias("taxmoistcl"),
+        ),
     )
 
     loaded = ["legend", "legendtext", "mapunit", "component", "cotaxmoistcl"]

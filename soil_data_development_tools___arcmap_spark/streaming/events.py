@@ -166,7 +166,7 @@ def run_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def sliding_weekly(events: DataFrame) -> DataFrame:
+def sliding_weekly(events: DataFrame, with_watermark: bool = False) -> DataFrame:
     """Sliding 7-day/1-day window per event_type over event time —
     the streaming twin of the batch ``events_sliding_window`` query
     (which fans each event into its 7 windows via a generate_series
@@ -176,6 +176,8 @@ def sliding_weekly(events: DataFrame) -> DataFrame:
     df = events.withColumn(
         "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
+    if with_watermark:
+        df = df.withWatermark("event_time", "1 day")
     return (
         df.groupBy(
             F.window("event_time", "7 days", "1 day").alias("w"), "event_type"
@@ -197,18 +199,32 @@ def sliding_weekly(events: DataFrame) -> DataFrame:
 
 def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the sliding-window aggregation as a stream to completion
-    (availableNow + complete mode + memory sink)."""
+    (availableNow + memory sink).
+
+    UPDATE mode + 1-day watermark: the 7d/1d windows already group on
+    the event-time column, so closed windows are evicted from the
+    store once the watermark passes their end — state holds ~8 open
+    windows per type instead of the whole history. Final value per
+    group = ``max_by(..., n)`` over the update-mode sink rows (``n``
+    strictly increases each time a group is emitted)."""
     name = "events_slide_" + uuid.uuid4().hex[:8]
     q = (
-        sliding_weekly(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("complete")
+        sliding_weekly(read_events_stream(spark, sf_dir), with_watermark=True)
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy("win_end_day", "event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("value_c", "n").alias("value_c"),
+        )
+    )
 
 
 #: static event-type → category dimension for stream-static joins
@@ -247,18 +263,43 @@ def enriched_daily(events: DataFrame, dim: DataFrame) -> DataFrame:
 
 def run_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stream-static enrichment to completion (availableNow +
-    memory sink) and return the result table."""
+    memory sink) and return the result table.
+
+    UPDATE mode: the batch twin's day_num grouping becomes a
+    watermark-evicted 1-day ``F.window`` on event time (a plain bigint
+    key would never leave the state store), relabeled back to day_num
+    on the sink rollup; final value per group = ``max_by(..., n)``."""
     name = "events_enrich_" + uuid.uuid4().hex[:8]
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "1 day")
+    )
     q = (
-        enriched_daily(read_events_stream(spark, sf_dir), _category_dim(spark))
-        .writeStream.outputMode("complete")
+        ev.join(F.broadcast(_category_dim(spark)), "event_type")
+        .groupBy(F.window("event_time", "1 day").alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.expr("unix_micros(w.start) div 86400000000").alias("day_num"),
+            "category",
+        )
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("value_c", "n").alias("value_c"),
+        )
+    )
 
 
 ATTRIBUTION_WINDOW_US = 3_600_000_000  # 1 hour
@@ -516,21 +557,51 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming tumbling aggregation to completion
-    (availableNow + memory sink) and return the result table."""
+    (availableNow + memory sink) and return the result table.
+
+    UPDATE mode with a watermark-evicted 1-day event-time window (the
+    day_num grouping of the batch twin is re-expressed as ``F.window``
+    so the engine can drop closed days from the store — a day_num
+    bigint key would never evict). The sink receives each group's
+    RUNNING aggregate whenever it is touched; ``n`` strictly increases
+    per emission, so ``max_by(..., n)`` over the sink rows is the final
+    snapshot per group — correct even for non-monotone sums, no
+    complete-mode state that grows with stream history."""
     name = "events_stream_" + uuid.uuid4().hex[:8]
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "1 day")
+    )
     q = (
-        tumbling_daily(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("complete")
+        ev.groupBy(F.window("event_time", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.expr("unix_micros(w.start) div 86400000000").alias("day_num"),
+            "event_type",
+        )
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("value_c", "n").alias("value_c"),
+        )
+    )
 
 
-def session_windows_builtin(events: DataFrame, gap_min: int = 30) -> DataFrame:
+def session_windows_builtin(
+    events: DataFrame, gap_min: int = 30, with_watermark: bool = False
+) -> DataFrame:
     """Per-user sessions via the BUILT-IN ``F.session_window`` (vs the
     applyInPandasWithState custom operator in ``sessionize_stateful``):
     Spark merges overlapping [t, t+gap) windows natively, state is
@@ -542,6 +613,8 @@ def session_windows_builtin(events: DataFrame, gap_min: int = 30) -> DataFrame:
     df = events.withColumn(
         "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
+    if with_watermark:
+        df = df.withWatermark("event_time", "1 hour")
     return df.groupBy(
         F.session_window("event_time", f"{gap_min} minutes").alias("w"),
         "user_id",
@@ -550,14 +623,26 @@ def session_windows_builtin(events: DataFrame, gap_min: int = 30) -> DataFrame:
 
 def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the built-in session-window aggregation as a stream
-    (availableNow + complete mode + memory sink), then roll the
-    completed per-session table up to per-user counts — a second
-    stateful aggregation inside the stream would be illegal, and the
-    rollup over the (tiny) session table is plain batch work."""
+    (availableNow + memory sink), then roll the per-session table up
+    to per-user counts — a second stateful aggregation inside the
+    stream would be illegal, and the rollup over the (tiny) session
+    table is plain batch work.
+
+    APPEND mode + 1-hour watermark: a session leaves the state store
+    (and is emitted, exactly once, finalized) when the watermark
+    passes its close — update mode is unusable here because merging
+    sessions rewrite their own window key, leaving stale partial rows
+    in the sink. A finite file stream ends with the watermark one
+    delay behind its newest row, which would withhold the last open
+    sessions forever, so the source carries the far-future flush
+    sentinels (see _stream_dir_with_flush_sentinels); their own
+    sessions are dropped by the ``user_id >= 0`` filter."""
     name = "events_sessw_" + uuid.uuid4().hex[:8]
+    stream_dir = _stream_dir_with_flush_sentinels(spark, sf_dir)
+    ev = _ts_ns(spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir))
     q = (
-        session_windows_builtin(read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("complete")
+        session_windows_builtin(ev, with_watermark=True)
+        .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -566,6 +651,7 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (
         spark.table(name)
+        .where(F.col("user_id") >= 0)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
@@ -875,23 +961,30 @@ def run_transition_stream(
 ) -> DataFrame:
     """Run the stateful pair extraction chained into a pair-count
     aggregation (two stateful operators in one incremental query —
-    the append-mode custom operator feeds a complete-mode count over
-    the bounded |types|² key space), then attach the exact-ppm share
-    exactly like the batch query. Certified by the SAME oracle as
-    ``events_transition_matrix``."""
+    the append-mode custom operator feeds an UPDATE-mode count over
+    the bounded |types|² key space; state is bounded by construction,
+    and the sink only receives touched groups per batch instead of a
+    full complete-mode rewrite), then attach the exact-ppm share
+    exactly like the batch query. Counts are monotone, so MAX per pair
+    over the sink rows is the final count. Certified by the SAME
+    oracle as ``events_transition_matrix``."""
     name = "events_trans_" + uuid.uuid4().hex[:8]
     q = (
         transition_stateful(spark, sf_dir, source)
         .groupBy("prev_type", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    pairs = spark.table(name)
+    pairs = (
+        spark.table(name)
+        .groupBy("prev_type", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
     total = pairs.agg(F.sum("n").alias("total"))
     return pairs.crossJoin(F.broadcast(total)).select(
         "prev_type",
