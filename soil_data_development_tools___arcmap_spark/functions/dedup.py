@@ -366,11 +366,12 @@ def _minhash_bands(
     num_hashes: int,
     bands: int,
     ex: DataFrame | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """(did, band_id, key): each document's minhash signature split
     into ``bands`` concatenated band keys, stacked long-form."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, col, k, num_hashes, ex=ex)
+    sig = minhash_signatures(df, id_col, col, k, num_hashes, hasher, ex=ex)
     band_cols = [
         F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -427,6 +428,7 @@ def minhash_lsh_pairs(
     max_freq: int | None = 100,
     bucket_cap: int | None = 1000,
     reuse_shingles: bool = True,
+    hasher: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures into ``bands``
     buckets, candidate pairs share ≥1 band bucket, then VERIFY
@@ -449,7 +451,9 @@ def minhash_lsh_pairs(
         ex_all = _explode_ss(
             shingle_sets(_spread(df, id_col), id_col, col, k)
         ).localCheckpoint()
-    stacked = _minhash_bands(df, id_col, col, k, num_hashes, bands, ex=ex_all)
+    stacked = _minhash_bands(
+        df, id_col, col, k, num_hashes, bands, ex=ex_all, hasher=hasher
+    )
     buckets = banded_buckets(stacked, bucket_cap)
     cand = _pairs_from_groups(buckets).distinct()
     # verification: exact Jaccard, restricted to LSH candidates.

@@ -3340,9 +3340,85 @@ WHERE rn <= 5
 
 ORACLES["emb_knn_pq"] = _PQ
 
+# trained-PQ twin: per-subspace Lloyd's k-means (train_ivf_centroids
+# semantics) unrolled for the fixed 3 iterations — assignment by the
+# same floored-cosine + kid tie-break, update = floored per-dim mean,
+# empty clusters keep their previous centroid. Every step is
+# exact-integer or one deterministic double division, so DuckDB
+# reproduces the Spark codebook bit-for-bit.
+_PQ_KCOS = (
+    "CASE WHEN list_dot_product(sv, sv) = 0 OR list_dot_product(kv, kv) = 0 "
+    "THEN -2000000 ELSE CAST(floor((list_dot_product(sv, kv)/"
+    "(sqrt(list_dot_product(sv, sv))*sqrt(list_dot_product(kv, kv))))"
+    "*1000000) AS BIGINT) END"
+)
+
+
+def _pq_train_iter(i: int) -> str:
+    return f"""
+a{i} AS (
+  SELECT cid, j, sv, kid FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid, j
+                                 ORDER BY kcos DESC, kid ASC) AS rn
+    FROM (SELECT cs.cid, cs.j, cs.sv, cb.kid, cb.kv,
+                 {_PQ_KCOS} AS kcos
+          FROM cs JOIN cb{i} cb ON cs.j = cb.j))
+  WHERE rn = 1),
+u{i} AS (
+  SELECT kid, j, list(CAST(floor(m) AS BIGINT) ORDER BY p) AS kv
+  FROM (SELECT kid, j, p, AVG(sv[p]) AS m
+        FROM a{i}, (SELECT unnest(range(1, 17)) AS p) pos
+        GROUP BY kid, j, p)
+  GROUP BY kid, j),
+cb{i + 1} AS (
+  SELECT cb.kid, cb.j, COALESCE(u.kv, cb.kv) AS kv
+  FROM cb{i} cb LEFT JOIN u{i} u ON cb.kid = u.kid AND cb.j = u.j),"""
+
+
+_PQ_TRAINED = f"""
+WITH {_EMB_Q},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
+subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) s(j)),
+cs AS (
+  SELECT cid, j, list_slice(cv, j*16 + 1, j*16 + 16) AS sv
+  FROM c, subs),
+cb0 AS (
+  SELECT CAST(cid - 8 AS INTEGER) AS kid, j, sv AS kv
+  FROM cs WHERE cid < 24),{_pq_train_iter(0)}{_pq_train_iter(1)}{_pq_train_iter(2)}
+dist AS (
+  SELECT cs.cid, cs.j, cb.kid, cb.kv,
+         list_dot_product(sv, sv) - 2*list_dot_product(sv, kv)
+           + list_dot_product(kv, kv) AS d
+  FROM cs JOIN cb3 cb ON cs.j = cb.j),
+best AS (
+  SELECT cid, j, kv FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid, j
+                                 ORDER BY d ASC, kid ASC) AS rnk
+    FROM dist) WHERE rnk = 1),
+recon AS (
+  SELECT cid, flatten(list(kv ORDER BY j)) AS rv
+  FROM best GROUP BY cid),
+s AS (
+  SELECT qid, cid,
+         CASE WHEN list_dot_product(qv, qv) = 0
+                OR list_dot_product(rv, rv) = 0 THEN -2000000
+              ELSE CAST(floor((list_dot_product(qv, rv)/
+                     (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(rv, rv))))*1000000) AS BIGINT)
+         END AS cos_e6
+  FROM recon CROSS JOIN q)
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+ORACLES["emb_knn_pq_trained"] = _PQ_TRAINED
+
 ORACLES["emb_pq_recall"] = f"""
 WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
-approx AS ({_PQ}),
+approx AS ({_PQ_TRAINED}),
 hits AS (
   SELECT e.qid, COUNT(*) AS hits
   FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid

@@ -4608,14 +4608,27 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with TRAINED per-subspace codebooks: 3 rounds of Lloyd's
+    k-means per subspace (train_ivf_centroids, floored-integer means,
+    deterministic first-k init) replace the stand-in first-16
+    codebook; the search path is byte-identical. The oracle unrolls
+    the three training iterations in SQL, so the learned codebook —
+    not just the search — is cross-engine verified."""
+    from .functions.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"), train=True)
+
+
 def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of PQ search against the exact brute-force top-k —
-    completes the measured-accuracy story across all four ANN family
-    members (brute / LSH / IVF+cluster / PQ)."""
+    """recall@5 of TRAINED-codebook PQ search against the exact
+    brute-force top-k — completes the measured-accuracy story across
+    all four ANN family members (brute / LSH / IVF+cluster / PQ), in
+    the production (trained) configuration rather than the stand-in."""
     from .functions.similarity import brute_force_topk, knn_recall, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_recall(brute_force_topk(emb), pq_topk(emb))
+    return knn_recall(brute_force_topk(emb), pq_topk(emb, train=True))
 
 
 def raster_tile_export(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -132,6 +132,40 @@ def test_minhash_xxhash64_mode(spark, docs=None):
     assert rows == again
 
 
+def test_minhash_lsh_hasher_equivalence(spark):
+    """The production xxhash64 hasher and the oracle md5 hasher must
+    recover the IDENTICAL verified pair set on a planted-duplicate
+    corpus — the guard that keeps the faster mode from silently
+    drifting (signatures differ between modes, but verification is
+    exact Jaccard, so any recalled candidate agrees on jac_e4)."""
+    rows = []
+    for g in range(8):  # 8 groups x (original + near-dup + exact dup)
+        words = [f"w{g}_{t}" for t in range(12)]
+        rows.append((g * 10 + 1, " ".join(words)))
+        rows.append((g * 10 + 2, " ".join(words[:-1] + [f"alt{g}"])))
+        rows.append((g * 10 + 3, " ".join(words)))
+    for u in range(200, 220):  # unrelated background docs
+        rows.append((u, " ".join(f"u{u}_{t}" for t in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold_e4=5000, max_freq=None)
+    md5_pairs = {
+        (r["i"], r["j"], r["jac_e4"])
+        for r in minhash_lsh_pairs(df, hasher="md5", **kw).collect()
+    }
+    xx_pairs = {
+        (r["i"], r["j"], r["jac_e4"])
+        for r in minhash_lsh_pairs(df, hasher="xxhash64", **kw).collect()
+    }
+    assert md5_pairs == xx_pairs
+    # every planted trio shows up: exact dup always (identical bands
+    # in both modes); the near-dup at jac ~0.8 with 8 trios is pinned
+    # by this fixture (deterministic hashes -> stable forever)
+    for g in range(8):
+        assert (g * 10 + 1, g * 10 + 3, 10000) in md5_pairs
+    n_near = sum(1 for (i, j, _) in md5_pairs if j - i == 1)
+    assert n_near >= 6  # near-dups recalled in BOTH modes
+
+
 def test_banded_buckets_split_bounds_oversized(spark):
     """The 100 TB skew guard: a flood of identical docs must be split
     into <= bucket_cap sub-buckets (bounded pair expansion), with the
