@@ -1837,6 +1837,18 @@ LEFT JOIN pw p USING (mukey)
 """
 
 
+# the composed nightly run: planner-batch ratings x the wide Valu1
+# table on the shared mapunit spine (the Spark side additionally
+# routes the component table through the pipe-text round trip, which
+# is value-preserving — certified by this join of the two stage
+# oracles)
+ORACLES["nightly_gssurgo"] = f"""
+WITH pb AS ({ORACLES["planner_sdv_batch"]}),
+vw AS ({ORACLES["valu1_wide"]})
+SELECT pb.*, vw.* EXCLUDE (mukey)
+FROM pb JOIN vw ON pb.mukey = vw.mukey
+"""
+
 # ---- planner horizon / month path twins ----
 
 ORACLES["planner_sdv_hz_rating"] = f"""

@@ -4056,6 +4056,53 @@ def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- round 5 additions
 
 
+def _pipe_text_export(df: DataFrame, table: str, cat, base_dir: str) -> None:
+    """WSS-style pipe-text export of one table, written FROM EXECUTORS:
+    the table's ``<iefile>.txt`` is a DIRECTORY of per-partition part
+    files (``spark.read.csv`` treats it as one table), each produced by
+    a mapInPandas stage that csv-formats (QUOTE_MINIMAL, doubled
+    quotes) and cp1252-encodes its own partition — no fact table ever
+    passes through the driver, so the export step keeps the same shape
+    at a 1000-executor 100 TB run. Columns absent from ``df`` land as
+    blanks (→ NULL on reload), per the full catalog layout."""
+    cols = [f.name for f in cat.schemas[table].fields]
+    have = set(df.columns)
+    proj = df.select(
+        *[
+            (F.col(c) if c in have else F.lit(None)).cast("string").alias(c)
+            for c in cols
+        ]
+    )
+    out_dir = os.path.join(base_dir, f"{cat.iefile[table]}.txt")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _part(batches):
+        import csv as _c
+        import io
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        buf = io.StringIO()
+        w = _c.writer(
+            buf, delimiter="|", quotechar='"', doublequote=True,
+            quoting=_c.QUOTE_MINIMAL,
+        )
+        n = 0
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                w.writerow(["" if v is None else v for v in row])
+            n += len(pdf)
+        pid = TaskContext.get().partitionId()
+        with open(
+            os.path.join(out_dir, f"part-{pid:05d}.txt"), "wb"
+        ) as fh:  # partition-keyed name -> task retries are idempotent
+            fh.write(buf.getvalue().encode("cp1252"))
+        yield pd.DataFrame({"n": [n]})
+
+    proj.mapInPandas(_part, "n long").collect()
+
+
 def ingest_full_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-generated full-catalog ingest end-to-end (SURVEY §1.3;
     SSURGO_Convert_to_Geodatabase.py:1227-1412, GetTableInfo :656-708):
@@ -4126,49 +4173,9 @@ def ingest_full_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Data tables synthesized from the parquet views (deterministic)
-    # and exported FROM EXECUTORS: each table's `<iefile>.txt` is a
-    # DIRECTORY of per-partition pipe-text part files (spark.read.csv
-    # treats it as one table), written by a mapInPandas stage that
-    # csv-formats + cp1252-encodes its own partition — no fact table
-    # ever passes through the driver, so the export step is the same
-    # shape it would be at a 1000-executor 100 TB run.
+    # and exported FROM EXECUTORS — see _pipe_text_export.
     def _write_distributed(table: str, df) -> None:
-        cols = [f.name for f in emb.schemas[table].fields]
-        have = set(df.columns)
-        proj = df.select(
-            *[
-                (F.col(c) if c in have else F.lit(None)).cast("string").alias(c)
-                for c in cols
-            ]
-        )
-        out_dir = os.path.join(tmp, f"{emb.iefile[table]}.txt")
-        os.makedirs(out_dir, exist_ok=True)
-
-        def _part(batches):
-            import csv as _c
-            import io
-
-            import pandas as pd
-            from pyspark import TaskContext
-
-            buf = io.StringIO()
-            w = _c.writer(
-                buf, delimiter="|", quotechar='"', doublequote=True,
-                quoting=_c.QUOTE_MINIMAL,
-            )
-            n = 0
-            for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    w.writerow(["" if v is None else v for v in row])
-                n += len(pdf)
-            pid = TaskContext.get().partitionId()
-            with open(
-                os.path.join(out_dir, f"part-{pid:05d}.txt"), "wb"
-            ) as fh:  # partition-keyed name -> task retries are idempotent
-                fh.write(buf.getvalue().encode("cp1252"))
-            yield pd.DataFrame({"n": [n]})
-
-        proj.mapInPandas(_part, "n long").collect()
+        _pipe_text_export(df, table, emb, tmp)
 
     RQ = "’"  # cp1252 0x92
     region = _t(spark, sf_dir, "region")
@@ -4265,6 +4272,118 @@ def ingest_full_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = d if out is None else out.unionByName(d)
     return out
+
+
+def nightly_gssurgo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED nightly gSSURGO run — the production pipeline a
+    real user schedules, end-to-end in one query (SURVEY §3; the
+    reference runs these as separate toolbox invocations):
+
+    1. catalog export+ingest: the component table is pipe-text
+       exported FROM EXECUTORS (_pipe_text_export, full 109-column
+       layout, cp1252/blank→NULL) and loaded back through the
+       metadata-generated catalog schema — every downstream stage
+       consumes the ROUND-TRIPPED table, so text-ingest fidelity is
+       part of the certified result, not a separate check;
+    2. planner batch (gSSURGO_CreateSoilMaps.py:349-379): hydric
+       Dominant Condition + drainage Dominant Component rating tables
+       from the ingested component;
+    3. the full wide Valu1 table (CreateValuTable) on the same
+       ingested component + the synthetic horizon stack (chorizon
+       stays parquet: the catalog's Float(4) columns would downcast
+       the synthetic doubles; horizon text fidelity is covered by
+       ingest_full_catalog's reconciliation);
+    4. gSSURGO_MergeRatingTables: ratings + Valu1 merged on the
+       mapunit spine.
+
+    Scale shape: the text round-trip is map-only both ways; the
+    planner/Valu1 stages keep their individually-audited plans (the
+    component source swap changes scans, not strategy); the final
+    merges are mapunit-sized broadcast joins."""
+    import tempfile
+
+    from .catalog import embedded_catalog, load_full_export
+    from .plans.planner import create_soil_map, hydrate
+    from .tools_merge import merge_rating_tables
+    from .valu1.pipeline import build_valu1
+
+    t = ssurgo_synth(spark, sf_dir)
+    emb = embedded_catalog()
+    tmp = tempfile.mkdtemp(prefix="sddt_nightly_")
+    _pipe_text_export(t["component"], "component", emb, tmp)
+    rt = load_full_export(spark, tmp, catalog=emb, tables=["component"])[
+        "component"
+    ]
+    comp = rt.select(
+        F.col("mukey").cast("long").alias("mukey"),
+        F.col("cokey").cast("long").alias("cokey"),
+        F.col("comppct_r").cast("long").alias("comppct_r"),
+        "compname", "majcompflag", "compkind", "hydricrating",
+        "drainagecl", "localphase", "otherph", "taxorder", "taxsubgrp",
+    )
+    mapunit = comp.select("mukey").distinct()
+    tables = {"mapunit": mapunit, "component": comp}
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        }
+    ]
+    hydric_row = {
+        "attributename": "Hydric Rating Synth",
+        "attributetablename": "component",
+        "attributecolumnname": "hydricrating",
+        "algorithmname": "Dominant Condition",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": "hydric_dom",
+        "sqlwhereclause": "majcompflag = 'Yes'",
+    }
+    hydric_dom = [
+        {"domainname": "hydric_dom", "choice": c, "choicesequence": i + 1}
+        for i, c in enumerate(["Yes", "Unranked", "No"])
+    ]
+    drain_row = {
+        "attributename": "Drainage Class Synth",
+        "attributetablename": "component",
+        "attributecolumnname": "drainagecl",
+        "algorithmname": "Dominant Component",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": "drain_dom",
+        "sqlwhereclause": "majcompflag = 'Yes'",
+    }
+    drain_dom = [
+        {"domainname": "drain_dom", "choice": c, "choicesequence": i + 1}
+        for i, c in enumerate(
+            ["Very poorly drained", "Poorly drained", "Well drained"]
+        )
+    ]
+    ratings = merge_rating_tables(
+        mapunit,
+        {
+            "hydric": create_soil_map(
+                tables, relations, hydrate(hydric_row, hydric_dom, cutoff=10)
+            ),
+            "drain": create_soil_map(
+                tables, relations, hydrate(drain_row, drain_dom, cutoff=10)
+            ),
+        },
+    )
+    wide = build_valu1(
+        comp,
+        t["chorizon"],
+        corestrictions=t["corestrictions"],
+        cointerp=t["cointerp"],
+        chtexturegrp=t["chtexturegrp"],
+        chtexture=t["chtexture"],
+        chfrags=t["chfrags"],
+        ranges=VALU1_RANGES,
+        exact_scales=(10000, 1000, 1000),
+    )
+    return ratings.join(wide, "mukey")
 
 
 def planner_sdv_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5772,9 +5891,11 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     MARGINALS (Σ_y c_xy / Σ_x c_xy) and N = Σ c_xy — the standard
     contingency-table PMI, in exact micro-units (monotone in PMI, so
     the ranking is identical to the log form without a float entering
-    the comparison; the integer form needs N·c_max·10⁶ < 2⁶³, fine at
-    gate SF — a 100 TB corpus moves to log-space doubles for the score
-    but keeps this exact form for the top-k candidate cut).
+    the comparison; the integer form needs N·c_max·10⁶ < 2⁶³ — now
+    ENFORCED by a per-row raise_error guard instead of a docstring
+    argument, so a larger corpus fails loudly instead of silently
+    wrapping negative — a 100 TB corpus moves to log-space doubles for
+    the score but keeps this exact form for the top-k candidate cut).
 
     The marginal formulation is WHY this scales: the corpus is scanned
     and shuffled ONCE (into the vocab²-bounded bigram count table,
@@ -5815,9 +5936,14 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_xy",
             "c_x",
             "c_y",
-            F.expr("(c_xy * n_bg * 1000000) div (c_x * c_y)").alias(
-                "pmi_e6"
-            ),
+            F.expr(
+                # overflow guard: c_xy*n_bg*1e6 must fit BIGINT; the
+                # equivalent division form never overflows itself
+                f"CASE WHEN c_xy > {(2 ** 63 - 1) // 1000000} div n_bg "
+                "THEN raise_error('docs_collocations: c_xy*n_bg*1e6 "
+                "exceeds BIGINT — switch to log-space PMI scoring') "
+                "ELSE (c_xy * n_bg * 1000000) div (c_x * c_y) END"
+            ).alias("pmi_e6"),
         )
         .orderBy(F.desc("pmi_e6"), F.asc("x"), F.asc("y"))
         .limit(100)
@@ -6087,17 +6213,28 @@ def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a one-week scan. Returned: per-(day, type) counts + exact
     cent sums for the first 7 days.
 
-    The write is idempotent per sf_dir (content-stable overwrite); in
-    production it is the ingest job, here it doubles as the fixture."""
+    The write is idempotent per SOURCE CONTENT: the lake directory is
+    keyed on the events file's (path, mtime, size) fingerprint — a
+    regenerated fixture gets a fresh lake instead of silently serving
+    stale partitions — and it is built in a private staging dir then
+    atomically renamed into place, so two concurrent runs (bench +
+    gate) each build their own staging copy and the loser discards
+    without ever exposing a half-written lake."""
     import hashlib
+    import shutil
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
     out = os.path.join(
         tempfile.gettempdir(), f"sddt_daylake_{tag}", "events"
     )
-    marker = out + "_done"
-    if not os.path.exists(marker):
+    if not os.path.exists(out):
+        staging = tempfile.mkdtemp(prefix="sddt_daylake_stage_")
+        stage_out = os.path.join(staging, "events")
         (
             read_events(spark, sf_dir)
             .withColumn(
@@ -6105,9 +6242,15 @@ def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .write.mode("overwrite")
             .partitionBy("day_num")
-            .parquet(out)
+            .parquet(stage_out)
         )
-        open(marker, "w").close()
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.rename(stage_out, out)  # atomic: complete iff present
+        except OSError:
+            if not os.path.exists(out):  # lost the race -> reuse winner
+                raise
+        shutil.rmtree(staging, ignore_errors=True)
     lake = spark.read.parquet(out)
     first_day = (
         read_events(spark, sf_dir)

@@ -37,10 +37,13 @@ OM_LIEUTEX = ["Muck", "Mucky peat", "Peat", "Coprogenous earth"]
 
 
 def major_earthy(component: DataFrame) -> Column:
-    """Major-earthy component filter (gSSURGO_ValuTable.py:960)."""
+    """Major-earthy component filter (gSSURGO_ValuTable.py:960): a
+    major component whose compkind is present and not 'Miscellaneous
+    area' (the reference's NULL-tolerant earthy test collapses to this
+    once conjoined with its NOT-NULL requirement)."""
     return (
-        (F.col("compkind").isNull() | (F.col("compkind") != "Miscellaneous area"))
-        & F.col("compkind").isNotNull()
+        F.col("compkind").isNotNull()
+        & (F.col("compkind") != "Miscellaneous area")
         & (F.col("majcompflag") == "Yes")
     )
 
