@@ -555,7 +555,9 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_stream_to_table(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Run the streaming tumbling aggregation to completion
     (availableNow + memory sink) and return the result table.
 
@@ -566,10 +568,14 @@ def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     RUNNING aggregate whenever it is touched; ``n`` strictly increases
     per emission, so ``max_by(..., n)`` over the sink rows is the final
     snapshot per group — correct even for non-monotone sums, no
-    complete-mode state that grows with stream history."""
+    complete-mode state that grows with stream history.
+
+    ``source`` overrides the default single-file reader with any
+    ns-``ts`` events stream (the multi-batch replay test feeds a
+    file-per-day source under maxFilesPerTrigger=1)."""
     name = "events_stream_" + uuid.uuid4().hex[:8]
     ev = (
-        read_events_stream(spark, sf_dir)
+        (source if source is not None else read_events_stream(spark, sf_dir))
         .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("event_time", "1 day")
     )

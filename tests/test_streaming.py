@@ -401,3 +401,50 @@ def test_dau_wau_across_batches(spark, tmp_path):
         for r in run_wau_stream(spark, SF_SMOKE, source=mb_source()).collect()
     }
     assert batch_wau == stream_wau and len(batch_wau) > 1
+
+
+def test_tumbling_update_mode_across_batches(spark, tmp_path):
+    """The update-mode tumbling rework must survive multi-batch replay:
+    one file per day, oldest first, one file per trigger — a day's
+    group emits a running snapshot in EVERY batch that touches it, and
+    the max_by(.., n) rollup must still recover exactly the batch
+    aggregate (pins the final-snapshot-selection contract; closed-day
+    state is watermark-evicted along the way)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.queries import read_events
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        _ts_ns,
+        run_stream_to_table,
+        tumbling_daily,
+    )
+
+    ev = read_events(spark, SF_SMOKE).withColumn(
+        "day_num", F.expr("(ts div 1000) div 86400000000")
+    )
+    days = sorted(r[0] for r in ev.select("day_num").distinct().collect())
+    src = str(tmp_path / "ev_daily_tum")
+    os.makedirs(src, exist_ok=True)
+    for d in days:
+        ev.where(F.col("day_num") == d).drop("day_num").withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    source = _ts_ns(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batch = {
+        (r["day_num"], r["event_type"]): (r["n"], r["value_c"])
+        for r in tumbling_daily(read_events(spark, SF_SMOKE)).collect()
+    }
+    stream = {
+        (r["day_num"], r["event_type"]): (r["n"], r["value_c"])
+        for r in run_stream_to_table(spark, SF_SMOKE, source=source).collect()
+    }
+    assert batch == stream and len(days) > 1
