@@ -601,6 +601,145 @@ def pq_topk(
     return _pq_search(cand, cb, emb, qz, query_ids_below, topk, m, sub, id_col)
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composition production vector stores run at scale:
+    the COARSE quantizer routes the search (inverted lists, queries
+    probe their ``nprobe`` nearest lists, like ivf_topk) and the
+    RESIDUAL candidate − centroid is product-quantized per subspace
+    (like pq_topk, but on residuals, which is what makes the codes
+    informative: residual energy is far below vector energy once the
+    coarse cell is known). Queries score the RECONSTRUCTION
+    centroid + decoded residual by cosine — asymmetric distance over
+    ~nprobe/n_centroids of the data.
+
+    Memory story per candidate: log₂(n_centroids) + m·log₂(n_codes)
+    bits (here 3 + 16 = 19 bits) instead of dim floats (2048 bits) —
+    and unlike plain PQ the inverted lists also cut the SCAN, not just
+    the bytes. Both codebooks are the deterministic first-N stand-ins
+    (ids → oracle-reproducible, same convention as ivf_topk/pq_topk;
+    swapping in trained centroids changes only two tiny DataFrames).
+
+    Plan: two broadcast-crossJoin argbest assignments (coarse +
+    per-subspace code), one zip_with residual map, reconstruction via
+    the same struct-collect as pq_topk, probe join on the list key —
+    every join broadcast, shuffles keyed on cid only."""
+    from .dedup import _spread
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    qz = quantize_embedding(col)
+    base = emb.where(F.col(id_col) >= query_ids_below)
+    cand = _spread(base, id_col).select(F.col(id_col).alias("cid"), qz.alias("cv"))
+    cents = base.where(F.col(id_col) < query_ids_below + n_centroids).select(
+        (F.col(id_col) - query_ids_below).cast("int").alias("kid"),
+        qz.alias("kv"),
+    )
+
+    def cos(a, b):
+        return _cos_e6(_dot(F.col(a), F.col(b)), _norm2(F.col(a)), _norm2(F.col(b)))
+
+    # coarse assignment (inverted lists) + residual in one pass
+    wa = Window.partitionBy("cid").orderBy(
+        F.col("kcos").desc(), F.col("kid").asc()
+    )
+    assigned = (
+        cand.crossJoin(F.broadcast(cents))
+        .select("cid", "cv", "kid", "kv", cos("cv", "kv").alias("kcos"))
+        .withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") == 1)
+        .select(
+            "cid",
+            "kid",
+            "kv",
+            F.zip_with("cv", "kv", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    # residual codebook: the first n_codes candidates' residual
+    # subvectors (per subspace) — deterministic like the coarse side
+    cb = (
+        assigned.where(F.col("cid") < query_ids_below + n_codes)
+        .select(
+            (F.col("cid") - query_ids_below).cast("int").alias("pid"),
+            F.explode(_pq_subspaces(F.col("rv"), m, sub)).alias("s"),
+        )
+        .select("pid", F.col("s.j").alias("j"), F.col("s.sv").alias("pv"))
+    )
+    # encode: nearest codebook residual per (cid, subspace), exact L2
+    cand_sub = assigned.select(
+        "cid", F.explode(_pq_subspaces(F.col("rv"), m, sub)).alias("s")
+    ).select("cid", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("pv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        cand_sub.join(F.broadcast(cb), "j")
+        .groupBy("cid", "j")
+        .agg(
+            F.min(
+                F.struct(
+                    d2.alias("d"), F.col("pid").alias("p"), F.col("pv").alias("pv")
+                )
+            ).alias("b")
+        )
+    )
+    rres = best.groupBy("cid").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), F.col("b.pv").alias("pv")))
+                ),
+                lambda s: s["pv"],
+            )
+        ).alias("rr")
+    )
+    # reconstruction = coarse centroid + decoded residual
+    recon = (
+        assigned.select("cid", "kid", "kv")
+        .join(rres, "cid")
+        .select(
+            "cid", "kid", F.zip_with("kv", "rr", lambda x, y: x + y).alias("rv")
+        )
+    )
+    q = emb.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("qid"), qz.alias("qv")
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("kcos").desc(), F.col("kid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qv", "kid", cos("qv", "kv").alias("kcos"))
+        .withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= nprobe)
+        .select("qid", "qv", "kid")
+    )
+    scored = recon.join(F.broadcast(probes), "kid").select(
+        "qid", "cid", cos("qv", "rv").alias("cos_e6")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_e6").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .select("qid", "cid", "cos_e6", "rn")
+    )
+
+
 def _pq_subspaces(v, m: int, sub: int):
     return F.array(*[
         F.struct(

@@ -3428,6 +3428,93 @@ WHERE rn <= 5
 
 ORACLES["emb_knn_pq_trained"] = _PQ_TRAINED
 
+# IVF-PQ: coarse inverted lists (first-8 stand-in centroids) + PQ over
+# RESIDUALS (first-16 stand-in residual codebook); queries probe their
+# 2 nearest lists and score the centroid+decoded-residual
+# reconstruction — mirrors functions/similarity.ivfpq_topk exactly.
+_IVFPQ_KCOS = (
+    "CASE WHEN list_dot_product({a}, {a}) = 0 "
+    "OR list_dot_product({b}, {b}) = 0 THEN -2000000 "
+    "ELSE CAST(floor((list_dot_product({a}, {b})/"
+    "(sqrt(list_dot_product({a}, {a}))*sqrt(list_dot_product({b}, {b}))))"
+    "*1000000) AS BIGINT) END"
+)
+
+_IVFPQ = f"""
+WITH {_EMB_Q},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
+cents AS (
+  SELECT CAST(cid - 8 AS INTEGER) AS kid, cv AS kv FROM c WHERE cid < 16),
+asg0 AS (
+  SELECT c.cid, c.cv, ct.kid, ct.kv,
+         {_IVFPQ_KCOS.format(a="c.cv", b="ct.kv")} AS kcos
+  FROM c, cents ct),
+asg AS (
+  SELECT cid, kid, kv,
+         list_transform(range(1, 65), i -> cv[i] - kv[i]) AS rv
+  FROM (SELECT *, row_number() OVER (PARTITION BY cid
+                                     ORDER BY kcos DESC, kid ASC) AS rn
+        FROM asg0)
+  WHERE rn = 1),
+subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) s(j)),
+cb AS (
+  SELECT CAST(cid - 8 AS INTEGER) AS pid, j,
+         list_slice(rv, j*16 + 1, j*16 + 16) AS pv
+  FROM asg, subs WHERE cid < 24),
+cs AS (
+  SELECT cid, j, list_slice(rv, j*16 + 1, j*16 + 16) AS sv
+  FROM asg, subs),
+dist AS (
+  SELECT cs.cid, cs.j, cb.pid, cb.pv,
+         list_dot_product(sv, sv) - 2*list_dot_product(sv, pv)
+           + list_dot_product(pv, pv) AS d
+  FROM cs JOIN cb USING (j)),
+bestd AS (
+  SELECT cid, j, pv FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid, j
+                                 ORDER BY d ASC, pid ASC) AS rnk
+    FROM dist) WHERE rnk = 1),
+rres AS (SELECT cid, flatten(list(pv ORDER BY j)) AS rr
+         FROM bestd GROUP BY cid),
+recon AS (
+  SELECT a.cid, a.kid,
+         list_transform(range(1, 65), i -> a.kv[i] + r.rr[i]) AS rv
+  FROM asg a JOIN rres r ON a.cid = r.cid),
+probes0 AS (
+  SELECT q.qid, q.qv, ct.kid,
+         {_IVFPQ_KCOS.format(a="q.qv", b="ct.kv")} AS kcos
+  FROM q, cents ct),
+probes AS (
+  SELECT qid, qv, kid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY kcos DESC, kid ASC) AS prn
+    FROM probes0) WHERE prn <= 2),
+s AS (
+  SELECT p.qid, r.cid,
+         {_IVFPQ_KCOS.format(a="p.qv", b="r.rv")} AS cos_e6
+  FROM recon r JOIN probes p ON r.kid = p.kid)
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+ORACLES["emb_knn_ivfpq"] = _IVFPQ
+
+ORACLES["emb_ivfpq_recall"] = f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+approx AS ({_IVFPQ}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid
+"""
+
 ORACLES["emb_pq_recall"] = f"""
 WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
 approx AS ({_PQ_TRAINED}),

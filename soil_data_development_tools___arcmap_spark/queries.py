@@ -4750,6 +4750,27 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_recall(brute_force_topk(emb), pq_topk(emb, train=True))
 
 
+def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over the embeddings table — coarse inverted lists
+    route the probe, residuals are product-quantized, queries score
+    the centroid+residual reconstruction (asymmetric cosine); see
+    functions/similarity.ivfpq_topk for the memory/scan story."""
+    from .functions.similarity import ivfpq_topk
+
+    return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF-PQ against exact brute force — the fifth
+    measured-accuracy row of the ANN family (brute / RP-LSH /
+    IVF+cluster / PQ / IVF-PQ): the composed index must show its
+    recall cost next to its scan+memory savings."""
+    from .functions.similarity import brute_force_topk, ivfpq_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), ivfpq_topk(emb))
+
+
 def raster_tile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed raster export end-to-end (SSURGO_ExportMuRaster →
     TIFF; the GeoTIFF bytes are encoded and written per tile ON THE

@@ -392,3 +392,38 @@ def test_dup_spans_flags_shared_kgram(spark):
     assert out[1]["n_dup_spans"] == 1 and out[1]["dup_frac_e4"] == 1666
     assert out[2]["n_dup_spans"] == 2
     assert out[4]["n_dup_spans"] == 0
+
+
+def test_ivfpq_exact_reconstruction_ranks_first(spark):
+    """IVF-PQ end-to-end on planted vectors. A coarse-centroid member
+    has residual 0, which the codebook contains (its own entry), so it
+    reconstructs EXACTLY — a query equal to that vector must rank it
+    top-1 with cos_e6 = 1000000. An arbitrary near-copy is NOT
+    guaranteed rank-1 under a stand-in residual codebook (quantization
+    loss is real — that's what emb_ivfpq_recall measures), but it must
+    at least survive coarse routing into the scored probe set."""
+    import random
+
+    from soil_data_development_tools___arcmap_spark.functions.similarity import (
+        ivfpq_topk,
+    )
+
+    random.seed(11)
+    rows = []
+    vecs = {}
+    for vid in range(40):
+        v = [random.uniform(-1, 1) for _ in range(64)]
+        vecs[vid] = v
+        rows.append((vid, [float(x) for x in v]))
+    rows[1] = (1, [float(x) for x in vecs[8]])  # query 1 == candidate 8
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivfpq_topk(emb, query_ids_below=2, topk=3).collect()
+    got = {(r["qid"], r["cid"]): (r["rn"], r["cos_e6"]) for r in out}
+    # candidate 8 is a coarse centroid -> residual 0 -> exact recon
+    assert got[(1, 8)] == (1, 1000000)
+    # structure: <= topk rows per query, ranks contiguous from 1
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["rn"])
+    for rns in by_q.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1)) and len(rns) <= 3
