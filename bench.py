@@ -66,6 +66,10 @@ SCALE10 = [
     "sdv_dcd",
     "planner_sdv_rating",
     "valu1_aws_ranges",
+    # the composed nightly run (ingest -> planner batch -> Valu1 ->
+    # merge): the end-to-end number a production user pays, tracked at
+    # 10x so cross-stage scale regressions surface in the round diff
+    "nightly_gssurgo",
 ]
 
 
