@@ -50,6 +50,30 @@ def _recode_cp1252(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def _sniff_linesep(path: str) -> str:
+    """Record separator of a pipe-text export (file, dir or glob):
+    WSS ships Windows \\r\\n, other producers \\n. multiLine mode
+    needs it EXPLICIT — univocity's auto-detection leaves a trailing
+    \\r in the last field of every \\r\\n row otherwise. One 64 KB
+    driver-side peek at the first file; files of one export are
+    consistent."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*")))
+    elif "*" in path:
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    for f0 in files:
+        if os.path.isfile(f0):
+            with open(f0, "rb") as fh:
+                head = fh.read(65536)
+            if head:
+                return "\r\n" if b"\r\n" in head else "\n"
+    return "\n"
+
+
 def read_ssurgo_table(
     spark: SparkSession,
     path: str,
@@ -73,6 +97,14 @@ def read_ssurgo_table(
             schema=schema,
             encoding="ISO-8859-1",
             nullValue="",
+            # real WSS exports embed newlines inside quoted narrative
+            # text (legendtext/mutext/cotext 'text' columns); the
+            # reference's csv.reader handles them and so must this
+            # scan. Cost: each FILE is read by one task (no intra-file
+            # splits) — the parallelism unit is the per-survey file
+            # set, which is the layout these exports already have.
+            multiLine=True,
+            lineSep=_sniff_linesep(path),
         )
     )
     df = _recode_cp1252(df)

@@ -189,3 +189,36 @@ def test_dataset_sizes(tmp_path):
     assert wss.dataset_sizes(str(tmp_path), suffix=".gdb") == [
         {"folder": "db.gdb", "bytes": 10, "n_files": 1},
     ]
+
+
+def test_multiline_narrative_fields(spark, tmp_path):
+    """Real WSS exports embed newlines inside quoted narrative text
+    (legendtext/mutext/cotext 'text' columns); the reference's
+    csv.reader handles them, so the scan must too (multiLine mode) —
+    without it a two-line field splits into two broken rows."""
+    import csv
+    import io
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    buf = io.StringIO()
+    w = csv.writer(
+        buf, delimiter="|", quotechar='"', doublequote=True,
+        quoting=csv.QUOTE_MINIMAL,
+    )
+    w.writerow(["t1", "l1", "misc", "First line.\nSecond line."])
+    w.writerow(["t2", "l1", "misc", 'has "quotes" and | a pipe'])
+    w.writerow(["t3", "l2", "misc", ""])  # blank -> NULL
+    p = os.path.join(str(tmp_path), "legtext.txt")
+    with open(p, "w", encoding="cp1252", newline="") as f:
+        f.write(buf.getvalue())
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ("legtextkey", "lkey", "textcat", "text")]
+    )
+    df = read_ssurgo_table(spark, p, "legtext", schema=schema)
+    rows = {r["legtextkey"]: r["text"] for r in df.collect()}
+    assert rows["t1"] == "First line.\nSecond line."
+    assert rows["t2"] == 'has "quotes" and | a pipe'
+    assert rows["t3"] is None
+    assert len(rows) == 3
