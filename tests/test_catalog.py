@@ -172,3 +172,45 @@ def test_export_bootstrap_roundtrip(spark, tmp_path):
     assert sa["interpdesigndate"].year == 2023
     assert sa["interpgendate"] is None
     assert sa["sainterpkey"] == "901"
+
+
+def test_pipe_text_export_roundtrip_adversarial(spark, tmp_path):
+    """The executor-side pipe-text exporter (_pipe_text_export) must
+    round-trip adversarial narrative values byte-faithfully through
+    the multiLine catalog scan: embedded newlines (LF and CRLF), the
+    pipe delimiter, doubled quotes, the cp1252 right-quote, and NULLs
+    in unspecified catalog columns."""
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.catalog import (
+        embedded_catalog,
+        load_full_export,
+    )
+    from soil_data_development_tools___arcmap_spark.queries import (
+        _pipe_text_export,
+    )
+
+    vals = {
+        1: "plain",
+        2: "line one\nline two",
+        3: "crlf one\r\ncrlf two",
+        4: 'has "quotes" and | a pipe',
+        5: "right’quote",  # cp1252 0x92
+    }
+    emb = embedded_catalog()
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vals.items()], "legtextkey long, text string"
+    ).withColumn("lkey", F.col("legtextkey"))
+    out = str(tmp_path / "export")
+    import os as _os
+
+    _os.makedirs(out, exist_ok=True)
+    _pipe_text_export(df, "legendtext", emb, out)
+    rt = load_full_export(spark, out, catalog=emb, tables=["legendtext"])[
+        "legendtext"
+    ]
+    rows = {int(r["legtextkey"]): r for r in rt.collect()}
+    assert {k: r["text"] for k, r in rows.items()} == vals
+    # unspecified catalog columns land as NULL
+    assert all(r["textcat"] is None for r in rows.values())
+    assert len(rows) == 5
