@@ -4008,6 +4008,34 @@ ORDER BY pmi_e6 DESC, p.x ASC, p.y ASC
 LIMIT 100
 """
 
+ORACLES["docs_lm_quality"] = """
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       unnest(generate_series(1, len(tk))) gs(i)
+  WHERE tk[i] <> ''),
+sq AS (
+  SELECT doc_id, pos, w,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok),
+bg AS (SELECT doc_id, w AS x, nxt AS y FROM sq WHERE nxt IS NOT NULL),
+ref AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM bg WHERE doc_id % 10 = 0 GROUP BY x, y),
+rx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM ref GROUP BY x),
+v AS (SELECT CAST(COUNT(DISTINCT y) AS BIGINT) AS vocab FROM ref),
+sc AS (
+  SELECT b.doc_id,
+         ((COALESCE(r.c_xy, 0) + 1) * 1000000)
+           // (COALESCE(rx.c_x, 0) + v.vocab) AS p_e6
+  FROM bg b
+  LEFT JOIN ref r ON b.x = r.x AND b.y = r.y
+  LEFT JOIN rx ON b.x = rx.x, v)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+       CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS score_e6
+FROM sc GROUP BY doc_id
+"""
+
 ORACLES["docs_length_deciles"] = """
 WITH d AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),

@@ -5971,6 +5971,59 @@ def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring, integer-exact: a
+    held-out reference slice (doc_id % 10 == 0 — the 'Wikipedia' side
+    of the CCNet recipe) trains Laplace-smoothed bigram transition
+    counts, and EVERY doc is scored by its mean transition probability
+    in ppm — p_e6 = ((c_xy + 1)·10⁶) div (c_x + |V|) per transition,
+    averaged with integer division. Low scores mark text the reference
+    LM finds improbable (gibberish, boilerplate, wrong language) —
+    the perplexity filter of a pretraining pipeline, expressed without
+    a float log so the oracle hashes it exactly.
+
+    100 TB posture: the reference model is a vocab²-bounded count
+    table (joins broadcast when small, shuffle on the bigram key when
+    not); the corpus side is one scan + one per-doc window; nothing
+    corpus-sized ever sits in driver or single-task state."""
+    from .functions.dedup import _spread
+    from .functions.text import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("nxt", F.lead("w").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("w").alias("x"), F.col("nxt").alias("y"))
+    )
+    ref = (
+        bg.where(F.col("doc_id") % 10 == 0)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    rx = ref.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    v = ref.agg(F.countDistinct("y").alias("vocab"))
+    sc = (
+        bg.join(ref, ["x", "y"], "left")
+        .join(rx, "x", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "((coalesce(c_xy, 0) + 1) * 1000000)"
+                " div (coalesce(c_x, 0) + vocab)"
+            ).alias("p_e6"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.expr("sum(p_e6) div count(1)").alias("score_e6"),
+    )
+
+
 def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based global decile binning WITHOUT a global sort — the
     equal-frequency feature-binning step (and the pattern for any

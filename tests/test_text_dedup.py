@@ -427,3 +427,34 @@ def test_ivfpq_exact_reconstruction_ranks_first(spark):
         by_q.setdefault(r["qid"], []).append(r["rn"])
     for rns in by_q.values():
         assert sorted(rns) == list(range(1, len(rns) + 1)) and len(rns) <= 3
+
+
+def test_lm_quality_ranks_in_domain_above_gibberish(spark, monkeypatch, tmp_path):
+    """docs_lm_quality: a doc made of reference-frequent transitions
+    must outscore a doc of never-seen transitions (the filter's whole
+    point), and the score is the exact integer mean of per-transition
+    Laplace ppm values."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+
+    rows = [
+        # reference slice (doc_id % 10 == 0): trains "a b", "b c" heavy
+        (10, "a b c a b c a b c"),
+        (20, "a b c a b c"),
+        # in-domain doc: transitions the reference saw
+        (1, "a b c a b"),
+        # gibberish: transitions never seen
+        (2, "x y z w v"),
+    ]
+    d = str(tmp_path / "lm")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in Q.docs_lm_quality(spark, d).collect()}
+    assert out[1]["score_e6"] > out[2]["score_e6"]
+    # hand-check doc 2: every transition unseen, every x unseen ->
+    # p_e6 = 1e6 div vocab; vocab = |{b, c, a}| = 3
+    assert out[2]["score_e6"] == 1000000 // 3
+    assert out[2]["n_trans"] == 4
