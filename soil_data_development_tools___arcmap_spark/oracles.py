@@ -4036,6 +4036,44 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
 FROM sc GROUP BY doc_id
 """
 
+# BPE merge-rule training: 8 rounds unrolled — each stage re-splits
+# the fused corpus, counts adjacent pairs, takes the deterministic
+# argmax, and fuses via the SAME double-replace the Spark side uses
+# (identical left-to-right non-overlapping semantics → bit-equal run).
+def _bpe_stage(i: int) -> str:
+    fuse = (
+        f"replace(d.s, ' '||w.x||' '||w.y||' ', "
+        f"' '||w.x||chr(31)||w.y||' ')"
+    )
+    return f"""
+tok{i} AS (
+  SELECT doc_id, i2 - 1 AS pos, tk[i2] AS w
+  FROM (SELECT doc_id, string_split(s, ' ') AS tk FROM s{i - 1}),
+       unnest(generate_series(1, len(tk))) gs(i2)
+  WHERE tk[i2] <> ''),
+cnt{i} AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT w AS x,
+               LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+        FROM tok{i})
+  WHERE y IS NOT NULL GROUP BY x, y),
+win{i} AS (
+  SELECT CAST({i} AS INTEGER) AS rank, x, y, c
+  FROM cnt{i} ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+s{i} AS (
+  SELECT d.doc_id,
+         replace({fuse}, ' '||w.x||' '||w.y||' ',
+                 ' '||w.x||chr(31)||w.y||' ') AS s
+  FROM s{i - 1} d, win{i} w),"""
+
+
+ORACLES["docs_bpe_train"] = (
+    "WITH s0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),"
+    + "".join(_bpe_stage(i) for i in range(1, 9)).rstrip(",")
+    + "\n"
+    + "\nUNION ALL\n".join(f"SELECT rank, x, y, c FROM win{i}" for i in range(1, 9))
+)
+
 ORACLES["docs_length_deciles"] = """
 WITH d AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),

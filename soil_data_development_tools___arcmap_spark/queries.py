@@ -6024,6 +6024,67 @@ def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFrame:
+    """Tokenizer training: greedy BPE-style merge-rule discovery over
+    the corpus — per round, count adjacent token pairs, pick the most
+    frequent (count desc, then lexicographic — fully deterministic),
+    fuse its occurrences, repeat. Output is the trained artifact: the
+    merge table (rank, x, y, c).
+
+    Fusion is expressed as plain string ``replace`` of the delimited
+    pair (two passes per round to close the boundary gaps replace's
+    non-overlapping scan leaves in alternating chains) — deliberately,
+    because DuckDB's replace has IDENTICAL left-to-right semantics, so
+    the oracle reproduces the whole training run bit-for-bit. The
+    residual deviation from canonical single-token-scan BPE (a chain
+    longer than ~4 alternations can leave a pair unfused within a
+    round) is the same in both engines and self-corrects in later
+    rounds.
+
+    100 TB posture: each round is one scan + one map-side-combined
+    pair count; only the 1-row argmax is collected per round (the same
+    metadata-sized driver traffic as k-means centroid updates) and the
+    fusion is a map-only string op. Rounds are sequential by nature —
+    that's BPE — but each round is embarrassingly parallel."""
+    from .functions.dedup import _free_checkpoint as _free_ckpt
+    from .functions.dedup import _spread
+
+    SEP = "\x1f"  # unit separator: cannot collide with corpus tokens
+    cur = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s")
+    )
+    w_ = Window.partitionBy("doc_id").orderBy("pos")
+    merges = []
+    for rank in range(1, n_merges + 1):
+        tok = cur.select(
+            "doc_id", F.posexplode(F.split("s", " ")).alias("pos", "w")
+        ).where(F.col("w") != "")
+        cnt = (
+            tok.withColumn("nxt", F.lead("w").over(w_))
+            .where(F.col("nxt").isNotNull())
+            .groupBy(F.col("w").alias("x"), F.col("nxt").alias("y"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = cnt.orderBy(
+            F.col("c").desc(), F.col("x").asc(), F.col("y").asc()
+        ).limit(1).collect()
+        if not win:
+            break
+        x, y, c = win[0]["x"], win[0]["y"], win[0]["c"]
+        merges.append((rank, x, y, int(c)))
+        pat = F.lit(f" {x} {y} ")
+        rep = F.lit(f" {x}{SEP}{y} ")
+        fused = F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
+        # checkpoint the fused corpus so round k does not re-execute
+        # rounds 1..k-1 (lineage would grow O(k) scans); free the
+        # superseded round's blocks deterministically (CC-loop lesson)
+        prev = cur
+        cur = cur.select("doc_id", fused.alias("s")).localCheckpoint()
+        if rank > 1:
+            _free_ckpt(prev)
+    return spark.createDataFrame(merges, "rank int, x string, y string, c long")
+
+
 def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based global decile binning WITHOUT a global sort — the
     equal-frequency feature-binning step (and the pattern for any
