@@ -4074,6 +4074,21 @@ ORACLES["docs_bpe_train"] = (
     + "\nUNION ALL\n".join(f"SELECT rank, x, y, c FROM win{i}" for i in range(1, 9))
 )
 
+ORACLES["docs_bpe_apply"] = (
+    "WITH s0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),"
+    + "".join(_bpe_stage(i) for i in range(1, 9)).rstrip(",")
+    + """
+SELECT doc_id,
+  len(list_filter(string_split(s, ' '), x -> x <> '')) AS n_pieces,
+  len(list_filter(string_split(s, ' '),
+                  x -> x <> '' AND contains(x, chr(31)))) AS n_fused,
+  len(flatten(list_transform(
+        list_filter(string_split(s, ' '), x -> x <> ''),
+        x -> string_split(x, chr(31))))) AS n_raw_tokens
+FROM s8
+"""
+)
+
 ORACLES["docs_length_deciles"] = """
 WITH d AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),

@@ -6046,6 +6046,13 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
     metadata-sized driver traffic as k-means centroid updates) and the
     fusion is a map-only string op. Rounds are sequential by nature —
     that's BPE — but each round is embarrassingly parallel."""
+    merges, _ = _bpe_run(spark, sf_dir, n_merges)
+    return spark.createDataFrame(merges, "rank int, x string, y string, c long")
+
+
+def _bpe_run(spark: SparkSession, sf_dir: str, n_merges: int):
+    """Shared BPE training loop: returns (merge list, fused corpus
+    DataFrame after the final round). See docs_bpe_train."""
     from .functions.dedup import _free_checkpoint as _free_ckpt
     from .functions.dedup import _spread
 
@@ -6082,7 +6089,31 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
         cur = cur.select("doc_id", fused.alias("s")).localCheckpoint()
         if rank > 1:
             _free_ckpt(prev)
-    return spark.createDataFrame(merges, "rank int, x string, y string, c long")
+    return merges, cur
+
+
+def docs_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-with-the-trained-rules: segment every doc with the 8
+    learned merge rules and report the per-doc piece economics — piece
+    count after merging, fused-piece count, and the raw token count —
+    the compression the tokenizer buys, measured on the corpus it was
+    trained on. Map-only over the fused corpus the training loop
+    already produced (no re-segmentation pass)."""
+    _, fused = _bpe_run(spark, sf_dir, 8)
+    SEP = "\x1f"
+    pieces = F.filter(F.split("s", " "), lambda x: x != "")
+    return fused.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(
+            F.filter(pieces, lambda x: x.contains(SEP))
+        ).alias("n_fused"),
+        F.size(
+            F.flatten(
+                F.transform(pieces, lambda x: F.split(x, SEP))
+            )
+        ).alias("n_raw_tokens"),
+    )
 
 
 def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
