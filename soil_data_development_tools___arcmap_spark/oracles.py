@@ -3366,7 +3366,7 @@ _PQ_KCOS = (
 )
 
 
-def _pq_train_iter(i: int) -> str:
+def _pq_train_iter(i: int, sub: int = 16) -> str:
     return f"""
 a{i} AS (
   SELECT cid, j, sv, kid FROM (
@@ -3379,7 +3379,7 @@ a{i} AS (
 u{i} AS (
   SELECT kid, j, list(CAST(floor(m) AS BIGINT) ORDER BY p) AS kv
   FROM (SELECT kid, j, p, AVG(sv[p]) AS m
-        FROM a{i}, (SELECT unnest(range(1, 17)) AS p) pos
+        FROM a{i}, (SELECT unnest(range(1, {sub + 1})) AS p) pos
         GROUP BY kid, j, p)
   GROUP BY kid, j),
 cb{i + 1} AS (
@@ -3428,10 +3428,8 @@ WHERE rn <= 5
 
 ORACLES["emb_knn_pq_trained"] = _PQ_TRAINED
 
-# IVF-PQ: coarse inverted lists (first-8 stand-in centroids) + PQ over
-# RESIDUALS (first-16 stand-in residual codebook); queries probe their
-# 2 nearest lists and score the centroid+decoded-residual
-# reconstruction — mirrors functions/similarity.ivfpq_topk exactly.
+#: floored-cosine template over two list columns (shared by the
+#: trained-IVF and IVF-PQ twins)
 _IVFPQ_KCOS = (
     "CASE WHEN list_dot_product({a}, {a}) = 0 "
     "OR list_dot_product({b}, {b}) = 0 THEN -2000000 "
@@ -3440,6 +3438,63 @@ _IVFPQ_KCOS = (
     "*1000000) AS BIGINT) END"
 )
 
+# trained IVF: Lloyd's k-means over the FULL 64-dim vectors, unrolled
+# for the fixed 3 iterations via the same template (one j=0 "subspace"
+# of width 64), then the standard IVF probe/score path with the
+# learned centroids.
+_IVF_TRAINED = f"""
+WITH {_EMB_Q},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
+cs AS (SELECT cid, 0 AS j, cv AS sv FROM c),
+cb0 AS (
+  SELECT CAST(cid - 8 AS INTEGER) AS kid, j, sv AS kv
+  FROM cs WHERE cid < 24),{_pq_train_iter(0, 64)}{_pq_train_iter(1, 64)}{_pq_train_iter(2, 64)}
+asg AS (
+  SELECT cid, cv, kid FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid
+                                 ORDER BY kcos DESC, kid ASC) AS rn
+    FROM (SELECT c.cid, c.cv, cb.kid,
+                 {_IVFPQ_KCOS.format(a="c.cv", b="cb.kv")} AS kcos
+          FROM c, cb3 cb))
+  WHERE rn = 1),
+probes AS (
+  SELECT qid, qv, kid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY kcos DESC, kid ASC) AS prn
+    FROM (SELECT q.qid, q.qv, cb.kid,
+                 {_IVFPQ_KCOS.format(a="q.qv", b="cb.kv")} AS kcos
+          FROM q, cb3 cb))
+  WHERE prn <= 4),
+s AS (
+  SELECT p.qid, a.cid,
+         {_IVFPQ_KCOS.format(a="p.qv", b="a.cv")} AS cos_e6
+  FROM asg a JOIN probes p ON a.kid = p.kid)
+SELECT qid, cid, cos_e6, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+ORACLES["emb_knn_ivf_trained"] = _IVF_TRAINED
+
+ORACLES["emb_ivf_recall_trained"] = f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+approx AS ({_IVF_TRAINED}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid
+"""
+
+# IVF-PQ: coarse inverted lists (first-8 stand-in centroids) + PQ over
+# RESIDUALS (first-16 stand-in residual codebook); queries probe their
+# 2 nearest lists and score the centroid+decoded-residual
+# reconstruction — mirrors functions/similarity.ivfpq_topk exactly.
 _IVFPQ = f"""
 WITH {_EMB_Q},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),

@@ -4727,6 +4727,27 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED coarse centroids: 3 rounds of Lloyd's
+    k-means over the full vectors replace the first-16 stand-in; the
+    probe/score path is byte-identical. The oracle unrolls the
+    training iterations, so the learned quantizer — not just the
+    search — is cross-engine verified (the IVF twin of
+    emb_knn_pq_trained)."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), train=True)
+
+
+def emb_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of trained-centroid IVF against exact brute force —
+    the production-quantizer accuracy row next to the stand-in's."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), ivf_topk(emb, train=True))
+
+
 def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN with TRAINED per-subspace codebooks: 3 rounds of Lloyd's
     k-means per subspace (train_ivf_centroids, floored-integer means,
