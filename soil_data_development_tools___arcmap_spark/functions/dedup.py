@@ -510,6 +510,42 @@ def minhash_lsh_pairs(
     )
 
 
+def rowwise_shingles(col: str = "text", k: int = 3):
+    """Per-ROW k-gram shingle set as a Column — no explode, no
+    shuffle: the streaming-compatible formulation (a stateless map
+    can't run the exploded groupBy pipeline). Values are identical to
+    ``shingle_sets``; docs shorter than k tokens get an empty set."""
+    toks = F.filter(F.split(F.col(col), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def rowwise_minhash(ss, num_hashes: int = 16) -> list:
+    """Per-ROW MinHash signature over a shingle-array Column: one
+    ``array_min`` per function instead of the exploded groupBy —
+    VALUES IDENTICAL to ``minhash_signatures`` (same '<g>#'-seeded md5,
+    same 8-hex substrings), so row-wise and exploded signatures
+    interoperate (a streaming batch can probe a batch-built index).
+    Returns the list of ``num_hashes`` min Columns; empty sets yield
+    nulls (callers drop them — no signature, no candidates)."""
+    def _h(g: int, part: int):
+        # closure factory: default-arg capture would give the lambda
+        # extra parameters and PySpark binds HOF arity by signature
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{g}#"), s)), 1 + 8 * part, 8
+        )
+
+    return [
+        F.array_min(F.transform(ss, _h(i // 4, i % 4))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
 _HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 

@@ -4144,6 +4144,52 @@ FROM s8
 """
 )
 
+# streaming near-dup gate: batch twin of streaming/docs.py — per-row
+# shingle sets + minhash (same '<g>#' md5 substrings), odd-ids probe
+# the even-id band index (any-band match), exact Jaccard verify.
+_RW_MH = ",\n    ".join(
+    f"list_min(list_transform(ss, s -> substr(md5('{i // 4}#' || s), "
+    f"{1 + 8 * (i % 4)}, 8))) AS mh{i}"
+    for i in range(16)
+)
+_RW_BANDS = ",\n    ".join(
+    " || '|' || ".join(f"mh{b * 4 + r}" for r in range(4)) + f" AS b{b}"
+    for b in range(4)
+)
+
+ORACLES["docs_stream_neardup"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         ELSE CAST([] AS VARCHAR[]) END AS ss
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)),
+sigs AS (
+  SELECT doc_id, ss,
+    {_RW_MH}
+  FROM base WHERE len(ss) > 0),
+banded AS (
+  SELECT doc_id, ss,
+    {_RW_BANDS}
+  FROM sigs),
+cand AS (
+  SELECT n.doc_id AS new_did, c.doc_id AS corpus_did,
+         n.ss AS nss, c.ss AS css
+  FROM banded n JOIN banded c
+    ON (n.b0 = c.b0 OR n.b1 = c.b1 OR n.b2 = c.b2 OR n.b3 = c.b3)
+  WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+SELECT new_did, corpus_did, jac_e4 FROM (
+  SELECT new_did, corpus_did,
+         CAST(floor(CAST(len(list_intersect(nss, css)) AS DOUBLE)
+              / (len(nss) + len(css) - len(list_intersect(nss, css)))
+              * 10000) AS BIGINT) AS jac_e4
+  FROM cand)
+WHERE jac_e4 >= 3000
+"""
+
 ORACLES["docs_length_deciles"] = """
 WITH d AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),

@@ -6137,6 +6137,18 @@ def docs_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup gate: odd-doc_id documents ARRIVE AS A
+    STREAM and are checked against the static MinHash band index of
+    the even-doc_id corpus — signature per row (no exploded groupBy:
+    streaming-compatible array_min formulation, value-identical to the
+    batch signatures), stream-static band join, exact per-row Jaccard
+    verification. Zero streaming state. See streaming/docs.py."""
+    from .streaming.docs import run_neardup_stream
+
+    return run_neardup_stream(spark, sf_dir)
+
+
 def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based global decile binning WITHOUT a global sort — the
     equal-frequency feature-binning step (and the pattern for any

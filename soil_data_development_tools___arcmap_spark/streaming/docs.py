@@ -1,0 +1,138 @@
+"""Streaming near-duplicate gate: new documents stream in and are
+checked against a STATIC MinHash band index of the existing corpus —
+the ingest-side near-dup filter a training pipeline runs before a
+document is admitted (the streaming twin of the batch
+``docs_incremental_dedup`` index join, but per-arriving-batch).
+
+The whole query is STATELESS: signatures are computed per row with
+``rowwise_minhash`` (array_min over the in-row shingle set — no
+exploded groupBy, which a streaming append query could not run without
+a watermarked aggregation), candidates come from a stream-static join
+of band keys (the static side broadcasts), and verification is exact
+per-row shingle Jaccard against the indexed document's shingle array.
+State is therefore ZERO — no watermark, no store growth, regardless of
+stream length; the index refresh cadence is an offline concern (the
+batch LSH pipeline rebuilds it).
+
+A pair that collides in several bands emits once per band; the
+append-mode sink is deduplicated by a plain batch ``distinct()`` on
+the completed result table (a stateful streaming distinct would hold
+pair keys forever for no benefit at query end).
+
+100 TB posture: per-event cost is signature math + a broadcast probe;
+the only data-sized state anywhere is the INDEX, which lives in the
+batch world and is bounded by corpus size × 4 band keys.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import rowwise_minhash, rowwise_shingles
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+#: signature geometry — matches the batch LSH default (16 funcs / 4 bands)
+NUM_HASHES = 16
+BANDS = 4
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (symlink dir, like
+    read_events_stream)."""
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    cache = getattr(read_documents_stream, "_dirs", None)
+    if cache is None:
+        cache = read_documents_stream._dirs = {}
+    stream_dir = cache.get(src)
+    if stream_dir is None or not os.path.isdir(stream_dir):
+        stream_dir = tempfile.mkdtemp(prefix="sddt_docs_stream_")
+        os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
+        cache[src] = stream_dir
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(stream_dir)
+
+
+def _with_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, ss, band_id, key): per-row signature split into band
+    keys, long-form. Works identically on batch and streaming frames
+    (all stateless expressions)."""
+    rows = NUM_HASHES // BANDS
+    sig = df.select(
+        "doc_id", rowwise_shingles("text").alias("ss")
+    ).withColumns({f"mh{i}": m for i, m in enumerate(rowwise_minhash(F.col("ss")))})
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ).alias("key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return (
+        sig.where(F.col("mh0").isNotNull())  # < k tokens -> no signature
+        .select("doc_id", "ss", F.explode(bands).alias("bk"))
+        .select("doc_id", "ss", F.col("bk.band_id"), F.col("bk.key"))
+    )
+
+
+def run_neardup_stream(
+    spark: SparkSession, sf_dir: str, threshold_e4: int = 3000
+) -> DataFrame:
+    """Run the streaming near-dup gate to completion (availableNow +
+    append memory sink): even doc_ids are the indexed corpus (static),
+    odd doc_ids arrive as the stream. Returns (new_did, corpus_did,
+    jac_e4) pairs over the threshold, deduplicated batch-side."""
+    corpus = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    ).where(F.col("doc_id") % 2 == 0)
+    index = _with_bands(corpus)
+    corpus_ss = index.select(
+        F.col("doc_id").alias("corpus_did"), F.col("ss").alias("css")
+    ).distinct()
+
+    new = _with_bands(
+        read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+    ).select(
+        F.col("doc_id").alias("new_did"),
+        F.col("ss").alias("nss"),
+        "band_id",
+        "key",
+    )
+    cand = new.join(
+        F.broadcast(
+            index.select(
+                F.col("doc_id").alias("corpus_did"), "band_id", "key"
+            )
+        ),
+        ["band_id", "key"],
+    )
+    inter = F.size(F.array_intersect("nss", "css"))
+    jac = F.floor(
+        (inter / (F.size("nss") + F.size("css") - inter)) * 10000
+    ).cast("long")
+    out = (
+        cand.join(F.broadcast(corpus_ss), "corpus_did")
+        .select("new_did", "corpus_did", jac.alias("jac_e4"))
+        .where(F.col("jac_e4") >= threshold_e4)
+    )
+    name = "docs_neardup_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # multi-band collisions emit one row per shared band — batch dedup
+    return spark.table(name).distinct()

@@ -493,3 +493,33 @@ def test_bpe_train_known_merges(spark, tmp_path):
     again = {r["rank"]: (r["x"], r["y"], r["c"])
              for r in Q.docs_bpe_train(spark, d, n_merges=3).collect()}
     assert again == out
+
+
+def test_rowwise_minhash_matches_exploded(spark):
+    """The per-row (streaming-compatible) signature formulation must
+    produce BIT-IDENTICAL values to the exploded batch
+    minhash_signatures — the property that lets a streaming batch
+    probe a batch-built LSH index."""
+    import pyspark.sql.functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        minhash_signatures,
+        rowwise_minhash,
+        rowwise_shingles,
+    )
+
+    df = docs(spark)
+    exploded = {
+        r["did"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in minhash_signatures(df).collect()
+    }
+    rw = df.select(
+        F.col("doc_id").alias("did"), rowwise_shingles("text").alias("ss")
+    )
+    rw = rw.select("did", *rowwise_minhash(F.col("ss")))
+    rowwise = {
+        r["did"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in rw.collect()
+        if r["mh0"] is not None  # doc 5 (< 3 tokens) has no signature
+    }
+    assert rowwise == exploded
