@@ -86,12 +86,20 @@ def _with_bands(df: DataFrame) -> DataFrame:
 
 
 def run_neardup_stream(
-    spark: SparkSession, sf_dir: str, threshold_e4: int = 3000
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e4: int = 3000,
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """Run the streaming near-dup gate to completion (availableNow +
     append memory sink): even doc_ids are the indexed corpus (static),
     odd doc_ids arrive as the stream. Returns (new_did, corpus_did,
-    jac_e4) pairs over the threshold, deduplicated batch-side."""
+    jac_e4) pairs over the threshold, deduplicated batch-side.
+
+    ``source`` overrides the default single-file reader (the
+    multi-batch replay test feeds a split-file source under
+    maxFilesPerTrigger=1 — a stateless query must be batch-partition
+    invariant, and this pins it)."""
     corpus = spark.read.schema(DOCS_SCHEMA).parquet(
         f"{sf_dir}/documents.parquet"
     ).where(F.col("doc_id") % 2 == 0)
@@ -101,7 +109,11 @@ def run_neardup_stream(
     ).distinct()
 
     new = _with_bands(
-        read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+        (
+            source
+            if source is not None
+            else read_documents_stream(spark, sf_dir)
+        ).where(F.col("doc_id") % 2 == 1)
     ).select(
         F.col("doc_id").alias("new_did"),
         F.col("ss").alias("nss"),

@@ -448,3 +448,43 @@ def test_tumbling_update_mode_across_batches(spark, tmp_path):
         for r in run_stream_to_table(spark, SF_SMOKE, source=source).collect()
     }
     assert batch == stream and len(days) > 1
+
+
+def test_neardup_stream_across_batches(spark, tmp_path):
+    """The stateless streaming near-dup gate must be batch-partition
+    invariant: the new-doc stream split into 4 files delivered one per
+    trigger yields the SAME pair set as the single-batch run (and both
+    match the batch-computed expectation on this corpus)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_neardup_stream,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    src = str(tmp_path / "docs_split")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    single = {
+        (r["new_did"], r["corpus_did"], r["jac_e4"])
+        for r in run_neardup_stream(spark, SF_SMOKE).collect()
+    }
+    multi_src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = {
+        (r["new_did"], r["corpus_did"], r["jac_e4"])
+        for r in run_neardup_stream(spark, SF_SMOKE, source=multi_src).collect()
+    }
+    assert single == multi and len(single) > 0
