@@ -6046,70 +6046,160 @@ def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFrame:
-    """Tokenizer training: greedy BPE-style merge-rule discovery over
-    the corpus — per round, count adjacent token pairs, pick the most
+    """Tokenizer training: greedy BPE merge-rule discovery over the
+    corpus — per round, count adjacent token pairs, pick the most
     frequent (count desc, then lexicographic — fully deterministic),
-    fuse its occurrences, repeat. Output is the trained artifact: the
-    merge table (rank, x, y, c).
+    fuse its occurrences left-to-right, repeat. Output is the trained
+    artifact: the merge table (rank, x, y, c).
 
-    Fusion is expressed as plain string ``replace`` of the delimited
-    pair (two passes per round to close the boundary gaps replace's
-    non-overlapping scan leaves in alternating chains) — deliberately,
-    because DuckDB's replace has IDENTICAL left-to-right semantics, so
-    the oracle reproduces the whole training run bit-for-bit. The
-    residual deviation from canonical single-token-scan BPE (a chain
-    longer than ~4 alternations can leave a pair unfused within a
-    round) is the same in both engines and self-corrects in later
-    rounds.
+    Fusion is a SEGMENT SCAN with canonical single-pass greedy
+    semantics (round 7; the previous double-string-replace left pairs
+    unfused on long alternating chains): tokens are position-indexed,
+    a pair-start flag marks every (x, y) adjacency, and within each
+    maximal run of consecutive pair-starts (only an x == y token run
+    can produce one — for x != y two pair-starts can never be
+    adjacent) the even offsets fuse, exactly the left-to-right
+    non-overlapping walk of a textbook BPE trainer. All of it is
+    window arithmetic over one (doc_id, idx) ordering, so the DuckDB
+    oracle expresses the identical walk in window SQL — the
+    cross-engine hash now certifies CANONICAL semantics, not merely a
+    shared deviation.
 
-    100 TB posture: each round is one scan + one map-side-combined
+    100 TB posture: each round is one doc_id exchange (windows and the
+    rebuild groupBy share the partitioning) + one map-side-combined
     pair count; only the 1-row argmax is collected per round (the same
-    metadata-sized driver traffic as k-means centroid updates) and the
-    fusion is a map-only string op. Rounds are sequential by nature —
-    that's BPE — but each round is embarrassingly parallel."""
+    metadata-sized driver traffic as k-means centroid updates). Rounds
+    are sequential by nature — that's BPE — but each round is
+    embarrassingly parallel. The trained run (merges + fused corpus)
+    is memoized per (session, corpus fingerprint, n_merges) so
+    docs_bpe_apply reuses the artifact instead of re-training."""
     merges, _ = _bpe_run(spark, sf_dir, n_merges)
     return spark.createDataFrame(merges, "rank int, x string, y string, c long")
 
 
+#: trained-BPE artifact memo: (applicationId, corpus path, mtime, size,
+#: n_merges) -> (merge list, fused-corpus DataFrame). One artifact held
+#: at a time — its localCheckpoint blocks pin executor storage, so the
+#: superseded artifact's blocks are freed on eviction.
+_BPE_MEMO: dict[tuple, tuple] = {}
+
+
 def _bpe_run(spark: SparkSession, sf_dir: str, n_merges: int):
     """Shared BPE training loop: returns (merge list, fused corpus
-    DataFrame after the final round). See docs_bpe_train."""
+    DataFrame after the final round), memoized on the corpus content
+    fingerprint so train + apply in one gate run train ONCE. See
+    docs_bpe_train."""
+    import contextlib
+
     from .functions.dedup import _free_checkpoint as _free_ckpt
     from .functions.dedup import _spread
 
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = (
+        spark.sparkContext.applicationId,
+        src, st.st_mtime_ns, st.st_size, n_merges,
+    )
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        return hit
+
     SEP = "\x1f"  # unit separator: cannot collide with corpus tokens
     cur = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
-        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s")
+        "doc_id", F.col("text").alias("s")
     )
     w_ = Window.partitionBy("doc_id").orderBy("pos")
+    wi = Window.partitionBy("doc_id").orderBy("idx")
+    wrun = wi.rowsBetween(Window.unboundedPreceding, 0)
     merges = []
     for rank in range(1, n_merges + 1):
-        tok = cur.select(
-            "doc_id", F.posexplode(F.split("s", " ")).alias("pos", "w")
-        ).where(F.col("w") != "")
-        cnt = (
-            tok.withColumn("nxt", F.lead("w").over(w_))
-            .where(F.col("nxt").isNotNull())
+        tok = (
+            cur.select(
+                "doc_id", F.posexplode(F.split("s", " ")).alias("pos", "w")
+            )
+            .where(F.col("w") != "")
+            .select("doc_id", "w", F.row_number().over(w_).alias("idx"))
+        )
+        pairs = tok.withColumn("nxt", F.lead("w").over(wi))
+        win = (
+            pairs.where(F.col("nxt").isNotNull())
             .groupBy(F.col("w").alias("x"), F.col("nxt").alias("y"))
             .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
         )
-        win = cnt.orderBy(
-            F.col("c").desc(), F.col("x").asc(), F.col("y").asc()
-        ).limit(1).collect()
         if not win:
             break
         x, y, c = win[0]["x"], win[0]["y"], win[0]["c"]
         merges.append((rank, x, y, int(c)))
-        pat = F.lit(f" {x} {y} ")
-        rep = F.lit(f" {x}{SEP}{y} ")
-        fused = F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
-        # checkpoint the fused corpus so round k does not re-execute
-        # rounds 1..k-1 (lineage would grow O(k) scans); free the
-        # superseded round's blocks deterministically (CC-loop lesson)
+        # canonical greedy fusion: pair-start runs -> even offsets fuse
+        m = (
+            pairs.withColumn(
+                "p",
+                F.coalesce(
+                    (F.col("w") == x) & (F.col("nxt") == y), F.lit(False)
+                ),
+            )
+            .withColumn(
+                "head",
+                F.col("p")
+                & ~F.coalesce(F.lag("p").over(wi), F.lit(False)),
+            )
+            .withColumn(
+                "rs",
+                F.last(
+                    F.when(F.col("head"), F.col("idx")), ignorenulls=True
+                ).over(wrun),
+            )
+            .withColumn(
+                "fs",
+                F.col("p") & ((F.col("idx") - F.col("rs")) % 2 == 0),
+            )
+        )
+        nw = (
+            F.when(F.col("fs"), F.concat("w", F.lit(SEP), "nxt"))
+            .when(
+                F.coalesce(F.lag("fs").over(wi), F.lit(False)),
+                F.lit(None),  # consumed as the second half of a fuse
+            )
+            .otherwise(F.col("w"))
+        )
+        fused = (
+            m.select("doc_id", "idx", nw.alias("nw"))
+            .where(F.col("nw").isNotNull())
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "nw"))),
+                        lambda s: s["nw"],
+                    ),
+                    " ",
+                ).alias("s")
+            )
+        )
+        # left-join-coalesce keeps token-less docs (and is a no-op for
+        # docs without this round's pair only in spacing terms);
+        # checkpoint so round k does not re-execute rounds 1..k-1
+        # (lineage would grow O(k) scans); free the superseded round's
+        # blocks deterministically (CC-loop lesson)
         prev = cur
-        cur = cur.select("doc_id", fused.alias("s")).localCheckpoint()
+        cur = (
+            prev.alias("c")
+            .join(fused.alias("f"), "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce(F.col("f.s"), F.col("c.s")).alias("s")
+            )
+            .localCheckpoint()
+        )
         if rank > 1:
             _free_ckpt(prev)
+    for old_key in list(_BPE_MEMO):
+        _, old_cur = _BPE_MEMO.pop(old_key)
+        with contextlib.suppress(Exception):  # dead session's blocks
+            _free_ckpt(old_cur)
+    _BPE_MEMO[key] = (merges, cur)
     return merges, cur
 
 

@@ -495,6 +495,63 @@ def test_bpe_train_known_merges(spark, tmp_path):
     assert again == out
 
 
+def test_bpe_canonical_chain_fusion(spark, tmp_path):
+    """Canonical greedy fusion on an identical-token run — the case
+    the old double-string-replace got wrong: ``a a a a a`` must fuse
+    left-to-right into [aa, aa, a] (positions 1+2 and 3+4), so round 2
+    sees the pair (aa, a). The replace-based fusion skipped the token
+    whose leading space the first match consumed, producing
+    [aa, a, aa] and a round-2 winner of (a, aa) instead."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+
+    d = str(tmp_path / "bpe_chain")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a a a a a")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    SEP = "\x1f"
+    out = {r["rank"]: (r["x"], r["y"], r["c"])
+           for r in Q.docs_bpe_train(spark, d, n_merges=2).collect()}
+    assert out[1] == ("a", "a", 4)
+    # canonical corpus after round 1 is [aa, aa, a]: adjacent pairs
+    # (aa,aa) and (aa,a), tied at 1, lexicographic tiebreak on y
+    assert out[2] == (f"a{SEP}a", "a", 1)
+
+
+def test_bpe_artifact_memoized(spark, tmp_path):
+    """docs_bpe_apply must reuse the trained artifact from
+    docs_bpe_train (same corpus, same n_merges) instead of re-running
+    the 8-round loop — the memo is keyed on the corpus content
+    fingerprint, so a REWRITTEN corpus retrains."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+    from soil_data_development_tools___arcmap_spark.queries import (
+        _BPE_MEMO,
+        _bpe_run,
+    )
+
+    d = str(tmp_path / "bpe_memo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "documents.parquet")
+    spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(p)
+    m1, f1 = _bpe_run(spark, d, 8)
+    m2, f2 = _bpe_run(spark, d, 8)
+    assert m1 is m2 and f1 is f2  # memo hit: identical objects
+    assert Q.docs_bpe_apply(spark, d).count() == 2
+    # content change -> new fingerprint -> retrain
+    spark.createDataFrame(
+        [(1, "x y x y")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(p)
+    m3, _ = _bpe_run(spark, d, 8)
+    assert m3 is not m1 and m3[0][1] == "x"
+    assert len(_BPE_MEMO) == 1  # superseded artifact evicted
+
+
 def test_rowwise_minhash_matches_exploded(spark):
     """The per-row (streaming-compatible) signature formulation must
     produce BIT-IDENTICAL values to the exploded batch
