@@ -19,9 +19,15 @@ append-mode sink is deduplicated by a plain batch ``distinct()`` on
 the completed result table (a stateful streaming distinct would hold
 pair keys forever for no benefit at query end).
 
-100 TB posture: per-event cost is signature math + a broadcast probe;
-the only data-sized state anywhere is the INDEX, which lives in the
-batch world and is bounded by corpus size × 4 band keys.
+100 TB posture: per-event cost is signature math + an index probe.
+The only data-sized side anywhere is the INDEX, which lives in the
+batch world and is bounded by corpus size × 4 band keys — DATA-sized,
+not broadcast-sized, so the stream-static join carries NO broadcast
+hint by default: Spark plans it per micro-batch (AQE picks broadcast
+while the index is small; a 100 TB corpus's index goes through a
+shuffled join instead of OOMing the driver). ``broadcast=True`` pins
+the hint for deployments that KNOW the index fits (certified
+value-identical in tests either way).
 """
 
 from __future__ import annotations
@@ -90,6 +96,7 @@ def run_neardup_stream(
     sf_dir: str,
     threshold_e4: int = 3000,
     source: DataFrame | None = None,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Run the streaming near-dup gate to completion (availableNow +
     append memory sink): even doc_ids are the indexed corpus (static),
@@ -99,7 +106,14 @@ def run_neardup_stream(
     ``source`` overrides the default single-file reader (the
     multi-batch replay test feeds a split-file source under
     maxFilesPerTrigger=1 — a stateless query must be batch-partition
-    invariant, and this pins it)."""
+    invariant, and this pins it). ``broadcast`` pins the broadcast
+    hint on the static index sides; the default leaves the join
+    strategy to the planner because the index is corpus-sized (see
+    module docstring)."""
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast else df
+
     corpus = spark.read.schema(DOCS_SCHEMA).parquet(
         f"{sf_dir}/documents.parquet"
     ).where(F.col("doc_id") % 2 == 0)
@@ -121,7 +135,7 @@ def run_neardup_stream(
         "key",
     )
     cand = new.join(
-        F.broadcast(
+        _hint(
             index.select(
                 F.col("doc_id").alias("corpus_did"), "band_id", "key"
             )
@@ -133,7 +147,7 @@ def run_neardup_stream(
         (inter / (F.size("nss") + F.size("css") - inter)) * 10000
     ).cast("long")
     out = (
-        cand.join(F.broadcast(corpus_ss), "corpus_did")
+        cand.join(_hint(corpus_ss), "corpus_did")
         .select("new_did", "corpus_did", jac.alias("jac_e4"))
         .where(F.col("jac_e4") >= threshold_e4)
     )

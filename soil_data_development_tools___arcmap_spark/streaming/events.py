@@ -197,7 +197,9 @@ def sliding_weekly(events: DataFrame, with_watermark: bool = False) -> DataFrame
     )
 
 
-def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_sliding_stream(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Run the sliding-window aggregation as a stream to completion
     (availableNow + memory sink).
 
@@ -206,10 +208,19 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     store once the watermark passes their end — state holds ~8 open
     windows per type instead of the whole history. Final value per
     group = ``max_by(..., n)`` over the update-mode sink rows (``n``
-    strictly increases each time a group is emitted)."""
+    strictly increases each time a group is emitted).
+
+    ``source`` overrides the default single-file reader — the
+    multi-batch replay test delivers one day per trigger, pinning that
+    in-order replay under the 1-day watermark loses nothing."""
     name = "events_slide_" + uuid.uuid4().hex[:8]
     q = (
-        sliding_weekly(read_events_stream(spark, sf_dir), with_watermark=True)
+        sliding_weekly(
+            source
+            if source is not None
+            else read_events_stream(spark, sf_dir),
+            with_watermark=True,
+        )
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
@@ -261,17 +272,22 @@ def enriched_daily(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
-def run_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_enriched_stream(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Run the stream-static enrichment to completion (availableNow +
     memory sink) and return the result table.
 
     UPDATE mode: the batch twin's day_num grouping becomes a
     watermark-evicted 1-day ``F.window`` on event time (a plain bigint
     key would never leave the state store), relabeled back to day_num
-    on the sink rollup; final value per group = ``max_by(..., n)``."""
+    on the sink rollup; final value per group = ``max_by(..., n)``.
+
+    ``source`` overrides the default single-file reader (multi-batch
+    replay test, one day per trigger)."""
     name = "events_enrich_" + uuid.uuid4().hex[:8]
     ev = (
-        read_events_stream(spark, sf_dir)
+        (source if source is not None else read_events_stream(spark, sf_dir))
         .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("event_time", "1 day")
     )

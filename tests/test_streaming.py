@@ -450,6 +450,89 @@ def test_tumbling_update_mode_across_batches(spark, tmp_path):
     assert batch == stream and len(days) > 1
 
 
+def _daily_split_source(spark, tmp_path, name: str):
+    """One file per day, oldest first, one file per trigger — the
+    multi-batch replay harness shared by the update-mode stream tests."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.queries import read_events
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        _ts_ns,
+    )
+
+    ev = read_events(spark, SF_SMOKE).withColumn(
+        "day_num", F.expr("(ts div 1000) div 86400000000")
+    )
+    days = sorted(r[0] for r in ev.select("day_num").distinct().collect())
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    for d in days:
+        ev.where(F.col("day_num") == d).drop("day_num").withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        ).coalesce(1).write.mode("append").parquet(src)
+    source = _ts_ns(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return source, len(days)
+
+
+def test_sliding_update_mode_across_batches(spark, tmp_path):
+    """run_sliding_stream (update mode + 1-day watermark) must recover
+    the batch sliding aggregate under one-day-per-trigger replay: a
+    7d/1d window is updated by up to 7 different batches, each emitting
+    a running snapshot, and the max_by rollup must still select the
+    final one; in-order replay never trips the watermark (an event's
+    windows are all still open when its day arrives)."""
+    from soil_data_development_tools___arcmap_spark.queries import read_events
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        run_sliding_stream,
+        sliding_weekly,
+    )
+
+    source, n_days = _daily_split_source(spark, tmp_path, "ev_daily_slide")
+    batch = {
+        (r["win_end_day"], r["event_type"]): (r["n"], r["value_c"])
+        for r in sliding_weekly(read_events(spark, SF_SMOKE)).collect()
+    }
+    stream = {
+        (r["win_end_day"], r["event_type"]): (r["n"], r["value_c"])
+        for r in run_sliding_stream(spark, SF_SMOKE, source=source).collect()
+    }
+    assert batch == stream and n_days > 1
+
+
+def test_enriched_update_mode_across_batches(spark, tmp_path):
+    """run_enriched_stream (stream-static join + update-mode windowed
+    agg) must recover the batch enrichment under one-day-per-trigger
+    replay — pins that the watermark rework drops nothing on in-order
+    multi-batch delivery."""
+    from soil_data_development_tools___arcmap_spark.queries import read_events
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        _category_dim,
+        enriched_daily,
+        run_enriched_stream,
+    )
+
+    source, n_days = _daily_split_source(spark, tmp_path, "ev_daily_enrich")
+    batch = {
+        (r["day_num"], r["category"]): (r["n"], r["value_c"])
+        for r in enriched_daily(
+            read_events(spark, SF_SMOKE), _category_dim(spark)
+        ).collect()
+    }
+    stream = {
+        (r["day_num"], r["category"]): (r["n"], r["value_c"])
+        for r in run_enriched_stream(spark, SF_SMOKE, source=source).collect()
+    }
+    assert batch == stream and n_days > 1
+
+
 def test_neardup_stream_across_batches(spark, tmp_path):
     """The stateless streaming near-dup gate must be batch-partition
     invariant: the new-doc stream split into 4 files delivered one per
@@ -488,3 +571,23 @@ def test_neardup_stream_across_batches(spark, tmp_path):
         for r in run_neardup_stream(spark, SF_SMOKE, source=multi_src).collect()
     }
     assert single == multi and len(single) > 0
+
+
+def test_neardup_stream_broadcast_modes_identical(spark):
+    """The gate's default leaves the stream-static join strategy to
+    the planner (the band index is corpus-sized — a forced broadcast
+    would OOM at a 100 TB corpus); ``broadcast=True`` pins the hint
+    for small indexes. Both modes must produce the identical pair set."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        run_neardup_stream,
+    )
+
+    shuffled = {
+        (r["new_did"], r["corpus_did"], r["jac_e4"])
+        for r in run_neardup_stream(spark, SF_SMOKE).collect()
+    }
+    hinted = {
+        (r["new_did"], r["corpus_did"], r["jac_e4"])
+        for r in run_neardup_stream(spark, SF_SMOKE, broadcast=True).collect()
+    }
+    assert shuffled == hinted and len(shuffled) > 0
