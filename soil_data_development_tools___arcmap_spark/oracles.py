@@ -3353,17 +3353,67 @@ WHERE rn <= 5
 ORACLES["emb_knn_pq"] = _PQ
 
 # trained-PQ twin: per-subspace Lloyd's k-means (train_ivf_centroids
-# semantics) unrolled for the fixed 3 iterations — assignment by the
-# same floored-cosine + kid tie-break, update = floored per-dim mean,
-# empty clusters keep their previous centroid. Every step is
-# exact-integer or one deterministic double division, so DuckDB
-# reproduces the Spark codebook bit-for-bit.
+# semantics) — farthest-first seeding (_ff_init) then the fixed 3
+# iterations unrolled — assignment by the same floored-cosine + kid
+# tie-break, update = floored per-dim mean, empty clusters keep their
+# previous centroid. Every step is exact-integer or one deterministic
+# double division, so DuckDB reproduces the Spark codebook
+# bit-for-bit.
 _PQ_KCOS = (
     "CASE WHEN list_dot_product(sv, sv) = 0 OR list_dot_product(kv, kv) = 0 "
     "THEN -2000000 ELSE CAST(floor((list_dot_product(sv, kv)/"
     "(sqrt(list_dot_product(sv, sv))*sqrt(list_dot_product(kv, kv))))"
     "*1000000) AS BIGINT) END"
 )
+
+#: floored-cosine template over two list columns (shared by the
+#: seeding, trained-IVF and IVF-PQ twins)
+_IVFPQ_KCOS = (
+    "CASE WHEN list_dot_product({a}, {a}) = 0 "
+    "OR list_dot_product({b}, {b}) = 0 THEN -2000000 "
+    "ELSE CAST(floor((list_dot_product({a}, {b})/"
+    "(sqrt(list_dot_product({a}, {a}))*sqrt(list_dot_product({b}, {b}))))"
+    "*1000000) AS BIGINT) END"
+)
+
+
+def _ff_init(k: int) -> str:
+    """Farthest-first seeding, unrolled (train_ivf_centroids
+    init="farthest" twin): per subspace j, seed 0 is the min-cid
+    vector; each later seed is the point whose best floored-cosine to
+    any chosen seed is LOWEST (ties by cid). Integer-exact throughout,
+    so the traversal — and therefore the whole learned quantizer — is
+    reproduced bit-for-bit. MATERIALIZED on each fs level: every stage
+    references the previous chosen-set three times, and CTE inlining
+    would make re-evaluation exponential (the BPE-stage lesson)."""
+    kcos = _IVFPQ_KCOS.format(a="cs.sv", b="f.kv")
+    out = """
+f0 AS (
+  SELECT j, CAST(0 AS INTEGER) AS kid, cid, sv AS kv
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY j ORDER BY cid) AS rn0
+        FROM cs) WHERE rn0 = 1),
+fs0 AS MATERIALIZED (SELECT j, kid, cid, kv FROM f0),"""
+    for i in range(1, k):
+        out += f"""
+bs{i} AS (
+  SELECT cs.j, cs.cid, MAX({kcos}) AS bs
+  FROM cs JOIN fs{i - 1} f ON cs.j = f.j
+  WHERE NOT EXISTS (SELECT 1 FROM fs{i - 1} x
+                    WHERE x.j = cs.j AND x.cid = cs.cid)
+  GROUP BY cs.j, cs.cid),
+pk{i} AS (
+  SELECT j, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY j
+                                 ORDER BY bs ASC, cid ASC) AS rn
+    FROM bs{i}) WHERE rn = 1),
+f{i} AS (
+  SELECT cs.j, CAST({i} AS INTEGER) AS kid, cs.cid, cs.sv AS kv
+  FROM cs JOIN pk{i} p ON cs.j = p.j AND cs.cid = p.cid),
+fs{i} AS MATERIALIZED (
+  SELECT * FROM fs{i - 1} UNION ALL SELECT * FROM f{i}),"""
+    out += f"""
+cb0 AS (SELECT kid, j, kv FROM fs{k - 1}),"""
+    return out
 
 
 def _pq_train_iter(i: int, sub: int = 16) -> str:
@@ -3392,7 +3442,7 @@ WITH {_EMB_Q},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
 subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) s(j)),
-cs AS (
+cs AS MATERIALIZED (
   SELECT cid, j, list_slice(cv, j*16 + 1, j*16 + 16) AS sv
   FROM c, subs),
 cb0 AS (
@@ -3428,28 +3478,16 @@ WHERE rn <= 5
 
 ORACLES["emb_knn_pq_trained"] = _PQ_TRAINED
 
-#: floored-cosine template over two list columns (shared by the
-#: trained-IVF and IVF-PQ twins)
-_IVFPQ_KCOS = (
-    "CASE WHEN list_dot_product({a}, {a}) = 0 "
-    "OR list_dot_product({b}, {b}) = 0 THEN -2000000 "
-    "ELSE CAST(floor((list_dot_product({a}, {b})/"
-    "(sqrt(list_dot_product({a}, {a}))*sqrt(list_dot_product({b}, {b}))))"
-    "*1000000) AS BIGINT) END"
-)
-
 # trained IVF: Lloyd's k-means over the FULL 64-dim vectors, unrolled
 # for the fixed 3 iterations via the same template (one j=0 "subspace"
 # of width 64), then the standard IVF probe/score path with the
-# learned centroids.
-_IVF_TRAINED = f"""
+# learned centroids. {{init}} is the seeding block: first-N for the
+# default path, _ff_init(16) for the farthest-first variant.
+_IVF_TRAINED_TMPL = f"""
 WITH {_EMB_Q},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
-cs AS (SELECT cid, 0 AS j, cv AS sv FROM c),
-cb0 AS (
-  SELECT CAST(cid - 8 AS INTEGER) AS kid, j, sv AS kv
-  FROM cs WHERE cid < 24),{_pq_train_iter(0, 64)}{_pq_train_iter(1, 64)}{_pq_train_iter(2, 64)}
+cs AS MATERIALIZED (SELECT cid, 0 AS j, cv AS sv FROM c),{{init}}{_pq_train_iter(0, 64)}{_pq_train_iter(1, 64)}{_pq_train_iter(2, 64)}
 asg AS (
   SELECT cid, cv, kid FROM (
     SELECT *, row_number() OVER (PARTITION BY cid
@@ -3476,11 +3514,23 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= 5
 """
 
-ORACLES["emb_knn_ivf_trained"] = _IVF_TRAINED
+_IVF_FIRSTN_INIT = """
+cb0 AS (
+  SELECT CAST(cid - 8 AS INTEGER) AS kid, j, sv AS kv
+  FROM cs WHERE cid < 24),"""
 
-ORACLES["emb_ivf_recall_trained"] = f"""
+_IVF_TRAINED = _IVF_TRAINED_TMPL.format(init=_IVF_FIRSTN_INIT)
+#: farthest-first-seeded twin (train_ivf_centroids init="farthest")
+_IVF_TRAINED_FF = _IVF_TRAINED_TMPL.format(init=_ff_init(16))
+
+ORACLES["emb_knn_ivf_trained"] = _IVF_TRAINED
+ORACLES["emb_knn_ivf_ff"] = _IVF_TRAINED_FF
+
+
+def _ivf_recall_sql(approx: str) -> str:
+    return f"""
 WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
-approx AS ({_IVF_TRAINED}),
+approx AS ({approx}),
 hits AS (
   SELECT e.qid, COUNT(*) AS hits
   FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
@@ -3490,6 +3540,10 @@ SELECT e.qid, COUNT(*) AS k,
 FROM exact e LEFT JOIN hits h ON e.qid = h.qid
 GROUP BY e.qid
 """
+
+
+ORACLES["emb_ivf_recall_trained"] = _ivf_recall_sql(_IVF_TRAINED)
+ORACLES["emb_ivf_recall_ff"] = _ivf_recall_sql(_IVF_TRAINED_FF)
 
 # IVF-PQ: coarse inverted lists (first-8 stand-in centroids) + PQ over
 # RESIDUALS (first-16 stand-in residual codebook); queries probe their

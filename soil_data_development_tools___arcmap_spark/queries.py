@@ -4778,6 +4778,34 @@ def emb_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_recall(brute_force_topk(emb), ivf_topk(emb, train=True))
 
 
+def emb_knn_ivf_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with trained centroids seeded FARTHEST-FIRST (the
+    deterministic limit of k-means++ D²-weighted sampling) instead of
+    first-N — the seeding for corpora with real cluster structure. The
+    oracle unrolls the k-1 traversal steps AND the 3 Lloyd iterations,
+    so the alternative learned quantizer is cross-engine verified
+    end-to-end. Sits next to emb_knn_ivf_trained so the seeding
+    choice stays a measured comparison (see train_ivf_centroids for
+    the recorded recall@5 numbers that keep first-N the default on
+    this cluster-free fixture)."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), train=True, init="farthest")
+
+
+def emb_ivf_recall_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of farthest-first-seeded trained IVF against exact
+    brute force — the measured row that justifies (or indicts) the
+    seeding on any given corpus, side by side with
+    emb_ivf_recall_trained's first-N row."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(
+        brute_force_topk(emb), ivf_topk(emb, train=True, init="farthest")
+    )
+
+
 def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN with TRAINED per-subspace codebooks: 3 rounds of Lloyd's
     k-means per subspace (train_ivf_centroids, floored-integer means,

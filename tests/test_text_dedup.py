@@ -265,6 +265,41 @@ def test_ivf_trained_centroids(spark):
         assert r["cid"] % 2 == r["qid"] % 2
 
 
+def test_ivf_farthest_first_seeding(spark):
+    """Farthest-first seeding must SPREAD: on three well-separated
+    clusters with the first-N ids all inside cluster 0, first-N
+    seeding never leaves cluster 0, while the farthest-first traversal
+    reaches every cluster within the first 3 picks (seed 0 = min id in
+    cluster 0, each next seed the worst-covered point). Also pins
+    determinism: two runs return the identical centroid list."""
+    from soil_data_development_tools___arcmap_spark.functions.similarity import (
+        train_ivf_centroids,
+    )
+
+    dims = 12
+    centers = {0: [0] * dims, 1: [0] * dims, 2: [0] * dims}
+    for c in centers:
+        centers[c][4 * c] = 1.0
+        centers[c][4 * c + 1] = 0.5
+    rows = []
+    for i in range(8, 14):  # first 6 candidate ids: ALL cluster 0
+        rows.append((i, [x + 0.001 * (i % 3) for x in centers[0]]))
+    for i in range(14, 32):  # the rest spread clusters 1 and 2
+        c = 1 + i % 2
+        rows.append((i, [x + 0.001 * (i % 3) for x in centers[c]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def cluster_of(kv):
+        return max(range(3), key=lambda c: kv[4 * c])
+
+    first = train_ivf_centroids(emb, n_centroids=3, iters=0, init="first")
+    ff = train_ivf_centroids(emb, n_centroids=3, iters=0, init="farthest")
+    assert {cluster_of(kv) for _, kv in first} == {0}
+    assert {cluster_of(kv) for _, kv in ff} == {0, 1, 2}
+    ff2 = train_ivf_centroids(emb, n_centroids=3, iters=0, init="farthest")
+    assert ff == ff2
+
+
 def test_connected_components_chain_and_singleton(spark):
     """Min-label propagation reaches the fixpoint on a CHAIN (needs
     multiple rounds, not just one hop) and leaves singletons as their
