@@ -83,6 +83,44 @@ def _sniff_linesep(path: str) -> str:
     return "\n"
 
 
+#: the six raw-export cointerp columns the engine DROPS at load: a real
+#: WSS cinterp.txt carries 19 fields and the importer keeps positions
+#: [0:7] + [11:13] + [15:19] (SSURGO_Convert_to_Geodatabase.py:1334-1348)
+#: — the gSSURGO/engine table is the pruned 13-column layout. Public
+#: SSURGO data-model names for the dropped positions:
+_COINTERP_DROPPED = [
+    ("interpll", 7), ("interpllc", 8), ("interplr", 9), ("interplrc", 10),
+    ("interphh", 13), ("interphhc", 14),
+]
+
+
+def _sniff_ncols(path: str) -> int | None:
+    """Field count of the first record of the first file (driver-side
+    peek, same file-selection rules as _sniff_linesep). Lets the
+    cointerp reader tell a raw 19-column WSS export from an
+    already-pruned 13-column re-export."""
+    import csv as _c
+    import glob as _glob
+    import io
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*")))
+    elif "*" in path:
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    for f0 in files:
+        if os.path.isfile(f0):
+            with open(f0, "rb") as fh:
+                head = fh.read(65536)
+            if head:
+                line = head.decode("latin-1").splitlines()[0]
+                row = next(_c.reader(io.StringIO(line), delimiter="|",
+                                     quotechar='"'))
+                return len(row)
+    return None
+
+
 def read_ssurgo_table(
     spark: SparkSession,
     path: str,
@@ -93,9 +131,38 @@ def read_ssurgo_table(
     per-survey files). The schema defaults to the hand-pruned
     engine-read projection (SSURGO_SCHEMAS); pass the full
     metadata-generated StructType (catalog.py) for export-fidelity
-    ingest of all 69 tables."""
+    ingest of all 69 tables.
+
+    cointerp: a raw WSS export file has 19 columns; the engine table
+    keeps 13 (positions [0:7]+[11:13]+[15:19], reference :1334-1348).
+    When the file sniffs as 19-wide, the scan uses the raw layout and
+    projects down — reading a raw file with the 13-column schema would
+    silently land interpll in interphr's seat. Re-exports of the
+    pruned table (13-wide) read directly."""
+    from pyspark.sql.types import FloatType, StringType, StructField, StructType
+
     if schema is None:
         schema = SSURGO_SCHEMAS[table]
+    if (
+        table == "cointerp"
+        and len(schema.fields) == 13
+        and _sniff_ncols(path) == 19
+    ):
+        raw = list(schema.fields[0:7])
+        raw += [
+            StructField(n, FloatType() if not n.endswith("c") else StringType())
+            for n, _pos in _COINTERP_DROPPED[:4]
+        ]
+        raw += list(schema.fields[7:9])
+        raw += [
+            StructField(n, FloatType() if not n.endswith("c") else StringType())
+            for n, _pos in _COINTERP_DROPPED[4:]
+        ]
+        raw += list(schema.fields[9:13])
+        keep = [f.name for f in schema.fields]
+        return read_ssurgo_table(
+            spark, path, "cointerp", schema=StructType(raw)
+        ).select(*keep)
     df = (
         spark.read.csv(
             path,

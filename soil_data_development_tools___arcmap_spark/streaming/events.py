@@ -106,7 +106,12 @@ def tumbling_daily(events: DataFrame, with_watermark: bool = False) -> DataFrame
     )
 
 
-def sessionize_stateful(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame:
+def sessionize_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_min: int = 30,
+    source: DataFrame | None = None,
+) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization via
     ``applyInPandasWithState`` (the arbitrary-state API — the batch
     window/lag形 can't run incrementally). State per user =
@@ -123,9 +128,9 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_min * 60 * 1_000_000
-    ev = read_events_stream(spark, sf_dir).select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
-    )
+    ev = (
+        source if source is not None else read_events_stream(spark, sf_dir)
+    ).select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
 
     def fn(key, pdfs, state):
         n_sess, n_ev, last = state.get if state.exists else (0, 0, None)

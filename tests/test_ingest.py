@@ -224,6 +224,65 @@ def test_multiline_narrative_fields(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_real_layout_export_fixture(spark):
+    """Load the committed real-layout WSS tabular export fixture
+    (tests/fixtures/ssurgo_export/tabular, generated by
+    tools/gen_ingest_fixture.py) through the metadata-generated
+    catalog — pins the raw-format quirks a synthesized round-trip
+    cannot: cp1252 high bytes, CRLF terminators, quoted multiline
+    narratives, embedded pipes/doubled quotes, blank->NULL, WSS iefile
+    names, and the RAW 19-column cinterp.txt of which the engine keeps
+    13 columns (positions [0:7]+[11:13]+[15:19]) plus the
+    ruledepth==0 / NCCPI-54955 row filter — a 13-column read would
+    silently seat interpll in interphr's place."""
+    from soil_data_development_tools___arcmap_spark.catalog import (
+        load_full_export,
+    )
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "ssurgo_export", "tabular"
+    )
+    t = load_full_export(spark, fixture)
+    assert set(t) >= {
+        "sacatalog", "legend", "mapunit", "component", "chorizon",
+        "cointerp", "mutext",
+    }
+    # FK order: parents before children in iteration order
+    order = list(t)
+    assert order.index("legend") < order.index("mapunit") < order.index(
+        "component"
+    ) < order.index("chorizon")
+
+    # full catalog widths, not pruned projections
+    assert len(t["component"].columns) == 109
+    assert len(t["chorizon"].columns) == 171
+    assert len(t["cointerp"].columns) == 13
+
+    mu = {r["musym"]: r for r in t["mapunit"].collect()}
+    assert len(mu) == 4
+    assert mu["W"]["muname"] == 'Water, "open" | intermittent'
+    assert mu["8999"]["mustatus"] is None  # blank -> NULL
+
+    comp = {r["compname"]: r for r in t["component"].collect()}
+    assert len(comp) == 7
+    assert comp["Moody"]["comppct_r"] == 85
+    assert comp["Pits"]["comppct_r"] is None
+
+    # raw 19-col cointerp: row filter kept depth-0 roots + the NCCPI
+    # submodel rows; interphr comes from position 11, NOT position 7
+    ci = {r["cointerpkey"]: r for r in t["cointerp"].collect()}
+    assert set(ci) == {"91001", "91004", "93001", "93004"}
+    assert abs(ci["91001"]["interphr"] - 0.85) < 1e-9
+    assert ci["91001"]["interphrc"] == "Somewhat limited"
+    assert ci["91004"]["mrulekey"] == "54955" and ci["91004"]["ruledepth"] == 1
+
+    mt = {r["mutextkey"]: r["text"] for r in t["mutext"].collect()}
+    assert mt["77003"] is None
+    narrative = mt["77001"]
+    assert "\r\nIt’s suited" in narrative  # CRLF + cp1252 0x92
+    assert "10°C" in narrative
+
+
 def test_linesep_sniff_majority_vote(spark, tmp_path):
     """The record-terminator sniff must MAJORITY-vote CRLF vs bare LF:
     a \\n-row-terminated export whose quoted narratives embed CRLFs

@@ -1,0 +1,223 @@
+"""Streaming scale harness — measured state/throughput rows for
+SCALING.md.
+
+The batch families all carry 10x/100x evidence; this harness gives the
+STATEFUL streams theirs: it replays a 10x/100x replica of the sf0.1
+events table (user_id/event_id shifted per replica so user cardinality
+scales with the data; the 30-day span is unchanged — more traffic per
+day, the realistic shape) through three representative stateful
+queries under day-ordered multi-batch delivery (one file per day,
+``maxFilesPerTrigger=1``, mtimes forced increasing so the file source
+triggers in day order), and records per query:
+
+- wall-clock seconds and rows/sec for the full replay;
+- PEAK state-store rows (max over micro-batch progresses of
+  ``stateOperators[].numRowsTotal``) — the number that certifies the
+  bounded-state claims: the tumbling agg's state must track OPEN
+  windows (watermark-evicted), not history; the stream-stream join's
+  state must track the 1-hour attribution window, not the stream.
+
+Queries:
+- tumbling: update-mode day x type aggregation (run_stream_to_table's
+  query) built from the same ``tumbling_daily`` the batch oracle
+  certifies;
+- sessionize: the applyInPandasWithState per-user session counter
+  (state rows == user count by design — it reports totals per user);
+- attribution: the watermarked stream-stream inner join (clicks x
+  purchases, 1-hour window).
+
+Usage: python tools/streaming_scale.py [factor ...]   (default: 10 100)
+Prints one JSON line per (factor, query).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_replica(spark, factor: int) -> str:
+    """factor-x replica of the events table, one parquet file per day,
+    mtimes increasing in day order; cached in /tmp keyed on source
+    fingerprint. Returns the flat directory of day files."""
+    from pyspark.sql import functions as F
+
+    src = os.path.join(os.path.abspath(SF_DIR), "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{factor}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"sddt_evscale_{tag}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(src)
+    maxu = ev.selectExpr("max(user_id)").collect()[0][0] + 1
+    maxe = ev.selectExpr("max(event_id)").collect()[0][0] + 1
+    reps = spark.range(factor).selectExpr("id AS rep")
+    part_dir = out + "_parts"
+    (
+        ev.crossJoin(reps)
+        .selectExpr(
+            f"event_id + rep * {maxe} AS event_id",
+            "ts",
+            f"user_id + rep * {maxu} AS user_id",
+            "event_type",
+            "value",
+            "props",
+            "unix_micros(cast(ts AS timestamp)) div 86400000000 AS day_num",
+        )
+        .repartition("day_num")
+        .write.mode("overwrite")
+        .partitionBy("day_num")
+        .parquet(part_dir)
+    )
+    os.makedirs(out, exist_ok=True)
+    days = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(part_dir, "day_num=*"))
+    )
+    t0 = time.time()
+    for i, d in enumerate(days):
+        parts = sorted(
+            glob.glob(os.path.join(part_dir, f"day_num={d}", "*.parquet"))
+        )
+        for j, p in enumerate(parts):
+            dst = os.path.join(out, f"day{d:06d}_{j:02d}.parquet")
+            shutil.copy(p, dst)
+            os.utime(dst, (t0 + i, t0 + i))  # day-ordered trigger order
+    shutil.rmtree(part_dir, ignore_errors=True)
+    open(done, "w").close()
+    return out
+
+
+def _run(spark, sink_df, mode: str) -> dict:
+    """Run a streaming DF to completion; return wall, rows, peak state."""
+    name = "scale_" + uuid.uuid4().hex[:8]
+    t0 = time.time()
+    q = (
+        sink_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    rows = 0
+    peak_state = 0
+    batches = 0
+    for p in q.recentProgress:
+        batches += 1
+        rows += int(p.get("numInputRows") or 0)
+        for so in p.get("stateOperators") or []:
+            peak_state = max(peak_state, int(so.get("numRowsTotal") or 0))
+    return {
+        "wall_sec": round(wall, 1),
+        "input_rows": rows,
+        "rows_per_sec": int(rows / wall) if wall > 0 else None,
+        "peak_state_rows": peak_state,
+        "batches": batches,
+    }
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark import get_spark
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        _ts_ns,
+        sessionize_stateful,
+    )
+
+    factors = [int(a) for a in sys.argv[1:]] or [10, 100]
+    spark = get_spark("streaming-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for factor in factors:
+        day_dir = build_replica(spark, factor)
+
+        def src():
+            return _ts_ns(
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(day_dir)
+            )
+
+        # run_stream_to_table's query: watermark-evicted 1-day F.window
+        # (NOT tumbling_daily's day_num bigint key — a derived bigint
+        # never leaves the state store; measuring it here shows peak
+        # state = all days x types instead of the open-window handful)
+        tum = (
+            src()
+            .withColumn(
+                "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+            .withWatermark("event_time", "1 day")
+            .groupBy(F.window("event_time", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_c"
+                ),
+            )
+        )
+        m = _run(spark, tum, "update")
+        print(json.dumps({"factor": factor, "query": "tumbling", **m}))
+
+        m = _run(
+            spark, sessionize_stateful(spark, SF_DIR, source=src()), "update"
+        )
+        print(json.dumps({"factor": factor, "query": "sessionize", **m}))
+
+        # watermarked stream-stream inner join (run_attribution_stream's
+        # query, built on the replica source)
+        clicks = (
+            src()
+            .where(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias("c_time"),
+            )
+            .withWatermark("c_time", "1 hour")
+        )
+        purchases = (
+            src()
+            .where(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias("p_time"),
+            )
+            .withWatermark("p_time", "1 hour")
+        )
+        joined = purchases.join(
+            clicks,
+            (purchases["user_id"] == clicks["user_id"])
+            & (
+                clicks["c_time"]
+                >= purchases["p_time"] - F.expr("INTERVAL 1 HOUR")
+            )
+            & (clicks["c_time"] <= purchases["p_time"]),
+            "inner",
+        ).select("purchase_id", "click_id")
+        m = _run(spark, joined, "append")
+        print(json.dumps({"factor": factor, "query": "attribution", **m}))
+
+
+if __name__ == "__main__":
+    main()
