@@ -5,7 +5,13 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count + column names + an order-insensitive value hash
 (columns sorted by name, rows sorted, values stringified).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json PATH] [sf_dir] [query ...]
+
+``--json PATH`` additionally writes driver-format entries
+({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) so a round's new queries can ship committed
+cross-engine evidence (CORRECTNESS_SELF_r*.json) even when the
+driver's fixed sample misses them.
 """
 
 from __future__ import annotations
@@ -42,8 +48,14 @@ def canon(df) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if args and args[0] == "--json":
+        json_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import duckdb
 
@@ -84,6 +96,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {exc}"[:500],
+            }
             continue
         if name not in os_:
             print(f"okay {name}: rows={len(sdf)} (rows-only, no oracle)")
@@ -93,10 +110,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": f"duckdb error: {exc}"[:500],
+            }
             continue
         sn, sc, sh = canon(sdf)
         on, oc, oh = canon(odf)
         status = "PASS" if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        results[name] = {
+            "rows_match": sn == on, "schema_match": sc == oc,
+            "hash_match": sh == oh, "spark_rows": sn,
+            "oracle_rows": on, "err": None,
+        }
         dt = time.time() - t0
         print(f"{status} {name}: rows {sn}/{on} cols {sc == oc} hash "
               f"{sh}/{oh} ({dt:.1f}s)")
@@ -115,6 +142,11 @@ def main() -> int:
                 print(pd.concat([s[neq].head(3), o[neq].head(3)], axis=1))
     print(f"\n{checked - len(failures)}/{checked} pass"
           + ("" if checked == len(qs) else f" ({len(qs) - checked} skipped)"))
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(results, fh, indent=1)
     return 1 if failures else 0
 
 
