@@ -4147,67 +4147,56 @@ FROM sc GROUP BY doc_id
 
 # BPE merge-rule training: 8 rounds unrolled — each stage re-splits
 # the fused corpus, counts adjacent pairs, takes the deterministic
-# argmax, and fuses with the SAME canonical segment-scan the Spark
-# side uses (pair-start runs, even offsets fuse — the left-to-right
-# greedy walk of a textbook trainer), all window SQL → bit-equal run.
-# An empty win{i} (no adjacent pair anywhere) leaves the corpus
-# untouched via the LEFT JOIN + COALESCE, matching Spark's loop break.
+# argmax, and fuses with the SAME canonical single replace the Spark
+# side uses: the corpus lives on a DOUBLE-SPACED canvas (tokens joined
+# by two spaces, one at each end), so one non-overlapping left-to-
+# right replace of ' x  y ' IS the textbook greedy walk — a match
+# consumes one boundary space per side, leaving the next adjacency
+# pattern-visible (the single-spaced form mis-paired identical-token
+# runs). An empty win{i} (no adjacent pair anywhere) leaves the corpus
+# untouched via LEFT JOIN ON TRUE + COALESCE, matching Spark's loop
+# break. MATERIALIZED hints: each stage references its predecessor
+# more than once and CTE inlining would re-evaluate exponentially.
 def _bpe_stage(i: int) -> str:
+    fuse = (
+        f"replace(d.s, ' '||w.x||'  '||w.y||' ', "
+        f"' '||w.x||chr(31)||w.y||' ')"
+    )
     return f"""
 tok{i} AS (
-  SELECT doc_id,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS idx, w
-  FROM (SELECT doc_id, i2 AS pos, tk[i2] AS w
-        FROM (SELECT doc_id, string_split(s, ' ') AS tk FROM s{i - 1}),
-             unnest(generate_series(1, len(tk))) gs(i2)
-        WHERE tk[i2] <> '')),
-pr{i} AS MATERIALIZED (
-  SELECT doc_id, idx, w,
-         LEAD(w) OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
-  FROM tok{i}),
+  SELECT doc_id, i2 - 1 AS pos, tk[i2] AS w
+  FROM (SELECT doc_id, string_split(s, ' ') AS tk FROM s{i - 1}),
+       unnest(generate_series(1, len(tk))) gs(i2)
+  WHERE tk[i2] <> ''),
 cnt{i} AS (
-  SELECT w AS x, nxt AS y, CAST(COUNT(*) AS BIGINT) AS c
-  FROM pr{i} WHERE nxt IS NOT NULL GROUP BY w, nxt),
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT w AS x,
+               LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+        FROM tok{i})
+  WHERE y IS NOT NULL GROUP BY x, y),
 win{i} AS MATERIALIZED (
   SELECT CAST({i} AS INTEGER) AS rank, x, y, c
   FROM cnt{i} ORDER BY c DESC, x ASC, y ASC LIMIT 1),
-ph{i} AS (
-  SELECT *, p AND NOT COALESCE(
-              LAG(p) OVER (PARTITION BY doc_id ORDER BY idx), FALSE)
-            AS head
-  FROM (SELECT p.doc_id, p.idx, p.w, p.nxt,
-               COALESCE(p.w = w.x AND p.nxt = w.y, FALSE) AS p
-        FROM pr{i} p, win{i} w)),
-pf{i} AS (
-  SELECT *, p AND (idx - rs) % 2 = 0 AS fs
-  FROM (SELECT *, LAST_VALUE(CASE WHEN head THEN idx END IGNORE NULLS)
-                    OVER (PARTITION BY doc_id ORDER BY idx
-                          ROWS UNBOUNDED PRECEDING) AS rs
-        FROM ph{i})),
-fused{i} AS (
-  SELECT doc_id, string_agg(nw, ' ' ORDER BY idx) AS s
-  FROM (SELECT doc_id, idx,
-               CASE WHEN fs THEN w || chr(31) || nxt
-                    WHEN COALESCE(LAG(fs) OVER (PARTITION BY doc_id
-                                                ORDER BY idx), FALSE)
-                      THEN NULL
-                    ELSE w END AS nw
-        FROM pf{i})
-  WHERE nw IS NOT NULL GROUP BY doc_id),
 s{i} AS MATERIALIZED (
-  SELECT d.doc_id, COALESCE(f.s, d.s) AS s
-  FROM s{i - 1} d LEFT JOIN fused{i} f ON d.doc_id = f.doc_id),"""
+  SELECT d.doc_id, COALESCE({fuse}, d.s) AS s
+  FROM s{i - 1} d LEFT JOIN win{i} w ON TRUE),"""
 
+
+_BPE_CANVAS = (
+    "WITH s0 AS (SELECT doc_id, ' ' || array_to_string("
+    "list_filter(string_split(text, ' '), t -> t <> ''), '  ') || ' ' AS s"
+    " FROM documents),"
+)
 
 ORACLES["docs_bpe_train"] = (
-    "WITH s0 AS (SELECT doc_id, text AS s FROM documents),"
+    _BPE_CANVAS
     + "".join(_bpe_stage(i) for i in range(1, 9)).rstrip(",")
     + "\n"
     + "\nUNION ALL\n".join(f"SELECT rank, x, y, c FROM win{i}" for i in range(1, 9))
 )
 
 ORACLES["docs_bpe_apply"] = (
-    "WITH s0 AS (SELECT doc_id, text AS s FROM documents),"
+    _BPE_CANVAS
     + "".join(_bpe_stage(i) for i in range(1, 9)).rstrip(",")
     + """
 SELECT doc_id,

@@ -6110,22 +6110,23 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
     fuse its occurrences left-to-right, repeat. Output is the trained
     artifact: the merge table (rank, x, y, c).
 
-    Fusion is a SEGMENT SCAN with canonical single-pass greedy
-    semantics (round 7; the previous double-string-replace left pairs
-    unfused on long alternating chains): tokens are position-indexed,
-    a pair-start flag marks every (x, y) adjacency, and within each
-    maximal run of consecutive pair-starts (only an x == y token run
-    can produce one — for x != y two pair-starts can never be
-    adjacent) the even offsets fuse, exactly the left-to-right
-    non-overlapping walk of a textbook BPE trainer. All of it is
-    window arithmetic over one (doc_id, idx) ordering, so the DuckDB
-    oracle expresses the identical walk in window SQL — the
-    cross-engine hash now certifies CANONICAL semantics, not merely a
+    Fusion is CANONICAL single-pass greedy (round 7; the previous
+    single-spaced double-replace left pairs unfused or mis-paired on
+    identical-token runs): the corpus lives on a DOUBLE-SPACED canvas
+    — tokens joined by two spaces, one space at each end — and one
+    literal ``replace`` of `` x  y `` with `` x<SEP>y `` per round IS
+    the textbook left-to-right non-overlapping walk: a match consumes
+    only ONE of the two boundary spaces, so the next adjacency is
+    still pattern-visible immediately after it (the single-spaced form
+    consumed the shared boundary and skipped every other pair of a
+    run). Proof obligations are pinned by unit tests (``a a a a a`` →
+    [aa, aa, a]) and the DuckDB oracle runs the SAME literal replace —
+    the cross-engine hash certifies canonical semantics, not merely a
     shared deviation.
 
-    100 TB posture: each round is one doc_id exchange (windows and the
-    rebuild groupBy share the partitioning) + one map-side-combined
-    pair count; only the 1-row argmax is collected per round (the same
+    100 TB posture: each round is one map-side-combined pair count
+    (shuffle keys bounded by vocab², not corpus) + a MAP-ONLY string
+    fusion; only the 1-row argmax is collected per round (the same
     metadata-sized driver traffic as k-means centroid updates). Rounds
     are sequential by nature — that's BPE — but each round is
     embarrassingly parallel. The trained run (merges + fused corpus)
@@ -6163,94 +6164,45 @@ def _bpe_run(spark: SparkSession, sf_dir: str, n_merges: int):
         return hit
 
     SEP = "\x1f"  # unit separator: cannot collide with corpus tokens
+    # double-spaced canvas: tokens joined by TWO spaces, one at each
+    # end — the representation that makes a single literal replace the
+    # canonical greedy fusion (see docs_bpe_train)
+    toks0 = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     cur = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
-        "doc_id", F.col("text").alias("s")
+        "doc_id",
+        F.concat(F.lit(" "), F.array_join(toks0, "  "), F.lit(" ")).alias("s"),
     )
     w_ = Window.partitionBy("doc_id").orderBy("pos")
-    wi = Window.partitionBy("doc_id").orderBy("idx")
-    wrun = wi.rowsBetween(Window.unboundedPreceding, 0)
     merges = []
     for rank in range(1, n_merges + 1):
-        tok = (
-            cur.select(
-                "doc_id", F.posexplode(F.split("s", " ")).alias("pos", "w")
-            )
-            .where(F.col("w") != "")
-            .select("doc_id", "w", F.row_number().over(w_).alias("idx"))
-        )
-        pairs = tok.withColumn("nxt", F.lead("w").over(wi))
-        win = (
-            pairs.where(F.col("nxt").isNotNull())
+        tok = cur.select(
+            "doc_id", F.posexplode(F.split("s", " ")).alias("pos", "w")
+        ).where(F.col("w") != "")
+        cnt = (
+            tok.withColumn("nxt", F.lead("w").over(w_))
+            .where(F.col("nxt").isNotNull())
             .groupBy(F.col("w").alias("x"), F.col("nxt").alias("y"))
             .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.col("c").desc(), F.col("x").asc(), F.col("y").asc())
-            .limit(1)
-            .collect()
         )
+        win = cnt.orderBy(
+            F.col("c").desc(), F.col("x").asc(), F.col("y").asc()
+        ).limit(1).collect()
         if not win:
             break
         x, y, c = win[0]["x"], win[0]["y"], win[0]["c"]
         merges.append((rank, x, y, int(c)))
-        # canonical greedy fusion: pair-start runs -> even offsets fuse
-        m = (
-            pairs.withColumn(
-                "p",
-                F.coalesce(
-                    (F.col("w") == x) & (F.col("nxt") == y), F.lit(False)
-                ),
-            )
-            .withColumn(
-                "head",
-                F.col("p")
-                & ~F.coalesce(F.lag("p").over(wi), F.lit(False)),
-            )
-            .withColumn(
-                "rs",
-                F.last(
-                    F.when(F.col("head"), F.col("idx")), ignorenulls=True
-                ).over(wrun),
-            )
-            .withColumn(
-                "fs",
-                F.col("p") & ((F.col("idx") - F.col("rs")) % 2 == 0),
-            )
-        )
-        nw = (
-            F.when(F.col("fs"), F.concat("w", F.lit(SEP), "nxt"))
-            .when(
-                F.coalesce(F.lag("fs").over(wi), F.lit(False)),
-                F.lit(None),  # consumed as the second half of a fuse
-            )
-            .otherwise(F.col("w"))
-        )
-        fused = (
-            m.select("doc_id", "idx", nw.alias("nw"))
-            .where(F.col("nw").isNotNull())
-            .groupBy("doc_id")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("idx", "nw"))),
-                        lambda s: s["nw"],
-                    ),
-                    " ",
-                ).alias("s")
-            )
-        )
-        # left-join-coalesce keeps token-less docs (and is a no-op for
-        # docs without this round's pair only in spacing terms);
-        # checkpoint so round k does not re-execute rounds 1..k-1
-        # (lineage would grow O(k) scans); free the superseded round's
-        # blocks deterministically (CC-loop lesson)
+        # canonical map-only fusion: the match eats one boundary space
+        # on each side, leaving one — so the canvas invariant holds
+        # and back-to-back adjacencies stay visible to the same pass
+        pat = F.lit(f" {x}  {y} ")
+        rep = F.lit(f" {x}{SEP}{y} ")
+        # checkpoint the fused corpus so round k does not re-execute
+        # rounds 1..k-1 (lineage would grow O(k) scans); free the
+        # superseded round's blocks deterministically (CC-loop lesson)
         prev = cur
-        cur = (
-            prev.alias("c")
-            .join(fused.alias("f"), "doc_id", "left")
-            .select(
-                "doc_id", F.coalesce(F.col("f.s"), F.col("c.s")).alias("s")
-            )
-            .localCheckpoint()
-        )
+        cur = cur.select(
+            "doc_id", F.replace(F.col("s"), pat, rep).alias("s")
+        ).localCheckpoint()
         if rank > 1:
             _free_ckpt(prev)
     for old_key in list(_BPE_MEMO):
