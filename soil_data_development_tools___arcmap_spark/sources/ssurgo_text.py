@@ -83,14 +83,16 @@ def _sniff_linesep(path: str) -> str:
     return "\n"
 
 
-#: the six raw-export cointerp columns the engine DROPS at load: a real
-#: WSS cinterp.txt carries 19 fields and the importer keeps positions
+#: the raw-export cointerp layout: a real WSS cinterp.txt carries
+#: these 19 fields in this order; the importer keeps positions
 #: [0:7] + [11:13] + [15:19] (SSURGO_Convert_to_Geodatabase.py:1334-1348)
-#: — the gSSURGO/engine table is the pruned 13-column layout. Public
-#: SSURGO data-model names for the dropped positions:
-_COINTERP_DROPPED = [
-    ("interpll", 7), ("interpllc", 8), ("interplr", 9), ("interplrc", 10),
-    ("interphh", 13), ("interphhc", 14),
+#: — the gSSURGO/engine table is the pruned 13-column layout.
+_COINTERP_RAW_COLS = [
+    "cokey", "mrulekey", "mrulename", "seqnum", "rulekey", "rulename",
+    "ruledepth", "interpll", "interpllc", "interplr", "interplrc",
+    "interphr", "interphrc", "interphh", "interphhc",
+    "nullpropdatabool", "defpropdatabool", "incpropdatabool",
+    "cointerpkey",
 ]
 
 
@@ -133,36 +135,39 @@ def read_ssurgo_table(
     metadata-generated StructType (catalog.py) for export-fidelity
     ingest of all 69 tables.
 
-    cointerp: a raw WSS export file has 19 columns; the engine table
-    keeps 13 (positions [0:7]+[11:13]+[15:19], reference :1334-1348).
-    When the file sniffs as 19-wide, the scan uses the raw layout and
-    projects down — reading a raw file with the 13-column schema would
-    silently land interpll in interphr's seat. Re-exports of the
-    pruned table (13-wide) read directly."""
+    cointerp: a raw WSS export file has 19 columns; the engine keeps
+    13 (positions [0:7]+[11:13]+[15:19], reference :1334-1348) and the
+    hand projection 9. When the file sniffs as 19-wide and a narrower
+    schema was requested, the scan uses the raw layout (requested
+    types where names match) and projects down by NAME — reading a raw
+    file positionally with the pruned schema would silently land
+    interpll in interphr's seat. Pruned re-exports read directly."""
     from pyspark.sql.types import FloatType, StringType, StructField, StructType
 
     if schema is None:
         schema = SSURGO_SCHEMAS[table]
     if (
         table == "cointerp"
-        and len(schema.fields) == 13
+        and len(schema.fields) < 19
+        and set(f.name for f in schema.fields) <= set(_COINTERP_RAW_COLS)
         and _sniff_ncols(path) == 19
     ):
-        raw = list(schema.fields[0:7])
-        raw += [
-            StructField(n, FloatType() if not n.endswith("c") else StringType())
-            for n, _pos in _COINTERP_DROPPED[:4]
-        ]
-        raw += list(schema.fields[7:9])
-        raw += [
-            StructField(n, FloatType() if not n.endswith("c") else StringType())
-            for n, _pos in _COINTERP_DROPPED[4:]
-        ]
-        raw += list(schema.fields[9:13])
-        keep = [f.name for f in schema.fields]
+        by_name = {f.name: f for f in schema.fields}
+        raw = StructType([
+            by_name.get(
+                n,
+                StructField(
+                    n,
+                    StringType()
+                    if n.endswith("c") or n.endswith("bool")
+                    else FloatType(),
+                ),
+            )
+            for n in _COINTERP_RAW_COLS
+        ])
         return read_ssurgo_table(
-            spark, path, "cointerp", schema=StructType(raw)
-        ).select(*keep)
+            spark, path, "cointerp", schema=raw
+        ).select(*[f.name for f in schema.fields])
     df = (
         spark.read.csv(
             path,

@@ -282,6 +282,15 @@ def test_real_layout_export_fixture(spark):
     assert "\r\nIt’s suited" in narrative  # CRLF + cp1252 0x92
     assert "10°C" in narrative
 
+    # the DEFAULT (9-field engine projection) schema must also read
+    # the raw 19-column file by name, not position
+    ci9 = read_ssurgo_table(
+        spark, os.path.join(fixture, "cinterp.txt"), "cointerp"
+    )
+    rows9 = {r["cointerpkey"]: r for r in ci9.collect()}
+    assert set(rows9) == {"91001", "91004", "93001", "93004"}
+    assert abs(rows9["91001"]["interphr"] - 0.85) < 1e-9
+
 
 def test_linesep_sniff_majority_vote(spark, tmp_path):
     """The record-terminator sniff must MAJORITY-vote CRLF vs bare LF:
