@@ -4182,11 +4182,15 @@ s{i} AS MATERIALIZED (
   FROM s{i - 1} d LEFT JOIN win{i} w ON TRUE),"""
 
 
-_BPE_CANVAS = (
-    "WITH s0 AS (SELECT doc_id, ' ' || array_to_string("
-    "list_filter(string_split(text, ' '), t -> t <> ''), '  ') || ' ' AS s"
-    " FROM documents),"
-)
+def _bpe_canvas_sql(cte: str, where: str = "") -> str:
+    return (
+        f"{cte} AS (SELECT doc_id, ' ' || array_to_string("
+        "list_filter(string_split(text, ' '), t -> t <> ''), '  ') || ' ' AS s"
+        f" FROM documents{where}),"
+    )
+
+
+_BPE_CANVAS = "WITH " + _bpe_canvas_sql("s0")
 
 ORACLES["docs_bpe_train"] = (
     _BPE_CANVAS
@@ -4207,6 +4211,36 @@ SELECT doc_id,
         list_filter(string_split(s, ' '), x -> x <> ''),
         x -> string_split(x, chr(31))))) AS n_raw_tokens
 FROM s8
+"""
+)
+
+# train/serve split: rules trained on the even half (the same s/win
+# chain, s0 restricted), applied to the held-out odd half as a chain
+# of the SAME literal canvas replaces (LEFT JOIN ON TRUE so missing
+# rules are identity), stats from h8 — mirrors docs_bpe_tokenize.
+ORACLES["docs_bpe_tokenize"] = (
+    "WITH "
+    + _bpe_canvas_sql("s0", " WHERE doc_id % 2 = 0")
+    + "".join(_bpe_stage(i) for i in range(1, 9))
+    + _bpe_canvas_sql("h0", " WHERE doc_id % 2 = 1")
+    + "".join(
+        f"""
+h{i} AS MATERIALIZED (
+  SELECT d.doc_id,
+         COALESCE(replace(d.s, ' '||w.x||'  '||w.y||' ',
+                          ' '||w.x||chr(31)||w.y||' '), d.s) AS s
+  FROM h{i - 1} d LEFT JOIN win{i} w ON TRUE),"""
+        for i in range(1, 9)
+    ).rstrip(",")
+    + """
+SELECT doc_id,
+  len(list_filter(string_split(s, ' '), x -> x <> '')) AS n_pieces,
+  len(list_filter(string_split(s, ' '),
+                  x -> x <> '' AND contains(x, chr(31)))) AS n_fused,
+  len(flatten(list_transform(
+        list_filter(string_split(s, ' '), x -> x <> ''),
+        x -> string_split(x, chr(31))))) AS n_raw_tokens
+FROM h8
 """
 )
 

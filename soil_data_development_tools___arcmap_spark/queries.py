@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import (
@@ -6143,11 +6143,22 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
 _BPE_MEMO: dict[tuple, tuple] = {}
 
 
-def _bpe_run(spark: SparkSession, sf_dir: str, n_merges: int):
+def _bpe_canvas(text: Column) -> Column:
+    """text → the double-spaced canvas: tokens joined by TWO spaces,
+    one at each end — the representation that makes a single literal
+    replace the canonical greedy fusion (see docs_bpe_train)."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    return F.concat(F.lit(" "), F.array_join(toks, "  "), F.lit(" "))
+
+
+def _bpe_run(
+    spark: SparkSession, sf_dir: str, n_merges: int, parity: int | None = None
+):
     """Shared BPE training loop: returns (merge list, fused corpus
     DataFrame after the final round), memoized on the corpus content
-    fingerprint so train + apply in one gate run train ONCE. See
-    docs_bpe_train."""
+    fingerprint so train + apply in one gate run train ONCE.
+    ``parity`` restricts the training corpus to doc_id % 2 == parity
+    (the train/serve split of docs_bpe_tokenize). See docs_bpe_train."""
     import contextlib
 
     from .functions.dedup import _free_checkpoint as _free_ckpt
@@ -6157,21 +6168,17 @@ def _bpe_run(spark: SparkSession, sf_dir: str, n_merges: int):
     st = os.stat(src)
     key = (
         spark.sparkContext.applicationId,
-        src, st.st_mtime_ns, st.st_size, n_merges,
+        src, st.st_mtime_ns, st.st_size, n_merges, parity,
     )
     hit = _BPE_MEMO.get(key)
     if hit is not None:
         return hit
 
     SEP = "\x1f"  # unit separator: cannot collide with corpus tokens
-    # double-spaced canvas: tokens joined by TWO spaces, one at each
-    # end — the representation that makes a single literal replace the
-    # canonical greedy fusion (see docs_bpe_train)
-    toks0 = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    cur = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
-        "doc_id",
-        F.concat(F.lit(" "), F.array_join(toks0, "  "), F.lit(" ")).alias("s"),
-    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    if parity is not None:
+        docs = docs.where(F.col("doc_id") % 2 == parity)
+    cur = _spread(docs).select("doc_id", _bpe_canvas(F.col("text")).alias("s"))
     w_ = Window.partitionBy("doc_id").orderBy("pos")
     merges = []
     for rank in range(1, n_merges + 1):
@@ -6233,6 +6240,40 @@ def docs_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(
                 F.transform(pieces, lambda x: F.split(x, SEP))
             )
+        ).alias("n_raw_tokens"),
+    )
+
+
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/SERVE split tokenization — the shape a production
+    tokenizer actually runs: merge rules are trained on the even
+    doc_id half of the corpus, then applied MAP-ONLY to the held-out
+    odd half (one projection chaining the <=8 literal canvas replaces
+    in rank order — canonical greedy application, no shuffle, no
+    state), reporting the per-doc piece economics on text the trainer
+    never saw. The training loop is shared (memoized) with
+    docs_bpe_train's machinery; the oracle reruns the same training
+    chain on the even half and the same replace chain on the odd half,
+    so the trained-artifact transfer is cross-engine hash-verified.
+
+    100 TB posture: serving is embarrassingly parallel — the rule
+    table is driver-held metadata (k rows) baked into the projection,
+    so tokenizing new data is a pure map stage at any scale."""
+    merges, _ = _bpe_run(spark, sf_dir, 8, parity=0)
+    SEP = "\x1f"
+    holdout = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1
+    ).select("doc_id", _bpe_canvas(F.col("text")).alias("s"))
+    s = F.col("s")
+    for _rank, x, y, _c in merges:
+        s = F.replace(s, F.lit(f" {x}  {y} "), F.lit(f" {x}{SEP}{y} "))
+    pieces = F.filter(F.split(s, " "), lambda t: t != "")
+    return holdout.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.filter(pieces, lambda t: t.contains(SEP))).alias("n_fused"),
+        F.size(
+            F.flatten(F.transform(pieces, lambda t: F.split(t, SEP)))
         ).alias("n_raw_tokens"),
     )
 

@@ -587,6 +587,27 @@ def test_bpe_artifact_memoized(spark, tmp_path):
     assert len(_BPE_MEMO) == 1  # superseded artifact evicted
 
 
+def test_bpe_tokenize_holdout_uses_trained_rules_only(spark, tmp_path):
+    """docs_bpe_tokenize trains on the EVEN half and serves the odd
+    half: the held-out doc is fused only by rules the trainer learned
+    (its own (c,c) adjacency, never seen in training, stays unfused)."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+
+    d = str(tmp_path / "bpe_holdout")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c c")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in Q.docs_bpe_tokenize(spark, d).collect()}
+    assert list(out) == [1]  # only held-out docs
+    # (a, b) was learned from doc 0 and fuses; (c, c) was never seen
+    assert out[1]["n_pieces"] == 3
+    assert out[1]["n_fused"] == 1
+    assert out[1]["n_raw_tokens"] == 4
+
+
 def test_rowwise_minhash_matches_exploded(spark):
     """The per-row (streaming-compatible) signature formulation must
     produce BIT-IDENTICAL values to the exploded batch
