@@ -52,7 +52,11 @@ BANDS = 4
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a file-source stream (symlink dir, like
-    read_events_stream)."""
+    read_events_stream). A single-file table gets one symlink; a
+    directory table (multi-part parquet, e.g. the scale replicas) gets
+    one symlink PER PART FILE — the file stream source lists plain
+    files and does not descend into a symlinked subdirectory, so
+    linking the directory itself would stream zero rows."""
     src = os.path.abspath(f"{sf_dir}/documents.parquet")
     cache = getattr(read_documents_stream, "_dirs", None)
     if cache is None:
@@ -60,7 +64,14 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = cache.get(src)
     if stream_dir is None or not os.path.isdir(stream_dir):
         stream_dir = tempfile.mkdtemp(prefix="sddt_docs_stream_")
-        os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
+        if os.path.isdir(src):
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    os.symlink(
+                        os.path.join(src, f), os.path.join(stream_dir, f)
+                    )
+        else:
+            os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
         cache[src] = stream_dir
     return spark.readStream.schema(DOCS_SCHEMA).parquet(stream_dir)
 

@@ -573,6 +573,38 @@ def test_neardup_stream_across_batches(spark, tmp_path):
     assert single == multi and len(single) > 0
 
 
+def test_neardup_stream_multipart_source_dir(spark, tmp_path):
+    """A documents.parquet that is a DIRECTORY of part files (the
+    layout of every scale replica and of any real Spark-written table)
+    must stream the same pairs as the single-file layout — the file
+    stream source does not descend into a symlinked subdirectory, so
+    the reader links each part file individually."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_neardup_stream,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    d = str(tmp_path / "docs_multipart")
+    os.makedirs(d, exist_ok=True)
+    docs.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    single = {
+        (r["new_did"], r["corpus_did"], r["jac_e4"])
+        for r in run_neardup_stream(spark, SF_SMOKE).collect()
+    }
+    multi = {
+        (r["new_did"], r["corpus_did"], r["jac_e4"])
+        for r in run_neardup_stream(spark, d).collect()
+    }
+    assert single == multi and len(multi) > 0
+
+
 def test_neardup_stream_broadcast_modes_identical(spark):
     """The gate's default leaves the stream-static join strategy to
     the planner (the band index is corpus-sized — a forced broadcast
