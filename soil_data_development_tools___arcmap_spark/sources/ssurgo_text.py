@@ -116,9 +116,11 @@ def _sniff_ncols(path: str) -> int | None:
             with open(f0, "rb") as fh:
                 head = fh.read(65536)
             if head:
-                line = head.decode("latin-1").splitlines()[0]
-                row = next(_c.reader(io.StringIO(line), delimiter="|",
-                                     quotechar='"'))
+                # csv.reader over the whole head (not splitlines): a
+                # quoted narrative field may embed newlines inside the
+                # first record, and the reader walks past them
+                row = next(_c.reader(io.StringIO(head.decode("latin-1")),
+                                     delimiter="|", quotechar='"'))
                 return len(row)
     return None
 
