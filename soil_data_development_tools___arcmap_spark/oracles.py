@@ -3353,12 +3353,12 @@ WHERE rn <= 5
 ORACLES["emb_knn_pq"] = _PQ
 
 # trained-PQ twin: per-subspace Lloyd's k-means (train_ivf_centroids
-# semantics) — farthest-first seeding (_ff_init) then the fixed 3
-# iterations unrolled — assignment by the same floored-cosine + kid
-# tie-break, update = floored per-dim mean, empty clusters keep their
-# previous centroid. Every step is exact-integer or one deterministic
-# double division, so DuckDB reproduces the Spark codebook
-# bit-for-bit.
+# semantics, default first-N seeding — only the IVF twins below use
+# the farthest-first _ff_init) unrolled for the fixed 3 iterations —
+# assignment by the same floored-cosine + kid tie-break, update =
+# floored per-dim mean, empty clusters keep their previous centroid.
+# Every step is exact-integer or one deterministic double division,
+# so DuckDB reproduces the Spark codebook bit-for-bit.
 _PQ_KCOS = (
     "CASE WHEN list_dot_product(sv, sv) = 0 OR list_dot_product(kv, kv) = 0 "
     "THEN -2000000 ELSE CAST(floor((list_dot_product(sv, kv)/"

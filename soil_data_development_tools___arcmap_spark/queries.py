@@ -4309,16 +4309,14 @@ def nightly_gssurgo(spark: SparkSession, sf_dir: str) -> DataFrame:
     component source swap changes scans, not strategy); the final
     merges are mapunit-sized broadcast joins.
 
-    The text export is cached per SOURCE CONTENT (the
-    partitioned_sink_prune pattern: fingerprint the orders.parquet the
-    synthetic component derives from, build in a staging dir, atomic
-    rename) — repeat runs (steady bench passes, the 100x SCALING row)
-    measure compute, not multi-GB /tmp file churn, and concurrent
-    runs race safely."""
-    import hashlib
-    import shutil
-    import tempfile
-
+    The text export is cached per SOURCE CONTENT + BUILDER CODE
+    (cachefs.cached_dir: fingerprint of the orders.parquet the
+    synthetic component derives from, salted with the source text of
+    the synthesis + export functions so code edits invalidate; built
+    in staging + atomic rename under a uid-private base) — repeat runs
+    (steady bench passes, the 100x SCALING row) measure compute, not
+    multi-GB /tmp file churn, and concurrent runs race safely."""
+    from .cachefs import cached_dir, content_tag, source_salt
     from .catalog import embedded_catalog, load_full_export
     from .plans.planner import create_soil_map, hydrate
     from .tools_merge import merge_rating_tables
@@ -4326,21 +4324,14 @@ def nightly_gssurgo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = ssurgo_synth(spark, sf_dir)
     emb = embedded_catalog()
-    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"sddt_nightly_{tag}")
-    if not os.path.isdir(tmp):
-        staging = tempfile.mkdtemp(prefix="sddt_nightly_stage_")
-        _pipe_text_export(t["component"], "component", emb, staging)
-        try:
-            os.rename(staging, tmp)  # atomic: complete iff present
-        except OSError:
-            if not os.path.isdir(tmp):  # lost the race -> reuse winner
-                raise
-            shutil.rmtree(staging, ignore_errors=True)
+    tmp = cached_dir(
+        "nightly",
+        content_tag(
+            [os.path.join(os.path.abspath(sf_dir), "orders.parquet")],
+            extra=source_salt(ssurgo_synth, _pipe_text_export),
+        ),
+        lambda d: _pipe_text_export(t["component"], "component", emb, d),
+    )
     rt = load_full_export(spark, tmp, catalog=emb, tables=["component"])[
         "component"
     ]
@@ -6137,10 +6128,16 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
 
 
 #: trained-BPE artifact memo: (applicationId, corpus path, mtime, size,
-#: n_merges) -> (merge list, fused-corpus DataFrame). One artifact held
-#: at a time — its localCheckpoint blocks pin executor storage, so the
-#: superseded artifact's blocks are freed on eviction.
+#: n_merges, parity) -> (merge list, fused-corpus DataFrame). An entry
+#: REPLACED by a corpus rewrite (same path+params, new fingerprint) has
+#: its checkpoint blocks freed eagerly — any lazy consumer of it is
+#: reading a dead corpus anyway, and erroring beats silently-stale.
+#: Distinct-key entries are never freed, only dropped when the memo
+#: exceeds capacity: a caller may still hold a lazy DataFrame built on
+#: their blocks (docs_bpe_apply then docs_bpe_tokenize), and Spark's
+#: ContextCleaner reclaims the blocks once the dropped RDD is GC'd.
 _BPE_MEMO: dict[tuple, tuple] = {}
+_BPE_MEMO_CAP = 4
 
 
 def _bpe_canvas(text: Column) -> Column:
@@ -6166,10 +6163,8 @@ def _bpe_run(
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     st = os.stat(src)
-    key = (
-        spark.sparkContext.applicationId,
-        src, st.st_mtime_ns, st.st_size, n_merges, parity,
-    )
+    app = spark.sparkContext.applicationId
+    key = (app, src, st.st_mtime_ns, st.st_size, n_merges, parity)
     hit = _BPE_MEMO.get(key)
     if hit is not None:
         return hit
@@ -6213,9 +6208,19 @@ def _bpe_run(
         if rank > 1:
             _free_ckpt(prev)
     for old_key in list(_BPE_MEMO):
-        _, old_cur = _BPE_MEMO.pop(old_key)
-        with contextlib.suppress(Exception):  # dead session's blocks
-            _free_ckpt(old_cur)
+        # rewritten corpus under the same (session, path, params):
+        # free eagerly — consumers of the old artifact are stale
+        if (old_key[0], old_key[1], old_key[4], old_key[5]) == (
+            app, src, n_merges, parity
+        ):
+            _, old_cur = _BPE_MEMO.pop(old_key)
+            with contextlib.suppress(Exception):
+                _free_ckpt(old_cur)
+    while len(_BPE_MEMO) >= _BPE_MEMO_CAP:
+        # capacity: drop the oldest reference WITHOUT freeing (a lazy
+        # consumer may still depend on its blocks; ContextCleaner
+        # reclaims them after GC)
+        _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
     _BPE_MEMO[key] = (merges, cur)
     return merges, cur
 

@@ -58,12 +58,15 @@ def _sniff_linesep(path: str) -> str:
     driver-side peek at the first file; files of one export are
     consistent.
 
-    MAJORITY vote between CRLF and bare-LF counts (not any-CRLF): a
-    \\n-terminated export whose quoted narrative fields embed CRLFs
-    would otherwise flip the whole file to lineSep=\\r\\n and mis-split
-    every row — the reference's csv.reader tolerates mixed terminators
-    (SSURGO_Convert_to_Geodatabase.py:1301), so the embedded minority
-    must not outvote the record terminator."""
+    The detector walks to the FIRST newline OUTSIDE quotes — the
+    first true record boundary — and reports its flavor. Newlines
+    embedded in quoted narrative fields (either flavor, any quantity)
+    never vote: an any-CRLF rule mis-sniffed \\n files with pasted
+    Windows text, and a count-majority rule mis-sniffs \\r\\n files
+    whose first record is one LF-heavy narrative; the reference's
+    csv.reader tolerates mixed terminators outright
+    (SSURGO_Convert_to_Geodatabase.py:1301), so only the genuine
+    boundary flavor matters here."""
     import glob as _glob
 
     if os.path.isdir(path):
@@ -77,9 +80,13 @@ def _sniff_linesep(path: str) -> str:
             with open(f0, "rb") as fh:
                 head = fh.read(65536)
             if head:
-                crlf = head.count(b"\r\n")
-                bare_lf = head.count(b"\n") - crlf
-                return "\r\n" if crlf > bare_lf else "\n"
+                in_quotes = False
+                for i, b in enumerate(head):
+                    if b == 0x22:  # '"' — doubled quotes toggle twice
+                        in_quotes = not in_quotes
+                    elif b == 0x0A and not in_quotes:
+                        return "\r\n" if i and head[i - 1] == 0x0D else "\n"
+                return "\n"  # no record boundary in the head
     return "\n"
 
 

@@ -58,10 +58,15 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     files and does not descend into a symlinked subdirectory, so
     linking the directory itself would stream zero rows."""
     src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    # cache key includes the source mtime: a rewritten directory table
+    # gets NEW part-file names, so reusing the old per-part symlinks
+    # would dangle (a rewritten single FILE re-resolves through its
+    # symlink, but the key covers it uniformly)
+    key = (src, os.stat(src).st_mtime_ns)
     cache = getattr(read_documents_stream, "_dirs", None)
     if cache is None:
         cache = read_documents_stream._dirs = {}
-    stream_dir = cache.get(src)
+    stream_dir = cache.get(key)
     if stream_dir is None or not os.path.isdir(stream_dir):
         stream_dir = tempfile.mkdtemp(prefix="sddt_docs_stream_")
         if os.path.isdir(src):
@@ -72,7 +77,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
         else:
             os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
-        cache[src] = stream_dir
+        cache[key] = stream_dir
     return spark.readStream.schema(DOCS_SCHEMA).parquet(stream_dir)
 
 

@@ -292,12 +292,13 @@ def test_real_layout_export_fixture(spark):
     assert abs(rows9["91001"]["interphr"] - 0.85) < 1e-9
 
 
-def test_linesep_sniff_majority_vote(spark, tmp_path):
-    """The record-terminator sniff must MAJORITY-vote CRLF vs bare LF:
-    a \\n-row-terminated export whose quoted narratives embed CRLFs
-    (pasted-from-Windows text is common in real mutext/cotext) must
-    still sniff as \\n — any-CRLF detection would set lineSep=\\r\\n
-    and mis-split every row of the file."""
+def test_linesep_sniff_first_unquoted_boundary(spark, tmp_path):
+    """The record-terminator sniff reports the flavor of the FIRST
+    newline outside quotes; embedded newlines in quoted narratives —
+    either flavor, any quantity — never vote. Pins both historical
+    failure modes: a \\n file with pasted-Windows CRLFs inside quotes
+    (any-CRLF rule failed) and a \\r\\n file whose first record is one
+    LF-heavy narrative (count-majority rule failed)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     from soil_data_development_tools___arcmap_spark.sources.ssurgo_text import (
@@ -316,6 +317,13 @@ def test_linesep_sniff_majority_vote(spark, tmp_path):
     with open(p_crlf, "wb") as f:
         f.write(b"t1|l1|misc|a\r\nt2|l1|misc|b\r\n")
     assert _sniff_linesep(p_crlf) == "\r\n"
+    # \r\n rows whose FIRST record is one LF-heavy quoted narrative
+    # (more bare LFs than CRLFs in the head — majority voting failed)
+    p_heavy = os.path.join(str(tmp_path), "heavy.txt")
+    with open(p_heavy, "wb") as f:
+        f.write(b't1|l1|misc|"' + b"unix line\n" * 50 + b'end"\r\n')
+        f.write(b"t2|l1|misc|b\r\n")
+    assert _sniff_linesep(p_heavy) == "\r\n"
     # and the \n file with the embedded CRLF parses row-correct
     schema = StructType(
         [StructField(c, StringType()) for c in

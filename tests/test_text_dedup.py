@@ -584,7 +584,10 @@ def test_bpe_artifact_memoized(spark, tmp_path):
     ).write.mode("overwrite").parquet(p)
     m3, _ = _bpe_run(spark, d, 8)
     assert m3 is not m1 and m3[0][1] == "x"
-    assert len(_BPE_MEMO) == 1  # superseded artifact evicted
+    # the superseded SAME-corpus artifact was evicted (and freed);
+    # entries for other corpora are retained up to the memo capacity
+    same_src = [k for k in _BPE_MEMO if k[1] == os.path.abspath(p)]
+    assert len(same_src) == 1
 
 
 def test_bpe_tokenize_holdout_uses_trained_rules_only(spark, tmp_path):

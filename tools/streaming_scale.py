@@ -33,12 +33,10 @@ Prints one JSON line per (factor, query).
 from __future__ import annotations
 
 import glob
-import hashlib
 import json
 import os
 import shutil
 import sys
-import tempfile
 import time
 import uuid
 
@@ -49,58 +47,61 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def build_replica(spark, factor: int) -> str:
     """factor-x replica of the events table, one parquet file per day,
-    mtimes increasing in day order; cached in /tmp keyed on source
-    fingerprint. Returns the flat directory of day files."""
-    from pyspark.sql import functions as F
+    mtimes increasing in day order; cached via cachefs (content +
+    builder-code keyed, uid-private, atomic). Returns the flat
+    directory of day files."""
+    from soil_data_development_tools___arcmap_spark.cachefs import (
+        cached_dir,
+        content_tag,
+        source_salt,
+    )
 
     src = os.path.join(os.path.abspath(SF_DIR), "events.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}|{st.st_mtime_ns}|{st.st_size}|{factor}".encode()
-    ).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"sddt_evscale_{tag}")
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
-        return out
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(src)
-    maxu = ev.selectExpr("max(user_id)").collect()[0][0] + 1
-    maxe = ev.selectExpr("max(event_id)").collect()[0][0] + 1
-    reps = spark.range(factor).selectExpr("id AS rep")
-    part_dir = out + "_parts"
-    (
-        ev.crossJoin(reps)
-        .selectExpr(
-            f"event_id + rep * {maxe} AS event_id",
-            "ts",
-            f"user_id + rep * {maxu} AS user_id",
-            "event_type",
-            "value",
-            "props",
-            "unix_micros(cast(ts AS timestamp)) div 86400000000 AS day_num",
+
+    def build(staging: str) -> None:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = spark.read.parquet(src)
+        maxu = ev.selectExpr("max(user_id)").collect()[0][0] + 1
+        maxe = ev.selectExpr("max(event_id)").collect()[0][0] + 1
+        reps = spark.range(factor).selectExpr("id AS rep")
+        part_dir = os.path.join(staging, "_parts")
+        (
+            ev.crossJoin(reps)
+            .selectExpr(
+                f"event_id + rep * {maxe} AS event_id",
+                "ts",
+                f"user_id + rep * {maxu} AS user_id",
+                "event_type",
+                "value",
+                "props",
+                "unix_micros(cast(ts AS timestamp)) div 86400000000"
+                " AS day_num",
+            )
+            .repartition("day_num")
+            .write.mode("overwrite")
+            .partitionBy("day_num")
+            .parquet(part_dir)
         )
-        .repartition("day_num")
-        .write.mode("overwrite")
-        .partitionBy("day_num")
-        .parquet(part_dir)
-    )
-    os.makedirs(out, exist_ok=True)
-    days = sorted(
-        int(os.path.basename(d).split("=")[1])
-        for d in glob.glob(os.path.join(part_dir, "day_num=*"))
-    )
-    t0 = time.time()
-    for i, d in enumerate(days):
-        parts = sorted(
-            glob.glob(os.path.join(part_dir, f"day_num={d}", "*.parquet"))
+        days = sorted(
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(os.path.join(part_dir, "day_num=*"))
         )
-        for j, p in enumerate(parts):
-            dst = os.path.join(out, f"day{d:06d}_{j:02d}.parquet")
-            shutil.copy(p, dst)
-            os.utime(dst, (t0 + i, t0 + i))  # day-ordered trigger order
-    shutil.rmtree(part_dir, ignore_errors=True)
-    open(done, "w").close()
-    return out
+        t0 = time.time()
+        for i, d in enumerate(days):
+            parts = sorted(
+                glob.glob(os.path.join(part_dir, f"day_num={d}", "*.parquet"))
+            )
+            for j, p in enumerate(parts):
+                dst = os.path.join(staging, f"day{d:06d}_{j:02d}.parquet")
+                shutil.copy(p, dst)
+                os.utime(dst, (t0 + i, t0 + i))  # day-ordered triggers
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+    return cached_dir(
+        "evscale",
+        content_tag([src], extra=f"{factor}|{source_salt(build_replica)}"),
+        build,
+    )
 
 
 def _run(spark, sink_df, mode: str) -> dict:
@@ -119,6 +120,7 @@ def _run(spark, sink_df, mode: str) -> dict:
     rows = 0
     peak_state = 0
     batches = 0
+    assert len(q.recentProgress) < 10000, "progress ring buffer overflow"
     for p in q.recentProgress:
         batches += 1
         rows += int(p.get("numInputRows") or 0)
@@ -146,6 +148,11 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [10, 100]
     spark = get_spark("streaming-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress is a ring buffer (default 100 entries); the
+    # metrics below sum over it, so a replay with more micro-batches
+    # than the cap would silently undercount — raise it well past any
+    # day-per-trigger replay and assert per run (see _run)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     for factor in factors:
         day_dir = build_replica(spark, factor)
