@@ -281,3 +281,47 @@ def test_report_template_dispatch(spark):
     got = report_template(muname)
     assert got["template"] == "SDV_Report_MuName.rlf"
     assert got["field_map"] is None
+
+
+def test_cachefs_content_and_code_keyed(tmp_path):
+    """cached_dir builds once per (content, builder-code) tag: same
+    inputs reuse the build; touching the source file OR changing the
+    builder code yields a new tag (stale caches cannot serve old-code
+    output); the base dir is uid-private and the build is atomic
+    (staging leftovers never surface as a cache)."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark.cachefs import (
+        cached_dir,
+        content_tag,
+        source_salt,
+    )
+
+    src = tmp_path / "input.txt"
+    src.write_text("v1")
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        with open(os.path.join(d, "out.txt"), "w") as fh:
+            fh.write("built")
+
+    t1 = content_tag([str(src)], extra=source_salt(build))
+    d1 = cached_dir("cachefs_test", t1, build)
+    d2 = cached_dir("cachefs_test", t1, build)
+    assert d1 == d2 and len(calls) == 1  # second call reused
+    assert open(os.path.join(d1, "out.txt")).read() == "built"
+    st = os.stat(os.path.dirname(d1))
+    assert st.st_uid == os.getuid() and (st.st_mode & 0o077) == 0
+
+    src.write_text("v2-longer")  # content change -> new tag
+    t2 = content_tag([str(src)], extra=source_salt(build))
+    assert t2 != t1
+    cached_dir("cachefs_test", t2, build)
+    assert len(calls) == 2
+
+    def build2(d):  # different builder source -> different salt
+        with open(os.path.join(d, "out.txt"), "w") as fh:
+            fh.write("other")
+
+    assert source_salt(build2) != source_salt(build)

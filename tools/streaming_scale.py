@@ -26,8 +26,9 @@ Queries:
 - attribution: the watermarked stream-stream inner join (clicks x
   purchases, 1-hour window).
 
-Usage: python tools/streaming_scale.py [factor ...]   (default: 10 100)
-Prints one JSON line per (factor, query).
+Usage: python tools/streaming_scale.py [factor ...] [--only q1,q2]
+(default factors: 10 100; default queries: all four). Prints one JSON
+line per (factor, query).
 """
 
 from __future__ import annotations
@@ -142,10 +143,21 @@ def main() -> None:
     from soil_data_development_tools___arcmap_spark.streaming.events import (
         EVENTS_SCHEMA,
         _ts_ns,
+        session_windows_builtin,
         sessionize_stateful,
     )
 
-    factors = [int(a) for a in sys.argv[1:]] or [10, 100]
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    factors = [int(a) for a in argv] or [10, 100]
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     spark = get_spark("streaming-scale")
     spark.sparkContext.setLogLevel("ERROR")
     # recentProgress is a ring buffer (default 100 entries); the
@@ -182,13 +194,39 @@ def main() -> None:
                 ),
             )
         )
-        m = _run(spark, tum, "update")
-        print(json.dumps({"factor": factor, "query": "tumbling", **m}))
+        if want("tumbling"):
+            m = _run(spark, tum, "update")
+            print(json.dumps({"factor": factor, "query": "tumbling", **m}))
 
-        m = _run(
-            spark, sessionize_stateful(spark, SF_DIR, source=src()), "update"
-        )
-        print(json.dumps({"factor": factor, "query": "sessionize", **m}))
+        if want("sessionize"):
+            m = _run(
+                spark,
+                sessionize_stateful(spark, SF_DIR, source=src()),
+                "update",
+            )
+            print(
+                json.dumps({"factor": factor, "query": "sessionize", **m})
+            )
+
+        # built-in session_window twin (engine-managed merging state,
+        # 1-hour watermark): unlike the custom per-user-totals
+        # operator, its state holds OPEN sessions only — the contrast
+        # row for the two sessionization strategies. APPEND mode:
+        # session-window aggs don't support update; closed sessions
+        # emit as the watermark passes them (the final watermark lags
+        # the stream end by the delay, so the last hour's sessions
+        # stay buffered — state/throughput are what's measured here)
+        if want("session_window"):
+            m = _run(
+                spark,
+                session_windows_builtin(src(), with_watermark=True),
+                "append",
+            )
+            print(
+                json.dumps(
+                    {"factor": factor, "query": "session_window", **m}
+                )
+            )
 
         # watermarked stream-stream inner join (run_attribution_stream's
         # query, built on the replica source)
@@ -222,8 +260,11 @@ def main() -> None:
             & (clicks["c_time"] <= purchases["p_time"]),
             "inner",
         ).select("purchase_id", "click_id")
-        m = _run(spark, joined, "append")
-        print(json.dumps({"factor": factor, "query": "attribution", **m}))
+        if want("attribution"):
+            m = _run(spark, joined, "append")
+            print(
+                json.dumps({"factor": factor, "query": "attribution", **m})
+            )
 
 
 if __name__ == "__main__":
