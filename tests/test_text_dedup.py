@@ -639,3 +639,106 @@ def test_rowwise_minhash_matches_exploded(spark):
         if r["mh0"] is not None  # doc 5 (< 3 tokens) has no signature
     }
     assert rowwise == exploded
+
+
+# ---------------------------------------------------------------------------
+# BPE canonical-semantics property test: the cross-engine hash proves
+# Spark and DuckDB agree, but both run the SAME double-spaced-canvas
+# replace — a shared deviation would pass it (the r6 verdict's point).
+# This pins the trainer against an INDEPENDENT textbook implementation:
+# a plain token-list scanner with left-to-right non-overlapping fusion.
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(doc_tokens, n_merges):
+    """Textbook greedy BPE over word-token docs: per round, count every
+    adjacent pair (overlapping counts — 'a a a' has two (a,a)), pick
+    max by (count desc, x asc, y asc), fuse occurrences left-to-right
+    non-overlapping, repeat. Returns (merge table, fused docs)."""
+    from collections import Counter
+
+    SEP = "\x1f"
+    cur = [list(t) for t in doc_tokens]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        cnt = Counter()
+        for toks in cur:
+            for i in range(len(toks) - 1):
+                cnt[(toks[i], toks[i + 1])] += 1
+        if not cnt:
+            break
+        (x, y), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, x, y, c))
+        nxt = []
+        for toks in cur:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == x and toks[i + 1] == y:
+                    out.append(x + SEP + y)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            nxt.append(out)
+        cur = nxt
+    return merges, cur
+
+
+def _spark_bpe(spark, tmp_path, tag, doc_tokens, n_merges):
+    """Run the production trainer on the given docs; parse the fused
+    double-spaced canvas back to token lists."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark.queries import _bpe_run
+
+    d = str(tmp_path / f"bpe_prop_{tag}")
+    os.makedirs(d, exist_ok=True)
+    rows = [(i + 1, " ".join(t)) for i, t in enumerate(doc_tokens)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    merges, fused = _bpe_run(spark, d, n_merges)
+    # NB: split(" ") not split() — \x1f (the fuse SEP) is Unicode
+    # whitespace to str.split(), which would shred fused tokens
+    by_id = {
+        r["doc_id"]: [t for t in r["s"].split(" ") if t]
+        for r in fused.collect()
+    }
+    return merges, [by_id[i + 1] for i in range(len(doc_tokens))]
+
+
+BPE_PINNED = [
+    # the r6 deviation shapes: identical-token runs, odd and even
+    [["a", "a", "a", "a", "a"]],
+    [["a", "a", "a", "a"]],
+    # long alternating chain (double-replace mis-paired every other)
+    [["a", "b", "a", "b", "a", "b", "a"]],
+    # fused-token adjacency across rounds + a tie on count
+    [["a", "b", "b", "a"], ["b", "a", "a", "b"]],
+    # degenerate: no adjacent pair anywhere -> trainer must break
+    [["a"], [], ["b"]],
+]
+
+
+def test_bpe_matches_textbook_reference_pinned(spark, tmp_path):
+    for i, docs_toks in enumerate(BPE_PINNED):
+        ref = _ref_bpe(docs_toks, 3)
+        got = _spark_bpe(spark, tmp_path, f"pin{i}", docs_toks, 3)
+        assert got == ref, f"pinned case {i}: {docs_toks}"
+
+
+def test_bpe_matches_textbook_reference_random(spark, tmp_path):
+    """Randomized corpora over a 2-token alphabet (maximizes runs and
+    alternations, the shapes where greedy fusion order matters)."""
+    import random
+
+    rng = random.Random(20260814)
+    for case in range(10):
+        docs_toks = [
+            [rng.choice("ab") for _ in range(rng.randint(0, 10))]
+            for _ in range(rng.randint(1, 4))
+        ]
+        ref = _ref_bpe(docs_toks, 3)
+        got = _spark_bpe(spark, tmp_path, f"rnd{case}", docs_toks, 3)
+        assert got == ref, f"random case {case}: {docs_toks}"
