@@ -742,3 +742,65 @@ def test_bpe_matches_textbook_reference_random(spark, tmp_path):
         ref = _ref_bpe(docs_toks, 3)
         got = _spark_bpe(spark, tmp_path, f"rnd{case}", docs_toks, 3)
         assert got == ref, f"random case {case}: {docs_toks}"
+
+
+def test_lm_quality_matches_independent_reference(spark, tmp_path):
+    """docs_lm_quality vs a from-the-docstring pure-Python scorer (the
+    DuckDB oracle shares Spark's SQL formulation; this reference
+    shares only the SPEC): Laplace-smoothed bigram transition
+    probability in ppm, trained on the doc_id % 10 == 0 slice, every
+    doc scored by integer-division mean. Seeded random corpora over a
+    tiny vocab so reference-slice membership, unseen transitions, and
+    unseen x-marginals all occur."""
+    import os
+    import random
+    from collections import Counter
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+
+    def ref_scores(docs):
+        toks = {
+            i: [t for t in s.split(" ") if t] for i, s in docs.items()
+        }
+        bgs = {i: list(zip(t, t[1:])) for i, t in toks.items()}
+        c_xy = Counter()
+        for i, bg in bgs.items():
+            if i % 10 == 0:
+                c_xy.update(bg)
+        c_x = Counter()
+        for (x, _y), c in c_xy.items():
+            c_x[x] += c
+        vocab = len({y for (_x, y) in c_xy})
+        out = {}
+        for i, bg in bgs.items():
+            if not bg:
+                continue  # no transitions -> no row
+            ps = [
+                ((c_xy.get(p, 0) + 1) * 1000000) // (c_x.get(p[0], 0) + vocab)
+                for p in bg
+            ]
+            out[i] = (len(bg), sum(ps) // len(bg))
+        return out
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        words = ["the", "cat", "sat", "on", "zz"]
+        docs = {
+            i: " ".join(
+                rng.choice(words) for _ in range(rng.randint(0, 12))
+            )
+            for i in range(rng.randint(11, 25))  # ids 0,10,20 hit the
+            # reference slice; some slice docs may still be empty
+        }
+        d = str(tmp_path / f"lmq{case}")
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            r["doc_id"]: (r["n_trans"], r["score_e6"])
+            for r in Q.docs_lm_quality(spark, d).collect()
+        }
+        assert got == ref_scores(docs), f"case {case}"
