@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -301,3 +303,165 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes, pairs).collect()
     }
     assert got == expected
+
+
+# --- horizon (depth-weighted) aggregation vs a direct reference ------------
+#
+# The subtlest §2.4 semantics: clip each horizon to the requested depth
+# range, drop null-rating / zero-thickness horizons, renormalize weights
+# over CONTRIBUTING members only (WTA_SUM), depth-average per member
+# (WTA_WTA), or pick the dominant member first (DCP_WTA — dominance
+# judged over ALL members with horizons, so a dominant member whose
+# horizons all miss the range yields NO group row).
+
+hz_row = st.tuples(
+    st.integers(0, 40),                       # hzdept
+    st.integers(0, 30),                       # thickness (hzdepb = t + th)
+    st.one_of(st.none(), st.integers(0, 50)),  # rating
+)
+hz_member = st.tuples(
+    st.integers(0, 2),                         # mukey
+    st.integers(1, 100),                       # comppct_r
+    st.lists(hz_row, max_size=4),              # horizons
+)
+hz_tables = st.lists(hz_member, min_size=1, max_size=8)
+
+HZ_TOP, HZ_BOT = 5, 30
+
+
+def _hz_member_sums(members):
+    """(mu, ck) -> (pct, sum(th*r), sum(th), saw_valid) over horizons
+    clipped to [HZ_TOP, HZ_BOT); members with no horizon rows at all
+    never reach the aggregate (no input rows)."""
+    out = {}
+    for ck, (mu, pct, hzs) in enumerate(members):
+        if not hzs:
+            continue
+        txv = t = 0.0
+        valid = False
+        for ht, th, r in hzs:
+            clipped = max(min(ht + th, HZ_BOT) - max(ht, HZ_TOP), 0)
+            if r is not None and clipped > 0:
+                txv += clipped * r
+                t += clipped
+                valid = True
+        out[(mu, ck)] = (pct, txv, t, valid)
+    return out
+
+
+def _hz_df(spark, members):
+    rows = [
+        (mu, ck, pct, ht, ht + th, float(r) if r is not None else None)
+        for ck, (mu, pct, hzs) in enumerate(members)
+        for ht, th, r in hzs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "mukey int, cokey int, comppct_r int,"
+        " hzdept_r int, hzdepb_r int, hz_rating double",
+    )
+
+
+HZ_SPEC = dict(
+    rating_col="hz_rating",
+    group_cols=["mukey"],
+    member_col="cokey",
+    weight_col="comppct_r",
+    out_col="rating",
+)
+
+
+@SETTINGS
+@given(members=hz_tables)
+def test_hz_wta_sum_matches_reference(spark, members):
+    from collections import defaultdict
+
+    from soil_data_development_tools___arcmap_spark.operators import (
+        agg_hz_wta_sum,
+    )
+
+    groups = defaultdict(list)
+    for (mu, _ck), (pct, txv, _t, valid) in _hz_member_sums(members).items():
+        if valid:  # __txv IS NULL when no in-range rated horizon
+            groups[mu].append((pct, txv))
+    expected = {
+        mu: (
+            sum(p for p, _ in lst),
+            sum(p * v for p, v in lst) / sum(p for p, _ in lst),
+        )
+        for mu, lst in groups.items()
+    }
+    got = {
+        r["mukey"]: (r["comppct_r"], r["rating"])
+        for r in agg_hz_wta_sum(
+            _hz_df(spark, members), RatingSpec(**HZ_SPEC),
+            top=HZ_TOP, bot=HZ_BOT,
+        ).collect()
+    }
+    assert got.keys() == expected.keys()
+    for mu, (sw, val) in expected.items():
+        assert got[mu][0] == sw
+        assert got[mu][1] == pytest.approx(val, rel=1e-9)
+
+
+@SETTINGS
+@given(members=hz_tables)
+def test_hz_wta_wta_matches_reference(spark, members):
+    from collections import defaultdict
+
+    from soil_data_development_tools___arcmap_spark.operators import (
+        agg_hz_wta_wta,
+    )
+
+    groups = defaultdict(list)
+    for (mu, _ck), (pct, txv, t, _v) in _hz_member_sums(members).items():
+        if t > 0:
+            groups[mu].append((pct, txv / t))
+    expected = {
+        mu: (
+            sum(p for p, _ in lst),
+            sum(p * cv for p, cv in lst) / sum(p for p, _ in lst),
+        )
+        for mu, lst in groups.items()
+    }
+    got = {
+        r["mukey"]: (r["comppct_r"], r["rating"])
+        for r in agg_hz_wta_wta(
+            _hz_df(spark, members), RatingSpec(**HZ_SPEC),
+            top=HZ_TOP, bot=HZ_BOT,
+        ).collect()
+    }
+    assert got.keys() == expected.keys()
+    for mu, (sw, val) in expected.items():
+        assert got[mu][0] == sw
+        assert got[mu][1] == pytest.approx(val, rel=1e-9)
+
+
+@SETTINGS
+@given(members=hz_tables)
+def test_hz_dcp_wta_matches_reference(spark, members):
+    from collections import defaultdict
+
+    from soil_data_development_tools___arcmap_spark.operators import (
+        agg_hz_dcp_wta,
+    )
+
+    by_mu = defaultdict(list)
+    for (mu, ck), (pct, txv, t, _v) in _hz_member_sums(members).items():
+        by_mu[mu].append((-pct, ck, txv, t))
+    expected = {}
+    for mu, lst in by_mu.items():
+        neg_pct, _ck, txv, t = min(lst)  # max pct, then cokey ASC
+        if t > 0:  # dominant member may have NO in-range horizon
+            expected[mu] = (-neg_pct, txv / t)
+    got = {
+        r["mukey"]: (r["comppct_r"], r["rating"])
+        for r in agg_hz_dcp_wta(
+            _hz_df(spark, members), RatingSpec(**HZ_SPEC),
+            top=HZ_TOP, bot=HZ_BOT,
+        ).collect()
+    }
+    assert got.keys() == expected.keys()
+    for mu, (pct, val) in expected.items():
+        assert got[mu][0] == pct
+        assert got[mu][1] == pytest.approx(val, rel=1e-9)
