@@ -465,3 +465,90 @@ def test_hz_dcp_wta_matches_reference(spark, members):
     for mu, (pct, val) in expected.items():
         assert got[mu][0] == pct
         assert got[mu][1] == pytest.approx(val, rel=1e-9)
+
+
+# --- month collapse → WTA composition (the DTWT pipeline) -------------------
+#
+# Monthly rows replicate the member weight 12x (the reference's trap,
+# gSSURGO_CreateSoilMap.py:10710-10716); the operator collapses months
+# per member FIRST (min, inside a possibly wrap-around month window,
+# nulls replaced by the 201 sentinel) and only then weight-averages
+# with the sentinel excluded. The reference below is the direct loop.
+
+mo_row = st.tuples(
+    st.integers(1, 12),                        # monthseq
+    st.one_of(st.none(), st.integers(0, 250)),  # dtwt (may exceed 201)
+)
+mo_member = st.tuples(
+    st.integers(0, 2),                         # mukey
+    st.integers(1, 100),                       # comppct_r
+    st.lists(mo_row, min_size=1, max_size=12),
+)
+mo_tables = st.lists(mo_member, min_size=1, max_size=6)
+mo_windows = st.sampled_from([(1, 12), (4, 10), (11, 3)])  # incl. wrap
+
+
+@SETTINGS
+@given(members=mo_tables, window=mo_windows)
+def test_mo_wta_dtwt_matches_reference(spark, members, window):
+    from collections import defaultdict
+
+    from soil_data_development_tools___arcmap_spark.operators import (
+        agg_wta,
+        month_collapse,
+    )
+
+    beg, end = window
+
+    def in_window(m):
+        return beg <= m <= end if beg <= end else (m >= beg or m <= end)
+
+    collapsed = {}  # (mu, ck) -> (pct, min month value, nulls -> 201)
+    for ck, (mu, pct, months) in enumerate(members):
+        vals = [201 if v is None else v for m, v in months if in_window(m)]
+        if vals:
+            collapsed[(mu, ck)] = (pct, min(vals))
+    num = defaultdict(float)
+    den = defaultdict(float)
+    mus = set()
+    for (mu, _ck), (pct, v) in collapsed.items():
+        mus.add(mu)  # every collapsed group emits a row, rated or not
+        if v != 201:  # sentinel excluded from BOTH sums
+            num[mu] += pct * v
+            den[mu] += pct
+    expected = {
+        mu: (den[mu], num[mu] / den[mu]) if mu in den else (None, None)
+        for mu in mus
+    }
+
+    df = spark.createDataFrame(
+        [
+            (mu, ck, pct, m, float(v) if v is not None else None)
+            for ck, (mu, pct, months) in enumerate(members)
+            for m, v in months
+        ],
+        "mukey int, cokey int, comppct_r int, monthseq int, dtwt double",
+    )
+    spec = RatingSpec(
+        rating_col="dtwt",
+        group_cols=["mukey"],
+        member_col="cokey",
+        weight_col="comppct_r",
+        null_replacement=201,
+        out_col="rating",
+    )
+    got = {
+        r["mukey"]: (r["comppct_r"], r["rating"])
+        for r in agg_wta(
+            month_collapse(df, spec, how="min", beg_month=beg, end_month=end),
+            spec,
+            exclude_values=[201],
+        ).collect()
+    }
+    assert got.keys() == expected.keys()
+    for mu, (sw, val) in expected.items():
+        if sw is None:
+            assert got[mu] == (None, None)
+        else:
+            assert got[mu][0] == sw
+            assert got[mu][1] == pytest.approx(val, rel=1e-9)
