@@ -180,3 +180,205 @@ def test_calc_nccpi2_combined_submodel_and_denominator(spark):
     assert row["nccpi2cs"] == pytest.approx(round(0.5 * 60 / 100, 3))
     assert row["nccpi2co"] == pytest.approx(round(0.25 * 60 / 100, 3))
     assert row["nccpi2sg"] is None
+
+
+def test_rz_chain_matches_independent_reference(spark):
+    """calc_rz_depth -> calc_rz_aws -> droughty vs a direct Python
+    loop built from the spec (gSSURGO_ValuTable.py:741-1478 semantics
+    as documented on the operators), over seeded random tables that
+    hit every rule: dense layers with one backfilled separate, acid
+    horizons on organic vs histic vs mineral taxa, qualifying and
+    non-qualifying restrictions at the 150 cm boundary, components
+    with no horizons, mapunits with no rated members.
+
+    awc values are exact binary fractions so every sum/product is
+    exact in double; the single final division + HALF_UP round (via
+    shortest-repr Decimal, Java's BigDecimal.valueOf contract) is the
+    only inexact step on either engine."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from soil_data_development_tools___arcmap_spark.valu1.pipeline import (
+        OM_LIEUTEX,
+        OM_TEXTURES,
+        RZ_RESKINDS,
+    )
+
+    def round_half_up(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    def ref(comps, hzs, rests):
+        # shallowest qualifying restriction per cokey
+        resd = {}
+        for key, ck, kind, dep in rests:
+            if kind in RZ_RESKINDS and dep is not None and dep < 150:
+                cur = resd.get(ck)
+                if cur is None or (dep, key) < cur:
+                    resd[ck] = (dep, key)
+
+        def organic(h, co):
+            if co["taxorder"] == "Histosols" or "histic" in (
+                co["taxsubgrp"] or ""
+            ).lower():
+                return False
+            return (
+                (h["desgn"] or "").upper() in ("O", "L")
+                or (h["texture"] or "").upper() in OM_TEXTURES
+                or (h["lieutex"] or "") in OM_LIEUTEX
+            )
+
+        def dense(h):
+            s0, si0, c0 = h["sand"], h["silt"], h["clay"]
+            s = s0 if s0 is not None else (
+                100.0 - si0 - c0 if si0 is not None and c0 is not None else None
+            )
+            si = si0 if si0 is not None else (
+                100.0 - s0 - c0 if s0 is not None and c0 is not None else None
+            )
+            c = c0 if c0 is not None else (
+                100.0 - s0 - si0 if s0 is not None and si0 is not None else None
+            )
+            bd = h["bd"]
+            if bd is None or s is None or si is None or c is None:
+                return False
+            return (bd - (s * 1.65 + si * 1.30 + c * 1.25) / 100.0) > (
+                s * 0.002081 + si * 0.003912 + c * 0.0024351
+            )
+
+        rz = {}  # ck -> rzdepth
+        for co in comps:
+            if not (
+                co["compkind"] is not None
+                and co["compkind"] != "Miscellaneous area"
+                and co["majcomp"] == "Yes"
+            ):
+                continue
+            mine = [h for h in hzs if h["ck"] == co["ck"]]
+            if not mine:
+                continue
+            lim = [
+                h["t"]
+                for h in mine
+                if dense(h)
+                or (
+                    h["ph"] is not None
+                    and h["ph"] <= 3.5
+                    and not organic(h, co)
+                )
+                or (h["ec"] is not None and h["ec"] >= 16)
+            ]
+            hz_restrict = min(lim) if lim else 150
+            res = resd.get(co["ck"], (150, None))[0]
+            rz[co["ck"]] = min(hz_restrict, res, 150)
+
+        out = {}
+        by_mu = {}
+        for co in comps:
+            if co["ck"] in rz:
+                by_mu.setdefault(co["mu"], []).append(co)
+        for mu, members in by_mu.items():
+            num_aws = den_aws = 0.0
+            num_emc = den_emc = 0.0
+            any_caws = False
+            for co in members:
+                depth = rz[co["ck"]]
+                caws = None
+                for h in hzs:
+                    if h["ck"] == co["ck"] and h["awc"] is not None:
+                        th = max(min(h["b"], depth) - max(h["t"], 0), 0)
+                        caws = (caws or 0.0) + th * h["awc"] * 10.0
+                if caws is not None:
+                    num_aws += co["pct"] * caws
+                    den_aws += co["pct"]
+                    any_caws = True
+                num_emc += co["pct"] * depth
+                den_emc += co["pct"]
+            rootznaws = (
+                round_half_up(num_aws / den_aws) if any_caws else None
+            )
+            rootznemc = min(round_half_up(num_emc / den_emc), 150.0)
+            out[mu] = (
+                rootznaws,
+                rootznemc,
+                None if rootznaws is None else int(rootznaws <= 152),
+            )
+        return out
+
+    rng = random.Random(20260814)
+    for case in range(4):
+        comps, hzs, rests = [], [], []
+        ck_n = rk_n = 0
+        for mu in range(3):
+            for _ in range(rng.randint(1, 3)):
+                ck_n += 1
+                ck = f"c{ck_n}"
+                comps.append({
+                    "mu": f"mu{mu}", "ck": ck,
+                    "pct": rng.randint(1, 100),
+                    "majcomp": rng.choice(["Yes", "Yes", "No"]),
+                    "compkind": rng.choice(
+                        ["Series", "Series", "Miscellaneous area", None]
+                    ),
+                    "taxorder": rng.choice(["Alfisols", "Histosols"]),
+                    "taxsubgrp": rng.choice([None, "Typic", "Histic foo"]),
+                })
+                t = 0
+                for _h in range(rng.randint(0, 3)):
+                    b = t + rng.randint(10, 60)
+                    hzs.append({
+                        "ck": ck, "t": t, "b": b,
+                        "awc": rng.choice([None, 0.0, 0.25, 0.5]),
+                        "ph": rng.choice([None, 3.0, 3.5, 5.0]),
+                        "ec": rng.choice([None, 10.0, 16.0, 20.0]),
+                        "bd": rng.choice([None, 1.2, 1.8]),
+                        "sand": rng.choice([None, 20.0, 40.0]),
+                        "silt": rng.choice([None, 20.0, 40.0]),
+                        "clay": rng.choice([None, 20.0, 40.0]),
+                        "desgn": rng.choice([None, "O", "A"]),
+                        "texture": rng.choice([None, "PEAT", "SIL"]),
+                        "lieutex": rng.choice([None, "Muck"]),
+                    })
+                    t = b
+                for _r in range(rng.randint(0, 2)):
+                    rk_n += 1
+                    rests.append((
+                        f"r{rk_n}", ck,
+                        rng.choice(RZ_RESKINDS[:2] + ["Abrupt textural change"]),
+                        rng.choice([10, 50, 120, 149, 150, 160, None]),
+                    ))
+
+        component = spark.createDataFrame(
+            [
+                (c["mu"], c["ck"], c["pct"], c["majcomp"], c["compkind"],
+                 c["taxorder"], c["taxsubgrp"])
+                for c in comps
+            ],
+            "mukey string, cokey string, comppct_r int, majcompflag string,"
+            " compkind string, taxorder string, taxsubgrp string",
+        )
+        chorizon = spark.createDataFrame(
+            [
+                (h["ck"], h["t"], h["b"], h["awc"], h["ph"], h["ec"],
+                 h["bd"], h["sand"], h["silt"], h["clay"], h["desgn"],
+                 h["texture"], h["lieutex"])
+                for h in hzs
+            ],
+            "cokey string, hzdept_r int, hzdepb_r int, awc_r double,"
+            " ph1to1h2o_r double, ec_r double, dbthirdbar_r double,"
+            " sandtotal_r double, silttotal_r double, claytotal_r double,"
+            " desgnmaster string, texture string, lieutex string",
+        )
+        corestrictions = spark.createDataFrame(
+            [(k, ck, kind, dep) for k, ck, kind, dep in rests],
+            "corestrictkey string, cokey string, reskind string,"
+            " resdept_r int",
+        )
+        qt = component.join(chorizon, "cokey", "left")
+        rzdepth = calc_rz_depth(qt, get_co_restrictions(corestrictions))
+        got = {
+            r["mukey"]: (r["rootznaws"], r["rootznemc"], r["droughty"])
+            for r in calc_rz_aws(qt, rzdepth).collect()
+        }
+        assert got == ref(comps, hzs, rests), f"case {case}"
