@@ -382,3 +382,82 @@ def test_rz_chain_matches_independent_reference(spark):
             for r in calc_rz_aws(qt, rzdepth).collect()
         }
         assert got == ref(comps, hzs, rests), f"case {case}"
+
+
+def test_calc_aws_matches_independent_reference(spark):
+    """calc_aws (all 11 depth ranges in one pass, exact_scale output)
+    vs a direct per-range loop: clipped thickness per horizon, null-awc
+    horizons excluded from BOTH sums, contributing-member weight
+    renormalization per range, components with no horizons emitting
+    null range rows. exact binary awc fractions keep both engines'
+    arithmetic exact up to the single division (then *scale + floor,
+    identical IEEE ops)."""
+    import math
+    import random
+
+    from soil_data_development_tools___arcmap_spark.valu1.pipeline import (
+        DEPTH_RANGES,
+    )
+
+    def ref(comps, hzs, scale):
+        out = {}
+        for mu in {c["mu"] for c in comps}:
+            members = [c for c in comps if c["mu"] == mu]
+            for t, b in DEPTH_RANGES:
+                num_a = den_a = num_t = den_t = 0.0
+                any_a = any_t = False
+                for co in members:
+                    caws = ctk = None
+                    for h in hzs:
+                        if h["ck"] == co["ck"] and h["awc"] is not None:
+                            th = max(min(h["b"], b) - max(h["t"], t), 0)
+                            caws = (caws or 0.0) + th * h["awc"] * 10.0
+                            ctk = (ctk or 0.0) + th
+                    if caws is not None:
+                        num_a += co["pct"] * caws
+                        den_a += co["pct"]
+                        any_a = True
+                    if ctk is not None:
+                        num_t += co["pct"] * ctk
+                        den_t += co["pct"]
+                        any_t = True
+                out[(mu, t, b)] = (
+                    math.floor(num_a / den_a * scale) if any_a else None,
+                    math.floor(num_t / den_t * scale) if any_t else None,
+                )
+        return out
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        comps, hzs = [], []
+        ck_n = 0
+        for mu in range(3):
+            for _ in range(rng.randint(1, 3)):
+                ck_n += 1
+                ck = f"c{ck_n}"
+                comps.append(
+                    {"mu": f"mu{mu}", "ck": ck, "pct": rng.randint(1, 100)}
+                )
+                t = 0
+                for _h in range(rng.randint(0, 4)):
+                    b = t + rng.randint(3, 80)
+                    hzs.append({
+                        "ck": ck, "t": t, "b": b,
+                        "awc": rng.choice([None, 0.0, 0.25, 0.5, 0.125]),
+                    })
+                    t = b
+
+        component = spark.createDataFrame(
+            [(c["mu"], c["ck"], c["pct"]) for c in comps],
+            "mukey string, cokey string, comppct_r int",
+        )
+        chorizon = spark.createDataFrame(
+            [(h["ck"], h["t"], h["b"], h["awc"]) for h in hzs],
+            "cokey string, hzdept_r int, hzdepb_r int, awc_r double",
+        )
+        qt = component.join(chorizon, "cokey", "left")
+        got = {
+            (r["mukey"], r["top"], r["bot"]): (r["aws"], r["tk"])
+            for r in calc_aws(qt, exact_scale=100).collect()
+        }
+        assert got == ref(comps, hzs, 100), f"case {case}"
