@@ -461,3 +461,121 @@ def test_calc_aws_matches_independent_reference(spark):
             for r in calc_aws(qt, exact_scale=100).collect()
         }
         assert got == ref(comps, hzs, 100), f"case {case}"
+
+
+def test_calc_soc_matches_independent_reference(spark):
+    """calc_soc (exact_scale mode) vs a direct loop: per-horizon clip
+    additionally capped at the restriction depth, carbon factor
+    (1 - fragvol/100)*10*(om/1.724)*db3 with null fragvol as 0,
+    null om/db3 horizons excluded, per-horizon floor-quantization
+    BEFORE summing (the order-independence contract), then the
+    weighted mean floored. The reference replicates the exact IEEE
+    expression grouping, so values match bit-for-bit."""
+    import math
+    import random
+
+    from soil_data_development_tools___arcmap_spark.valu1.pipeline import (
+        DEPTH_RANGES,
+        RZ_RESKINDS,
+        calc_soc,
+    )
+
+    SCALE = 1000
+
+    def ref(comps, hzs, rests):
+        resd = {}
+        for key, ck, kind, dep in rests:
+            if kind in RZ_RESKINDS and dep is not None and dep < 150:
+                cur = resd.get(ck)
+                if cur is None or (dep, key) < cur:
+                    resd[ck] = (dep, key)
+        out = {}
+        for mu in {c["mu"] for c in comps}:
+            members = [c for c in comps if c["mu"] == mu]
+            for t, b in DEPTH_RANGES:
+                num = den = 0
+                rated = False
+                for co in members:
+                    csoc = None
+                    cap = resd.get(co["ck"], (999, None))[0]
+                    for h in hzs:
+                        if h["ck"] != co["ck"]:
+                            continue
+                        if h["om"] is None or h["db3"] is None:
+                            continue
+                        th = max(
+                            min(h["b"], b, cap) - max(h["t"], t), 0
+                        )
+                        frag = h["frag"] if h["frag"] is not None else 0.0
+                        carbon = (
+                            (1.0 - frag / 100.0)
+                            * 10.0
+                            * (h["om"] / 1.724)
+                            * h["db3"]
+                        )
+                        csoc = (csoc or 0) + math.floor(th * carbon * SCALE)
+                    if csoc is not None:
+                        num += co["pct"] * csoc
+                        den += co["pct"]
+                        rated = True
+                out[(mu, t, b)] = (
+                    math.floor(num / den) if rated else None
+                )
+        return out
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        comps, hzs, rests = [], [], []
+        ck_n = rk_n = 0
+        for mu in range(3):
+            for _ in range(rng.randint(1, 3)):
+                ck_n += 1
+                ck = f"c{ck_n}"
+                comps.append(
+                    {"mu": f"mu{mu}", "ck": ck, "pct": rng.randint(1, 100)}
+                )
+                t = 0
+                for _h in range(rng.randint(0, 4)):
+                    b = t + rng.randint(3, 80)
+                    hzs.append({
+                        "ck": ck, "t": t, "b": b,
+                        "om": rng.choice([None, 1.0, 2.5, 3.449]),
+                        "db3": rng.choice([None, 1.2, 1.5]),
+                        "frag": rng.choice([None, 0.0, 10.0, 25.0]),
+                    })
+                    t = b
+                for _r in range(rng.randint(0, 2)):
+                    rk_n += 1
+                    rests.append((
+                        f"r{rk_n}", ck,
+                        rng.choice(RZ_RESKINDS[:2] + ["Abrupt textural change"]),
+                        rng.choice([10, 50, 120, 149, 150, None]),
+                    ))
+
+        component = spark.createDataFrame(
+            [(c["mu"], c["ck"], c["pct"]) for c in comps],
+            "mukey string, cokey string, comppct_r int",
+        )
+        chorizon = spark.createDataFrame(
+            [
+                (h["ck"], h["t"], h["b"], h["om"], h["db3"], h["frag"])
+                for h in hzs
+            ],
+            "cokey string, hzdept_r int, hzdepb_r int, om_r double,"
+            " dbthirdbar_r double, fragvol double",
+        )
+        corestrictions = spark.createDataFrame(
+            [(k, ck, kind, dep) for k, ck, kind, dep in rests],
+            "corestrictkey string, cokey string, reskind string,"
+            " resdept_r int",
+        )
+        qt = component.join(chorizon, "cokey", "left")
+        got = {
+            (r["mukey"], r["top"], r["bot"]): r["soc"]
+            for r in calc_soc(
+                qt,
+                restrictions=get_co_restrictions(corestrictions),
+                exact_scale=SCALE,
+            ).collect()
+        }
+        assert got == ref(comps, hzs, rests), f"case {case}"
