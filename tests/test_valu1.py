@@ -579,3 +579,66 @@ def test_calc_soc_matches_independent_reference(spark):
             ).collect()
         }
         assert got == ref(comps, hzs, rests), f"case {case}"
+
+
+def test_calc_pwsl_matches_independent_reference(spark):
+    """calc_pwsl vs a direct loop over random component tables: the
+    Water-name set, hydric Yes, unranked-hydric with poor drainage or
+    'drained' phase markers (case-insensitive substring), the >=80%
+    water sentinel 999, and the all-dry null group."""
+    import random
+
+    def ref(comps):
+        out = {}
+        for mu in {c["mu"] for c in comps}:
+            wet = water = None
+            for c in comps:
+                if c["mu"] != mu:
+                    continue
+                is_water = c["name"] in ("Water", "WATER", "water")
+                is_hydric = c["hyd"] == "Yes"
+                unranked_wet = c["hyd"] == "Unranked" and (
+                    c["drain"] in ("Poorly drained", "Very poorly drained")
+                    or "drained" in (c["lph"] or "").lower()
+                    or "drained" in (c["oph"] or "").lower()
+                )
+                if is_water or is_hydric or unranked_wet:
+                    wet = (wet or 0) + c["pct"]
+                if is_water:
+                    water = (water or 0) + c["pct"]
+            out[mu] = 999 if (water or 0) >= 80 and water is not None else wet
+        return out
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        comps = []
+        for mu in range(4):
+            for _ in range(rng.randint(1, 4)):
+                comps.append({
+                    "mu": f"mu{mu}",
+                    "name": rng.choice(
+                        ["Alpha", "Water", "WATER", "water", "Beta"]
+                    ),
+                    "pct": rng.randint(1, 90),
+                    "hyd": rng.choice(["Yes", "No", "Unranked", None]),
+                    "drain": rng.choice(
+                        ["Well drained", "Poorly drained",
+                         "Very poorly drained", None]
+                    ),
+                    "lph": rng.choice([None, "Drained", "gravelly"]),
+                    "oph": rng.choice([None, "undrained", "stony"]),
+                })
+        df = spark.createDataFrame(
+            [
+                (c["mu"], c["name"], c["pct"], c["hyd"], c["drain"],
+                 c["lph"], c["oph"])
+                for c in comps
+            ],
+            "mukey string, compname string, comppct_r int,"
+            " hydricrating string, drainagecl string, localphase string,"
+            " otherph string",
+        )
+        got = {
+            r["mukey"]: r["pwsl1pomu"] for r in calc_pwsl(df).collect()
+        }
+        assert got == ref(comps), f"case {case}"
