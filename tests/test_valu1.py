@@ -642,3 +642,105 @@ def test_calc_pwsl_matches_independent_reference(spark):
             r["mukey"]: r["pwsl1pomu"] for r in calc_pwsl(df).collect()
         }
         assert got == ref(comps), f"case {case}"
+
+
+def test_calc_nccpi_matches_independent_reference(spark):
+    """calc_nccpi (v3, exact_scale) vs a direct loop: major components
+    only, NCCPI% mrulename filter, the ruledepth-0 denominator over
+    JOINED rows (a duplicated overall row doubles the weight, a
+    component with no rows contributes nothing — the reference
+    cursor's exact behavior), submodel dispatch by rulename substring,
+    null interphr rows skipped. Exact-fraction fuzzy values keep both
+    engines exact up to the final division/floor."""
+    import math
+    import random
+
+    from soil_data_development_tools___arcmap_spark.valu1.pipeline import (
+        calc_nccpi,
+    )
+
+    SCALE = 1000
+    SUBS = [
+        "NCCPI - NCCPI Corn Submodel (I)",
+        "NCCPI - NCCPI Soybeans Submodel (I)",
+        "NCCPI - NCCPI Cotton Submodel (II)",
+        "NCCPI - NCCPI Small Grains Submodel (II)",
+        "Overall",
+    ]
+
+    def ref(comps, ints):
+        rows = []
+        for c in comps:
+            if c["maj"] != "Yes":
+                continue
+            for i in ints:
+                if i["ck"] == c["ck"] and i["mrule"].startswith("NCCPI"):
+                    rows.append((c["mu"], c["pct"], i))
+        out = {}
+        for mu in {mu for mu, _p, _i in rows}:
+            mine = [(p, i) for m, p, i in rows if m == mu]
+            den = sum(p for p, i in mine if i["rd"] == 0) or None
+
+            def score(cond):
+                num = None
+                for p, i in mine:
+                    if cond(i) and i["hr"] is not None:
+                        num = (num or 0.0) + i["hr"] * p
+                if num is None or den is None:
+                    return None
+                return math.floor(num / den * SCALE)
+
+            out[mu] = (
+                score(lambda i: i["rd"] == 0),
+                score(lambda i: i["rd"] == 1 and "Corn" in i["rule"]),
+                score(lambda i: i["rd"] == 1 and "Soybean" in i["rule"]),
+                score(lambda i: i["rd"] == 1 and "Cotton" in i["rule"]),
+                score(lambda i: i["rd"] == 1 and "Small Grain" in i["rule"]),
+            )
+        return out
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        comps, ints = [], []
+        ck_n = 0
+        for mu in range(3):
+            for _ in range(rng.randint(1, 3)):
+                ck_n += 1
+                ck = f"c{ck_n}"
+                comps.append({
+                    "mu": f"mu{mu}", "ck": ck,
+                    "pct": rng.randint(1, 100),
+                    "maj": rng.choice(["Yes", "Yes", "No"]),
+                })
+                for _i in range(rng.randint(0, 5)):
+                    rule = rng.choice(SUBS)
+                    ints.append({
+                        "ck": ck,
+                        "mrule": rng.choice(
+                            ["NCCPI - National Commodity Crop Productivity"
+                             " Index (Ver 3.0)", "Ensayo Index"]
+                        ),
+                        "rd": 0 if rule == "Overall" else 1,
+                        "rule": rule,
+                        "hr": rng.choice([None, 0.25, 0.5, 0.75, 1.0]),
+                    })
+
+        component = spark.createDataFrame(
+            [(c["mu"], c["ck"], c["pct"], c["maj"]) for c in comps],
+            "mukey string, cokey string, comppct_r int, majcompflag string",
+        )
+        cointerp = spark.createDataFrame(
+            [
+                (i["ck"], i["mrule"], i["rd"], i["rule"], i["hr"])
+                for i in ints
+            ],
+            "cokey string, mrulename string, ruledepth int,"
+            " rulename string, interphr double",
+        )
+        got = {
+            r["mukey"]: (r["nccpi3all"], r["nccpi3corn"], r["nccpi3soy"],
+                         r["nccpi3cot"], r["nccpi3sg"])
+            for r in calc_nccpi(component, cointerp, exact_scale=SCALE)
+            .collect()
+        }
+        assert got == ref(comps, ints), f"case {case}"
