@@ -552,3 +552,37 @@ def test_mo_wta_dtwt_matches_reference(spark, members, window):
         else:
             assert got[mu][0] == sw
             assert got[mu][1] == pytest.approx(val, rel=1e-9)
+
+
+@SETTINGS
+@given(data=tables, extra_parents=st.lists(st.integers(0, 5), max_size=3))
+def test_pp_sum_matches_reference(spark, data, extra_parents):
+    """Percent-present: weight summed over target-rated rows; groups
+    with rows but no hits report 0; parent-driven output backfills
+    mapunits with NO component rows at all as 0 (not absent)."""
+    from soil_data_development_tools___arcmap_spark.operators import (
+        agg_pp_sum,
+    )
+
+    targets = ["R", "X"]
+    rows = with_members(data)
+    parents = sorted({mu for mu, _p, _r, _m in rows} | set(extra_parents))
+    expected = {
+        mu: sum(p for m, p, r, _ in rows if m == mu and r in targets)
+        for mu in parents
+    }
+    parent = spark.createDataFrame([(mu,) for mu in parents], "mukey int")
+    spec = RatingSpec(
+        rating_col="rating_in",
+        group_cols=["mukey"],
+        member_col="cokey",
+        weight_col="comppct_r",
+        out_col="rating",
+    )
+    got = {
+        r["mukey"]: r["rating"]
+        for r in agg_pp_sum(
+            build_df(spark, rows), spec, targets, parent=parent
+        ).collect()
+    }
+    assert got == expected
