@@ -3864,6 +3864,129 @@ ranked AS (
 SELECT doc_id, source, rk FROM ranked WHERE rk <= 20
 """
 
+ORACLES["docs_kmv_vocab"] = """
+WITH tk AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+hashed AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5('kmv1:' || tok), 1, 15)) AS BIGINT)
+           % 1000000000000 AS h
+  FROM tk),
+ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM hashed),
+agg AS (
+  SELECT source, COUNT(*) AS n_sketch,
+         MAX(CASE WHEN rk = 64 THEN h END) AS h_k
+  FROM ranked WHERE rk <= 64 GROUP BY source),
+est AS (
+  SELECT source, n_sketch,
+         CASE WHEN n_sketch < 64 THEN n_sketch
+              ELSE (63 * 1000000000000) // h_k END AS est_distinct
+  FROM agg),
+exact AS (
+  SELECT source, COUNT(*) AS exact_distinct FROM tk GROUP BY source)
+SELECT e.source, CAST(e.n_sketch AS BIGINT) AS n_sketch,
+       CAST(e.est_distinct AS BIGINT) AS est_distinct,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(abs(e.est_distinct - x.exact_distinct) * 1000
+            // x.exact_distinct AS BIGINT) AS err_permille
+FROM est e JOIN exact x ON e.source = x.source
+"""
+
+ORACLES["docs_kmv_setops"] = """
+WITH tk AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+hashed AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5('kmv1:' || tok), 1, 15)) AS BIGINT)
+           % 1000000000000 AS h
+  FROM tk),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM hashed) WHERE rk <= 64),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+members AS (
+  SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.source = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.source = p.src_b),
+merged AS (
+  SELECT src_a, src_b, h, COUNT(*) AS n_sides
+  FROM members GROUP BY src_a, src_b, h),
+usk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+    FROM merged) WHERE rk <= 64),
+est0 AS (
+  SELECT src_a, src_b, MAX(CASE WHEN rk = 64 THEN h END) AS h_k,
+         COUNT(*) AS n_u,
+         SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS n_both
+  FROM usk GROUP BY src_a, src_b),
+est AS (
+  SELECT src_a, src_b,
+         CASE WHEN n_u < 64 THEN n_u
+              ELSE (63 * 1000000000000) // h_k END AS union_est,
+         n_both * 1000 // n_u AS jaccard_permille, n_u, n_both
+  FROM est0),
+est2 AS (
+  SELECT src_a, src_b, union_est,
+         union_est * n_both // n_u AS inter_est, jaccard_permille
+  FROM est),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter_exact
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source),
+sizes AS (SELECT source, COUNT(*) AS n FROM tk GROUP BY source)
+SELECT e.src_a, e.src_b, CAST(e.union_est AS BIGINT) AS union_est,
+       CAST(e.inter_est AS BIGINT) AS inter_est,
+       CAST(e.jaccard_permille AS BIGINT) AS jaccard_permille,
+       CAST(sa.n + sb.n - i.inter_exact AS BIGINT) AS union_exact,
+       CAST(i.inter_exact AS BIGINT) AS inter_exact
+FROM est2 e
+JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+JOIN sizes sa ON sa.source = e.src_a
+JOIN sizes sb ON sb.source = e.src_b
+"""
+
+ORACLES["docs_priority_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substr(md5('psamp1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 1000000000000 AS u,
+         GREATEST(n_chars, 1) AS w_
+  FROM documents),
+k2 AS (SELECT *, u * 1000000 // w_ AS skey FROM keyed),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS INTEGER)
+              AS prank
+  FROM k2),
+top AS (SELECT * FROM ranked WHERE prank <= 51),
+tau AS (SELECT MIN(CASE WHEN prank = 51 THEN skey END) AS tau_key FROM top),
+samp AS (SELECT * FROM top WHERE prank <= 50),
+ht AS (
+  SELECT CAST(SUM(GREATEST(w_, 1000000000000000000 // tau_key)) AS BIGINT)
+           AS ht_total
+  FROM samp, tau),
+exact AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS exact_total FROM documents),
+est AS (
+  SELECT ht_total, exact_total,
+         CAST(abs(ht_total - exact_total) * 1000 // exact_total AS BIGINT)
+           AS err_permille
+  FROM ht, exact)
+SELECT s.doc_id, s.source, s.n_chars, s.prank,
+       e.ht_total, e.exact_total, e.err_permille
+FROM samp s, est e
+"""
+
 ORACLES["sda_source_counts"] = """
 SELECT n.n_name AS areasymbol, CAST(COUNT(*) AS BIGINT) AS n
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

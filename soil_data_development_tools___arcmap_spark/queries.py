@@ -5423,6 +5423,217 @@ def docs_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-size estimation via a KMV bottom-k
+    distinct sketch (k=64), side-by-side with the exact distinct
+    count so the estimator's error is part of the certified result.
+
+    The sketch is the k smallest DISTINCT md5-derived token hashes
+    per source (functions/sketches.py) — order-independent and
+    mergeable, so at 100 TB each executor ships at most k rows per
+    source to the final reducer; the estimate (k-1)*M // h_(k) is
+    pure integer floor math, bit-equal in DuckDB.  The exact count
+    shown alongside is vocab-bounded (distinct (source, token) —
+    bounded by vocabulary, not corpus rows), the repo's accepted
+    shuffle posture for token-level aggregates; at true corpus scale
+    you'd drop the exact column and keep only the sketch — the point
+    of the query is certifying that the sketch alone is within a few
+    percent.  Columns: source, n_sketch, est_distinct,
+    exact_distinct, err_permille (floor(|est-exact|*1000/exact)).
+    """
+    from .functions.sketches import kmv_estimate, kmv_sketch
+    from .functions.text import tokens
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    sk = kmv_sketch(toks, F.concat(F.lit("kmv1:"), F.col("tok")), ["source"], k, "")
+    est = kmv_estimate(sk, ["source"], k)
+    exact = toks.select("source", "tok").distinct().groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_sketch",
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000 div exact_distinct"
+            ).alias("err_permille"),
+        )
+    )
+
+
+def docs_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set operations between source vocabularies
+    WITHOUT materializing either vocabulary: for every pair of
+    sources (A < B), estimate |A ∪ B| and |A ∩ B| from the two KMV
+    bottom-k sketches alone.
+
+    Union sketch = k smallest of the merged sketch member hashes
+    (closed under merge — this is why KMV is the distributed
+    estimator of choice); jaccard_est = (members of the union sketch
+    present in BOTH sides) / k; intersection = jaccard * union.  All
+    arithmetic integer floor (permille scaling) so the DuckDB oracle
+    hash certifies the estimates exactly.  Exact overlap columns are
+    computed alongside (vocab-bounded) to certify estimator quality.
+
+    At 100 TB the exact columns drop out and the pair enumeration
+    runs on sketches of size k×n_sources — driver-trivial regardless
+    of corpus size.  Columns: src_a, src_b, union_est, inter_est,
+    jaccard_permille, union_exact, inter_exact.
+    """
+    from .functions.sketches import kmv_sketch
+    from .functions.text import tokens
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    # k×n_sources rows — settle once; the pair enumeration and both
+    # join sides derive from it (otherwise 4 corpus re-scans).
+    sk = (
+        kmv_sketch(toks, F.concat(F.lit("kmv1:"), F.col("tok")), ["source"], k, "")
+        .select("source", "h")
+        .localCheckpoint()
+    )
+    a = sk.select(F.col("source").alias("src_a"), F.col("h").alias("h_a"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("h").alias("h_b"))
+    # merged member set per pair; tag membership on each side
+    pairs = (
+        a.select("src_a")
+        .distinct()
+        .join(b.select("src_b").distinct(), F.col("src_a") < F.col("src_b"))
+    )
+    merged = (
+        pairs.join(a, "src_a")
+        .select("src_a", "src_b", F.col("h_a").alias("h"))
+        .unionByName(
+            pairs.join(b, "src_b").select(
+                "src_a", "src_b", F.col("h_b").alias("h")
+            )
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    union_sk = merged.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    est = union_sk.groupBy("src_a", "src_b").agg(
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("h_k"),
+        F.count(F.lit(1)).alias("n_u"),
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0)).alias("n_both"),
+    )
+    M = 1_000_000_000_000
+    est = est.select(
+        "src_a",
+        "src_b",
+        F.when(F.col("n_u") < k, F.col("n_u"))
+        .otherwise(F.expr(f"({k} - 1) * {M}L div h_k"))
+        .cast("long")
+        .alias("union_est"),
+        F.expr("n_both * 1000 div n_u").alias("jaccard_permille"),
+        "n_u",
+        "n_both",
+    ).select(
+        "src_a",
+        "src_b",
+        "union_est",
+        F.expr("union_est * n_both div n_u").alias("inter_est"),
+        "jaccard_permille",
+    )
+    # exact columns (vocab-bounded) for estimator-quality certification
+    va = toks.select(F.col("source").alias("src_a"), "tok").distinct()
+    vb = toks.select(F.col("source").alias("src_b"), "tok").distinct()
+    inter = (
+        va.join(vb, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    sizes = va.groupBy("src_a").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_b = sizes.select(
+        F.col("src_a").alias("src_b"), F.col("n_a").alias("n_b")
+    )
+    exact = (
+        inter.join(F.broadcast(sizes), "src_a")
+        .join(F.broadcast(sizes_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            (F.col("n_a") + F.col("n_b") - F.col("inter_exact")).alias(
+                "union_exact"
+            ),
+            "inter_exact",
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "union_est",
+        "inter_est",
+        "jaccard_permille",
+        "union_exact",
+        "inter_exact",
+    )
+
+
+def docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted document sampling via priority sampling
+    (Duffield–Lund–Thorup): draw n=50 docs with inclusion probability
+    proportional to n_chars (long documents dominate training-token
+    budgets, so budget audits must sample by weight, not uniformly),
+    deterministic and order-independent, plus the Horvitz–Thompson
+    estimate of TOTAL corpus chars reconstructed from the sample
+    alone.
+
+    key_i = u_i * 10^6 div w_i (u_i = seeded md5 hash) — the n
+    smallest keys are the n largest priorities w_i/u_i; the (n+1)-th
+    key is the threshold τ_key, and the HT total is
+    Σ max(w_i, 10^12 * 10^6 div τ_key) over the sample — every step
+    integer floor, bit-equal in the DuckDB oracle.  The result
+    carries per-row sample membership AND the one-row estimate
+    columns so the certified hash pins both.
+
+    Scale: keying is map-only; top-(n+1) is TakeOrderedAndProject
+    (per-partition limit + driver merge of n+1 rows/partition), no
+    global sort.  Columns: doc_id, source, n_chars, prank, ht_total,
+    exact_total, err_permille.
+    """
+    from .functions.sketches import priority_sample
+
+    n = 50
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    samp = priority_sample(docs, F.col("n_chars"), n, "psamp1:")
+    ht = samp.agg(
+        F.sum(
+            F.greatest(
+                F.col("w_"),
+                F.expr("1000000000000000000 div tau_key"),
+            )
+        )
+        .cast("long")
+        .alias("ht_total")
+    )
+    exact = docs.agg(F.sum("n_chars").cast("long").alias("exact_total"))
+    est = ht.crossJoin(exact).select(
+        "ht_total",
+        "exact_total",
+        F.expr("abs(ht_total - exact_total) * 1000 div exact_total").alias(
+            "err_permille"
+        ),
+    )
+    return samp.select("doc_id", "source", "n_chars", "prank").crossJoin(
+        F.broadcast(est)
+    )
+
+
 def sda_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SDA REST count-reconciliation read as a FIRST-CLASS Spark
     source (Python DataSource API): customer-per-nation counts are

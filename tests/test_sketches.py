@@ -1,0 +1,137 @@
+"""Sketch layer (functions/sketches.py): KMV bottom-k distinct
+sketches and priority sampling, each checked against an INDEPENDENT
+pure-Python reference implementation (hashlib md5 + integer math —
+no Spark, no shared formulation beyond the published definitions),
+plus the structural properties the estimators rely on
+(mergeability, monotone bottom-k prefix, threshold semantics)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from soil_data_development_tools___arcmap_spark.functions.sketches import (
+    M,
+    kmv_estimate,
+    kmv_sketch,
+    priority_sample,
+)
+
+K = 8
+
+
+def _h(seed: str, v: str) -> int:
+    """Independent reference hash: md5 15-hex-digit prefix mod M."""
+    return int(hashlib.md5((seed + v).encode()).hexdigest()[:15], 16) % M
+
+
+def _ref_bottom_k(values, seed: str, k: int) -> list[int]:
+    return sorted({_h(seed, v) for v in values})[:k]
+
+
+def test_kmv_sketch_matches_pure_python_reference(spark):
+    rng = random.Random(81)
+    rows = []
+    groups = {}
+    for g in ("a", "b", "c"):
+        vals = [f"w{rng.randrange(10_000)}" for _ in range(rng.randrange(3, 400))]
+        groups[g] = vals
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["g"], r["rank"]): r["h"]
+        for r in kmv_sketch(df, F.col("v"), ["g"], K, "s1:").collect()
+    }
+    want = {
+        (g, i + 1): h
+        for g, vals in groups.items()
+        for i, h in enumerate(_ref_bottom_k(vals, "s1:", K))
+    }
+    assert got == want
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """Union-then-sketch == sketch-then-merge-then-truncate — the
+    property that lets every executor ship k rows per group."""
+    rng = random.Random(9)
+    part1 = [f"x{rng.randrange(5000)}" for _ in range(300)]
+    part2 = [f"x{rng.randrange(5000)}" for _ in range(300)]
+    whole = _ref_bottom_k(part1 + part2, "s2:", K)
+    merged = sorted(
+        set(_ref_bottom_k(part1, "s2:", K)) | set(_ref_bottom_k(part2, "s2:", K))
+    )[:K]
+    assert whole == merged
+
+
+def test_kmv_estimate_exact_when_unsaturated(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(5)], "g string, v string"
+    )
+    sk = kmv_sketch(df, F.col("v"), ["g"], K, "s3:")
+    row = kmv_estimate(sk, ["g"], K).collect()[0]
+    assert row["n_sketch"] == 5 and row["est_distinct"] == 5
+
+
+def test_kmv_estimate_accuracy_when_saturated(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(n)], "g string, v string"
+    )
+    sk = kmv_sketch(df, F.col("v"), ["g"], 64, "s4:")
+    row = kmv_estimate(sk, ["g"], 64).collect()[0]
+    # (k-1)*M // h_k with k=64: standard error ~ 1/sqrt(k-2) ≈ 13%
+    assert row["n_sketch"] == 64
+    assert abs(row["est_distinct"] - n) / n < 0.40
+    # and the estimate equals the independent reference exactly
+    hk = _ref_bottom_k([f"v{i}" for i in range(n)], "s4:", 64)[-1]
+    assert row["est_distinct"] == (63 * M) // hk
+
+
+def _ref_priority_sample(ids_weights, seed: str, n: int):
+    """Independent reference: keys u*10^6 // w, n smallest, τ = key n+1."""
+    keyed = sorted(
+        ((_h(seed, str(i)) * 1_000_000) // max(w, 1), i, max(w, 1))
+        for i, w in ids_weights
+    )
+    samp = keyed[:n]
+    tau_key = keyed[n][0] if len(keyed) > n else None
+    return samp, tau_key
+
+
+@pytest.mark.parametrize("seed", [3, 44])
+def test_priority_sample_matches_pure_python_reference(spark, seed):
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(1, 10_000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    n = 50
+    got = priority_sample(df, F.col("w"), n, "ps:", id_col="doc_id").collect()
+    ref, tau_key = _ref_priority_sample(rows, "ps:", n)
+    assert sorted(r["doc_id"] for r in got) == sorted(i for _, i, _ in ref)
+    assert {r["tau_key"] for r in got} == {tau_key}
+    # Horvitz–Thompson: sum of max(w, floor(10^18/τ)) over the sample
+    ht = sum(max(w, (M * 1_000_000) // tau_key) for _, _, w in ref)
+    got_ht = sum(
+        max(r["w_"], (M * 1_000_000) // r["tau_key"]) for r in got
+    )
+    assert got_ht == ht
+    # HT total should land near the true total (weighted sampling's
+    # whole point); n=50-of-500 keeps the bound meaningful
+    true_total = sum(w for _, w in rows)
+    assert abs(ht - true_total) / true_total < 0.2
+
+
+def test_priority_sample_small_input_null_tau(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, w long")
+    got = priority_sample(df, F.col("w"), 5, "ps2:", id_col="doc_id").collect()
+    assert len(got) == 2
+    assert all(r["tau_key"] is None for r in got)
+
+
+def test_priority_sample_heavy_weight_always_included(spark):
+    rows = [(i, 1) for i in range(200)] + [(999, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = priority_sample(df, F.col("w"), 10, "ps3:", id_col="doc_id").collect()
+    assert 999 in {r["doc_id"] for r in got}
