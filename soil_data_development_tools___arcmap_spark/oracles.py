@@ -4380,6 +4380,30 @@ _RW_BANDS = ",\n    ".join(
     for b in range(4)
 )
 
+ORACLES["docs_stream_kmv_vocab"] = """
+WITH tk AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+hashed AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5('kmv1:' || tok), 1, 15)) AS BIGINT)
+           % 1000000000000 AS h
+  FROM tk),
+ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM hashed),
+agg AS (
+  SELECT source, COUNT(*) AS n_sketch,
+         MAX(CASE WHEN rk = 64 THEN h END) AS h_k
+  FROM ranked WHERE rk <= 64 GROUP BY source)
+SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
+       CAST(CASE WHEN n_sketch < 64 THEN n_sketch
+                 ELSE (63 * 1000000000000) // h_k END AS BIGINT)
+         AS est_distinct
+FROM agg
+"""
+
 ORACLES["docs_stream_neardup"] = f"""
 WITH base AS (
   SELECT doc_id,

@@ -6506,6 +6506,20 @@ def docs_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_neardup_stream(spark, sf_dir)
 
 
+def docs_stream_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source vocabulary estimation with BOUNDED state:
+    stream state per source is its KMV bottom-k sketch (≤ 64 int64s
+    per source FOREVER — a streaming distinct-count would grow with
+    vocabulary), merged per micro-batch by applyInPandasWithState;
+    token hashing stays JVM-side on the stream. Final rows equal the
+    batch docs_kmv_vocab sketch columns (same oracle shape), and the
+    multi-batch replay test pins batch-partition invariance.
+    See streaming/docs.py::kmv_vocab_stateful."""
+    from .streaming.docs import run_kmv_vocab_stream
+
+    return run_kmv_vocab_stream(spark, sf_dir)
+
+
 def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based global decile binning WITHOUT a global sort — the
     equal-frequency feature-binning step (and the pattern for any

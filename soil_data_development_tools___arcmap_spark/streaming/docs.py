@@ -178,3 +178,111 @@ def run_neardup_stream(
     q.awaitTermination()
     # multi-band collisions emit one row per shared band — batch dedup
     return spark.table(name).distinct()
+
+
+def kmv_vocab_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 64,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming per-source vocabulary-size estimation with BOUNDED
+    state: the stream-state per source is its KMV bottom-k sketch
+    (≤ k int64 hashes), merged incrementally per micro-batch via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``docs_kmv_vocab`` query (same seeded md5 hash, same integer
+    floor estimate, certified by the same DuckDB oracle shape).
+
+    This is the distinct-count-over-a-stream problem done right: a
+    streaming ``dropDuplicates`` or count-distinct would grow state
+    with the VOCABULARY (unbounded as the corpus grows); the KMV
+    merge is closed (union-then-truncate == sketch of the union —
+    tests/test_sketches.py::test_kmv_sketch_is_mergeable), so k rows
+    per source is the state ceiling forever. Token hashing runs
+    JVM-side on the stream (stateless md5/conv expressions); only the
+    per-source merge crosses into Arrow.
+
+    Output (update mode): one row per source per batch with the
+    running (n_sketch, est_distinct) and a monotone ``upd_seq`` so a
+    multi-batch replay can select each source's final row batch-side.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    M = 1_000_000_000_000
+    docs = source if source is not None else read_documents_stream(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = toks.select(
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("kmv1:"), F.col("tok"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % M
+        ).alias("h"),
+    )
+
+    def fn(key, pdfs, state):
+        hs, seq = state.get if state.exists else ([], 0)
+        cur = set(hs)
+        for pdf in pdfs:
+            cur.update(int(h) for h in pdf["h"])
+        merged = sorted(cur)[:k]
+        seq += 1
+        state.update((merged, seq))
+        n = len(merged)
+        est = n if n < k else (k - 1) * M // merged[-1]
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_sketch": [n],
+                "est_distinct": [est],
+                "upd_seq": [seq],
+            }
+        )
+
+    return hashed.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "source string, n_sketch long, est_distinct long, upd_seq long"
+        ),
+        stateStructType="hs array<long>, upd_seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_kmv_vocab_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 64,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Run the streaming KMV sketch to completion (availableNow +
+    update-mode memory sink) and return each source's FINAL
+    (n_sketch, est_distinct) row — under multi-batch replay the sink
+    holds one row per source per batch; the monotone upd_seq picks
+    the last."""
+    from pyspark.sql import Window
+
+    name = "docs_kmv_" + uuid.uuid4().hex[:8]
+    q = (
+        kmv_vocab_stateful(spark, sf_dir, k=k, source=source)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("source").orderBy(F.col("upd_seq").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "n_sketch", "est_distinct")
+    )

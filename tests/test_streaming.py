@@ -623,3 +623,52 @@ def test_neardup_stream_broadcast_modes_identical(spark):
         for r in run_neardup_stream(spark, SF_SMOKE, broadcast=True).collect()
     }
     assert shuffled == hinted and len(shuffled) > 0
+
+
+def test_kmv_vocab_stream_matches_batch_and_replay(spark, tmp_path):
+    """The stateful streaming KMV sketch must equal the batch
+    docs_kmv_vocab sketch columns, and a 4-file one-per-trigger
+    replay (incremental state merges) must equal the single-batch
+    run — the mergeability property exercised through real
+    stream-state round trips. Also pins the bounded-state claim:
+    n_sketch never exceeds k."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_kmv_vocab_stream,
+    )
+
+    batch = {
+        (r["source"], r["n_sketch"], r["est_distinct"])
+        for r in Q.docs_kmv_vocab(spark, SF_SMOKE)
+        .select("source", "n_sketch", "est_distinct")
+        .collect()
+    }
+    single = {
+        (r["source"], r["n_sketch"], r["est_distinct"])
+        for r in run_kmv_vocab_stream(spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    src = str(tmp_path / "docs_split_kmv")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    multi_src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = {
+        (r["source"], r["n_sketch"], r["est_distinct"])
+        for r in run_kmv_vocab_stream(spark, SF_SMOKE, source=multi_src).collect()
+    }
+    assert batch == single == multi and len(batch) > 0
+    assert all(n <= 64 for _, n, _ in multi)
