@@ -5591,7 +5591,10 @@ def docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets, so budget audits must sample by weight, not uniformly),
     deterministic and order-independent, plus the Horvitz–Thompson
     estimate of TOTAL corpus chars reconstructed from the sample
-    alone.
+    alone.  ``docs_weighted_sample`` is the sample-only cousin (same
+    u div w priority keying); this one adds the (n+1)-th-key τ
+    threshold and the HT estimator — the part that turns a sample
+    into an unbiased population estimate.
 
     key_i = u_i * 10^6 div w_i (u_i = seeded md5 hash) — the n
     smallest keys are the n largest priorities w_i/u_i; the (n+1)-th
