@@ -156,3 +156,112 @@ def priority_sample(
         F.min(F.when(F.col("prank") == n + 1, F.col("skey"))).alias("tau_key")
     )
     return ranked.where(F.col("prank") <= n).crossJoin(F.broadcast(tau))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value: Column,
+    depth: int,
+    width: int,
+    seed: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count-min sketch: a depth×width counter grid over a value
+    stream (one increment per input row), optionally per group.
+
+    Each row lands in ``depth`` cells ``(r, seeded_hash(v, seed+r+':')
+    % width)``; the grid is the groupBy SUM of those increments.  The
+    shuffle key space is depth×width (+ group) — CONSTANT in corpus
+    size — and Spark's partial aggregation means every map task emits
+    at most depth×width cells no matter how many rows it scanned:
+    this is the canonical mergeable frequency sketch (Cormode &
+    Muthukrishnan 2005).  Point estimates (``cms_lookup``) are upper
+    bounds: min over rows of the probed cells never undercounts.
+    Output: [group_cols,] r, c, cnt.
+    """
+    gc = list(group_cols or [])
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (seeded_hash(value, f"{seed}{r}:") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    cells = df.select(*gc, F.explode(pairs).alias("rc"))
+    return cells.groupBy(*gc, "rc.r", "rc.c").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    cand: DataFrame,
+    value: Column,
+    key_cols: list[str],
+    depth: int,
+    width: int,
+    seed: str,
+) -> DataFrame:
+    """Point-estimate ``cand`` rows against a count-min ``sketch``:
+    probe the depth cells the value hashes to, take the min.
+
+    The sketch side is depth×width rows — broadcast, so the lookup
+    is a map-side join however large the candidate set.  A missing
+    cell coalesces to 0 (nothing ever hashed there).  Output:
+    key_cols + cms_est (BIGINT, ≥ the true count always).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (seeded_hash(value, f"{seed}{r}:") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = cand.select(*key_cols, F.explode(pairs).alias("rc")).select(
+        *key_cols, "rc.r", "rc.c"
+    )
+    joined = probes.join(F.broadcast(sketch), ["r", "c"], "left")
+    return joined.groupBy(*key_cols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est")
+    )
+
+
+def logbucket_sql(col: str) -> str:
+    """SQL fragment: log-scale bucket id of a non-negative BIGINT.
+
+    Base-2 octaves with 8 linear sub-buckets each (a DDSketch-style
+    fixed-resolution histogram in pure integer ops):
+    ``b = (bitlen-1)*8 + ((v >> max(bitlen-4, 0)) & 7)`` with bitlen
+    = length(bin(v)).  Values 0..7 map to singleton buckets (exact);
+    larger values to buckets of relative width 2^-3.  Monotone in v,
+    mergeable (bucket counts just add), and the whole int64 range
+    needs ≤ 64*8 = 512 buckets — the bounded-state quantile summary.
+    bin()/>>/&/greatest are bit-identical in Spark and DuckDB.
+    """
+    return (
+        f"(length(bin({col})) - 1) * 8"
+        f" + (({col} >> greatest(length(bin({col})) - 4, 0)) & 7)"
+    )
+
+
+def logbucket_rep_sql(col: str) -> str:
+    """SQL fragment: midpoint representative value of a log bucket id.
+
+    Inverse of ``logbucket_sql``: buckets below 24 (values 0..7) are
+    exact; otherwise lo = (8 + b%8) << (b div 8 - 3) and the
+    representative is lo + half the bucket width (floor).  Max
+    relative error vs any member of the bucket: 1/16 (62.5 permille).
+    """
+    # the half-width literal MUST be BIGINT: Spark's << on an INT base
+    # wraps the shift count mod 32 (Java semantics), silently turning
+    # 1 << 36 into 16.  8 + b % 8 is already BIGINT via b.
+    return (
+        f"CASE WHEN {col} < 24 THEN {col} % 8"
+        f" ELSE ((8 + {col} % 8) << ({col} div 8 - 3))"
+        f"      + (CASE WHEN {col} div 8 > 3"
+        f"              THEN CAST(1 AS BIGINT) << ({col} div 8 - 4)"
+        f"              ELSE 0 END)"
+        f" END"
+    )

@@ -3987,6 +3987,97 @@ SELECT s.doc_id, s.source, s.n_chars, s.prank,
 FROM samp s, est e
 """
 
+ORACLES["docs_cms_heavy_hitters"] = """
+WITH tok AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+per_src AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+cand AS (
+  SELECT DISTINCT tok FROM (
+    SELECT source, tok,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+    FROM per_src) WHERE rk <= 12),
+rows3 AS (SELECT unnest([0, 1, 2]) AS r),
+cells AS (
+  SELECT r,
+         CAST(('0x' || substr(md5('cms' || r || ':' || tok), 1, 15)) AS BIGINT)
+           % 1000000000000 % 512 AS c,
+         COUNT(*) AS cnt
+  FROM tok CROSS JOIN rows3 GROUP BY 1, 2),
+probes AS (
+  SELECT tok, r,
+         CAST(('0x' || substr(md5('cms' || r || ':' || tok), 1, 15)) AS BIGINT)
+           % 1000000000000 % 512 AS c
+  FROM cand CROSS JOIN rows3),
+est AS (
+  SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS cms_est
+  FROM probes p LEFT JOIN cells s ON s.r = p.r AND s.c = p.c
+  GROUP BY p.tok),
+exact AS (
+  SELECT t.tok, COUNT(*) AS exact_cnt
+  FROM tok t JOIN cand USING (tok) GROUP BY t.tok)
+SELECT e.tok, CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - x.exact_cnt AS BIGINT) AS overcount
+FROM est e JOIN exact x ON e.tok = x.tok
+"""
+
+ORACLES["events_quantile_sketch"] = """
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+bk AS (
+  SELECT event_type,
+         (length(bin(v_c)) - 1) * 8
+         + ((v_c >> greatest(length(bin(v_c)) - 4, 0)) & 7) AS b,
+         COUNT(*) AS cnt
+  FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM bk),
+rep AS (
+  SELECT *, CASE WHEN b < 24 THEN b % 8
+                 ELSE ((8 + b % 8) << (b // 8 - 3))
+                      + (CASE WHEN b // 8 > 3
+                              THEN CAST(1 AS BIGINT) << (b // 8 - 4)
+                              ELSE 0 END)
+            END AS rep
+  FROM cum),
+est AS (
+  SELECT event_type, MAX(n) AS n_events, COUNT(*) AS n_buckets,
+         MIN(CASE WHEN cum * 1000 >= 500 * n THEN rep END) AS p50_est,
+         MIN(CASE WHEN cum * 1000 >= 950 * n THEN rep END) AS p95_est,
+         MIN(CASE WHEN cum * 1000 >= 990 * n THEN rep END) AS p99_est
+  FROM rep GROUP BY event_type),
+hist AS (
+  SELECT event_type, v_c, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+hcum AS (
+  SELECT event_type, v_c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist),
+exact AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum * 1000 >= 500 * n THEN v_c END) AS p50_exact,
+         MIN(CASE WHEN cum * 1000 >= 950 * n THEN v_c END) AS p95_exact,
+         MIN(CASE WHEN cum * 1000 >= 990 * n THEN v_c END) AS p99_exact
+  FROM hcum GROUP BY event_type)
+SELECT e.event_type, CAST(e.n_events AS BIGINT) AS n_events,
+       CAST(e.n_buckets AS BIGINT) AS n_buckets,
+       CAST(e.p50_est AS BIGINT) AS p50_est,
+       CAST(x.p50_exact AS BIGINT) AS p50_exact,
+       CAST(e.p95_est AS BIGINT) AS p95_est,
+       CAST(x.p95_exact AS BIGINT) AS p95_exact,
+       CAST(e.p99_est AS BIGINT) AS p99_est,
+       CAST(x.p99_exact AS BIGINT) AS p99_exact,
+       CAST(abs(e.p95_est - x.p95_exact) * 1000
+            // greatest(x.p95_exact, 1) AS BIGINT) AS err95_permille
+FROM est e JOIN exact x ON e.event_type = x.event_type
+"""
+
 ORACLES["sda_source_counts"] = """
 SELECT n.n_name AS areasymbol, CAST(COUNT(*) AS BIGINT) AS n
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

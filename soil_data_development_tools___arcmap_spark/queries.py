@@ -5637,6 +5637,144 @@ def docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens via the two-stage distributed
+    pattern: LOCAL top-k per shard proposes candidates, a global
+    count-min sketch (depth 3 × width 512 — Cormode & Muthukrishnan
+    2005) estimates each candidate's corpus count.  The exact global
+    count is computed alongside so the certified result carries the
+    estimator's overcount explicitly (CMS never undercounts).
+
+    Why this shape at 100 TB: the global token count table is
+    vocabulary-sized (fine at sf0.1, hostile at web scale), but the
+    CMS grid is 1,536 cells REGARDLESS of corpus size — partial
+    aggregation means each map task ships at most 1,536 rows — and
+    candidate generation is per-source top-12 (shard-local heavy
+    hitters; a true global heavy hitter is a local heavy hitter in
+    at least one shard by pigeonhole when shards are balanced).  The
+    exact column is the certification yardstick and would drop out
+    at true scale, exactly like ``docs_kmv_vocab``.  All hashing is
+    the md5-derived ``seeded_hash`` — grid and estimates bit-equal
+    in DuckDB.  Columns: tok, exact_cnt, cms_est, overcount.
+    """
+    from .functions.sketches import cms_lookup, cms_sketch
+    from .functions.text import tokens
+
+    depth, width = 3, 512
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    # shard-local candidate proposal: top-12 tokens per source by
+    # exact per-source count (deterministic tie-break on the token).
+    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w_src = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+    cand = (
+        per_src.withColumn("rk", F.row_number().over(w_src))
+        .where(F.col("rk") <= 12)
+        .select("tok")
+        .distinct()
+    )
+    sketch = cms_sketch(toks, F.col("tok"), depth, width, "cms")
+    est = cms_lookup(sketch, cand, F.col("tok"), ["tok"], depth, width, "cms")
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "tok").select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles from a MERGEABLE log-bucket
+    sketch (DDSketch-style, pure integer ops), certified against the
+    exact order-statistics answer computed alongside.
+
+    Values are cent-scaled (round(value*100), the repo's engine-exact
+    integerization) and bucketed by ``logbucket_sql``: base-2 octaves
+    × 8 linear sub-buckets, ≤ 512 buckets across the whole int64
+    range, so the per-type summary state is CONSTANT in event count
+    — the thing a 1000-executor p99 dashboard ships to its reducer,
+    where bucket counts just add (mergeable), unlike an exact
+    percentile which needs the full value multiset.  Quantile
+    estimate = midpoint representative of the first bucket whose
+    cumulative count reaches ceil(p·n/1000); guaranteed relative
+    error ≤ 1/16 vs the true order statistic (exact below 8 cents).
+    The exact quantiles come from the distinct-cent count histogram
+    (the ``events_value_profile`` posture: window over distinct
+    cents, never raw rows).  Columns: event_type, n_events,
+    n_buckets, p50_est, p50_exact, p95_est, p95_exact, p99_est,
+    p99_exact, err95_permille.
+    """
+    from .functions.sketches import logbucket_rep_sql, logbucket_sql
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
+    )
+    buckets = (
+        ev.select("event_type", F.expr(logbucket_sql("v_c")).alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    est = cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        *[
+            F.min(
+                F.when(
+                    F.expr(f"cum * 1000 >= {p} * n"), F.expr(logbucket_rep_sql("b"))
+                )
+            ).alias(f"p{p}_est")
+            for p in (500, 950, 990)
+        ],
+    )
+    # exact quantiles over the distinct-cent histogram (no raw-row sort)
+    hist = ev.groupBy("event_type", "v_c").agg(F.count(F.lit(1)).alias("cnt"))
+    w_h = (
+        Window.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hcum = hist.withColumn("cum", F.sum("cnt").over(w_h)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    exact = hcum.groupBy("event_type").agg(
+        *[
+            F.min(F.when(F.expr(f"cum * 1000 >= {p} * n"), F.col("v_c"))).alias(
+                f"p{p}_exact"
+            )
+            for p in (500, 950, 990)
+        ],
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_buckets",
+        F.col("p500_est").alias("p50_est"),
+        F.col("p500_exact").alias("p50_exact"),
+        F.col("p950_est").alias("p95_est"),
+        F.col("p950_exact").alias("p95_exact"),
+        F.col("p990_est").alias("p99_est"),
+        F.col("p990_exact").alias("p99_exact"),
+        F.expr(
+            "abs(p950_est - p950_exact) * 1000 div greatest(p950_exact, 1)"
+        ).alias("err95_permille"),
+    )
+
+
 def sda_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SDA REST count-reconciliation read as a FIRST-CLASS Spark
     source (Python DataSource API): customer-per-nation counts are

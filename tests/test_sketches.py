@@ -135,3 +135,151 @@ def test_priority_sample_heavy_weight_always_included(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     got = priority_sample(df, F.col("w"), 10, "ps3:", id_col="doc_id").collect()
     assert 999 in {r["doc_id"] for r in got}
+
+
+# ---------------------------------------------------------------- CMS
+
+
+def _ref_cms(tokens, depth, width, seed):
+    """Independent reference count-min grid: dict (r, c) -> count."""
+    grid = {}
+    for t in tokens:
+        for r in range(depth):
+            c = _h(f"{seed}{r}:", t) % width
+            grid[(r, c)] = grid.get((r, c), 0) + 1
+    return grid
+
+
+def test_cms_sketch_matches_pure_python_reference(spark):
+    from soil_data_development_tools___arcmap_spark.functions.sketches import cms_sketch
+
+    rng = random.Random(17)
+    toks = [f"t{rng.randrange(300)}" for _ in range(2000)]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_sketch(df, F.col("tok"), 3, 64, "cms").collect()
+    }
+    assert got == _ref_cms(toks, 3, 64, "cms")
+
+
+def test_cms_lookup_never_undercounts(spark):
+    from soil_data_development_tools___arcmap_spark.functions.sketches import (
+        cms_lookup,
+        cms_sketch,
+    )
+
+    rng = random.Random(23)
+    toks = [f"t{rng.randrange(100)}" for _ in range(3000)]
+    exact = {}
+    for t in toks:
+        exact[t] = exact.get(t, 0) + 1
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    # width 32 forces collisions — the guarantee must hold anyway
+    sk = cms_sketch(df, F.col("tok"), 3, 32, "cms")
+    cand = spark.createDataFrame([(t,) for t in exact], "tok string")
+    got = {
+        r["tok"]: r["cms_est"]
+        for r in cms_lookup(sk, cand, F.col("tok"), ["tok"], 3, 32, "cms").collect()
+    }
+    assert set(got) == set(exact)
+    assert all(got[t] >= exact[t] for t in exact)
+    # depth-3 min beats any single row's estimate: at least one token
+    # should be estimated exactly even at width 32
+    assert any(got[t] == exact[t] for t in exact)
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """Grid of the concatenation == cellwise sum of the part grids —
+    the property that lets every executor ship ≤ depth×width cells."""
+    from soil_data_development_tools___arcmap_spark.functions.sketches import cms_sketch
+
+    rng = random.Random(31)
+    part1 = [f"t{rng.randrange(200)}" for _ in range(800)]
+    part2 = [f"t{rng.randrange(200)}" for _ in range(800)]
+
+    def grid(tokens):
+        df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+        return {
+            (r["r"], r["c"]): r["cnt"]
+            for r in cms_sketch(df, F.col("tok"), 3, 64, "m").collect()
+        }
+
+    g1, g2, gw = grid(part1), grid(part2), grid(part1 + part2)
+    merged = dict(g1)
+    for k, v in g2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert gw == merged
+
+
+# ------------------------------------------------- log-bucket quantiles
+
+
+def _ref_bucket(v: int) -> int:
+    if v == 0:
+        return 0
+    bl = v.bit_length()
+    return (bl - 1) * 8 + ((v >> max(bl - 4, 0)) & 7)
+
+
+def _ref_rep(b: int) -> int:
+    if b < 24:
+        return b % 8
+    bl = b // 8 + 1
+    lo = (8 + b % 8) << (bl - 4)
+    return lo + ((1 << (bl - 4)) // 2 if bl >= 5 else 0)
+
+
+def test_logbucket_matches_pure_python_reference(spark):
+    from soil_data_development_tools___arcmap_spark.functions.sketches import (
+        logbucket_rep_sql,
+        logbucket_sql,
+    )
+
+    rng = random.Random(41)
+    vals = [0, 1, 2, 7, 8, 15, 16, 255, 256, 2**40, 2**62] + [
+        rng.randrange(1, 2**50) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = df.select(
+        "v",
+        F.expr(logbucket_sql("v")).alias("b"),
+    ).withColumn("rep", F.expr(logbucket_rep_sql("b")))
+    for r in got.collect():
+        assert r["b"] == _ref_bucket(r["v"])
+        assert r["rep"] == _ref_rep(r["b"])
+        # error bound: exact below 8, relative ≤ 1/16 above
+        if r["v"] <= 7:
+            assert r["rep"] == r["v"]
+        else:
+            assert abs(r["rep"] - r["v"]) * 16 <= r["v"]
+
+
+def test_logbucket_is_monotone(spark):
+    from soil_data_development_tools___arcmap_spark.functions.sketches import (
+        logbucket_sql,
+    )
+
+    vals = sorted({v for v in range(0, 5000)} | {2**k + d for k in range(13, 40) for d in (-1, 0, 1)})
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r["b"] for r in df.orderBy("v").select(F.expr(logbucket_sql("v")).alias("b")).collect()]
+    assert got == sorted(got)
+
+
+def test_quantile_sketch_within_relative_error_bound(spark):
+    """The registry query's estimate columns must sit within the
+    sketch's guaranteed 1/16 relative error of the exact order
+    statistics it carries alongside."""
+    from soil_data_development_tools___arcmap_spark import queries as Q
+
+    from conftest import SF_SMOKE
+
+    rows = Q.events_quantile_sketch(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        for p in ("p50", "p95", "p99"):
+            est, exact = r[f"{p}_est"], r[f"{p}_exact"]
+            if exact <= 7:
+                assert est == exact
+            else:
+                assert abs(est - exact) * 16 <= exact
