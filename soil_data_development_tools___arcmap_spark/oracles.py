@@ -4495,6 +4495,39 @@ SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
 FROM agg
 """
 
+ORACLES["events_stream_quantile"] = """
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+bk AS (
+  SELECT event_type,
+         (length(bin(v_c)) - 1) * 8
+         + ((v_c >> greatest(length(bin(v_c)) - 4, 0)) & 7) AS b,
+         COUNT(*) AS cnt
+  FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM bk),
+rep AS (
+  SELECT *, CASE WHEN b < 24 THEN b % 8
+                 ELSE ((8 + b % 8) << (b // 8 - 3))
+                      + (CASE WHEN b // 8 > 3
+                              THEN CAST(1 AS BIGINT) << (b // 8 - 4)
+                              ELSE 0 END)
+            END AS rep
+  FROM cum)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MIN(CASE WHEN cum * 1000 >= 500 * n THEN rep END) AS BIGINT)
+         AS p50_est,
+       CAST(MIN(CASE WHEN cum * 1000 >= 950 * n THEN rep END) AS BIGINT)
+         AS p95_est,
+       CAST(MIN(CASE WHEN cum * 1000 >= 990 * n THEN rep END) AS BIGINT)
+         AS p99_est
+FROM rep GROUP BY event_type
+"""
+
 ORACLES["docs_stream_neardup"] = f"""
 WITH base AS (
   SELECT doc_id,

@@ -6661,6 +6661,21 @@ def docs_stream_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_kmv_vocab_stream(spark, sf_dir)
 
 
+def events_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-event-type p50/p95/p99 with BOUNDED state: the
+    stream state per type is its log-bucket histogram (≤ 512 counter
+    pairs over the whole int64 range), merged per micro-batch by
+    applyInPandasWithState; bucketing stays JVM-side on the stream.
+    The streaming twin of ``events_quantile_sketch``'s estimate
+    columns — same integer bucket/representative/ceil-threshold
+    formulation, so the batch-shaped DuckDB oracle certifies the
+    stream's final rows. See
+    streaming/events.py::quantile_sketch_stateful."""
+    from .streaming.events import run_quantile_sketch_stream
+
+    return run_quantile_sketch_stream(spark, sf_dir)
+
+
 def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based global decile binning WITHOUT a global sort — the
     equal-frequency feature-binning step (and the pattern for any

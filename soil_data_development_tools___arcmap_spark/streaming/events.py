@@ -1128,3 +1128,122 @@ def run_scd2_stream(
             ),
         )
     )
+
+
+def quantile_sketch_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming per-event-type value quantiles with BOUNDED state:
+    the stream state per type is its log-bucket histogram (≤ 512
+    (bucket, count) pairs across the whole int64 range — see
+    ``functions/sketches.logbucket_sql``), merged per micro-batch via
+    ``applyInPandasWithState``.  The streaming twin of the batch
+    ``events_quantile_sketch`` estimate columns: a p99 dashboard that
+    never holds the value multiset, only bucket counters that ADD
+    across batches (and across executors — the sketch is mergeable,
+    so this is also exactly what a 1000-node reducer receives).
+
+    Bucketing runs JVM-side on the stream (bin/shift/mask integer
+    expressions — stateless); only the per-type counter merge crosses
+    into Arrow.  The estimate math in the merge (ceil-threshold scan
+    of the cumulative counts, midpoint representative) is the same
+    integer formulation the batch query and its DuckDB oracle use,
+    unit-pinned by tests/test_sketches.py's pure-Python reference.
+
+    Output (update mode): one row per type per batch with the running
+    (n_events, n_buckets, p50_est, p95_est, p99_est) and a monotone
+    ``upd_seq`` so a replay can select each type's final row.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.sketches import logbucket_sql
+
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
+    bucketed = ev.select(
+        "event_type",
+        F.round(F.expr("value") * 100).cast("long").alias("v_c"),
+    ).select("event_type", F.expr(logbucket_sql("v_c")).alias("b"))
+
+    def _rep(b: int) -> int:
+        # midpoint representative — mirrors logbucket_rep_sql
+        if b < 24:
+            return b % 8
+        bl = b // 8 + 1
+        lo = (8 + b % 8) << (bl - 4)
+        return lo + ((1 << (bl - 4)) // 2 if bl >= 5 else 0)
+
+    def fn(key, pdfs, state):
+        bs, cnts, seq = state.get if state.exists else ([], [], 0)
+        cur = dict(zip(bs, cnts))
+        for pdf in pdfs:
+            for b, c in pdf["b"].value_counts().items():
+                b = int(b)
+                cur[b] = cur.get(b, 0) + int(c)
+        items = sorted(cur.items())
+        seq += 1
+        state.update(([b for b, _ in items], [c for _, c in items], seq))
+        n = sum(c for _, c in items)
+        ests = {}
+        for p in (500, 950, 990):
+            cum = 0
+            for b, c in items:
+                cum += c
+                if cum * 1000 >= p * n:
+                    ests[p] = _rep(b)
+                    break
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "n_buckets": [len(items)],
+                "p50_est": [ests[500]],
+                "p95_est": [ests[950]],
+                "p99_est": [ests[990]],
+                "upd_seq": [seq],
+            }
+        )
+
+    return bucketed.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, n_events long, n_buckets long,"
+            " p50_est long, p95_est long, p99_est long, upd_seq long"
+        ),
+        stateStructType="bs array<long>, cnts array<long>, upd_seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_quantile_sketch_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Run the streaming quantile sketch to completion (availableNow
+    + update-mode memory sink) and return each type's FINAL row."""
+    from pyspark.sql import Window
+
+    name = "events_qsk_" + uuid.uuid4().hex[:8]
+    q = (
+        quantile_sketch_stateful(spark, sf_dir, source=source)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("event_type").orderBy(F.col("upd_seq").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type", "n_events", "n_buckets",
+            "p50_est", "p95_est", "p99_est",
+        )
+    )

@@ -672,3 +672,53 @@ def test_kmv_vocab_stream_matches_batch_and_replay(spark, tmp_path):
     }
     assert batch == single == multi and len(batch) > 0
     assert all(n <= 64 for _, n, _ in multi)
+
+
+def test_quantile_sketch_stream_matches_batch_and_replay(spark, tmp_path):
+    """The stateful streaming quantile sketch must equal the batch
+    events_quantile_sketch estimate columns, and a 4-file
+    one-per-trigger replay (incremental histogram merges) must equal
+    the single-batch run — bucket-count mergeability exercised
+    through real stream-state round trips. Also pins the
+    bounded-state claim: n_buckets stays under the 512 ceiling."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_quantile_sketch_stream,
+    )
+
+    cols = ("event_type", "n_events", "n_buckets", "p50_est", "p95_est", "p99_est")
+    batch = {
+        tuple(r[c] for c in cols)
+        for r in Q.events_quantile_sketch(spark, SF_SMOKE).select(*cols).collect()
+    }
+    single = {
+        tuple(r[c] for c in cols)
+        for r in run_quantile_sketch_stream(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "events.parquet")
+    )
+    src = str(tmp_path / "events_split_qsk")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        ev.where(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    multi_src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = {
+        tuple(r[c] for c in cols)
+        for r in run_quantile_sketch_stream(
+            spark, SF_SMOKE, source=multi_src
+        ).collect()
+    }
+    assert batch == single == multi and len(batch) > 0
+    assert all(r[2] <= 512 for r in multi)
