@@ -881,3 +881,91 @@ def decontaminate_bloom(
             .alias("contaminated"),
         )
     )
+
+
+def dup_triangles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 3,
+    threshold_e4: int = 3000,
+    max_freq: int | None = 100,
+) -> DataFrame:
+    """Triangle counting over the near-dup pair graph, by
+    degree-ordered orientation — the dedup-cluster TRANSITIVITY
+    audit: a component whose members are pairwise near-dups is
+    triangle-dense (safe to collapse to one representative), while a
+    triangle-free chain A~B~C can link documents with nothing in
+    common, the classic false-merge mode of single-linkage dedup
+    (``dup_groups``) that this measures.
+
+    Algorithm (the scale-canonical one): orient every Jaccard pair
+    from the endpoint with smaller (degree, id) to the larger; for
+    each wedge b←a→c with (deg,id)(b) < (deg,id)(c), the triangle
+    closes iff oriented edge b→c exists.  Orientation bounds every
+    out-neighborhood by O(sqrt(m)) — the wedge self-join's skew
+    ceiling — so the plan is three bounded hash joins, never an
+    unoriented neighborhood explosion.  Each triangle is found
+    exactly once, then credited to its three corners.
+
+    Output, one row per endpoint of ≥1 pair: id, deg (pair-graph
+    degree), n_tri (triangles through the node), cc_permille
+    (2000·n_tri div deg·(deg-1), the local clustering coefficient in
+    permille; 0 when deg < 2).  Global triangle count =
+    sum(n_tri)/3.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, id_col, col, k, threshold_e4=threshold_e4, max_freq=max_freq
+    ).select("i", "j")
+    und = pairs.unionByName(pairs.select(F.col("j").alias("i"), F.col("i").alias("j")))
+    deg = und.groupBy("i").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("i", "v")
+    # orient by (deg, id): src = smaller endpoint in that total order
+    pd_ = (
+        pairs.join(deg.select(F.col("v").alias("i"), F.col("deg").alias("di")), "i")
+        .join(deg.select(F.col("v").alias("j"), F.col("deg").alias("dj")), "j")
+    )
+    fwd = (F.col("di") < F.col("dj")) | (
+        (F.col("di") == F.col("dj")) & (F.col("i") < F.col("j"))
+    )
+    oriented = pd_.select(
+        F.when(fwd, F.col("i")).otherwise(F.col("j")).alias("src"),
+        F.when(fwd, F.col("j")).otherwise(F.col("i")).alias("dst"),
+        F.when(fwd, F.col("dj")).otherwise(F.col("di")).alias("ddst"),
+    )
+    # settle the oriented edge list once: the wedge join uses it twice
+    # and the closing join a third time
+    oriented = oriented.localCheckpoint()
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddst").alias("dc")
+    )
+    wedges = e1.join(e2, "a").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("v"))
+        .unionByName(tris.select(F.col("b").alias("v")))
+        .unionByName(tris.select(F.col("c").alias("v")))
+    )
+    ntri = corners.groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        deg.join(ntri, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("2000 * coalesce(n_tri, 0) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cc_permille"),
+        )
+    )

@@ -1526,6 +1526,38 @@ SELECT src AS doc_id, MIN(dst) AS group_rep,
 FROM reach GROUP BY src
 """
 
+ORACLES["docs_dup_triangles"] = f"""
+WITH pairs AS ({ORACLES["docs_ngram_jaccard"]}),
+p AS (SELECT i, j FROM pairs),
+und AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+deg AS (SELECT i AS v, COUNT(*) AS deg FROM und GROUP BY i),
+pd AS (
+  SELECT p.i, p.j, di.deg AS di, dj.deg AS dj
+  FROM p JOIN deg di ON di.v = p.i JOIN deg dj ON dj.v = p.j),
+oriented AS (
+  SELECT CASE WHEN (di < dj) OR (di = dj AND i < j) THEN i ELSE j END AS src,
+         CASE WHEN (di < dj) OR (di = dj AND i < j) THEN j ELSE i END AS dst,
+         CASE WHEN (di < dj) OR (di = dj AND i < j) THEN dj ELSE di END AS ddst
+  FROM pd),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+  WHERE (e1.ddst < e2.ddst) OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+tris AS (
+  SELECT w.a, w.b, w.c FROM wedges w
+  JOIN oriented o ON o.src = w.b AND o.dst = w.c),
+corners AS (
+  SELECT a AS v FROM tris UNION ALL SELECT b AS v FROM tris
+  UNION ALL SELECT c AS v FROM tris),
+ntri AS (SELECT v, COUNT(*) AS n_tri FROM corners GROUP BY v)
+SELECT d.v AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(n.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN 2000 * COALESCE(n.n_tri, 0) // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS cc_permille
+FROM deg d LEFT JOIN ntri n ON n.v = d.v
+"""
+
 # audit twin of dedup.minhash_band_stats at bucket_cap=2 (tiny on
 # purpose so the salt-split path actually fires at sf0.01)
 _LSH_STATS_CAP = 2

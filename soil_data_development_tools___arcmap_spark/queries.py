@@ -2257,6 +2257,23 @@ def docs_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph — the transitivity
+    audit for single-linkage dedup: per endpoint, its pair-graph
+    degree, triangles through it, and local clustering coefficient
+    (permille). Triangle-dense components are safe to collapse;
+    triangle-free chains are the false-merge mode ``dup_groups``'s
+    connected components can't distinguish.  Degree-ordered
+    orientation bounds every wedge neighborhood by O(sqrt(edges)) —
+    the skew ceiling that makes the self-join survive a power-law
+    dup graph at 100 TB.  See functions/dedup.py::dup_triangles."""
+    from .functions.dedup import dup_triangles
+
+    return dup_triangles(
+        _t(spark, sf_dir, "documents"), threshold_e4=3000, max_freq=100
+    )
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash16
 

@@ -77,18 +77,33 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file source only accepts directories; sf_dir mixes all tables
     # in one dir, so expose just the events file through a symlink dir
     # (zero-copy; in production the source is a real directory/Kafka).
+    # A single-file table gets one symlink; a directory table
+    # (multi-part parquet, e.g. the scale replicas) gets one symlink
+    # PER PART FILE — the file stream source lists plain files and
+    # does not descend into a symlinked subdirectory, so linking the
+    # directory itself would stream zero rows (same fix as
+    # read_documents_stream; the cache key includes mtime because a
+    # rewritten directory table gets new part-file names).
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     # Per-process private dir (mkdtemp, mode 0700) rather than a
     # predictable path under the shared tmp dir — no pre-creation
     # hijack, no stale symlink if sf_dir moves between sessions.
+    key = (src, os.stat(src).st_mtime_ns)
     cache = getattr(read_events_stream, "_dirs", None)
     if cache is None:
         cache = read_events_stream._dirs = {}
-    stream_dir = cache.get(src)
+    stream_dir = cache.get(key)
     if stream_dir is None or not os.path.isdir(stream_dir):
         stream_dir = tempfile.mkdtemp(prefix="sddt_events_stream_")
-        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
-        cache[src] = stream_dir
+        if os.path.isdir(src):
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    os.symlink(
+                        os.path.join(src, f), os.path.join(stream_dir, f)
+                    )
+        else:
+            os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        cache[key] = stream_dir
     return _ts_ns(spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir))
 
 

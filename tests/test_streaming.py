@@ -722,3 +722,37 @@ def test_quantile_sketch_stream_matches_batch_and_replay(spark, tmp_path):
     }
     assert batch == single == multi and len(batch) > 0
     assert all(r[2] <= 512 for r in multi)
+
+
+def test_events_stream_multipart_source_dir(spark, tmp_path):
+    """An events.parquet that is a DIRECTORY of part files (the layout
+    of every scale replica and of any real Spark-written table) must
+    stream the same rows as the single-file layout — same fix as the
+    docs source: the file stream source does not descend into a
+    symlinked subdirectory, so the reader links part files
+    individually."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_quantile_sketch_stream,
+    )
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "events.parquet")
+    )
+    d = str(tmp_path / "events_multipart")
+    os.makedirs(d, exist_ok=True)
+    ev.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    cols = ("event_type", "n_events", "n_buckets", "p50_est", "p95_est", "p99_est")
+    single = {
+        tuple(r[c] for c in cols)
+        for r in run_quantile_sketch_stream(spark, SF_SMOKE).collect()
+    }
+    multi = {
+        tuple(r[c] for c in cols)
+        for r in run_quantile_sketch_stream(spark, d).collect()
+    }
+    assert single == multi and len(multi) > 0

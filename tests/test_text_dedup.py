@@ -804,3 +804,39 @@ def test_lm_quality_matches_independent_reference(spark, tmp_path):
             for r in Q.docs_lm_quality(spark, d).collect()
         }
         assert got == ref_scores(docs), f"case {case}"
+
+
+def test_dup_triangles_planted_triangle_and_chain(spark):
+    """A planted 3-clique (identical texts) must census as one
+    triangle with clustering coefficient 1000 at every corner; a
+    planted A~B~C chain (B overlaps both ends, the ends share
+    nothing) must stay triangle-free — the false-merge shape the
+    operator exists to expose."""
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        dup_triangles,
+    )
+
+    tri_text = "alpha beta gamma delta epsilon zeta eta theta"
+    p = " ".join(f"p{i}" for i in range(4))
+    q = " ".join(f"q{i}" for i in range(10))
+    r = " ".join(f"r{i}" for i in range(10))
+    s = " ".join(f"s{i}" for i in range(4))
+    rows = [
+        (1, tri_text), (2, tri_text), (3, tri_text),
+        (10, f"{p} {q}"),   # A = P+Q
+        (11, f"{q} {r}"),   # B = Q+R  (overlaps both ends)
+        (12, f"{r} {s}"),   # C = R+S
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        row["doc_id"]: (row["deg"], row["n_tri"], row["cc_permille"])
+        for row in dup_triangles(df, threshold_e4=3000, max_freq=100).collect()
+    }
+    assert got[1] == (2, 1, 1000)
+    assert got[2] == (2, 1, 1000)
+    assert got[3] == (2, 1, 1000)
+    assert got[10] == (1, 0, 0)
+    assert got[11] == (2, 0, 0)
+    assert got[12] == (1, 0, 0)
+    # exactly one triangle in the whole graph
+    assert sum(t for _, t, _ in got.values()) == 3
