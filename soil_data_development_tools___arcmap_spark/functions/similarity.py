@@ -864,3 +864,76 @@ def _pq_search(cand, cb, emb, qz, query_ids_below, topk, m, sub, id_col):
         .where(F.col("rn") <= topk)
         .select("qid", "cid", "cos_e6", "rn")
     )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization (int8) ANN — the fifth family member and
+    the production default for memory-bound vector search: every
+    candidate dimension is snapped to an 8-bit code on the corpus's
+    per-dimension [min, max] range, and queries score the DECODED
+    reconstruction (asymmetric distance, full-precision query) with
+    the family's cosine metric.  1 byte/dim instead of a 4-byte
+    float — 4× memory — with far less structure loss than PQ's
+    subspace sharing on low-dim embeddings.
+
+    Everything is integer floor math on the e6-quantized values:
+    code = (x−mn)·255 div rng, decoded = mn + code·rng div 255 —
+    bit-equal in the DuckDB oracle.  The trained artifact (per-dim
+    min/max) is a 1-row, 2×dim-long DataFrame computed with one
+    map-side-combined posexplode aggregate over the candidates and
+    broadcast everywhere — there is no driver collect and nothing in
+    the plan scales with anything but the corpus scan.
+    """
+    from .dedup import _spread
+
+    q = emb.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("qid"), quantize_embedding(col).alias("qv")
+    )
+    cand = _spread(emb.where(F.col(id_col) >= query_ids_below), id_col).select(
+        F.col(id_col).alias("cid"), quantize_embedding(col).alias("cv")
+    )
+    per_dim = cand.select(F.posexplode("cv").alias("i", "x")).groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    stats = per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("i", (F.col("mx") - F.col("mn")).alias("r")))
+            ),
+            lambda s: s["r"],
+        ).alias("rng"),
+    )
+    # encode-then-decode in one expression: the stored form would be
+    # the 8-bit codes; scoring touches only the reconstruction
+    decoded = F.expr(
+        "zip_with("
+        "  zip_with(zip_with(cv, mins, (x, m) -> x - m), rng,"
+        "           (d, r) -> CASE WHEN r = 0 THEN 0"
+        "                     ELSE ((d * 255 div r) * r) div 255 END),"
+        "  mins, (d, m) -> d + m)"
+    )
+    dc = cand.crossJoin(F.broadcast(stats)).select("cid", decoded.alias("cv"))
+    scored = dc.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        _cos_e6(
+            _dot(F.col("qv"), F.col("cv")),
+            _norm2(F.col("qv")),
+            _norm2(F.col("cv")),
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("qid", "cid", "cos_e6", "rn")
+    )

@@ -3669,6 +3669,45 @@ FROM exact e LEFT JOIN hits h ON e.qid = h.qid
 GROUP BY e.qid
 """
 
+_SQ8 = f"""
+WITH {_EMB_Q},
+dims AS (SELECT unnest(range(1, 65)) AS i),
+st AS (
+  SELECT i, MIN(cv[i]) AS mn, MAX(cv[i]) - MIN(cv[i]) AS r
+  FROM (SELECT v AS cv FROM e WHERE vec_id >= 8) CROSS JOIN dims GROUP BY i),
+stats AS (
+  SELECT list(mn ORDER BY i) AS mins, list(r ORDER BY i) AS rng FROM st),
+c AS (
+  SELECT vec_id AS cid,
+         list_transform(range(1, 65),
+           i -> s.mins[i]
+                + (CASE WHEN s.rng[i] = 0 THEN 0
+                        ELSE (((v[i] - s.mins[i]) * 255 // s.rng[i])
+                              * s.rng[i]) // 255 END)) AS cv
+  FROM e CROSS JOIN stats s WHERE vec_id >= 8),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+s2 AS (SELECT qid, cid, {_COS} AS cos_e6 FROM c CROSS JOIN q)
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s2)
+WHERE rn <= 5
+"""
+
+ORACLES["emb_knn_sq8"] = _SQ8
+
+ORACLES["emb_sq8_recall"] = f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+approx AS ({_SQ8}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid
+"""
+
 ORACLES["raster_tile_export"] = """
 WITH cells AS (
   SELECT c_custkey % 4 AS tile_id, c_custkey % 16 AS row,

@@ -4837,6 +4837,27 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_recall(brute_force_topk(emb), pq_topk(emb, train=True))
 
 
+def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (int8) ANN — per-dimension [min,max]
+    trained on the corpus, candidates stored as 8-bit codes, queries
+    score the decoded reconstruction (asymmetric, 4× memory vs
+    float32). See functions/similarity.sq8_topk."""
+    from .functions.similarity import sq8_topk
+
+    return sq8_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of int8 scalar-quantized search against the exact
+    brute-force top-k — the compression-accuracy row for the memory
+    story (SQ8 keeps full dimensional structure, so its recall upper-
+    bounds PQ's at the same byte budget on these low-dim vectors)."""
+    from .functions.similarity import brute_force_topk, knn_recall, sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), sq8_topk(emb))
+
+
 def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN over the embeddings table — coarse inverted lists
     route the probe, residuals are product-quantized, queries score

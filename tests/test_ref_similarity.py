@@ -160,3 +160,53 @@ def test_pq_topk_matches_reference(spark, seed):
         for r in pq_topk(_df(spark, vecs), dim=DIM, m=4, n_codes=8).collect()
     }
     assert got == _ref_pq(vecs)
+
+
+def _ref_sq8_topk(vecs, qids_below=8, topk=5):
+    """Independent SQ8 reference: per-dim [min,max] over candidates in
+    e6 ints, code = (x-mn)*255 // rng, decoded = mn + code*rng // 255,
+    asymmetric cosine vs the full-precision query."""
+    cands = {i: _q(v) for i, v in vecs.items() if i >= qids_below}
+    dims = range(len(next(iter(cands.values()))))
+    mn = [min(v[d] for v in cands.values()) for d in dims]
+    rng = [max(v[d] for v in cands.values()) - mn[d] for d in dims]
+
+    def decode(v):
+        out = []
+        for d in dims:
+            if rng[d] == 0:
+                out.append(mn[d])
+            else:
+                code = (v[d] - mn[d]) * 255 // rng[d]
+                out.append(mn[d] + code * rng[d] // 255)
+        return out
+
+    dec = {i: decode(v) for i, v in cands.items()}
+    out = set()
+    for qid in range(qids_below):
+        qv = _q(vecs[qid])
+        scored = sorted((-_cos_e6(qv, dv), c) for c, dv in dec.items())
+        for rn, (neg, cid) in enumerate(scored[:topk], 1):
+            out.add((qid, cid, -neg, rn))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 33])
+def test_sq8_topk_matches_reference(spark, seed):
+    from soil_data_development_tools___arcmap_spark.functions.similarity import (
+        sq8_topk,
+    )
+
+    vecs = _vecs(seed)
+    got = {
+        (r["qid"], r["cid"], r["cos_e6"], r["rn"])
+        for r in sq8_topk(_df(spark, vecs)).collect()
+    }
+    assert got == _ref_sq8_topk(vecs)
+    # 8-bit codes on these ranges keep ranking nearly exact: the
+    # reference decode must never move a cosine by more than the
+    # quantization step allows — spot-check top-1 agreement with the
+    # exact reference for most queries
+    exact = {(q, c) for q, c, _, rn in _ref_topk(vecs) if rn == 1}
+    approx = {(q, c) for q, c, _, rn in _ref_sq8_topk(vecs) if rn == 1}
+    assert len(exact & approx) >= 6
