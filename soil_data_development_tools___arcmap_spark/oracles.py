@@ -4095,6 +4095,66 @@ SELECT e.tok, CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
 FROM est e JOIN exact x ON e.tok = x.tok
 """
 
+ORACLES["docs_cms_drift"] = """
+WITH tok AS (
+  SELECT source, doc_id % 2 = 1 AS is_new, tok FROM (
+    SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+cand AS (
+  SELECT DISTINCT tok FROM (
+    SELECT is_new, source, tok,
+           ROW_NUMBER() OVER (PARTITION BY is_new, source
+                              ORDER BY c DESC, tok) AS rk
+    FROM (SELECT is_new, source, tok, COUNT(*) AS c
+          FROM tok GROUP BY is_new, source, tok))
+  WHERE rk <= 12),
+rows3 AS (SELECT unnest([0, 1, 2]) AS r),
+cells AS (
+  SELECT is_new, r,
+         CAST(('0x' || substr(md5('cms' || r || ':' || tok), 1, 15)) AS BIGINT)
+           % 1000000000000 % 512 AS c,
+         COUNT(*) AS cnt
+  FROM tok CROSS JOIN rows3 GROUP BY 1, 2, 3),
+probes AS (
+  SELECT tok, r,
+         CAST(('0x' || substr(md5('cms' || r || ':' || tok), 1, 15)) AS BIGINT)
+           % 1000000000000 % 512 AS c
+  FROM cand CROSS JOIN rows3),
+est_o AS (
+  SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS est_old0
+  FROM probes p
+  LEFT JOIN (SELECT r, c, cnt FROM cells WHERE NOT is_new) s
+    ON s.r = p.r AND s.c = p.c
+  GROUP BY p.tok),
+est_n AS (
+  SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS est_new0
+  FROM probes p
+  LEFT JOIN (SELECT r, c, cnt FROM cells WHERE is_new) s
+    ON s.r = p.r AND s.c = p.c
+  GROUP BY p.tok),
+est AS (
+  SELECT o.tok, o.est_old0, n.est_new0
+  FROM est_o o JOIN est_n n ON n.tok = o.tok),
+exact AS (
+  SELECT t.tok,
+         SUM(CASE WHEN NOT t.is_new THEN 1 ELSE 0 END) AS exact_old,
+         SUM(CASE WHEN t.is_new THEN 1 ELSE 0 END) AS exact_new
+  FROM tok t JOIN cand USING (tok) GROUP BY t.tok)
+SELECT c.tok,
+       CAST(COALESCE(x.exact_old, 0) AS BIGINT) AS exact_old,
+       CAST(COALESCE(x.exact_new, 0) AS BIGINT) AS exact_new,
+       CAST(COALESCE(e.est_old0, 0) AS BIGINT) AS est_old,
+       CAST(COALESCE(e.est_new0, 0) AS BIGINT) AS est_new,
+       CAST(COALESCE(e.est_new0, 0) - COALESCE(e.est_old0, 0) AS BIGINT)
+         AS delta_est,
+       CAST(COALESCE(x.exact_new, 0) - COALESCE(x.exact_old, 0) AS BIGINT)
+         AS delta_exact
+FROM cand c
+LEFT JOIN est e ON e.tok = c.tok
+LEFT JOIN exact x ON x.tok = c.tok
+"""
+
 ORACLES["events_quantile_sketch"] = """
 WITH ev AS (
   SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),

@@ -5728,6 +5728,74 @@ def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots from
+    their count-min grids alone — the distribution-shift monitor a
+    training-data pipeline runs between crawl batches.  Snapshots are
+    the deterministic doc_id halves (even = old, odd = new); each
+    side builds the same 3×512 seeded grid, candidates are each
+    side's shard-local heavy hitters, and every candidate gets
+    est_old / est_new / delta_est next to the exact counts and exact
+    delta.
+
+    Why CMS here and not KMV: the count-min grid is a LINEAR sketch —
+    cell-wise ADD/SUBTRACT of two grids is the grid of the
+    concatenated/differenced stream (tests pin mergeability) — so an
+    archived yesterday-grid plus today's 1,536 cells answers "what
+    changed" without re-touching yesterday's corpus; bottom-k
+    sketches cannot subtract.  Columns: tok, exact_old, exact_new,
+    est_old, est_new, delta_est, delta_exact.
+    """
+    from .functions.sketches import cms_lookup, cms_sketch
+    from .functions.text import tokens
+
+    depth, width = 3, 512
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(tokens("text")).alias("tok"),
+    ).where(F.col("tok") != "")
+    halves = {}
+    for label, flag in (("old", False), ("new", True)):
+        half = toks.where(F.col("is_new") == flag)
+        per_src = half.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+        w_src = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+        cand = (
+            per_src.withColumn("rk", F.row_number().over(w_src))
+            .where(F.col("rk") <= 12)
+            .select("tok")
+        )
+        halves[label] = (half, cand)
+    cand = halves["old"][1].unionByName(halves["new"][1]).distinct()
+    out = cand
+    for label in ("old", "new"):
+        half = halves[label][0]
+        sketch = cms_sketch(half, F.col("tok"), depth, width, "cms")
+        est = cms_lookup(sketch, cand, F.col("tok"), ["tok"], depth, width, "cms")
+        exact = (
+            half.join(F.broadcast(cand), "tok")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(f"exact_{label}"))
+        )
+        out = (
+            out.join(est.withColumnRenamed("cms_est", f"est_{label}"), "tok")
+            .join(exact, "tok", "left")
+            .withColumn(
+                f"exact_{label}",
+                F.coalesce(F.col(f"exact_{label}"), F.lit(0).cast("long")),
+            )
+        )
+    return out.select(
+        "tok",
+        "exact_old",
+        "exact_new",
+        "est_old",
+        "est_new",
+        (F.col("est_new") - F.col("est_old")).alias("delta_est"),
+        (F.col("exact_new") - F.col("exact_old")).alias("delta_exact"),
+    )
+
+
 def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value quantiles from a MERGEABLE log-bucket
     sketch (DDSketch-style, pure integer ops), certified against the

@@ -283,3 +283,42 @@ def test_quantile_sketch_within_relative_error_bound(spark):
                 assert est == exact
             else:
                 assert abs(est - exact) * 16 <= exact
+
+
+def test_cms_drift_registry_query(spark, tmp_path):
+    """docs_cms_drift on a crafted two-snapshot corpus: estimates must
+    equal the independent python CMS lookups per half, and the exact
+    deltas must match hand counts (even ids = old, odd = new)."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+
+    rows = [
+        (0, "s1", "a a b"),
+        (2, "s1", "a b b c"),
+        (1, "s1", "a c c c"),
+        (3, "s1", "c d"),
+    ]
+    d = str(tmp_path / "drift")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    old_toks = "a a b a b b c".split()
+    new_toks = "a c c c c d".split()
+    g_old = _ref_cms(old_toks, 3, 512, "cms")
+    g_new = _ref_cms(new_toks, 3, 512, "cms")
+
+    def lookup(grid, t):
+        return min(grid.get((r, _h(f"cms{r}:", t) % 512), 0) for r in range(3))
+
+    got = {r["tok"]: r for r in Q.docs_cms_drift(spark, d).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    for t in got:
+        assert got[t]["est_old"] == lookup(g_old, t)
+        assert got[t]["est_new"] == lookup(g_new, t)
+        assert got[t]["exact_old"] == old_toks.count(t)
+        assert got[t]["exact_new"] == new_toks.count(t)
+        assert got[t]["delta_exact"] == new_toks.count(t) - old_toks.count(t)
+        assert got[t]["delta_est"] == got[t]["est_new"] - got[t]["est_old"]
