@@ -5755,37 +5755,37 @@ def docs_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", (F.col("doc_id") % 2 == 1).alias("is_new"),
         F.explode(tokens("text")).alias("tok"),
     ).where(F.col("tok") != "")
-    halves = {}
-    for label, flag in (("old", False), ("new", True)):
-        half = toks.where(F.col("is_new") == flag)
-        per_src = half.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
-        w_src = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
-        cand = (
-            per_src.withColumn("rk", F.row_number().over(w_src))
-            .where(F.col("rk") <= 12)
-            .select("tok")
-        )
-        halves[label] = (half, cand)
-    cand = halves["old"][1].unionByName(halves["new"][1]).distinct()
+    # three corpus passes total: candidate counts, grids, exact counts
+    # (each map-side-combined; everything downstream is sketch-sized)
+    per = toks.groupBy("is_new", "source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_src = Window.partitionBy("is_new", "source").orderBy(F.desc("c"), "tok")
+    cand = (
+        per.withColumn("rk", F.row_number().over(w_src))
+        .where(F.col("rk") <= 12)
+        .select("tok")
+        .distinct()
+    )
+    # both halves' grids from ONE pass; ≤ 2·depth·width rows, settled
+    # once so the two lookups don't rescan the corpus
+    cells = cms_sketch(
+        toks, F.col("tok"), depth, width, "cms", group_cols=["is_new"]
+    ).localCheckpoint()
     out = cand
-    for label in ("old", "new"):
-        half = halves[label][0]
-        sketch = cms_sketch(half, F.col("tok"), depth, width, "cms")
+    for label, flag in (("old", False), ("new", True)):
+        sketch = cells.where(F.col("is_new") == flag).select("r", "c", "cnt")
         est = cms_lookup(sketch, cand, F.col("tok"), ["tok"], depth, width, "cms")
-        exact = (
-            half.join(F.broadcast(cand), "tok")
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias(f"exact_{label}"))
+        out = out.join(est.withColumnRenamed("cms_est", f"est_{label}"), "tok")
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(
+            F.sum((~F.col("is_new")).cast("long")).alias("exact_old"),
+            F.sum(F.col("is_new").cast("long")).alias("exact_new"),
         )
-        out = (
-            out.join(est.withColumnRenamed("cms_est", f"est_{label}"), "tok")
-            .join(exact, "tok", "left")
-            .withColumn(
-                f"exact_{label}",
-                F.coalesce(F.col(f"exact_{label}"), F.lit(0).cast("long")),
-            )
-        )
-    return out.select(
+    )
+    return out.join(exact, "tok").select(
         "tok",
         "exact_old",
         "exact_new",
