@@ -205,6 +205,9 @@ def cms_lookup(
     """Point-estimate ``cand`` rows against a count-min ``sketch``:
     probe the depth cells the value hashes to, take the min.
 
+    ``sketch`` must be a single UNGROUPED grid with columns
+    (r, c, cnt) — to probe one group of a grouped ``cms_sketch``
+    result, filter and project it first (see ``docs_cms_drift``).
     The sketch side is depth×width rows — broadcast, so the lookup
     is a map-side join however large the candidate set.  A missing
     cell coalesces to 0 (nothing ever hashed there).  Output:

@@ -5761,11 +5761,15 @@ def docs_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     w_src = Window.partitionBy("is_new", "source").orderBy(F.desc("c"), "tok")
+    # ≤ 2×12×n_sources candidate rows — settle once; four consumers
+    # (two grid probes, the exact join, the output spine) would each
+    # re-derive it from the corpus otherwise
     cand = (
         per.withColumn("rk", F.row_number().over(w_src))
         .where(F.col("rk") <= 12)
         .select("tok")
         .distinct()
+        .localCheckpoint()
     )
     # both halves' grids from ONE pass; ≤ 2·depth·width rows, settled
     # once so the two lookups don't rescan the corpus
