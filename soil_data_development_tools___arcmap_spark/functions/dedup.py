@@ -914,9 +914,16 @@ def dup_triangles(
     permille; 0 when deg < 2).  Global triangle count =
     sum(n_tri)/3.
     """
-    pairs = ngram_jaccard_pairs(
-        df, id_col, col, k, threshold_e4=threshold_e4, max_freq=max_freq
-    ).select("i", "j")
+    # settle the verified pair list once — the degree count, the
+    # orientation join, and both directions of the undirected view
+    # would otherwise each re-run the shingle/verify pipeline
+    pairs = (
+        ngram_jaccard_pairs(
+            df, id_col, col, k, threshold_e4=threshold_e4, max_freq=max_freq
+        )
+        .select("i", "j")
+        .localCheckpoint()
+    )
     und = pairs.unionByName(pairs.select(F.col("j").alias("i"), F.col("i").alias("j")))
     deg = und.groupBy("i").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("i", "v")
     # orient by (deg, id): src = smaller endpoint in that total order
