@@ -4490,6 +4490,54 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
 FROM sc GROUP BY doc_id
 """
 
+ORACLES["docs_dsir_sample"] = """
+WITH tok AS (
+  SELECT doc_id, source, i - 1 AS pos, tk[i] AS w
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+       unnest(generate_series(1, len(tk))) gs(i)
+  WHERE tk[i] <> ''),
+sq AS (
+  SELECT doc_id, source, pos, w,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok),
+bg AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('dsir:' || w || ' ' || nxt), 1, 15))
+              AS BIGINT) % 1000000000000 % 1024 AS b
+  FROM sq WHERE nxt IS NOT NULL),
+cp AS (SELECT b, COUNT(*) AS c_p FROM bg WHERE source = 'src0' GROUP BY b),
+cq AS (SELECT b, COUNT(*) AS c_q FROM bg WHERE source <> 'src0' GROUP BY b),
+np AS (SELECT COUNT(*) AS n_p FROM bg WHERE source = 'src0'),
+nq AS (SELECT COUNT(*) AS n_q FROM bg WHERE source <> 'src0'),
+ratio AS (
+  SELECT COALESCE(cp.b, cq.b) AS b,
+         ((COALESCE(c_p, 0) + 1) * (n_q + 1024) * 1000000)
+           // ((COALESCE(c_q, 0) + 1) * (n_p + 1024)) AS r_e6
+  FROM cp FULL OUTER JOIN cq ON cp.b = cq.b, np, nq),
+wdoc AS (
+  SELECT g.doc_id, g.source, COUNT(*) AS n_bg,
+         SUM(r.r_e6) // COUNT(*) AS w_e6
+  FROM bg g JOIN ratio r ON r.b = g.b
+  WHERE g.source <> 'src0'
+  GROUP BY g.doc_id, g.source),
+pool AS (SELECT SUM(w_e6) // COUNT(*) AS pool_mean_w_e6 FROM wdoc),
+keyed AS (
+  SELECT doc_id, source, n_bg, w_e6,
+         CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 1000000000000 AS u,
+         GREATEST(w_e6, 1) AS wt
+  FROM wdoc),
+k2 AS (SELECT *, u * 1000000 // wt AS skey FROM keyed),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS INTEGER)
+              AS prank
+  FROM k2)
+SELECT r.doc_id, r.source, CAST(r.n_bg AS BIGINT) AS n_bg,
+       CAST(r.w_e6 AS BIGINT) AS w_e6, r.prank,
+       CAST(p.pool_mean_w_e6 AS BIGINT) AS pool_mean_w_e6
+FROM ranked r, pool p WHERE r.prank <= 50
+"""
+
 # BPE merge-rule training: 8 rounds unrolled — each stage re-splits
 # the fused corpus, counts adjacent pairs, takes the deterministic
 # argmax, and fuses with the SAME canonical single replace the Spark

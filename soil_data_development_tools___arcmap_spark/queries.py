@@ -6556,6 +6556,91 @@ def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-targeted data selection by importance weighting over
+    hashed n-gram features (the DSIR recipe, Xie et al. 2023,
+    integer-exact): fit two Laplace-smoothed hashed-bigram bag models
+    — p on the target domain (source 'src0'), q on the raw pool — and
+    weight every raw doc by its mean per-bigram probability ratio in
+    ppm: r_e6(b) = ((c_p(b)+1)·(N_q+B)·10⁶) div ((c_q(b)+1)·(N_p+B)),
+    w_e6 = Σ r_e6 div n_bigrams.  The mean-ratio form is the repo's
+    established no-float-log stand-in (``docs_lm_quality``); the
+    selection itself is the already-certified ``priority_sample``
+    keyed on w_e6, so target-like documents are drawn with
+    probability ∝ weight, without replacement, deterministically.
+
+    100 TB posture: the feature space is B=1024 hash buckets — both
+    models and the ratio table are B-bounded broadcasts no matter the
+    corpus; the pool side is one scan → bigram hash (map-only) →
+    broadcast ratio join → per-doc mean; selection is the map-keyed
+    TakeOrderedAndProject top-(n+1).  (Ratio numerators multiply
+    corpus-sized N into 10⁶-scaled counts — at true trillion-bigram
+    scale move the 10⁶ scaling inside the div or widen to DECIMAL;
+    documented, not hit at fixture scales.)  Columns: doc_id, source,
+    n_bg, w_e6, prank, pool_mean_w_e6 (selected docs' weights sit
+    far above the pool mean — the point of the recipe).
+    """
+    from .functions.dedup import _spread
+    from .functions.sketches import priority_sample, seeded_hash
+    from .functions.text import tokens
+
+    B, n = 1024, 50
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    tok = docs.select(
+        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    w_ = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("nxt", F.lead("w").over(w_))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            (
+                seeded_hash(
+                    F.concat(F.col("w"), F.lit(" "), F.col("nxt")), "dsir:"
+                )
+                % B
+            ).alias("b"),
+        )
+    )
+    tgt = bg.where(F.col("source") == "src0")
+    raw = bg.where(F.col("source") != "src0")
+    cp = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("c_p"))
+    cq = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_q"))
+    np_ = tgt.agg(F.count(F.lit(1)).alias("n_p"))
+    nq_ = raw.agg(F.count(F.lit(1)).alias("n_q"))
+    # every raw bigram's bucket appears in cq by construction, so the
+    # outer join + inner lookup below never drops a pool bigram
+    ratio = (
+        cp.join(cq, "b", "outer")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nq_))
+        .select(
+            "b",
+            F.expr(
+                f"((coalesce(c_p, 0) + 1) * (n_q + {B}) * 1000000)"
+                f" div ((coalesce(c_q, 0) + 1) * (n_p + {B}))"
+            ).alias("r_e6"),
+        )
+    )
+    wdoc = (
+        raw.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.expr("sum(r_e6) div count(1)").alias("w_e6"),
+        )
+    )
+    pool = wdoc.agg(F.expr("sum(w_e6) div count(1)").alias("pool_mean_w_e6"))
+    samp = priority_sample(wdoc, F.col("w_e6"), n, "dsir:", id_col="doc_id")
+    return samp.select("doc_id", "source", "n_bg", "w_e6", "prank").crossJoin(
+        F.broadcast(pool)
+    )
+
+
 def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFrame:
     """Tokenizer training: greedy BPE merge-rule discovery over the
     corpus — per round, count adjacent token pairs, pick the most

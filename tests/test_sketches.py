@@ -322,3 +322,50 @@ def test_cms_drift_registry_query(spark, tmp_path):
         assert got[t]["exact_new"] == new_toks.count(t)
         assert got[t]["delta_exact"] == new_toks.count(t) - old_toks.count(t)
         assert got[t]["delta_est"] == got[t]["est_new"] - got[t]["est_old"]
+
+
+def test_dsir_sample_prefers_target_like_docs(spark, tmp_path):
+    """docs_dsir_sample on a planted corpus: pool docs written in the
+    target domain's vocabulary must carry far higher importance
+    weights than off-domain docs and dominate the selection."""
+    import os
+    import random
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+
+    rng = random.Random(97)
+    # tight vocabularies + long docs concentrate per-bucket counts so
+    # the like/far weight ratio is orders of magnitude, not single
+    # digits — the regime the selection claim is about
+    a_vocab = [f"alpha{i}" for i in range(10)]
+    z_vocab = [f"zulu{i}" for i in range(10)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(100))
+
+    rows = []
+    did = 0
+    for _ in range(30):          # target domain: vocabulary A
+        rows.append((did, "src0", doc(a_vocab))); did += 1
+    for _ in range(40):          # pool, target-like
+        rows.append((did, "srclike", doc(a_vocab))); did += 1
+    for _ in range(160):         # pool, off-domain
+        rows.append((did, "srcfar", doc(z_vocab))); did += 1
+    d = str(tmp_path / "dsir")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = Q.docs_dsir_sample(spark, d).collect()
+    assert len(got) == 50
+    by_src = {}
+    for r in got:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # 40 of 200 pool docs are target-like; importance selection must
+    # pull essentially all of them into the 50 picks
+    assert by_src.get("srclike", 0) >= 35
+    like_w = [r["w_e6"] for r in got if r["source"] == "srclike"]
+    far_w = [r["w_e6"] for r in got if r["source"] == "srcfar"]
+    assert like_w and min(like_w) > 10 * max(far_w or [0])
+    assert all(r["pool_mean_w_e6"] == got[0]["pool_mean_w_e6"] for r in got)
