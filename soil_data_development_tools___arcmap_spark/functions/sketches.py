@@ -242,6 +242,11 @@ def logbucket_sql(col: str) -> str:
     mergeable (bucket counts just add), and the whole int64 range
     needs ≤ 64*8 = 512 buckets — the bounded-state quantile summary.
     bin()/>>/&/greatest are bit-identical in Spark and DuckDB.
+
+    PRECONDITION: v ≥ 0.  bin() of a negative long is its 64-bit
+    two's-complement string, which would land every negative value in
+    the TOP octave and break monotonicity — clamp (the registry
+    queries use greatest(v, 0)) or offset signed data first.
     """
     return (
         f"(length(bin({col})) - 1) * 8"

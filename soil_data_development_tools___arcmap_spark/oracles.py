@@ -4157,7 +4157,9 @@ LEFT JOIN exact x ON x.tok = c.tok
 
 ORACLES["events_quantile_sketch"] = """
 WITH ev AS (
-  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+  SELECT event_type,
+         GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) AS v_c
+  FROM events),
 bk AS (
   SELECT event_type,
          (length(bin(v_c)) - 1) * 8
@@ -4676,7 +4678,9 @@ FROM agg
 
 ORACLES["events_stream_quantile"] = """
 WITH ev AS (
-  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+  SELECT event_type,
+         GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) AS v_c
+  FROM events),
 bk AS (
   SELECT event_type,
          (length(bin(v_c)) - 1) * 8

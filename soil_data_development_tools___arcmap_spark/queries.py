@@ -5824,7 +5824,12 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sketches import logbucket_rep_sql, logbucket_sql
 
     ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
+        "event_type",
+        # clamp: logbucket requires v >= 0 (negative longs would land
+        # in the top octave via two's-complement bin())
+        F.greatest(
+            F.round(F.col("value") * 100).cast("long"), F.lit(0).cast("long")
+        ).alias("v_c"),
     )
     buckets = (
         ev.select("event_type", F.expr(logbucket_sql("v_c")).alias("b"))

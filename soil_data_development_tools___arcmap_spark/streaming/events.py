@@ -1179,7 +1179,10 @@ def quantile_sketch_stateful(
     ev = source if source is not None else read_events_stream(spark, sf_dir)
     bucketed = ev.select(
         "event_type",
-        F.round(F.expr("value") * 100).cast("long").alias("v_c"),
+        F.greatest(
+            F.round(F.expr("value") * 100).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("v_c"),
     ).select("event_type", F.expr(logbucket_sql("v_c")).alias("b"))
 
     def _rep(b: int) -> int:
