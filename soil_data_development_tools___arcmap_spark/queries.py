@@ -6587,29 +6587,28 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .functions.dedup import _spread
     from .functions.sketches import priority_sample, seeded_hash
-    from .functions.text import tokens
 
     B, n = 1024, 50
     docs = _spread(
         _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
-    tok = docs.select(
-        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "w")
-    ).where(F.col("w") != "")
-    w_ = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        tok.withColumn("nxt", F.lead("w").over(w_))
-        .where(F.col("nxt").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            (
-                seeded_hash(
-                    F.concat(F.col("w"), F.lit(" "), F.col("nxt")), "dsir:"
-                )
-                % B
-            ).alias("b"),
-        )
+    # adjacent non-empty token pairs straight off the split array —
+    # MAP-ONLY (no posexplode + per-doc lead window; same pairs as the
+    # filtered-lead formulation the oracle uses). Guard the <2-token
+    # case explicitly: Spark's sequence(0, -1) counts DOWN, it is not
+    # empty.
+    arr = docs.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("tk"),
+    )
+    grams = F.expr(
+        "CASE WHEN size(tk) < 2 THEN array()"
+        " ELSE transform(sequence(0, size(tk) - 2),"
+        "                i -> concat(tk[i], ' ', tk[i + 1])) END"
+    )
+    bg = arr.select("doc_id", "source", F.explode(grams).alias("g")).select(
+        "doc_id", "source", (seeded_hash(F.col("g"), "dsir:") % B).alias("b")
     )
     tgt = bg.where(F.col("source") == "src0")
     raw = bg.where(F.col("source") != "src0")
