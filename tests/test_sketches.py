@@ -369,3 +369,43 @@ def test_dsir_sample_prefers_target_like_docs(spark, tmp_path):
     far_w = [r["w_e6"] for r in got if r["source"] == "srcfar"]
     assert like_w and min(like_w) > 10 * max(far_w or [0])
     assert all(r["pool_mean_w_e6"] == got[0]["pool_mean_w_e6"] for r in got)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**50), min_size=1, max_size=200),
+        st.integers(min_value=1, max_value=999),
+    )
+    def test_logbucket_quantile_bound_property(vals, p_permille):
+        """For ANY non-negative multiset and ANY permille quantile, the
+        log-bucket estimate sits within 1/16 relative error of the
+        exact ceil-threshold order statistic (exact below 8) — the
+        guarantee both registry queries and the streaming twin state,
+        proven against the pure-Python reference independent of either
+        engine."""
+        n = len(vals)
+        svals = sorted(vals)
+        thresh = -(-p_permille * n // 1000)  # ceil
+        exact = svals[thresh - 1]
+        hist = {}
+        for v in vals:
+            b = _ref_bucket(v)
+            hist[b] = hist.get(b, 0) + 1
+        cum = 0
+        est = None
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum * 1000 >= p_permille * n:
+                est = _ref_rep(b)
+                break
+        assert est is not None
+        if exact <= 7:
+            assert est == exact
+        else:
+            assert abs(est - exact) * 16 <= exact
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
