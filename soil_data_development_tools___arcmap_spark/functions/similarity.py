@@ -241,6 +241,13 @@ def ivf_topk(
     )
 
 
+#: session-scoped trained-centroid memo (same policy as the BPE
+#: trained-artifact memo in queries.py): keyed on applicationId +
+#: plan semanticHash + hyperparameters, small LRU-ish cap.
+_IVF_MEMO: dict[tuple, list] = {}
+_IVF_MEMO_CAP = 12
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -286,10 +293,28 @@ def train_ivf_centroids(
     assignment scan, linear per iteration. Farthest-first seeding adds
     k-1 scans (each a broadcast-probe + 1-row argmin collect); for k
     large enough that k scans hurt, k-means‖ oversampling is the known
-    upgrade path."""
+    upgrade path.
+
+    TRAIN ONCE, SERVE MANY: the learned artifact is memoized per
+    session on (applicationId, plan semanticHash, params) — the same
+    policy as the BPE trained-artifact memo — so a gate run's six
+    trained-ANN queries train each configuration once. The plan hash
+    is identity of the QUERY, not the files; like the BPE memo's
+    mtime key, a table rewritten mid-session is out of scope (Spark's
+    own file-index caching already breaks there)."""
     qz = quantize_embedding(col)
     v = emb.select(F.col(id_col).alias("did"), qz.alias("v"))
     spark = emb.sparkSession
+    memo_key = (
+        spark.sparkContext.applicationId,
+        v.semanticHash(),
+        n_centroids,
+        iters,
+        init,
+    )
+    hit = _IVF_MEMO.get(memo_key)
+    if hit is not None:
+        return [(k, list(kv)) for k, kv in hit]
     if init == "farthest":
         first = v.orderBy("did").limit(1).collect()
         cents = [(0, list(first[0]["v"]))] if first else []
@@ -365,6 +390,9 @@ def train_ivf_centroids(
         new = {r["kid"]: list(r["kv"]) for r in upd.collect()}
         # empty clusters keep their previous centroid
         cents = [(k, new.get(k, kv)) for k, kv in cents]
+    if len(_IVF_MEMO) >= _IVF_MEMO_CAP:
+        _IVF_MEMO.pop(next(iter(_IVF_MEMO)))
+    _IVF_MEMO[memo_key] = [(k, list(kv)) for k, kv in cents]
     return cents
 
 
