@@ -24,7 +24,10 @@ Queries:
 - sessionize: the applyInPandasWithState per-user session counter
   (state rows == user count by design — it reports totals per user);
 - attribution: the watermarked stream-stream inner join (clicks x
-  purchases, 1-hour window).
+  purchases, 1-hour window);
+- quantile_sketch: the bounded-state per-type log-bucket quantile
+  sketch (round 8) — peak state rows must equal the type count at
+  every factor.
 
 Usage: python tools/streaming_scale.py [factor ...] [--only q1,q2]
 (default factors: 10 100; default queries: all four). Prints one JSON
@@ -264,6 +267,26 @@ def main() -> None:
             m = _run(spark, joined, "append")
             print(
                 json.dumps({"factor": factor, "query": "attribution", **m})
+            )
+
+        # bounded-state quantile sketch (round 8): per-type log-bucket
+        # histogram state — peak_state_rows must stay at n_types no
+        # matter the factor (the counters live INSIDE each row's
+        # arrays, ≤512 pairs per type)
+        if want("quantile_sketch"):
+            from soil_data_development_tools___arcmap_spark.streaming.events import (
+                quantile_sketch_stateful,
+            )
+
+            m = _run(
+                spark,
+                quantile_sketch_stateful(spark, SF_DIR, source=src()),
+                "update",
+            )
+            print(
+                json.dumps(
+                    {"factor": factor, "query": "quantile_sketch", **m}
+                )
             )
 
 
