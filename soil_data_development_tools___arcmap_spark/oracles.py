@@ -4676,6 +4676,21 @@ SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
 FROM agg
 """
 
+ORACLES["docs_stream_priority_sample"] = ORACLES["docs_priority_sample"]
+
+ORACLES["docs_stream_cms_grid"] = """
+WITH tok AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+rows3 AS (SELECT unnest([0, 1, 2]) AS r)
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(('0x' || substr(md5('cms' || r || ':' || tok), 1, 15)) AS BIGINT)
+         % 1000000000000 % 512 AS c,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok CROSS JOIN rows3 GROUP BY 1, 2
+"""
+
 ORACLES["events_stream_quantile"] = """
 WITH ev AS (
   SELECT event_type,

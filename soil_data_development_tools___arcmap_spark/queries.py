@@ -6860,6 +6860,44 @@ def docs_stream_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_kmv_vocab_stream(spark, sf_dir)
 
 
+def docs_stream_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min grid with BOUNDED state: the stream state
+    IS the 3×512 counter grid (depth keys × width int64s forever),
+    merged per micro-batch by applyInPandasWithState; tokenising and
+    cell hashing stay JVM-side on the stream. Because the CMS is a
+    LINEAR sketch the incremental merge is exact — the final
+    streaming grid equals the batch ``cms_sketch`` grid bit for bit,
+    and the batch grid SQL certifies it cross-engine (unlike the KMV
+    and quantile twins, whose sketches are approximate). Completes
+    the sketch layer's streaming story: every mergeable sketch in
+    ``functions/sketches.py`` that a monitor would run continuously
+    (KMV vocabulary, log-bucket quantiles, CMS frequencies) has a
+    bounded-state streaming twin. Columns: r, c, cnt.
+    See streaming/docs.py::cms_grid_stateful."""
+    from .streaming.docs import run_cms_grid_stream
+
+    return run_cms_grid_stream(spark, sf_dir)
+
+
+def docs_stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming priority sampling with BOUNDED state: maintain a
+    weight-proportional (n_chars) sample of everything streamed so
+    far — the "keep a representative eval set off an infinite
+    ingest" operator.  State is 8 salt keys × 51 (skey, id, source,
+    chars) rows + one running total FOREVER (priority sampling is
+    mergeable exactly like KMV: global top-(n+1) = top-(n+1) of the
+    union of per-salt top-(n+1)s); priority keying stays JVM-side on
+    the stream as integer-div expressions.  Every step is
+    deterministic integer math, so the final sample, τ threshold and
+    Horvitz–Thompson total equal the batch ``docs_priority_sample``
+    EXACTLY — the same oracle certifies both.  Columns: doc_id,
+    source, n_chars, prank, ht_total, exact_total, err_permille.
+    See streaming/docs.py::priority_sample_stateful."""
+    from .streaming.docs import run_priority_sample_stream
+
+    return run_priority_sample_stream(spark, sf_dir)
+
+
 def events_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-event-type p50/p95/p99 with BOUNDED state: the
     stream state per type is its log-bucket histogram (≤ 512 counter

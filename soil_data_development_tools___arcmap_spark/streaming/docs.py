@@ -286,3 +286,300 @@ def run_kmv_vocab_stream(
         .where(F.col("rn") == 1)
         .select("source", "n_sketch", "est_distinct")
     )
+
+
+def cms_grid_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 3,
+    width: int = 512,
+    seed: str = "cms",
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming count-min grid with BOUNDED state: the stream state
+    is the depth x width counter grid itself (one array<long> of
+    ``width`` counters per grid row, so depth keys x 512 int64s
+    FOREVER, however long the stream runs), merged incrementally per
+    micro-batch via ``applyInPandasWithState`` — the streaming twin of
+    the batch ``cms_sketch`` grid behind ``docs_cms_heavy_hitters``
+    and ``docs_cms_drift``.
+
+    The CMS is a LINEAR sketch — cell-wise addition of per-batch
+    grids IS the grid of the concatenated stream — so unlike the KMV
+    and quantile twins (whose estimates are approximate), the final
+    streaming grid equals the batch grid EXACTLY, bit for bit; the
+    same DuckDB grid SQL certifies both.  Tokenising and cell hashing
+    (the md5-derived ``seeded_hash``) run JVM-side on the stream as
+    stateless expressions; only ``depth`` rows of counters cross into
+    Arrow per batch.  The stateful stage has just ``depth`` keys, but
+    that is the cheap side by design: all per-token work happens
+    map-side before the groupBy, and each map task ships at most
+    depth x width pre-combined cells — the same partial-aggregation
+    bound the batch grid enjoys at 100 TB.
+
+    Output (update mode): one row per grid row per batch with the
+    running counter array and a monotone ``upd_seq`` so a replay can
+    select each row's final state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.sketches import seeded_hash
+
+    docs = source if source is not None else read_documents_stream(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("r"),
+                (seeded_hash(F.col("tok"), f"{seed}{r}:") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    cells = toks.select(F.explode(pairs).alias("rc")).select("rc.r", "rc.c")
+
+    def fn(key, pdfs, state):
+        cnts, seq = state.get if state.exists else ([0] * width, 0)
+        cnts = list(cnts)
+        for pdf in pdfs:
+            for c, n in pdf["c"].value_counts().items():
+                cnts[int(c)] += int(n)
+        seq += 1
+        state.update((cnts, seq))
+        yield pd.DataFrame({"r": [key[0]], "cnts": [cnts], "upd_seq": [seq]})
+
+    return cells.groupBy("r").applyInPandasWithState(
+        fn,
+        outputStructType="r long, cnts array<long>, upd_seq long",
+        stateStructType="cnts array<long>, upd_seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_cms_grid_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 3,
+    width: int = 512,
+    seed: str = "cms",
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Run the streaming count-min grid to completion (availableNow +
+    update-mode memory sink) and return the FINAL grid as long-form
+    nonzero cells (r, c, cnt) — the exact shape ``cms_sketch``
+    produces in batch, so the two are interchangeable downstream
+    (``cms_lookup`` probes either)."""
+    from pyspark.sql import Window
+
+    name = "docs_cms_" + uuid.uuid4().hex[:8]
+    q = (
+        cms_grid_stateful(
+            spark, sf_dir, depth=depth, width=width, seed=seed, source=source
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("r").orderBy(F.col("upd_seq").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("r", F.posexplode("cnts").alias("c", "cnt"))
+        .where(F.col("cnt") > 0)
+        .select("r", F.col("c").cast("long").alias("c"), "cnt")
+    )
+
+
+def priority_sample_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 50,
+    seed: str = "psamp1:",
+    salts: int = 8,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming priority sampling (Duffield-Lund-Thorup) with BOUNDED
+    state: a weight-proportional sample of the whole stream so far —
+    the "keep a representative eval set from an infinite ingest"
+    operator — whose state NEVER grows past ``salts`` keys x (n+1)
+    rows, however long the stream runs.
+
+    Priority sampling is mergeable exactly like KMV: the global
+    top-(n+1) by priority key is the top-(n+1) of the union of any
+    partition's top-(n+1)s.  So the stream is salted into ``salts``
+    groups (doc_id % salts — parallelism knob for the stateful
+    stage), each keeping its running bottom-(n+1) (skey, doc_id,
+    source, n_chars) plus the running exact n_chars total and row
+    count; the post-run merge (``run_priority_sample_stream``) ranks
+    salts x (n+1) rows — user-sized, never corpus-sized.  Priority
+    keying (the md5-derived ``seeded_hash``, integer div by weight)
+    runs JVM-side on the stream as stateless expressions.
+
+    Because every step is a deterministic integer, the final sample,
+    tau threshold, and Horvitz-Thompson total equal the batch
+    ``docs_priority_sample`` result EXACTLY — the batch oracle
+    certifies the stream.
+
+    Output (update mode): one row per salt per batch with the running
+    sketch arrays and a monotone ``upd_seq``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.sketches import seeded_hash
+
+    docs = source if source is not None else read_documents_stream(spark, sf_dir)
+    keyed = docs.select(
+        (F.col("doc_id") % salts).alias("salt"),
+        "doc_id",
+        "source",
+        "n_chars",
+        # integer div, never `/`: u*10^6 reaches 10^18, past double's
+        # exact-integer range — float division would corrupt low bits
+        (
+            seeded_hash(F.col("doc_id").cast("string"), seed) * 1000000
+        ).alias("u6"),
+    ).select(
+        "salt",
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("u6 div greatest(cast(n_chars AS bigint), 1L)").alias("skey"),
+    )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            skeys, ids, srcs, chars, tot, seq = state.get
+            rows = list(zip(skeys, ids, srcs, chars))
+        else:
+            rows, tot, seq = [], 0, 0
+        for pdf in pdfs:
+            tot += int(pdf["n_chars"].sum())
+            rows.extend(
+                zip(
+                    (int(v) for v in pdf["skey"]),
+                    (int(v) for v in pdf["doc_id"]),
+                    pdf["source"],
+                    (int(v) for v in pdf["n_chars"]),
+                )
+            )
+        rows = sorted(rows)[: n + 1]
+        seq += 1
+        state.update(
+            (
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+                [r[2] for r in rows],
+                [r[3] for r in rows],
+                tot,
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "salt": [key[0]],
+                "skeys": [[r[0] for r in rows]],
+                "doc_ids": [[r[1] for r in rows]],
+                "sources": [[r[2] for r in rows]],
+                "n_chars_arr": [[r[3] for r in rows]],
+                "chars_total": [tot],
+                "upd_seq": [seq],
+            }
+        )
+
+    return keyed.groupBy("salt").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "salt long, skeys array<long>, doc_ids array<long>,"
+            " sources array<string>, n_chars_arr array<long>,"
+            " chars_total long, upd_seq long"
+        ),
+        stateStructType=(
+            "skeys array<long>, doc_ids array<long>, sources array<string>,"
+            " n_chars_arr array<long>, chars_total long, upd_seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_priority_sample_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 50,
+    seed: str = "psamp1:",
+    salts: int = 8,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Run the streaming priority sampler to completion (availableNow
+    + update-mode memory sink) and merge the per-salt sketches into
+    the final sample + Horvitz-Thompson estimate — identical columns
+    and values to the batch ``docs_priority_sample``."""
+    from pyspark.sql import Window
+
+    name = "docs_psamp_" + uuid.uuid4().hex[:8]
+    q = (
+        priority_sample_stateful(
+            spark, sf_dir, n=n, seed=seed, salts=salts, source=source
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w_salt = Window.partitionBy("salt").orderBy(F.col("upd_seq").desc())
+    final = (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w_salt))
+        .where(F.col("rn") == 1)
+        .localCheckpoint()  # salts rows — settled once for two consumers
+    )
+    rows = final.select(
+        F.explode(F.arrays_zip("skeys", "doc_ids", "sources", "n_chars_arr")).alias(
+            "z"
+        )
+    ).select(
+        F.col("z.skeys").alias("skey"),
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.sources").alias("source"),
+        F.col("z.n_chars_arr").alias("n_chars"),
+    )
+    w_rank = Window.orderBy("skey", "doc_id")
+    ranked = rows.withColumn("prank", F.row_number().over(w_rank)).where(
+        F.col("prank") <= n + 1
+    )
+    tau = ranked.agg(
+        F.min(F.when(F.col("prank") == n + 1, F.col("skey"))).alias("tau_key")
+    )
+    samp = ranked.where(F.col("prank") <= n).crossJoin(F.broadcast(tau))
+    ht = samp.agg(
+        F.sum(
+            F.greatest(
+                F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long")),
+                F.expr("1000000000000000000 div tau_key"),
+            )
+        )
+        .cast("long")
+        .alias("ht_total")
+    )
+    exact = final.agg(F.sum("chars_total").cast("long").alias("exact_total"))
+    est = ht.crossJoin(exact).select(
+        "ht_total",
+        "exact_total",
+        F.expr("abs(ht_total - exact_total) * 1000 div exact_total").alias(
+            "err_permille"
+        ),
+    )
+    return samp.select("doc_id", "source", "n_chars", "prank").crossJoin(
+        F.broadcast(est)
+    )

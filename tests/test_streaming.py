@@ -756,3 +756,105 @@ def test_events_stream_multipart_source_dir(spark, tmp_path):
         for r in run_quantile_sketch_stream(spark, d).collect()
     }
     assert single == multi and len(multi) > 0
+
+
+def test_cms_grid_stream_matches_batch_and_replay(spark, tmp_path):
+    """The stateful streaming CMS grid must equal the batch cms_sketch
+    grid EXACTLY (the CMS is linear — per-batch cell addition is the
+    grid of the concatenated stream), and a 4-file one-per-trigger
+    replay must equal the single-batch run. Also pins the
+    bounded-state claim: exactly depth grid rows, cells < width."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.sketches import (
+        cms_sketch,
+    )
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_cms_grid_stream,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    batch = {
+        (r["r"], r["c"], r["cnt"])
+        for r in cms_sketch(toks, F.col("tok"), 3, 512, "cms").collect()
+    }
+    single = {
+        (r["r"], r["c"], r["cnt"])
+        for r in run_cms_grid_stream(spark, SF_SMOKE).collect()
+    }
+    src = str(tmp_path / "docs_split_cms")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    multi_src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = {
+        (r["r"], r["c"], r["cnt"])
+        for r in run_cms_grid_stream(spark, SF_SMOKE, source=multi_src).collect()
+    }
+    assert batch == single == multi and len(batch) > 0
+    assert {r for r, _, _ in multi} == {0, 1, 2}
+    assert all(0 <= c < 512 for _, c, _ in multi)
+
+
+def test_priority_sample_stream_matches_batch_and_replay(spark, tmp_path):
+    """The stateful streaming priority sampler must equal the batch
+    docs_priority_sample EXACTLY (sample membership, ranks, tau-based
+    HT estimate, exact total — all deterministic integer math), and a
+    4-file one-per-trigger replay (incremental per-salt bottom-(n+1)
+    merges) must equal the single-batch run — the mergeability
+    property exercised through real stream-state round trips."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_priority_sample_stream,
+    )
+
+    cols = ("doc_id", "source", "n_chars", "prank", "ht_total",
+            "exact_total", "err_permille")
+    batch = {
+        tuple(r[c] for c in cols)
+        for r in Q.docs_priority_sample(spark, SF_SMOKE).select(*cols).collect()
+    }
+    single = {
+        tuple(r[c] for c in cols)
+        for r in run_priority_sample_stream(spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    src = str(tmp_path / "docs_split_psamp")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    multi_src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = {
+        tuple(r[c] for c in cols)
+        for r in run_priority_sample_stream(
+            spark, SF_SMOKE, source=multi_src
+        ).collect()
+    }
+    assert batch == single == multi and len(batch) == 50
