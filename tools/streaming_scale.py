@@ -27,10 +27,15 @@ Queries:
   purchases, 1-hour window);
 - quantile_sketch: the bounded-state per-type log-bucket quantile
   sketch (round 8) — peak state rows must equal the type count at
-  every factor.
+  every factor;
+- kmv_vocab / cms_grid / priority_sample: the docs-based sketch
+  streams, replayed over a factor-x documents replica (doc_ids
+  shifted per replica, 16 part files streamed one per trigger) —
+  peak state rows must equal n_sources / depth / salts respectively
+  at every factor.
 
 Usage: python tools/streaming_scale.py [factor ...] [--only q1,q2]
-(default factors: 10 100; default queries: all four). Prints one JSON
+(default factors: 10 100; default queries: all). Prints one JSON
 line per (factor, query).
 """
 
@@ -104,6 +109,44 @@ def build_replica(spark, factor: int) -> str:
     return cached_dir(
         "evscale",
         content_tag([src], extra=f"{factor}|{source_salt(build_replica)}"),
+        build,
+    )
+
+
+def build_docs_replica(spark, factor: int) -> str:
+    """factor-x replica of the documents table (doc_id shifted per
+    replica so id-keyed hashing/salting sees distinct rows), written
+    as 16 part files so a one-file-per-trigger replay exercises 16
+    genuine state merges; cached via cachefs like the events replica."""
+    from soil_data_development_tools___arcmap_spark.cachefs import (
+        cached_dir,
+        content_tag,
+        source_salt,
+    )
+
+    src = os.path.join(os.path.abspath(SF_DIR), "documents.parquet")
+
+    def build(staging: str) -> None:
+        docs = spark.read.parquet(src)
+        maxd = docs.selectExpr("max(doc_id)").collect()[0][0] + 1
+        reps = spark.range(factor).selectExpr("id AS rep")
+        (
+            docs.crossJoin(reps)
+            .selectExpr(
+                f"doc_id + rep * {maxd} AS doc_id",
+                *[c for c in docs.columns if c != "doc_id"],
+            )
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        for f in os.listdir(staging):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(staging, f))
+
+    return cached_dir(
+        "docscale",
+        content_tag([src], extra=f"{factor}|{source_salt(build_docs_replica)}"),
         build,
     )
 
@@ -288,6 +331,38 @@ def main() -> None:
                     {"factor": factor, "query": "quantile_sketch", **m}
                 )
             )
+
+        # docs-based sketch streams over the factor-x documents
+        # replica, 16 part files one-per-trigger (16 state merges)
+        docs_queries = {"kmv_vocab", "cms_grid", "priority_sample"}
+        if only is None or (only & docs_queries):
+            from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                DOCS_SCHEMA,
+                cms_grid_stateful,
+                kmv_vocab_stateful,
+                priority_sample_stateful,
+            )
+
+            docs_dir = build_docs_replica(spark, factor)
+
+            def dsrc():
+                return (
+                    spark.readStream.schema(DOCS_SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(docs_dir)
+                )
+
+            for qname, builder in (
+                ("kmv_vocab", kmv_vocab_stateful),
+                ("cms_grid", cms_grid_stateful),
+                ("priority_sample", priority_sample_stateful),
+            ):
+                if not want(qname):
+                    continue
+                m = _run(
+                    spark, builder(spark, SF_DIR, source=dsrc()), "update"
+                )
+                print(json.dumps({"factor": factor, "query": qname, **m}))
 
 
 if __name__ == "__main__":
