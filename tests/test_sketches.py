@@ -409,3 +409,38 @@ try:
             assert abs(est - exact) * 16 <= exact
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_priority_sample_salted_merge_identity():
+    """The mergeability identity the STREAMING priority sampler
+    (streaming/docs.priority_sample_stateful) relies on, checked in
+    pure Python over randomized inputs: for any partition of the rows
+    into salt groups and any split of each group into arrival batches,
+    keeping only the running bottom-(n+1) by (skey, id) per group and
+    merging the survivors yields exactly the global bottom-(n+1).
+    Spark-free — guards the algorithm, not the plumbing (the 4-file
+    replay test covers the plumbing)."""
+    n = 7
+    for seed in range(20):
+        rng = random.Random(seed)
+        rows = [
+            ((_h("ps:", str(i)) * 1_000_000) // max(w, 1), i, w)
+            for i, w in ((i, rng.randrange(0, 5_000)) for i in range(200))
+        ]
+        salts = rng.choice([1, 2, 8])
+        groups: dict[int, list] = {}
+        for r in rows:
+            groups.setdefault(r[1] % salts, []).append(r)
+        survivors = []
+        for g in groups.values():
+            rng.shuffle(g)
+            kept: list = []
+            # arbitrary batch split: merge one batch at a time and
+            # truncate — exactly the stream-state update
+            i = 0
+            while i < len(g):
+                step = rng.randrange(1, 6)
+                kept = sorted(kept + g[i : i + step])[: n + 1]
+                i += step
+            survivors.extend(kept)
+        assert sorted(survivors)[: n + 1] == sorted(rows)[: n + 1]
