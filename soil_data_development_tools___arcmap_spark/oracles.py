@@ -2233,6 +2233,28 @@ SELECT label, COUNT(*) AS n_vecs, MIN(n2) AS min_n2, MAX(n2) AS max_n2,
 FROM n GROUP BY label
 """
 
+ORACLES["emb_drift"] = """
+WITH comp AS (
+  SELECT vec_id % 2 = 1 AS is_new, d.i AS dim,
+         CAST(floor(CAST(embedding[d.i + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS v
+  FROM embeddings, (SELECT unnest(range(64)) AS i) d),
+agg AS (
+  SELECT dim,
+         CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS BIGINT) AS n_old,
+         CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN NOT is_new THEN v END) AS BIGINT) AS sum_old_e6,
+         CAST(SUM(CASE WHEN is_new THEN v END) AS BIGINT) AS sum_new_e6
+  FROM comp GROUP BY dim),
+d2 AS (
+  SELECT *, sum_new_e6 * n_old - sum_old_e6 * n_new AS delta_xn FROM agg)
+SELECT CAST(dim AS BIGINT) AS dim, n_old, n_new, sum_old_e6, sum_new_e6,
+       CAST(delta_xn AS BIGINT) AS delta_xn,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs(delta_xn) DESC, dim)
+            AS BIGINT) AS drift_rank
+FROM d2
+"""
+
 ORACLES["events_pivot_daily"] = """
 SELECT epoch_us(ts) // 86400000000 AS day_num,
        CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)

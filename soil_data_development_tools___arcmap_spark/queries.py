@@ -2509,6 +2509,59 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two corpus
+    snapshots — the embedding-space counterpart of the token-level
+    ``docs_cms_drift``: a new encoder rollout, a crawl-mix change, or
+    an upstream normalization bug shows up as mean shift concentrated
+    in a few dimensions long before recall metrics move.  Snapshots
+    are the deterministic vec_id halves (even = old, odd = new).
+
+    Integer-exact and cross-engine safe: components are e6-quantized
+    (the ``quantize_embedding`` contract every ANN path shares), and
+    the mean shift is carried as the cross-multiplied numerator
+    ``delta_xn = sum_new*n_old - sum_old*n_new`` (the sign/order of
+    mean_new - mean_old without ever dividing — engines disagree on
+    negative integer division, floor vs truncate, so the certified
+    column avoids it; n_old/n_new are per-snapshot constants, so
+    ranking by |delta_xn| IS ranking by |mean shift|).
+
+    Scale: one posexplode projection + one groupBy whose key space is
+    the DIMENSIONALITY (64), not the corpus — partial aggregation
+    ships ≤64 rows per map task; the rank window runs on 64 rows.
+    Columns: dim, n_old, n_new, sum_old_e6, sum_new_e6, delta_xn,
+    drift_rank.
+    """
+    from .functions.similarity import quantize_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        (F.col("vec_id") % 2 == 1).alias("is_new"),
+        F.posexplode(quantize_embedding("embedding")).alias("dim", "v"),
+    )
+    agg = rows.groupBy("dim").agg(
+        F.count(F.when(~F.col("is_new"), F.lit(1))).alias("n_old"),
+        F.count(F.when(F.col("is_new"), F.lit(1))).alias("n_new"),
+        F.sum(F.when(~F.col("is_new"), F.col("v"))).alias("sum_old_e6"),
+        F.sum(F.when(F.col("is_new"), F.col("v"))).alias("sum_new_e6"),
+    )
+    out = agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_old",
+        "n_new",
+        "sum_old_e6",
+        "sum_new_e6",
+        (
+            F.col("sum_new_e6") * F.col("n_old")
+            - F.col("sum_old_e6") * F.col("n_new")
+        ).alias("delta_xn"),
+    )
+    w = Window.orderBy(F.abs(F.col("delta_xn")).desc(), "dim")
+    return out.withColumn(
+        "drift_rank", F.row_number().over(w).cast("long")
+    )
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day × event-type PIVOT (wide daily activity matrix): explicit
     value list so the output schema is static — Spark skips the

@@ -444,3 +444,52 @@ def test_priority_sample_salted_merge_identity():
                 i += step
             survivors.extend(kept)
         assert sorted(survivors)[: n + 1] == sorted(rows)[: n + 1]
+
+
+def test_emb_drift_planted_dimension_shift(spark, tmp_path):
+    """emb_drift on a crafted two-snapshot embedding table: a shift
+    planted in one dimension of the odd (new) half must rank that
+    dimension first, with integer-exact sums/counts and delta_xn =
+    sum_new*n_old - sum_old*n_new (never a division — the cross-
+    multiplied form both engines agree on for negative values)."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark import queries as Q
+
+    dims = 64
+    rows = []
+    for vid in range(40):
+        vec = [0.001 * ((vid + j) % 5) for j in range(dims)]
+        if vid % 2 == 1:
+            vec[17] += 0.5  # planted shift in dim 17, new half only
+            vec[3] -= 0.002  # small opposing shift, must rank below
+        rows.append((vid, vec, vid % 3))
+    d = str(tmp_path / "embdrift")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    got = {r["dim"]: r for r in Q.emb_drift(spark, d).collect()}
+    assert set(got) == set(range(dims))
+    assert all(r["n_old"] == 20 and r["n_new"] == 20 for r in got.values())
+    # independent integer reference for the planted dim
+    def q(x):
+        import math
+        return math.floor(float(__import__("numpy").float32(x)) * 1_000_000)
+
+    for dim in (17, 3):
+        s_old = sum(q(0.001 * ((vid + dim) % 5)) for vid in range(0, 40, 2))
+        s_new = sum(
+            q(
+                0.001 * ((vid + dim) % 5)
+                + (0.5 if dim == 17 else -0.002)
+            )
+            for vid in range(1, 40, 2)
+        )
+        assert got[dim]["sum_old_e6"] == s_old
+        assert got[dim]["sum_new_e6"] == s_new
+        assert got[dim]["delta_xn"] == s_new * 20 - s_old * 20
+    assert got[17]["drift_rank"] == 1
+    ranks = sorted(got.values(), key=lambda r: r["drift_rank"])
+    assert ranks[1]["dim"] == 3  # the small opposing shift is rank 2
