@@ -310,12 +310,18 @@ def cms_grid_stateful(
     streaming grid equals the batch grid EXACTLY, bit for bit; the
     same DuckDB grid SQL certifies both.  Tokenising and cell hashing
     (the md5-derived ``seeded_hash``) run JVM-side on the stream as
-    stateless expressions; only ``depth`` rows of counters cross into
-    Arrow per batch.  The stateful stage has just ``depth`` keys, but
-    that is the cheap side by design: all per-token work happens
-    map-side before the groupBy, and each map task ships at most
-    depth x width pre-combined cells — the same partial-aggregation
-    bound the batch grid enjoys at 100 TB.
+    stateless expressions.  The stateful stage has just ``depth``
+    keys — which would be a funnel if per-token cell rows shuffled to
+    it raw: ``applyInPandasWithState`` does NO map-side combine, so a
+    100 TB batch would push every token through 3 reducer tasks.  A
+    STATELESS ``mapInPandas`` pre-combine therefore collapses each
+    input partition's cells to (r, c, partial_cnt) first — at most
+    depth x width rows per partition per trigger, in parallel across
+    all cores — restoring the partial-aggregation bound the batch
+    grid gets from Spark's hash aggregate (measured: the 100x replay
+    dropped ~6x when this stage landed; SCALING.md).  The stateful
+    merge then ADDS partials instead of counting rows — same grid,
+    the linearity that makes the CMS mergeable in the first place.
 
     Output (update mode): one row per grid row per batch with the
     running counter array and a monotone ``upd_seq`` so a replay can
@@ -341,17 +347,27 @@ def cms_grid_stateful(
     )
     cells = toks.select(F.explode(pairs).alias("rc")).select("rc.r", "rc.c")
 
+    def _precombine(batches):
+        # stateless map-side combine: per input partition, collapse
+        # token cells to (r, c, partial_cnt) — <= depth*width rows out
+        for pdf in batches:
+            if len(pdf):
+                g = pdf.groupby(["r", "c"], sort=False).size()
+                yield g.rename("cnt").reset_index()
+
+    partials = cells.mapInPandas(_precombine, "r long, c long, cnt long")
+
     def fn(key, pdfs, state):
         cnts, seq = state.get if state.exists else ([0] * width, 0)
         cnts = list(cnts)
         for pdf in pdfs:
-            for c, n in pdf["c"].value_counts().items():
+            for c, n in zip(pdf["c"], pdf["cnt"]):
                 cnts[int(c)] += int(n)
         seq += 1
         state.update((cnts, seq))
         yield pd.DataFrame({"r": [key[0]], "cnts": [cnts], "upd_seq": [seq]})
 
-    return cells.groupBy("r").applyInPandasWithState(
+    return partials.groupBy("r").applyInPandasWithState(
         fn,
         outputStructType="r long, cnts array<long>, upd_seq long",
         stateStructType="cnts array<long>, upd_seq long",
