@@ -202,6 +202,15 @@ def kmv_vocab_stateful(
     JVM-side on the stream (stateless md5/conv expressions); only the
     per-source merge crosses into Arrow.
 
+    ``applyInPandasWithState`` does no partial aggregation, so raw
+    per-token hash rows would all funnel through n_sources stateful
+    tasks; a STATELESS ``mapInPandas`` pre-combine first truncates
+    each partition's rows to its bottom-k DISTINCT hashes per source —
+    legal by exactly the merge property above: the union's bottom-k
+    only needs each part's bottom-k — so the stateful stage receives
+    ≤ k×n_sources rows per partition per trigger however big the
+    corpus.
+
     Output (update mode): one row per source per batch with the
     running (n_sketch, est_distinct) and a monotone ``upd_seq`` so a
     multi-batch replay can select each source's final row batch-side.
@@ -225,6 +234,20 @@ def kmv_vocab_stateful(
             % M
         ).alias("h"),
     )
+
+    def _precombine(batches):
+        # stateless map-side combine: bottom-k distinct hashes per
+        # source within each partition — <= k*n_sources rows out
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.drop_duplicates()
+                    .sort_values(["source", "h"])
+                    .groupby("source", sort=False)
+                    .head(k)
+                )
+
+    hashed = hashed.mapInPandas(_precombine, "source string, h long")
 
     def fn(key, pdfs, state):
         hs, seq = state.get if state.exists else ([], 0)
