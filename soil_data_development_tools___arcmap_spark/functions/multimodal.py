@@ -478,3 +478,108 @@ def audio_features(media: DataFrame) -> DataFrame:
         batches,
         "did long, sample_rate int, n_samples int, abs_sum long, peak int",
     )
+
+
+def average_hash_64(gray: list[int], height: int, width: int) -> tuple[int, int]:
+    """64-bit average-hash (aHash) of a grayscale pixel grid, split as
+    (hi32, lo32) — the classic perceptual image fingerprint: mean-pool
+    to 8×8, threshold each cell against the global mean, pack row-major.
+
+    All-integer (block mean and global mean are floor divisions), so the
+    value is bit-reproducible in any engine — and invariant under a
+    uniform brightness shift: adding c to every pixel adds c to every
+    pooled cell AND to the mean, leaving every comparison unchanged.
+    Requires height and width to be multiples of 8 (real pipelines
+    resize first — see ``resize_media``)."""
+    if height % 8 or width % 8 or not gray:
+        raise ValueError("average_hash_64 needs an 8k x 8k grayscale grid")
+    bh, bw = height // 8, width // 8
+    pooled = [
+        sum(
+            gray[(by * bh + r) * width + bx * bw + c]
+            for r in range(bh)
+            for c in range(bw)
+        )
+        // (bh * bw)
+        for by in range(8)
+        for bx in range(8)
+    ]
+    mean = sum(pooled) // 64
+    hi = lo = 0
+    for b, p in enumerate(pooled):
+        bit = 1 if p > mean else 0
+        if b < 32:
+            hi |= bit << (31 - b)
+        else:
+            lo |= bit << (63 - b)
+    return hi, lo
+
+
+def image_average_hash(media: DataFrame) -> DataFrame:
+    """(did, ahash_hi, ahash_lo) — perceptual average-hash of P6 PPM
+    payloads. Decode and hash happen INSIDE the Arrow batch (the
+    designated media escape hatch): at 100 TB the pixel data never
+    enters a shuffle — each payload collapses to 8 bytes of fingerprint
+    map-side, and only the fingerprints move."""
+    m = _spread(media.select("did", "media"), "did")
+
+    def one(blob: bytes) -> tuple[int, int]:
+        h, w, gray = decode_ppm(blob)
+        return average_hash_64(gray, h, w)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = pdf["media"].map(lambda b: one(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "did": pdf["did"],
+                    "ahash_hi": hashes.map(lambda t: t[0]),
+                    "ahash_lo": hashes.map(lambda t: t[1]),
+                }
+            )
+
+    return m.mapInPandas(batches, "did long, ahash_hi long, ahash_lo long")
+
+
+def audio_delta_fingerprint(media: DataFrame, window: int = 8) -> DataFrame:
+    """(did, fp, n_windows) — an energy-delta acoustic fingerprint of
+    mono PCM WAV payloads: split the samples into fixed windows, take
+    each window's integer energy Σs², and emit one bit per consecutive
+    pair (1 when energy rose). Packs ≤64 windows into one BIGINT,
+    most-significant-delta first.
+
+    Invariant under uniform amplitude scaling (energies scale by c², so
+    every strict comparison is preserved) — the property that makes it
+    a dedup key for re-encoded/re-normalized audio. Integer-exact, so
+    an SQL oracle reproduces it bit-for-bit. Same 100 TB posture as the
+    image hash: samples never leave the decode stage; only the 8-byte
+    fingerprint is shuffled."""
+    m = _spread(media.select("did", "media"), "did")
+
+    def one(blob: bytes) -> tuple[int, int]:
+        _, n, samples = decode_wav_pcm16(blob)
+        nw = n // window
+        if nw > 64:
+            raise ValueError("fingerprint supports at most 64 windows")
+        energies = [
+            sum(s * s for s in samples[w * window : (w + 1) * window])
+            for w in range(nw)
+        ]
+        fp = 0
+        for w in range(1, nw):
+            bit = 1 if energies[w] > energies[w - 1] else 0
+            fp |= bit << (nw - 1 - w)
+        return fp, nw
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = pdf["media"].map(lambda b: one(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "did": pdf["did"],
+                    "fp": fps.map(lambda t: t[0]),
+                    "n_windows": fps.map(lambda t: t[1]),
+                }
+            )
+
+    return m.mapInPandas(batches, "did long, fp long, n_windows int")

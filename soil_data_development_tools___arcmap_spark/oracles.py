@@ -4268,6 +4268,63 @@ FROM documents,
 GROUP BY doc_id
 """
 
+ORACLES["docs_media_phash_dups"] = """
+WITH px AS (
+  SELECT doc_id, gs.k % 16 AS x, gs.k // 16 AS y,
+         ((gs.k % 16) * 7 + (gs.k // 16) * 13 + (doc_id % 37) * 29) % 240
+           + (doc_id % 7) AS r,
+         ((gs.k % 16) * 3 + (gs.k // 16) * 5 + (doc_id % 37) * 17) % 240
+           + (doc_id % 7) AS g,
+         ((gs.k % 16) * 11 + (gs.k // 16) + (doc_id % 37) * 23) % 240
+           + (doc_id % 7) AS b
+  FROM documents, generate_series(0, 255) AS gs(k)),
+pool AS (
+  SELECT doc_id, y // 2 AS py, x // 2 AS pxc,
+         SUM((299 * r + 587 * g + 114 * b) // 1000) // 4 AS p
+  FROM px GROUP BY doc_id, y // 2, x // 2),
+m AS (SELECT doc_id, SUM(p) // 64 AS mean FROM pool GROUP BY doc_id),
+bits AS (
+  SELECT pool.doc_id, py * 8 + pxc AS bidx,
+         CASE WHEN p > mean THEN 1 ELSE 0 END AS bit
+  FROM pool JOIN m ON pool.doc_id = m.doc_id),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bidx < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - bidx))
+                  ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(SUM(CASE WHEN bidx >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (63 - bidx))
+                  ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY doc_id)
+SELECT doc_id AS did, ahash_hi, ahash_lo,
+       MIN(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo) AS group_rep,
+       COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS group_n
+FROM h
+"""
+
+ORACLES["docs_media_audio_fp"] = """
+WITH s AS (
+  SELECT doc_id, gs.k AS k,
+         (((doc_id % 23) * 37 + gs.k * 29) % 512 - 256) * (1 + doc_id % 3)
+           AS v
+  FROM documents, generate_series(0, 95) AS gs(k)),
+e AS (SELECT doc_id, k // 8 AS w, SUM(v * v) AS en
+      FROM s GROUP BY doc_id, k // 8),
+d AS (SELECT doc_id, w,
+             CASE WHEN en > LAG(en) OVER (PARTITION BY doc_id ORDER BY w)
+                  THEN 1 ELSE 0 END AS bit
+      FROM e),
+f AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN w > 0
+                      THEN bit * (CAST(1 AS BIGINT) << (11 - w))
+                      ELSE 0 END) AS BIGINT) AS fp
+      FROM d GROUP BY doc_id)
+SELECT doc_id AS did, fp, CAST(12 AS INTEGER) AS n_windows,
+       MIN(doc_id) OVER (PARTITION BY fp) AS group_rep,
+       COUNT(*) OVER (PARTITION BY fp) AS group_n
+FROM f
+"""
+
 ORACLES["wss_source_ingest"] = """
 SELECT 'NE' || CAST(100 + r_regionkey AS VARCHAR) AS areasymbol,
        CAST(20200101 + r_regionkey AS BIGINT) AS surveydate,

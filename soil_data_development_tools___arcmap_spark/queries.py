@@ -6082,6 +6082,110 @@ def docs_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media)
 
 
+def docs_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate grouping by perceptual average-hash — the
+    media-side twin of MinHash dedup. Deterministic 16×16 RGB images
+    are synthesized per doc_id from a base pattern keyed on
+    doc_id % 37 (the planted duplicate group) PLUS a per-doc uniform
+    brightness offset (doc_id % 7) — the exact perturbation a
+    re-encode/re-exposure produces and that byte-level md5 dedup can
+    never catch. The aHash (mean-pool 8×8, threshold against the
+    global mean — ``average_hash_64``) is provably invariant to the
+    offset, so docs sharing a base pattern collapse to one fingerprint
+    and group by an ordinary hash groupBy.
+
+    Oracle: recomputes the luma grid, pooling, thresholds, and the
+    64-bit pack straight from the pixel formula — it never sees a PPM
+    byte, so a decoder or pooling fault cannot cancel out.
+
+    100 TB posture: images are born, encoded, decoded, and hashed
+    inside one Arrow-batched executor stage; each payload collapses to
+    8 bytes map-side and ONLY the fingerprints shuffle (one exchange
+    on the hash pair). Channel bases stay ≤239 and the offset ≤6, so
+    no byte ever wraps — keeping the brightness shift truly uniform."""
+    from .functions.multimodal import encode_ppm, image_average_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, off = d % 37, d % 7
+                rgb = bytes(
+                    v
+                    for y in range(16)
+                    for x in range(16)
+                    for v in (
+                        (x * 7 + y * 13 + g * 29) % 240 + off,
+                        (x * 3 + y * 5 + g * 17) % 240 + off,
+                        (x * 11 + y + g * 23) % 240 + off,
+                    )
+                )
+                medias.append(encode_ppm(16, 16, rgb))
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    media = docs.mapInPandas(gen, "did long, media binary")
+    hashes = image_average_hash(media)
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return hashes.select(
+        "did",
+        "ahash_hi",
+        "ahash_lo",
+        F.min("did").over(w).alias("group_rep"),
+        F.count(F.lit(1)).over(w).alias("group_n"),
+    )
+
+
+def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate grouping by energy-delta fingerprint.
+    Mono 16-bit WAVs are synthesized per doc_id: a base waveform keyed
+    on doc_id % 23 (the planted group), multiplied by a per-doc gain
+    (1 + doc_id % 3) — the loudness-normalization difference that
+    defeats byte dedup. ``audio_delta_fingerprint`` reduces each clip
+    to one bit per consecutive window pair (energy rose / didn't);
+    gain scales every energy by gain², preserving every comparison, so
+    re-leveled copies share a fingerprint and group by hash groupBy.
+
+    Oracle: recomputes windows, Σs² energies, deltas, and the bit pack
+    from the sample formula — the RIFF bytes never reach SQL, so chunk
+    or endianness faults in the decoder surface as hash mismatches.
+
+    100 TB posture: identical to the image path — samples never leave
+    the Arrow decode stage; one exchange of 8-byte fingerprints."""
+    from .functions.multimodal import audio_delta_fingerprint, encode_wav_pcm16
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, gain = d % 23, 1 + d % 3
+                samples = [
+                    (((g * 37 + k * 29) % 512) - 256) * gain for k in range(96)
+                ]
+                medias.append(encode_wav_pcm16(8000, samples))
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    media = docs.mapInPandas(gen, "did long, media binary")
+    fps = audio_delta_fingerprint(media, window=8)
+    w = Window.partitionBy("fp")
+    return fps.select(
+        "did",
+        "fp",
+        "n_windows",
+        F.min("did").over(w).alias("group_rep"),
+        F.count(F.lit(1)).over(w).alias("group_n"),
+    )
+
+
 def wss_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WSS survey acquisition as a FIRST-CLASS Spark source: per-region
     survey zips (tabular/sacatlog.txt + a spatial stub, the real WSS

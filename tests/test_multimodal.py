@@ -282,3 +282,85 @@ def test_audio_features_values(spark):
     assert got[1].abs_sum == 600
     assert got[1].peak == 300
     assert got[2].n_samples == 0 and got[2].abs_sum == 0 and got[2].peak == 0
+
+
+# ------------------------------------------------- media dedup fingerprints
+
+
+def test_average_hash_brightness_invariance():
+    """aHash must not move under a uniform brightness shift (the
+    re-encode perturbation the planted-dup query exploits) but must
+    move when a block's content genuinely changes."""
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        average_hash_64,
+    )
+
+    base = [(3 * x + 5 * y) % 200 for y in range(16) for x in range(16)]
+    h0 = average_hash_64(base, 16, 16)
+    for off in (1, 6, 50):
+        shifted = [p + off for p in base]
+        assert average_hash_64(shifted, 16, 16) == h0
+    # blow out one 2x2 block far past the mean -> its bit must flip
+    tampered = list(base)
+    for r in range(2):
+        for c in range(2):
+            tampered[r * 16 + c] = 255
+    assert average_hash_64(tampered, 16, 16) != h0
+
+
+def test_average_hash_shape_and_packing():
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        average_hash_64,
+    )
+
+    # half-bright / half-dark: top 4 pooled rows dark (bit 0), bottom
+    # bright (bit 1) -> hi = 0, lo = the low 32 bits all set
+    grid = [0 if y < 8 else 100 for y in range(16) for x in range(16)]
+    hi, lo = average_hash_64(grid, 16, 16)
+    assert hi == 0
+    assert lo == (1 << 32) - 1
+    with pytest.raises(ValueError):
+        average_hash_64([0] * (15 * 15), 15, 15)
+
+
+def test_audio_fingerprint_gain_invariance(spark):
+    from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+        audio_delta_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    base = [((k * 29) % 512) - 256 for k in range(96)]
+    rows = [
+        (1, bytearray(encode_wav_pcm16(8000, base))),
+        (2, bytearray(encode_wav_pcm16(8000, [3 * s for s in base]))),
+        # reversed waveform: energy profile mirrored -> different bits
+        (3, bytearray(encode_wav_pcm16(8000, base[::-1]))),
+    ]
+    media = spark.createDataFrame(rows, "did long, media binary")
+    got = {r.did: r for r in audio_delta_fingerprint(media).collect()}
+    assert got[1].n_windows == 12
+    assert got[1].fp == got[2].fp
+    assert got[1].fp != got[3].fp
+
+
+def test_phash_dup_query_groups_by_base_pattern(spark):
+    """Docs sharing doc_id % 37 must land in one aHash group despite
+    their differing brightness offsets (doc_id % 7)."""
+    import soil_data_development_tools___arcmap_spark.queries as Q
+
+    out = Q.docs_media_phash_dups(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_did = {r.did: r for r in rows}
+    dids = sorted(by_did)
+    # two ids with the same base pattern but different offsets
+    pairs = [
+        (a, b)
+        for a in dids
+        for b in dids
+        if a < b and a % 37 == b % 37 and a % 7 != b % 7
+    ]
+    assert pairs, "fixture too small to plant a cross-offset dup pair"
+    for a, b in pairs[:5]:
+        ra, rb = by_did[a], by_did[b]
+        assert (ra.ahash_hi, ra.ahash_lo) == (rb.ahash_hi, rb.ahash_lo)
+        assert ra.group_rep == rb.group_rep
