@@ -4325,6 +4325,28 @@ SELECT doc_id AS did, fp, CAST(12 AS INTEGER) AS n_windows,
 FROM f
 """
 
+ORACLES["docs_media_video_neardup"] = """
+WITH v AS (SELECT doc_id, 24 + doc_id % 5 AS n FROM documents),
+f AS (
+  SELECT v.doc_id AS did, gs.j AS j,
+         md5(rpad(CASE WHEN (gs.j + v.doc_id) % 10 = 0
+                       THEN 'u' || CAST(v.doc_id AS VARCHAR)
+                       ELSE 'b' || CAST(v.doc_id % 29 AS VARCHAR) END
+                  || ':' || CAST(gs.j AS VARCHAR), 64, ' ')) AS h
+  FROM v, generate_series(0, 28) AS gs(j)
+  WHERE gs.j < v.n),
+c AS (SELECT did, COUNT(*) AS nf FROM f GROUP BY did),
+p AS (SELECT a.did AS did_a, b.did AS did_b, COUNT(*) AS shared
+      FROM f a JOIN f b ON a.h = b.h AND a.did < b.did
+      GROUP BY a.did, b.did)
+SELECT p.did_a, p.did_b, CAST(p.shared AS BIGINT) AS shared,
+       CAST(ca.nf AS BIGINT) AS nf_a, CAST(cb.nf AS BIGINT) AS nf_b,
+       CAST(1000 * p.shared // (ca.nf + cb.nf - p.shared) AS BIGINT)
+         AS jacc_e3
+FROM p JOIN c ca ON ca.did = p.did_a JOIN c cb ON cb.did = p.did_b
+WHERE 1000 * p.shared // (ca.nf + cb.nf - p.shared) >= 500
+"""
+
 ORACLES["wss_source_ingest"] = """
 SELECT 'NE' || CAST(100 + r_regionkey AS VARCHAR) AS areasymbol,
        CAST(20200101 + r_regionkey AS BIGINT) AS surveydate,

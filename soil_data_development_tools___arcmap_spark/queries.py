@@ -6186,6 +6186,81 @@ def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate pairs by shared-keyframe Jaccard — the
+    third leg of the media dedup triad (image aHash, audio FP, and
+    now frame-set similarity, the standard re-upload/re-edit detector).
+    Deterministic 'videos' are synthesized per doc_id: 24..28 frames of
+    64 bytes, most carrying the base-video content (keyed doc_id % 29),
+    every tenth slot carrying a doc-specific frame (an inserted
+    overlay/re-encode artifact). The REAL frame pipeline runs: payload
+    bytes → ``sample_frames`` (Arrow UDTF fan-out, every frame) → md5
+    per frame; then a shared-frame equi-join blocks candidate pairs and
+    an integer Jaccard (‰, floor) keeps pairs ≥ 0.5 — same-base videos
+    share ~90% of frames and pass, others share none.
+
+    Oracle: recomputes every frame hash as md5(rpad(formula, 64)) and
+    the same join/threshold — the byte slicing and hashing of the UDTF
+    stage are cross-checked, not assumed.
+
+    100 TB posture: frame hashing is map-only inside the Arrow stage
+    (64-byte frames → 16-byte hashes); candidate generation is the
+    shared-frame equi-join, so cost follows duplicate density exactly
+    like shingle-blocked text near-dup. A production corpus would cap
+    ubiquitous frames (intros/black frames) with the same max-frequency
+    stop-key rule as ``ngram_jaccard_pairs``'s stop-shingle cap."""
+    from .functions.multimodal import sample_frames
+
+    d = F.col("doc_id")
+    n = (F.lit(24) + d % 5).cast("int")
+    arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.rpad(
+            F.concat(
+                F.when(
+                    (j + d) % 10 == 0,
+                    F.concat(F.lit("u"), d.cast("string")),
+                ).otherwise(
+                    F.concat(F.lit("b"), (d % 29).cast("string"))
+                ),
+                F.lit(":"),
+                j.cast("string"),
+            ),
+            64,
+            " ",
+        ),
+    )
+    vids = _t(spark, sf_dir, "documents").select(
+        d.alias("doc_id"), F.array_join(arr, "").alias("payload")
+    )
+    frames = sample_frames(
+        vids, id_col="doc_id", col="payload", frame_bytes=64, every=1
+    ).select("did", "frame_md5")
+    counts = frames.groupBy("did").agg(F.count(F.lit(1)).alias("nf"))
+    a = frames.select(F.col("did").alias("did_a"), "frame_md5")
+    b = frames.select(F.col("did").alias("did_b"), "frame_md5")
+    pairs = (
+        a.join(b, "frame_md5")
+        .where(F.col("did_a") < F.col("did_b"))
+        .groupBy("did_a", "did_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("did").alias("did_a"), F.col("nf").alias("nf_a"))
+    cb = counts.select(F.col("did").alias("did_b"), F.col("nf").alias("nf_b"))
+    return (
+        # counts is corpus-sized (one row per video): no broadcast
+        # hint — AQE picks broadcast at fixture scale, shuffle at 100 TB
+        pairs.join(ca, "did_a")
+        .join(cb, "did_b")
+        .withColumn(
+            "jacc_e3",
+            F.expr("1000 * shared DIV (nf_a + nf_b - shared)"),
+        )
+        .where(F.col("jacc_e3") >= 500)
+        .select("did_a", "did_b", "shared", "nf_a", "nf_b", "jacc_e3")
+    )
+
+
 def wss_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WSS survey acquisition as a FIRST-CLASS Spark source: per-region
     survey zips (tabular/sacatlog.txt + a spatial stub, the real WSS

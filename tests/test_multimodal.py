@@ -364,3 +364,18 @@ def test_phash_dup_query_groups_by_base_pattern(spark):
         ra, rb = by_did[a], by_did[b]
         assert (ra.ahash_hi, ra.ahash_lo) == (rb.ahash_hi, rb.ahash_lo)
         assert ra.group_rep == rb.group_rep
+
+
+def test_video_neardup_pairs_same_base_only(spark):
+    import soil_data_development_tools___arcmap_spark.queries as Q
+
+    out = Q.docs_media_video_neardup(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "expected planted same-base video pairs"
+    for r in rows:
+        # every reported pair shares the base pattern and is majority-shared
+        assert r.did_a % 29 == r.did_b % 29
+        assert r.jacc_e3 >= 500
+        assert r.shared <= min(r.nf_a, r.nf_b)
+    # at least one pair with differing lengths (24..28 frames) survived
+    assert any(r.nf_a != r.nf_b for r in rows)
