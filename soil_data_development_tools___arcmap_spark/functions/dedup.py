@@ -976,3 +976,114 @@ def dup_triangles(
             .alias("cc_permille"),
         )
     )
+
+
+def dup_wedge_gaps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 3,
+    threshold_e4: int = 3000,
+    max_freq: int | None = 100,
+    min_common: int = 2,
+    max_center_deg: int | None = None,
+) -> DataFrame:
+    """False-merge BRIDGE audit of the near-dup graph — the complement
+    of ``dup_triangles``: pairs of documents that share ≥ min_common
+    near-dup neighbors (a closed wedge through each) but are NOT
+    themselves a near-dup pair, with their true capped-shingle Jaccard
+    recomputed as evidence. Exactly these sub-threshold wedge pairs are
+    what single-linkage ``dup_groups`` glues into one component — the
+    operator quantifies every glue point, worst offenders = high cn +
+    low jacc_e4.
+
+    (With an EXACT candidate generator like ``ngram_jaccard_pairs``
+    every true ≥-threshold pair is already an edge, so all wedge pairs
+    here are genuinely sub-threshold; under a banded/minhash generator
+    the same operator doubles as candidate-recall repair — wedge pairs
+    with jacc_e4 ≥ threshold are banding misses to re-add.)
+
+    Unlike triangle counting, open wedges CANNOT be enumerated from a
+    degree-ordered orientation (a wedge whose center out-ranks both
+    endpoints — precisely the hub-bridge shape this audit hunts — has
+    no all-outward rotation), so the enumeration is the undirected
+    neighbor-pair self-join per center. That is quadratic in center
+    degree BY DEFINITION of the audit; at scale, pass
+    ``max_center_deg`` to exclude super-hub centers (a document that
+    is a near-dup of thousands of others is boilerplate — the same
+    stop-key semantic as ``max_freq``), which bounds every center's
+    wedge fan-out. Verification joins the capped exploded-shingle
+    table to the candidate list (cost = candidates × shingles/doc,
+    never corpus²). Output: i, j (i<j), cn (shared near-dup
+    neighbors), jacc_e4 (floor-scaled capped-shingle Jaccard, 0 when
+    no capped shingle is shared)."""
+    ex_all = _explode_ss(
+        shingle_sets(_spread(df, id_col), id_col, col, k)
+    ).localCheckpoint()
+    sizes = ex_all.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
+    if max_freq is not None:
+        freq = ex_all.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        ex = ex_all.join(freq.where(F.col("f") <= max_freq), "s").select(
+            "did", "s"
+        )
+    else:
+        ex = ex_all
+    # verified pair list — same construction as ngram_jaccard_pairs,
+    # sharing the settled shingle table with the verification stage
+    inter = _shingle_pair_counts(ex)
+    si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
+    sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
+    jac = F.floor(
+        (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))) * 10000
+    ).cast("long")
+    pairs = (
+        inter.join(si, "i")
+        .join(sj, "j")
+        .select("i", "j", jac.alias("jac_e4"))
+        .where(F.col("jac_e4") >= threshold_e4)
+        .select("i", "j")
+        .localCheckpoint()
+    )
+    und = pairs.select(
+        F.col("i").alias("ctr"), F.col("j").alias("nb")
+    ).unionByName(pairs.select(F.col("j").alias("ctr"), F.col("i").alias("nb")))
+    if max_center_deg is not None:
+        deg = und.groupBy("ctr").agg(F.count(F.lit(1)).alias("deg"))
+        und = und.join(
+            deg.where(F.col("deg") <= max_center_deg).select("ctr"), "ctr"
+        )
+    e1 = und.select("ctr", F.col("nb").alias("i"))
+    e2 = und.select("ctr", F.col("nb").alias("j"))
+    wedges = e1.join(e2, "ctr").where(F.col("i") < F.col("j"))
+    cand = (
+        wedges.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(pairs, ["i", "j"], "left_anti")
+        .where(F.col("cn") >= min_common)
+    )
+    exi = ex.select(F.col("did").alias("i"), "s")
+    exj = ex.select(F.col("did").alias("j"), "s")
+    ver = (
+        cand.select("i", "j")
+        .join(exi, "i")
+        .join(exj, ["j", "s"])
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cand.join(si, "i")
+        .join(sj, "j")
+        .join(ver, ["i", "j"], "left")
+        .select(
+            "i",
+            "j",
+            "cn",
+            F.coalesce(
+                F.floor(
+                    (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter")))
+                    * 10000
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("jacc_e4"),
+        )
+    )

@@ -1558,6 +1558,34 @@ SELECT d.v AS doc_id, CAST(d.deg AS BIGINT) AS deg,
 FROM deg d LEFT JOIN ntri n ON n.v = d.v
 """
 
+ORACLES["docs_dup_wedge_gaps"] = f"""
+WITH {_JACCARD_COMMON},
+pairs AS ({ORACLES["docs_ngram_jaccard"]}),
+p AS (SELECT i, j FROM pairs),
+und AS (SELECT i AS ctr, j AS nb FROM p UNION ALL SELECT j, i FROM p),
+cand AS (
+  SELECT i, j, cn FROM (
+    SELECT e1.nb AS i, e2.nb AS j, COUNT(*) AS cn
+    FROM und e1 JOIN und e2 ON e1.ctr = e2.ctr AND e1.nb < e2.nb
+    GROUP BY 1, 2) w
+  WHERE cn >= 2
+    AND NOT EXISTS (SELECT 1 FROM p WHERE p.i = w.i AND p.j = w.j)),
+ver AS (
+  SELECT c.i, c.j, COUNT(*) AS inter
+  FROM cand c
+  JOIN ex a ON a.did = c.i
+  JOIN ex b ON b.did = c.j AND b.s = a.s
+  GROUP BY c.i, c.j)
+SELECT c.i, c.j, CAST(c.cn AS BIGINT) AS cn,
+       CAST(COALESCE(
+         floor((v.inter / (si.ni + sj.nj - v.inter)) * 10000), 0)
+         AS BIGINT) AS jacc_e4
+FROM cand c
+JOIN (SELECT did AS i, nsh AS ni FROM sizes) si USING (i)
+JOIN (SELECT did AS j, nsh AS nj FROM sizes) sj USING (j)
+LEFT JOIN ver v ON v.i = c.i AND v.j = c.j
+"""
+
 # audit twin of dedup.minhash_band_stats at bucket_cap=2 (tiny on
 # purpose so the salt-split path actually fires at sf0.01)
 _LSH_STATS_CAP = 2

@@ -2274,6 +2274,21 @@ def docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dup_wedge_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-merge bridge audit: wedge pairs of the near-dup graph
+    (≥2 shared neighbors) that are themselves BELOW the Jaccard
+    threshold, with the true capped-shingle Jaccard as evidence —
+    every row is a glue point where single-linkage ``dup_groups``
+    merges documents that are not near-dups of each other. See
+    functions/dedup.py::dup_wedge_gaps for the orientation-bounded
+    wedge enumeration and candidate-scoped verification."""
+    from .functions.dedup import dup_wedge_gaps
+
+    return dup_wedge_gaps(
+        _t(spark, sf_dir, "documents"), threshold_e4=3000, max_freq=100
+    )
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash16
 

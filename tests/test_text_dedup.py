@@ -840,3 +840,53 @@ def test_dup_triangles_planted_triangle_and_chain(spark):
     assert got[12] == (1, 0, 0)
     # exactly one triangle in the whole graph
     assert sum(t for _, t, _ in got.values()) == 3
+
+
+def test_dup_wedge_gaps_planted_bridge(spark):
+    """Two hub docs B1,B2 are near-dups of both A and C, but A and C
+    share only the common block — below threshold. The wedge audit
+    must surface exactly the (A, C) bridge with cn=2 and the true
+    sub-threshold Jaccard; the verified pairs themselves must not
+    appear."""
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        dup_wedge_gaps,
+        ngram_jaccard_pairs,
+    )
+
+    x = " ".join(f"x{i}" for i in range(20))   # shared block
+    ya = " ".join(f"a{i}" for i in range(30))  # A-only
+    yc = " ".join(f"c{i}" for i in range(30))  # C-only
+    rows = [
+        (1, f"{x} {ya}"),          # A
+        (2, f"{x} hubone"),        # B1
+        (3, f"{x} hubtwo extra"),  # B2
+        (4, f"{x} {yc}"),          # C
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.i, r.j)
+        for r in ngram_jaccard_pairs(df, threshold_e4=3000, max_freq=100)
+        .select("i", "j")
+        .collect()
+    }
+    # the planted edges exist and (A, C) is not one of them
+    assert {(1, 2), (1, 3), (2, 4), (3, 4)} <= pairs
+    assert (1, 4) not in pairs
+    got = dup_wedge_gaps(df, threshold_e4=3000, max_freq=100).collect()
+    bridges = {(r.i, r.j): r for r in got}
+    assert (1, 4) in bridges
+    r = bridges[(1, 4)]
+    assert r.cn == 2
+    # independent reference: exact shingle Jaccard of A vs C
+    def sh(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    a, c = sh(rows[0][1]), sh(rows[3][1])
+    inter = len(a & c)
+    expect = 10000 * inter // (len(a) + len(c) - inter)
+    assert r.jacc_e4 == expect
+    assert r.jacc_e4 < 3000
+    # no verified pair leaks into the gap list
+    assert not (pairs & set(bridges))
