@@ -829,6 +829,59 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    shortlist: int = 16,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving — the production pattern every large
+    vector store runs: the compressed IVF-PQ index produces a
+    ``shortlist``-deep candidate list per query (cheap, scans
+    ~nprobe/n_centroids of the corpus at ~19 bits/vector), then ONLY
+    those candidates are re-scored against their EXACT vectors and the
+    final top-k is exact-ranked. Re-ranking repairs the quantization
+    error inside the probed lists (PQ mis-ordering) at the cost of
+    fetching shortlist×nq full vectors — it cannot repair coarse
+    routing misses, so recall lands between raw IVF-PQ and
+    exact-within-probed-lists.
+
+    Plan: the shortlist (nq×shortlist rows — query-batch sized, the
+    one legitimately broadcastable side) is broadcast into the exact
+    vector scan; no full-corpus distance computation anywhere."""
+    short = ivfpq_topk(
+        emb, query_ids_below=query_ids_below, topk=shortlist,
+        id_col=id_col, col=col,
+    ).select("qid", "cid")
+    qz = quantize_embedding(col)
+    q = emb.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("qid"), qz.alias("qv")
+    )
+    c = emb.where(F.col(id_col) >= query_ids_below).select(
+        F.col(id_col).alias("cid"), qz.alias("cv")
+    )
+    sq = short.join(q, "qid")
+    scored = c.join(F.broadcast(sq), "cid").select(
+        "qid",
+        "cid",
+        _cos_e6(
+            _dot(F.col("qv"), F.col("cv")),
+            _norm2(F.col("qv")),
+            _norm2(F.col("cv")),
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_e6").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .select("qid", "cid", "cos_e6", "rn")
+    )
+
+
 def _pq_subspaces(v, m: int, sub: int):
     return F.array(*[
         F.struct(

@@ -3631,7 +3631,8 @@ ORACLES["emb_ivf_recall_ff"] = _ivf_recall_sql(_IVF_TRAINED_FF)
 # RESIDUALS (first-16 stand-in residual codebook); queries probe their
 # 2 nearest lists and score the centroid+decoded-residual
 # reconstruction — mirrors functions/similarity.ivfpq_topk exactly.
-_IVFPQ = f"""
+def _ivfpq_sql(topk: int) -> str:
+    return f"""
 WITH {_EMB_Q},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
@@ -3688,10 +3689,39 @@ s AS (
 SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
 FROM (SELECT *, row_number() OVER (
         PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+WHERE rn <= {topk}
+"""
+
+
+_IVFPQ = _ivfpq_sql(5)
+
+ORACLES["emb_knn_ivfpq"] = _IVFPQ
+
+ORACLES["emb_knn_ivfpq_rerank"] = f"""
+WITH short AS ({_ivfpq_sql(16)}),
+{_EMB_Q},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
+s AS (SELECT sh.qid, sh.cid, {_COS} AS cos_e6
+      FROM short sh JOIN q ON q.qid = sh.qid JOIN c ON c.cid = sh.cid)
+SELECT qid, cid, cos_e6, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
 WHERE rn <= 5
 """
 
-ORACLES["emb_knn_ivfpq"] = _IVFPQ
+ORACLES["emb_ivfpq_rerank_recall"] = f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+approx AS ({ORACLES["emb_knn_ivfpq_rerank"]}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid
+"""
 
 ORACLES["emb_ivfpq_recall"] = f"""
 WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),

@@ -4947,6 +4947,38 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_recall(brute_force_topk(emb), ivfpq_topk(emb))
 
 
+def emb_knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + EXACT re-ranking — the two-stage serving pattern: the
+    compressed index shortlists 16 candidates per query, only those
+    fetch their exact vectors for the final top-5 (see
+    functions/similarity.ivfpq_rerank_topk). Output cosine values are
+    exact, not reconstructions."""
+    from .functions.similarity import ivfpq_rerank_topk
+
+    return ivfpq_rerank_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of re-ranked IVF-PQ against exact brute force — the
+    measured proof that the exact re-rank stage repairs PQ
+    quantization error (side-by-side with emb_ivfpq_recall's raw
+    number at identical index parameters: 1/40 raw → 3/40 re-ranked
+    at sf0.01). The remaining loss is COARSE ROUTING (nprobe=2 over
+    the deterministic first-N stand-in centroids) — re-ranking can
+    only repair mis-ordering inside the probed lists, its ceiling is
+    exact-scoring-within-probed-lists; production recall comes from
+    pairing it with the trained-centroid router (emb_knn_ivf_trained
+    family)."""
+    from .functions.similarity import (
+        brute_force_topk,
+        ivfpq_rerank_topk,
+        knn_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), ivfpq_rerank_topk(emb))
+
+
 def raster_tile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed raster export end-to-end (SSURGO_ExportMuRaster →
     TIFF; the GeoTIFF bytes are encoded and written per tile ON THE
@@ -6201,12 +6233,16 @@ def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_media_video_neardup(
+    spark: SparkSession, sf_dir: str, base_mod: int = 29
+) -> DataFrame:
     """VIDEO near-duplicate pairs by shared-keyframe Jaccard — the
     third leg of the media dedup triad (image aHash, audio FP, and
     now frame-set similarity, the standard re-upload/re-edit detector).
     Deterministic 'videos' are synthesized per doc_id: 24..28 frames of
-    64 bytes, most carrying the base-video content (keyed doc_id % 29),
+    64 bytes, most carrying the base-video content (keyed doc_id %
+    base_mod — 29 in the registered query; scale runs raise it with the
+    corpus so dup-group size, hence join-bucket size, stays constant),
     every tenth slot carrying a doc-specific frame (an inserted
     overlay/re-encode artifact). The REAL frame pipeline runs: payload
     bytes → ``sample_frames`` (Arrow UDTF fan-out, every frame) → md5
@@ -6236,7 +6272,7 @@ def docs_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (j + d) % 10 == 0,
                     F.concat(F.lit("u"), d.cast("string")),
                 ).otherwise(
-                    F.concat(F.lit("b"), (d % 29).cast("string"))
+                    F.concat(F.lit("b"), (d % base_mod).cast("string"))
                 ),
                 F.lit(":"),
                 j.cast("string"),
