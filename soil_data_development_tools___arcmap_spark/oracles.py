@@ -4837,6 +4837,10 @@ FROM agg
 
 ORACLES["docs_stream_priority_sample"] = ORACLES["docs_priority_sample"]
 
+# the drift stream's final state is bit-equal to the batch aggregation
+# (linear moments), so the batch oracle certifies the stream verbatim
+ORACLES["emb_stream_drift"] = ORACLES["emb_drift"]
+
 ORACLES["docs_stream_cms_grid"] = """
 WITH tok AS (
   SELECT tok FROM (

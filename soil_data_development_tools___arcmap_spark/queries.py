@@ -2577,6 +2577,21 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-dimension embedding-drift monitor — the
+    continuous-ingest twin of ``emb_drift``: state is the
+    per-dimension moment vector (4 int64s × 64 dims FOREVER), merged
+    per micro-batch; counts and quantized component sums are linear,
+    so the final streaming table equals the batch table bit for bit
+    and the SAME oracle certifies both engines AND both execution
+    modes. See streaming/docs.py::emb_drift_stateful for the
+    pre-combine that keeps the 64-key stateful stage off the
+    every-component shuffle path."""
+    from .streaming.docs import run_emb_drift_stream
+
+    return run_emb_drift_stream(spark, sf_dir)
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day × event-type PIVOT (wide daily activity matrix): explicit
     value list so the output schema is static — Spark skips the

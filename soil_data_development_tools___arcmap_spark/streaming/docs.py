@@ -622,3 +622,170 @@ def run_priority_sample_stream(
     return samp.select("doc_id", "source", "n_chars", "prank").crossJoin(
         F.broadcast(est)
     )
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a file-source stream — same symlink-dir
+    convention as ``read_documents_stream`` (one link per part file
+    for directory tables, so multi-part replicas actually stream)."""
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    key = (src, os.stat(src).st_mtime_ns)
+    cache = getattr(read_embeddings_stream, "_dirs", None)
+    if cache is None:
+        cache = read_embeddings_stream._dirs = {}
+    stream_dir = cache.get(key)
+    if stream_dir is None or not os.path.isdir(stream_dir):
+        stream_dir = tempfile.mkdtemp(prefix="sddt_emb_stream_")
+        if os.path.isdir(src):
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    os.symlink(
+                        os.path.join(src, f), os.path.join(stream_dir, f)
+                    )
+        else:
+            os.symlink(src, os.path.join(stream_dir, "embeddings.parquet"))
+        cache[key] = stream_dir
+    return spark.readStream.schema(EMB_SCHEMA).parquet(stream_dir)
+
+
+def emb_drift_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming per-dimension embedding-drift monitor with BOUNDED
+    state: the stream state is the per-dimension moment vector
+    (n_old, n_new, sum_old_e6, sum_new_e6) — DIMENSIONALITY keys (64)
+    × 4 int64s FOREVER, however long the ingest runs — merged per
+    micro-batch via ``applyInPandasWithState``; the streaming twin of
+    the batch ``emb_drift`` table.
+
+    Counts and e6-quantized component sums are LINEAR (mergeable
+    exactly, like the CMS grid), so the final streaming state equals
+    the batch aggregation bit for bit and the batch ``emb_drift``
+    oracle certifies the stream cross-engine. Quantization and the
+    posexplode projection run JVM-side on the stream; a STATELESS
+    ``mapInPandas`` pre-combine collapses each input partition to
+    ≤64 partial rows first (applyInPandasWithState does no map-side
+    combine — without this stage a 100 TB ingest would push every
+    vector component through 64 reducer tasks, the same funnel the
+    CMS twin's pre-combine removes; SCALING.md)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.similarity import quantize_embedding
+
+    emb = source if source is not None else read_embeddings_stream(spark, sf_dir)
+    rows = emb.select(
+        (F.col("vec_id") % 2 == 1).alias("is_new"),
+        F.posexplode(quantize_embedding("embedding")).alias("dim", "v"),
+    )
+
+    def _precombine(batches):
+        for pdf in batches:
+            if len(pdf):
+                grp = pdf.groupby("dim", sort=False)
+                n_new = grp["is_new"].sum()
+                n_tot = grp.size()
+                old = pdf[~pdf["is_new"]].groupby("dim", sort=False)["v"].sum()
+                new = pdf[pdf["is_new"]].groupby("dim", sort=False)["v"].sum()
+                yield pd.DataFrame(
+                    {
+                        "dim": n_tot.index,
+                        "n_old": (n_tot - n_new).astype("int64").values,
+                        "n_new": n_new.astype("int64").values,
+                        "sum_old_e6": old.reindex(n_tot.index, fill_value=0)
+                        .astype("int64")
+                        .values,
+                        "sum_new_e6": new.reindex(n_tot.index, fill_value=0)
+                        .astype("int64")
+                        .values,
+                    }
+                )
+
+    partials = rows.mapInPandas(
+        _precombine,
+        "dim long, n_old long, n_new long, sum_old_e6 long, sum_new_e6 long",
+    )
+
+    def fn(key, pdfs, state):
+        no, nn, so, sn, seq = state.get if state.exists else (0, 0, 0, 0, 0)
+        for pdf in pdfs:
+            no += int(pdf["n_old"].sum())
+            nn += int(pdf["n_new"].sum())
+            so += int(pdf["sum_old_e6"].sum())
+            sn += int(pdf["sum_new_e6"].sum())
+        seq += 1
+        state.update((no, nn, so, sn, seq))
+        yield pd.DataFrame(
+            {
+                "dim": [key[0]],
+                "n_old": [no],
+                "n_new": [nn],
+                "sum_old_e6": [so],
+                "sum_new_e6": [sn],
+                "upd_seq": [seq],
+            }
+        )
+
+    return partials.groupBy("dim").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "dim long, n_old long, n_new long, sum_old_e6 long, "
+            "sum_new_e6 long, upd_seq long"
+        ),
+        stateStructType=(
+            "n_old long, n_new long, sum_old_e6 long, sum_new_e6 long, "
+            "upd_seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_emb_drift_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Run the streaming drift monitor to completion (availableNow +
+    update-mode memory sink) and return the FINAL drift table in the
+    exact shape of the batch ``emb_drift`` query (dim, counts, sums,
+    delta_xn, drift_rank) — the rank window runs batch-side on the 64
+    final rows."""
+    from pyspark.sql import Window
+
+    name = "emb_drift_" + uuid.uuid4().hex[:8]
+    q = (
+        emb_drift_stateful(spark, sf_dir, source=source)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("dim").orderBy(F.col("upd_seq").desc())
+    final = (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "dim",
+            "n_old",
+            "n_new",
+            "sum_old_e6",
+            "sum_new_e6",
+            (
+                F.col("sum_new_e6") * F.col("n_old")
+                - F.col("sum_old_e6") * F.col("n_new")
+            ).alias("delta_xn"),
+        )
+    )
+    wr = Window.orderBy(F.abs(F.col("delta_xn")).desc(), "dim")
+    return final.withColumn(
+        "drift_rank", F.row_number().over(wr).cast("long")
+    )

@@ -858,3 +858,49 @@ def test_priority_sample_stream_matches_batch_and_replay(spark, tmp_path):
         ).collect()
     }
     assert batch == single == multi and len(batch) == 50
+
+
+def test_emb_drift_stream_matches_batch_and_replay(spark, tmp_path):
+    """The stateful streaming drift monitor must equal the batch
+    emb_drift table EXACTLY (moments are linear — per-batch addition
+    is the aggregation of the concatenated stream), and a 4-file
+    one-per-trigger replay must equal the single-batch run. State is
+    bounded by the dimensionality: exactly 64 rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import soil_data_development_tools___arcmap_spark.queries as Q
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        EMB_SCHEMA,
+        run_emb_drift_stream,
+    )
+
+    def rows(df):
+        return {
+            (
+                r["dim"], r["n_old"], r["n_new"], r["sum_old_e6"],
+                r["sum_new_e6"], r["delta_xn"], r["drift_rank"],
+            )
+            for r in df.collect()
+        }
+
+    batch = rows(Q.emb_drift(spark, SF_SMOKE))
+    single = rows(run_emb_drift_stream(spark, SF_SMOKE))
+    emb = spark.read.schema(EMB_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+    src = str(tmp_path / "emb_split_drift")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        emb.where(F.col("vec_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    multi_src = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = rows(run_emb_drift_stream(spark, SF_SMOKE, source=multi_src))
+    assert batch == single == multi
+    assert len({t[0] for t in multi}) == 64
