@@ -4360,6 +4360,18 @@ SELECT doc_id AS did, ahash_hi, ahash_lo,
 FROM h
 """
 
+ORACLES["docs_media_clean_manifest"] = f"""
+WITH ph AS ({ORACLES["docs_media_phash_dups"]}),
+k AS (SELECT did, CASE WHEN did = group_rep THEN 1 ELSE 0 END AS is_rep
+      FROM ph)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(k.is_rep) AS BIGINT) AS n_kept,
+       CAST(1000 * SUM(k.is_rep) // COUNT(*) AS BIGINT) AS kept_permille
+FROM documents d JOIN k ON k.did = d.doc_id
+GROUP BY d.source
+"""
+
 ORACLES["docs_media_audio_fp"] = """
 WITH s AS (
   SELECT doc_id, gs.k AS k,

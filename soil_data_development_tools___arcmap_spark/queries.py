@@ -6202,6 +6202,64 @@ def docs_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed MEDIA curation pipeline in one declarative plan — the
+    multimodal twin of ``docs_clean_corpus``: synthesize → perceptual
+    aHash (Arrow stage, 8 bytes out per image) → keep one
+    representative per fingerprint group (min doc_id) → per-source
+    curation manifest (how much each source shrank under visual
+    dedup). The keep rule and counts are all integer-deterministic, so
+    the whole funnel hash-checks cross-engine on top of the phash
+    oracle's pixel-formula recomputation.
+
+    Columns: source, n_media, n_kept, kept_permille."""
+    from .functions.multimodal import encode_ppm, image_average_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, off = d % 37, d % 7
+                rgb = bytes(
+                    v
+                    for y in range(16)
+                    for x in range(16)
+                    for v in (
+                        (x * 7 + y * 13 + g * 29) % 240 + off,
+                        (x * 3 + y * 5 + g * 17) % 240 + off,
+                        (x * 11 + y + g * 23) % 240 + off,
+                    )
+                )
+                medias.append(encode_ppm(16, 16, rgb))
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    media = docs.select("doc_id").mapInPandas(gen, "did long, media binary")
+    hashes = image_average_hash(media)
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    kept = hashes.select(
+        "did", (F.col("did") == F.min("did").over(w)).alias("is_rep")
+    )
+    return (
+        docs.join(kept, docs.doc_id == kept.did)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("is_rep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_media",
+            "n_kept",
+            F.expr("1000 * n_kept DIV n_media").alias("kept_permille"),
+        )
+    )
+
+
 def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO near-duplicate grouping by energy-delta fingerprint.
     Mono 16-bit WAVs are synthesized per doc_id: a base waveform keyed
