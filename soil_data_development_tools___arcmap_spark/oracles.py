@@ -4372,6 +4372,13 @@ FROM documents d JOIN k ON k.did = d.doc_id
 GROUP BY d.source
 """
 
+ORACLES["docs_stream_media_phash"] = f"""
+WITH ph AS ({ORACLES["docs_media_phash_dups"]})
+SELECT n.did AS new_did, c.did AS corpus_did, n.ahash_hi, n.ahash_lo
+FROM ph n JOIN ph c ON n.ahash_hi = c.ahash_hi AND n.ahash_lo = c.ahash_lo
+WHERE n.did % 2 = 1 AND c.did % 2 = 0
+"""
+
 ORACLES["docs_media_audio_fp"] = """
 WITH s AS (
   SELECT doc_id, gs.k AS k,

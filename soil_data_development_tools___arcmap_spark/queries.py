@@ -6260,6 +6260,19 @@ def docs_media_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_stream_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image-ingest dedup gate — arriving images (odd
+    doc_ids) probe a static perceptual-hash index of the corpus (even
+    doc_ids) by 64-bit aHash. Stateless end-to-end (per-row Arrow
+    fingerprint + stream-static equi-join, zero state forever); the
+    oracle recomputes both sides from the pixel formulas. See
+    streaming/docs.py::run_media_phash_stream for the index-size
+    join policy."""
+    from .streaming.docs import run_media_phash_stream
+
+    return run_media_phash_stream(spark, sf_dir)
+
+
 def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO near-duplicate grouping by energy-delta fingerprint.
     Mono 16-bit WAVs are synthesized per doc_id: a base waveform keyed

@@ -789,3 +789,90 @@ def run_emb_drift_stream(
     return final.withColumn(
         "drift_rank", F.row_number().over(wr).cast("long")
     )
+
+
+def _phash_media(df: DataFrame) -> DataFrame:
+    """(did, ahash_hi, ahash_lo) over the deterministic 16×16 planted
+    image synthesis (base pattern doc_id % 37, uniform brightness
+    offset doc_id % 7 — same formulas as docs_media_phash_dups, so the
+    same SQL recomputation certifies it). Synthesis, PPM encode,
+    decode, and hashing all run inside one Arrow stage; works
+    identically on batch and streaming frames (all stateless)."""
+    from ..functions.multimodal import encode_ppm, image_average_hash
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, off = d % 37, d % 7
+                rgb = bytes(
+                    v
+                    for y in range(16)
+                    for x in range(16)
+                    for v in (
+                        (x * 7 + y * 13 + g * 29) % 240 + off,
+                        (x * 3 + y * 5 + g * 17) % 240 + off,
+                        (x * 11 + y + g * 23) % 240 + off,
+                    )
+                )
+                medias.append(encode_ppm(16, 16, rgb))
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    media = df.select("doc_id").mapInPandas(gen, "did long, media binary")
+    return image_average_hash(media)
+
+
+def run_media_phash_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Streaming IMAGE-ingest dedup gate — the multimodal twin of the
+    text near-dup gate above: even doc_ids are the indexed media
+    corpus (static perceptual-hash index), odd doc_ids arrive as the
+    stream, and each arriving image probes the index by its 64-bit
+    aHash. STATELESS like the text gate: the fingerprint is per-row
+    (one Arrow stage, 8 bytes out per image), the probe is a
+    stream-static equi-join on (ahash_hi, ahash_lo), state is ZERO
+    regardless of stream length.
+
+    Same index-size policy as the text gate: no broadcast hint by
+    default (the index is corpus-sized; AQE picks broadcast while it
+    fits, a 100 TB media corpus's index goes through a shuffled
+    join); ``broadcast=True`` pins the hint for deployments that know
+    better. Returns (new_did, corpus_did, ahash_hi, ahash_lo) —
+    arriving images that visually duplicate an indexed one."""
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast else df
+
+    corpus = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    ).where(F.col("doc_id") % 2 == 0)
+    index = _phash_media(corpus).select(
+        F.col("did").alias("corpus_did"), "ahash_hi", "ahash_lo"
+    )
+    new = _phash_media(
+        (
+            source
+            if source is not None
+            else read_documents_stream(spark, sf_dir)
+        ).where(F.col("doc_id") % 2 == 1)
+    ).select(F.col("did").alias("new_did"), "ahash_hi", "ahash_lo")
+    out = new.join(_hint(index), ["ahash_hi", "ahash_lo"]).select(
+        "new_did", "corpus_did", "ahash_hi", "ahash_lo"
+    )
+    name = "media_phash_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -904,3 +904,56 @@ def test_emb_drift_stream_matches_batch_and_replay(spark, tmp_path):
     multi = rows(run_emb_drift_stream(spark, SF_SMOKE, source=multi_src))
     assert batch == single == multi
     assert len({t[0] for t in multi}) == 64
+
+
+def test_media_phash_stream_across_batches_and_invariance(spark, tmp_path):
+    """The stateless streaming image gate must be batch-partition
+    invariant (4-file one-per-trigger replay == single batch), and
+    every emitted match must share the planted base pattern — the
+    cross-parity brightness offsets are exactly what the aHash
+    invariance absorbs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_media_phash_stream,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    src = str(tmp_path / "docs_split_phash")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    single = {
+        (r["new_did"], r["corpus_did"])
+        for r in run_media_phash_stream(spark, SF_SMOKE).collect()
+    }
+    multi_src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = {
+        (r["new_did"], r["corpus_did"])
+        for r in run_media_phash_stream(
+            spark, SF_SMOKE, source=multi_src
+        ).collect()
+    }
+    assert single == multi and len(single) > 0
+    assert all(n % 2 == 1 and c % 2 == 0 for n, c in single)
+    assert all(n % 37 == c % 37 for n, c in single)
+    # broadcast-pinned mode is value-identical
+    pinned = {
+        (r["new_did"], r["corpus_did"])
+        for r in run_media_phash_stream(
+            spark, SF_SMOKE, broadcast=True
+        ).collect()
+    }
+    assert pinned == single
