@@ -379,3 +379,57 @@ def test_video_neardup_pairs_same_base_only(spark):
         assert r.shared <= min(r.nf_a, r.nf_b)
     # at least one pair with differing lengths (24..28 frames) survived
     assert any(r.nf_a != r.nf_b for r in rows)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=205), min_size=256, max_size=256
+        ),
+        st.integers(min_value=0, max_value=50),
+    )
+    def test_average_hash_uniform_shift_property(grid, off):
+        """For ANY 16x16 grid and ANY uniform shift that stays in
+        byte range, the aHash is unchanged — the invariance the
+        planted-dup queries rely on, proven for arbitrary content."""
+        from soil_data_development_tools___arcmap_spark.functions.multimodal import (
+            average_hash_64,
+        )
+
+        assert average_hash_64(grid, 16, 16) == average_hash_64(
+            [p + off for p in grid], 16, 16
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-256, max_value=256),
+            min_size=96,
+            max_size=96,
+        ),
+        st.integers(min_value=1, max_value=100),
+    )
+    def test_audio_fingerprint_gain_property(samples, gain):
+        """For ANY waveform and ANY positive integer gain, the
+        energy-delta fingerprint is unchanged (energies scale by
+        gain², preserving every comparison) — pure-Python replica of
+        the operator's window/delta/pack math, engine-free."""
+
+        def fp(sig, window=8):
+            nw = len(sig) // window
+            es = [
+                sum(s * s for s in sig[w * window : (w + 1) * window])
+                for w in range(nw)
+            ]
+            out = 0
+            for w in range(1, nw):
+                out |= (1 if es[w] > es[w - 1] else 0) << (nw - 1 - w)
+            return out
+
+        assert fp(samples) == fp([s * gain for s in samples])
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
