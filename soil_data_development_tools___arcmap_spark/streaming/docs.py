@@ -791,13 +791,19 @@ def run_emb_drift_stream(
     )
 
 
-def _phash_media(df: DataFrame) -> DataFrame:
+def _phash_media(df: DataFrame, base_mod: int = 37) -> DataFrame:
     """(did, ahash_hi, ahash_lo) over the deterministic 16×16 planted
-    image synthesis (base pattern doc_id % 37, uniform brightness
-    offset doc_id % 7 — same formulas as docs_media_phash_dups, so the
-    same SQL recomputation certifies it). Synthesis, PPM encode,
-    decode, and hashing all run inside one Arrow stage; works
-    identically on batch and streaming frames (all stateless)."""
+    image synthesis (base pattern doc_id % base_mod — 37 in the
+    registered query — uniform brightness offset doc_id % 7; same
+    formulas as docs_media_phash_dups, so the same SQL recomputation
+    certifies it). Synthesis, PPM encode, decode, and hashing all run
+    inside one Arrow stage; works identically on batch and streaming
+    frames (all stateless). Scale harnesses raise ``base_mod`` with
+    the corpus factor so planted dup-group size — and hence the
+    gate's match fan-out — stays constant (the realistic "corpus
+    grows, dup density doesn't" model; a fixed modulus at 100× makes
+    the match set quadratic in the replica and measures the fixture,
+    not the operator)."""
     from ..functions.multimodal import encode_ppm, image_average_hash
 
     def gen(it):
@@ -807,7 +813,7 @@ def _phash_media(df: DataFrame) -> DataFrame:
             medias = []
             for did in pdf["doc_id"]:
                 d = int(did)
-                g, off = d % 37, d % 7
+                g, off = d % base_mod, d % 7
                 rgb = bytes(
                     v
                     for y in range(16)

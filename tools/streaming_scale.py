@@ -151,6 +151,45 @@ def build_docs_replica(spark, factor: int) -> str:
     )
 
 
+def build_emb_replica(spark, factor: int) -> str:
+    """factor-x replica of the embeddings table (vec_id shifted per
+    replica, parity preserved — the drift monitor's old/new split is
+    vec_id % 2, so the shift must be even), written as 16 part files
+    for the one-file-per-trigger replay; cachefs-cached."""
+    from soil_data_development_tools___arcmap_spark.cachefs import (
+        cached_dir,
+        content_tag,
+        source_salt,
+    )
+
+    src = os.path.join(os.path.abspath(SF_DIR), "embeddings.parquet")
+
+    def build(staging: str) -> None:
+        emb = spark.read.parquet(src)
+        maxv = emb.selectExpr("max(vec_id)").collect()[0][0] + 1
+        shift = maxv + (maxv % 2)  # even shift preserves parity
+        reps = spark.range(factor).selectExpr("id AS rep")
+        (
+            emb.crossJoin(reps)
+            .selectExpr(
+                f"vec_id + rep * {shift} AS vec_id",
+                *[c for c in emb.columns if c != "vec_id"],
+            )
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        for f in os.listdir(staging):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(staging, f))
+
+    return cached_dir(
+        "embscale",
+        content_tag([src], extra=f"{factor}|{source_salt(build_emb_replica)}"),
+        build,
+    )
+
+
 def _run(spark, sink_df, mode: str) -> dict:
     """Run a streaming DF to completion; return wall, rows, peak state."""
     name = "scale_" + uuid.uuid4().hex[:8]
@@ -363,6 +402,59 @@ def main() -> None:
                     spark, builder(spark, SF_DIR, source=dsrc()), "update"
                 )
                 print(json.dumps({"factor": factor, "query": qname, **m}))
+
+        # stateless streaming image-ingest gate over the same docs
+        # replica: peak state must be 0 rows at every factor (the
+        # fingerprint is per-row, the index probe is stream-static)
+        if want("media_phash"):
+            from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                DOCS_SCHEMA,
+                _phash_media,
+            )
+
+            docs_dir = build_docs_replica(spark, factor)
+            # base_mod scales with the factor: constant planted
+            # dup-group size -> constant per-image match fan-out (a
+            # fixed modulus makes matches quadratic in the replica and
+            # OOMs the memory sink at 100x measuring the fixture)
+            new = _phash_media(
+                spark.readStream.schema(DOCS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(docs_dir)
+                .where(F.col("doc_id") % 2 == 1),
+                base_mod=37 * factor,
+            ).select(
+                F.col("did").alias("new_did"), "ahash_hi", "ahash_lo"
+            )
+            index = _phash_media(
+                spark.read.schema(DOCS_SCHEMA)
+                .parquet(docs_dir)
+                .where(F.col("doc_id") % 2 == 0),
+                base_mod=37 * factor,
+            ).select(F.col("did").alias("corpus_did"), "ahash_hi", "ahash_lo")
+            gate = new.join(index, ["ahash_hi", "ahash_lo"])
+            m = _run(spark, gate, "append")
+            print(json.dumps({"factor": factor, "query": "media_phash", **m}))
+
+        # streaming drift monitor over a factor-x embeddings replica:
+        # peak state must be exactly 64 rows (the dimensionality) at
+        # every factor
+        if want("emb_drift"):
+            from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                EMB_SCHEMA,
+                emb_drift_stateful,
+            )
+
+            emb_dir = build_emb_replica(spark, factor)
+            esrc = (
+                spark.readStream.schema(EMB_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(emb_dir)
+            )
+            m = _run(
+                spark, emb_drift_stateful(spark, SF_DIR, source=esrc), "update"
+            )
+            print(json.dumps({"factor": factor, "query": "emb_drift", **m}))
 
 
 if __name__ == "__main__":
