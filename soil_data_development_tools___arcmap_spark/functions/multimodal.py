@@ -480,6 +480,38 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def planted_images(df: DataFrame, base_mod: int = 37) -> DataFrame:
+    """(did, media) — deterministic 16×16 PPM images synthesized per
+    doc_id ON THE EXECUTORS: a base pattern keyed doc_id % base_mod
+    (the planted duplicate group) plus a uniform brightness offset
+    doc_id % 7 (channel bases stay ≤239 and the offset ≤6, so no byte
+    wraps and the shift stays truly uniform — the perturbation aHash
+    is provably invariant to). Shared by the batch phash queries and
+    the streaming ingest gate, so one pixel formula backs every
+    oracle recomputation."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, off = d % base_mod, d % 7
+                rgb = bytes(
+                    v
+                    for y in range(16)
+                    for x in range(16)
+                    for v in (
+                        (x * 7 + y * 13 + g * 29) % 240 + off,
+                        (x * 3 + y * 5 + g * 17) % 240 + off,
+                        (x * 11 + y + g * 23) % 240 + off,
+                    )
+                )
+                medias.append(encode_ppm(16, 16, rgb))
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    return df.select("doc_id").mapInPandas(gen, "did long, media binary")
+
+
 def average_hash_64(gray: list[int], height: int, width: int) -> tuple[int, int]:
     """64-bit average-hash (aHash) of a grayscale pixel grid, split as
     (hi32, lo32) — the classic perceptual image fingerprint: mean-pool

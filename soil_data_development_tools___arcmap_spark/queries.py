@@ -6165,33 +6165,10 @@ def docs_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 bytes map-side and ONLY the fingerprints shuffle (one exchange
     on the hash pair). Channel bases stay ≤239 and the offset ≤6, so
     no byte ever wraps — keeping the brightness shift truly uniform."""
-    from .functions.multimodal import encode_ppm, image_average_hash
+    from .functions.multimodal import image_average_hash, planted_images
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(it):
-        import pandas as pd
-
-        for pdf in it:
-            medias = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                g, off = d % 37, d % 7
-                rgb = bytes(
-                    v
-                    for y in range(16)
-                    for x in range(16)
-                    for v in (
-                        (x * 7 + y * 13 + g * 29) % 240 + off,
-                        (x * 3 + y * 5 + g * 17) % 240 + off,
-                        (x * 11 + y + g * 23) % 240 + off,
-                    )
-                )
-                medias.append(encode_ppm(16, 16, rgb))
-            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
-
-    media = docs.mapInPandas(gen, "did long, media binary")
-    hashes = image_average_hash(media)
+    hashes = image_average_hash(planted_images(docs))
     w = Window.partitionBy("ahash_hi", "ahash_lo")
     return hashes.select(
         "did",
@@ -6213,33 +6190,10 @@ def docs_media_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's pixel-formula recomputation.
 
     Columns: source, n_media, n_kept, kept_permille."""
-    from .functions.multimodal import encode_ppm, image_average_hash
+    from .functions.multimodal import image_average_hash, planted_images
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-
-    def gen(it):
-        import pandas as pd
-
-        for pdf in it:
-            medias = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                g, off = d % 37, d % 7
-                rgb = bytes(
-                    v
-                    for y in range(16)
-                    for x in range(16)
-                    for v in (
-                        (x * 7 + y * 13 + g * 29) % 240 + off,
-                        (x * 3 + y * 5 + g * 17) % 240 + off,
-                        (x * 11 + y + g * 23) % 240 + off,
-                    )
-                )
-                medias.append(encode_ppm(16, 16, rgb))
-            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
-
-    media = docs.select("doc_id").mapInPandas(gen, "did long, media binary")
-    hashes = image_average_hash(media)
+    hashes = image_average_hash(planted_images(docs))
     w = Window.partitionBy("ahash_hi", "ahash_lo")
     kept = hashes.select(
         "did", (F.col("did") == F.min("did").over(w)).alias("is_rep")

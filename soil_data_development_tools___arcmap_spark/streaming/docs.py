@@ -804,31 +804,9 @@ def _phash_media(df: DataFrame, base_mod: int = 37) -> DataFrame:
     grows, dup density doesn't" model; a fixed modulus at 100× makes
     the match set quadratic in the replica and measures the fixture,
     not the operator)."""
-    from ..functions.multimodal import encode_ppm, image_average_hash
+    from ..functions.multimodal import image_average_hash, planted_images
 
-    def gen(it):
-        import pandas as pd
-
-        for pdf in it:
-            medias = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                g, off = d % base_mod, d % 7
-                rgb = bytes(
-                    v
-                    for y in range(16)
-                    for x in range(16)
-                    for v in (
-                        (x * 7 + y * 13 + g * 29) % 240 + off,
-                        (x * 3 + y * 5 + g * 17) % 240 + off,
-                        (x * 11 + y + g * 23) % 240 + off,
-                    )
-                )
-                medias.append(encode_ppm(16, 16, rgb))
-            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
-
-    media = df.select("doc_id").mapInPandas(gen, "did long, media binary")
-    return image_average_hash(media)
+    return image_average_hash(planted_images(df, base_mod=base_mod))
 
 
 def run_media_phash_stream(
