@@ -4481,6 +4481,22 @@ SELECT user_id, event_type AS state, us AS valid_from_us,
 FROM chg
 """
 
+ORACLES["events_decayed_engagement"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+ref AS (SELECT MAX(day) AS rd FROM ev)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(day) AS BIGINT) AS last_day,
+       CAST(SUM(vc * (CAST(1 AS BIGINT)
+                      << (20 - least(rd - day, 20)))) AS BIGINT)
+         AS decayed_score
+FROM ev CROSS JOIN ref
+GROUP BY user_id
+"""
+
 ORACLES["events_retention_cohorts"] = """
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num

@@ -2612,6 +2612,45 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement score with INTEGER
+    half-life decay — the ranking signal a sampling/curation pipeline
+    uses to favor recently-active users (or, swapped onto documents,
+    recently-crawled pages): each event contributes
+    value_cents << (20 − min(age_days, 20)), i.e. a one-day half-life
+    truncated at 20 days, all in exact int64 arithmetic (no float
+    exp(), so the cross-engine hash certifies it bit for bit; 20-bit
+    shifts on ≤1e5-cent values keep the per-user sum orders of
+    magnitude under int64 even at 100 TB event counts).
+
+    Plan shape: one scan, the reference day is a 1-row broadcast
+    (global MAX), one hash aggregation keyed by user — partial
+    aggregation does the decay map-side. Columns: user_id, n_events,
+    last_day, decayed_score."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    ref = ev.agg(F.max("day").alias("rd"))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("day").alias("last_day"),
+            F.sum(
+                F.col("vc")
+                * F.expr(
+                    "cast(shiftleft(1, 20 - least(cast(rd - day AS int), 20))"
+                    " AS bigint)"
+                )
+            ).alias("decayed_score"),
+        )
+        .select("user_id", "n_events", "last_day", "decayed_score")
+    )
+
+
 def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (event_type, day) subtotal lattice — per-(type, day)
     rows, per-type subtotals, grand total in ONE pass (Spark expands
