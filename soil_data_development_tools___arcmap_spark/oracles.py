@@ -4413,8 +4413,11 @@ f AS (
   FROM v, generate_series(0, 28) AS gs(j)
   WHERE gs.j < v.n),
 c AS (SELECT did, COUNT(*) AS nf FROM f GROUP BY did),
+disc AS (
+  SELECT did, h FROM f
+  WHERE h IN (SELECT h FROM f GROUP BY h HAVING COUNT(*) <= 1000)),
 p AS (SELECT a.did AS did_a, b.did AS did_b, COUNT(*) AS shared
-      FROM f a JOIN f b ON a.h = b.h AND a.did < b.did
+      FROM disc a JOIN disc b ON a.h = b.h AND a.did < b.did
       GROUP BY a.did, b.did)
 SELECT p.did_a, p.did_b, CAST(p.shared AS BIGINT) AS shared,
        CAST(ca.nf AS BIGINT) AS nf_a, CAST(cb.nf AS BIGINT) AS nf_b,

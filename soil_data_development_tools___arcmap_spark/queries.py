@@ -6313,7 +6313,8 @@ def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_media_video_neardup(
-    spark: SparkSession, sf_dir: str, base_mod: int = 29
+    spark: SparkSession, sf_dir: str, base_mod: int = 29,
+    max_freq: int = 1000,
 ) -> DataFrame:
     """VIDEO near-duplicate pairs by shared-keyframe Jaccard — the
     third leg of the media dedup triad (image aHash, audio FP, and
@@ -6367,8 +6368,21 @@ def docs_media_video_neardup(
         vids, id_col="doc_id", col="payload", frame_bytes=64, every=1
     ).select("did", "frame_md5")
     counts = frames.groupBy("did").agg(F.count(F.lit(1)).alias("nf"))
-    a = frames.select(F.col("did").alias("did_a"), "frame_md5")
-    b = frames.select(F.col("did").alias("did_b"), "frame_md5")
+    # stop-frame cap (the max_freq rule of the text shingle path):
+    # frames shared by > max_freq videos (intros, black frames, test
+    # cards) are excluded from CANDIDATE GENERATION — they are too
+    # common to be discriminative and each contributes C(n,2) join
+    # rows. nf (per-video frame count) keeps counting them, so the
+    # Jaccard denominator is unchanged; shared-frame counts lose only
+    # the non-discriminative keys. 1000 is provably a no-op at every
+    # gate SF (dup-group size ≤ docs/29 ≤ 172 at sf0.1) — the oracle
+    # mirrors the filter.
+    ffreq = frames.groupBy("frame_md5").agg(F.count(F.lit(1)).alias("ff"))
+    disc = frames.join(
+        ffreq.where(F.col("ff") <= max_freq).select("frame_md5"), "frame_md5"
+    )
+    a = disc.select(F.col("did").alias("did_a"), "frame_md5")
+    b = disc.select(F.col("did").alias("did_b"), "frame_md5")
     pairs = (
         a.join(b, "frame_md5")
         .where(F.col("did_a") < F.col("did_b"))

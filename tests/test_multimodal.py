@@ -433,3 +433,18 @@ try:
         assert fp(samples) == fp([s * gain for s in samples])
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_video_neardup_stop_frame_cap(spark):
+    """With max_freq below the planted group size, the ubiquitous
+    base frames stop generating candidates and only the (larger)
+    doc-specific overlap survives — here none, so no pairs; with the
+    default cap the planted pairs appear. Proves the stop-frame guard
+    actually gates candidate generation."""
+    import soil_data_development_tools___arcmap_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    with_cap = Q.docs_media_video_neardup(spark, sf, max_freq=2).count()
+    default = Q.docs_media_video_neardup(spark, sf).count()
+    assert default > 0
+    assert with_cap < default
