@@ -987,6 +987,7 @@ def dup_wedge_gaps(
     max_freq: int | None = 100,
     min_common: int = 2,
     max_center_deg: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """False-merge BRIDGE audit of the near-dup graph — the complement
     of ``dup_triangles``: pairs of documents that share ≥ min_common
@@ -1036,14 +1037,21 @@ def dup_wedge_gaps(
     jac = F.floor(
         (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))) * 10000
     ).cast("long")
-    pairs = (
-        inter.join(si, "i")
-        .join(sj, "j")
-        .select("i", "j", jac.alias("jac_e4"))
-        .where(F.col("jac_e4") >= threshold_e4)
-        .select("i", "j")
-        .localCheckpoint()
-    )
+    if pairs is None:
+        pairs = (
+            inter.join(si, "i")
+            .join(sj, "j")
+            .select("i", "j", jac.alias("jac_e4"))
+            .where(F.col("jac_e4") >= threshold_e4)
+            .select("i", "j")
+            .localCheckpoint()
+        )
+    else:
+        # injected edge list (i < j) — the recall-repair mode: feed the
+        # pairs a BANDED generator emitted and the wedge audit surfaces
+        # candidate pairs it may have missed (jacc_e4 then separates
+        # banding misses from genuine bridges)
+        pairs = pairs.select("i", "j").localCheckpoint()
     und = pairs.select(
         F.col("i").alias("ctr"), F.col("j").alias("nb")
     ).unionByName(pairs.select(F.col("j").alias("ctr"), F.col("i").alias("nb")))

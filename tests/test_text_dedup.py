@@ -890,3 +890,48 @@ def test_dup_wedge_gaps_planted_bridge(spark):
     assert r.jacc_e4 < 3000
     # no verified pair leaks into the gap list
     assert not (pairs & set(bridges))
+
+
+def test_dup_wedge_gaps_random_graphs_match_reference(spark):
+    """Graph logic verified against a pure-Python reference on
+    randomized injected pair lists (the recall-repair composition
+    mode): for every random graph, the operator's (i, j, cn) rows
+    must equal the reference's non-edge wedge pairs with >= 2 common
+    neighbors. Texts are pairwise disjoint so verification Jaccard is
+    0 for every candidate — the graph machinery is isolated from the
+    shingle pipeline."""
+    import itertools
+    import random
+
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        dup_wedge_gaps,
+    )
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = 14
+        all_pairs = list(itertools.combinations(range(n), 2))
+        edges = sorted(rng.sample(all_pairs, rng.randrange(6, 18)))
+        # pure-python reference
+        adj = {v: set() for v in range(n)}
+        for i, j in edges:
+            adj[i].add(j)
+            adj[j].add(i)
+        expect = {}
+        for b, c in all_pairs:
+            if (b, c) in edges:
+                continue
+            cn = len(adj[b] & adj[c])
+            if cn >= 2:
+                expect[(b, c)] = cn
+        rows = [
+            (v, " ".join(f"u{v}t{k}" for k in range(5))) for v in range(n)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pair_df = spark.createDataFrame(edges, "i long, j long")
+        got = {
+            (r.i, r.j): (r.cn, r.jacc_e4)
+            for r in dup_wedge_gaps(docs, pairs=pair_df).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == expect, f"seed {seed}"
+        assert all(j == 0 for _, j in got.values())
