@@ -512,6 +512,30 @@ def planted_images(df: DataFrame, base_mod: int = 37) -> DataFrame:
     return df.select("doc_id").mapInPandas(gen, "did long, media binary")
 
 
+def planted_audio(df: DataFrame, base_mod: int = 23) -> DataFrame:
+    """(did, media) — deterministic mono 16-bit WAVs synthesized per
+    doc_id on the executors: a base waveform keyed doc_id % base_mod
+    (the planted duplicate group) times a per-doc gain 1 + doc_id % 3
+    (the loudness-normalization perturbation the energy-delta
+    fingerprint is provably invariant to). Shared by the batch audio
+    fingerprint query and the streaming ingest gate."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, gain = d % base_mod, 1 + d % 3
+                samples = [
+                    (((g * 37 + k * 29) % 512) - 256) * gain
+                    for k in range(96)
+                ]
+                medias.append(encode_wav_pcm16(8000, samples))
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    return df.select("doc_id").mapInPandas(gen, "did long, media binary")
+
+
 def average_hash_64(gray: list[int], height: int, width: int) -> tuple[int, int]:
     """64-bit average-hash (aHash) of a grayscale pixel grid, split as
     (hi32, lo32) — the classic perceptual image fingerprint: mean-pool

@@ -4402,6 +4402,14 @@ SELECT doc_id AS did, fp, CAST(12 AS INTEGER) AS n_windows,
 FROM f
 """
 
+ORACLES["docs_stream_media_audio"] = f"""
+WITH af AS ({ORACLES["docs_media_audio_fp"]})
+SELECT n.did AS new_did, c.did AS corpus_did, n.fp
+FROM af n JOIN af c ON n.fp = c.fp
+WHERE n.did % 2 = 1 AND c.did % 2 = 0
+"""
+
+
 ORACLES["docs_media_video_neardup"] = """
 WITH v AS (SELECT doc_id, 24 + doc_id % 5 AS n FROM documents),
 f AS (

@@ -6266,6 +6266,17 @@ def docs_stream_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_media_phash_stream(spark, sf_dir)
 
 
+def docs_stream_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING audio-ingest dedup gate — the audio twin of
+    docs_stream_media_phash: arriving clips probe a static
+    energy-delta fingerprint index (stateless, zero state forever;
+    gain-invariant matching). See
+    streaming/docs.py::run_media_audio_stream."""
+    from .streaming.docs import run_media_audio_stream
+
+    return run_media_audio_stream(spark, sf_dir)
+
+
 def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO near-duplicate grouping by energy-delta fingerprint.
     Mono 16-bit WAVs are synthesized per doc_id: a base waveform keyed
@@ -6282,26 +6293,10 @@ def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: identical to the image path — samples never leave
     the Arrow decode stage; one exchange of 8-byte fingerprints."""
-    from .functions.multimodal import audio_delta_fingerprint, encode_wav_pcm16
+    from .functions.multimodal import audio_delta_fingerprint, planted_audio
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(it):
-        import pandas as pd
-
-        for pdf in it:
-            medias = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                g, gain = d % 23, 1 + d % 3
-                samples = [
-                    (((g * 37 + k * 29) % 512) - 256) * gain for k in range(96)
-                ]
-                medias.append(encode_wav_pcm16(8000, samples))
-            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
-
-    media = docs.mapInPandas(gen, "did long, media binary")
-    fps = audio_delta_fingerprint(media, window=8)
+    fps = audio_delta_fingerprint(planted_audio(docs), window=8)
     w = Window.partitionBy("fp")
     return fps.select(
         "did",

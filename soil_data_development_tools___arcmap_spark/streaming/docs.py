@@ -860,3 +860,51 @@ def run_media_phash_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_media_audio_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Streaming AUDIO-ingest dedup gate — completes the multimodal
+    gate pair: arriving clips (odd doc_ids) probe a static
+    energy-delta fingerprint index of the corpus (even doc_ids).
+    Stateless like the image gate (per-row Arrow fingerprint +
+    stream-static equi-join on the 8-byte fp, zero state forever);
+    gain-releveled copies match because the fingerprint is invariant
+    under amplitude scaling. Same index-size join policy: no
+    broadcast hint by default. Returns (new_did, corpus_did, fp)."""
+    from ..functions.multimodal import audio_delta_fingerprint, planted_audio
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast else df
+
+    def fps(df: DataFrame) -> DataFrame:
+        return audio_delta_fingerprint(planted_audio(df), window=8).select(
+            "did", "fp"
+        )
+
+    corpus = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    ).where(F.col("doc_id") % 2 == 0)
+    index = fps(corpus).select(F.col("did").alias("corpus_did"), "fp")
+    new = fps(
+        (
+            source
+            if source is not None
+            else read_documents_stream(spark, sf_dir)
+        ).where(F.col("doc_id") % 2 == 1)
+    ).select(F.col("did").alias("new_did"), "fp")
+    out = new.join(_hint(index), "fp").select("new_did", "corpus_did", "fp")
+    name = "media_audio_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

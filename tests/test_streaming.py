@@ -957,3 +957,57 @@ def test_media_phash_stream_across_batches_and_invariance(spark, tmp_path):
         ).collect()
     }
     assert pinned == single
+
+
+def test_media_audio_stream_across_batches(spark, tmp_path):
+    """The stateless streaming audio gate must be batch-partition
+    invariant, and every match must share the planted base waveform
+    despite cross-parity gain differences."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_media_audio_stream,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    src = str(tmp_path / "docs_split_audio")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    single = {
+        (r["new_did"], r["corpus_did"])
+        for r in run_media_audio_stream(spark, SF_SMOKE).collect()
+    }
+    multi_src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    multi = {
+        (r["new_did"], r["corpus_did"])
+        for r in run_media_audio_stream(
+            spark, SF_SMOKE, source=multi_src
+        ).collect()
+    }
+    assert single == multi and len(single) > 0
+    assert all(n % 2 == 1 and c % 2 == 0 for n, c in single)
+    # every planted same-base cross-parity pair MUST match (the
+    # gain-invariance claim); an 11-bit fingerprint also collides
+    # across bases sometimes, which is legitimate for a fingerprint
+    # this short — so same-base is a required subset, not an equality
+    dids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    planted = {
+        (n, c)
+        for n in dids
+        if n % 2 == 1
+        for c in dids
+        if c % 2 == 0 and n % 23 == c % 23
+    }
+    assert planted <= single
