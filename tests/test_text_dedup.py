@@ -935,3 +935,26 @@ def test_dup_wedge_gaps_random_graphs_match_reference(spark):
         }
         assert {k: v[0] for k, v in got.items()} == expect, f"seed {seed}"
         assert all(j == 0 for _, j in got.values())
+
+
+def test_dup_wedge_gaps_center_degree_cap(spark):
+    """max_center_deg excludes super-hub centers from wedge
+    enumeration: with the cap below every center's degree no wedge
+    survives; with a generous cap the planted bridge reappears."""
+    from soil_data_development_tools___arcmap_spark.functions.dedup import (
+        dup_wedge_gaps,
+    )
+
+    # star: center 1 near-dups of 2,3,4 (deg 3); leaves share nothing
+    x = " ".join(f"x{i}" for i in range(20))
+    rows = [
+        (1, f"{x} hub"),
+        (2, f"{x} " + " ".join(f"a{i}" for i in range(30))),
+        (3, f"{x} " + " ".join(f"b{i}" for i in range(30))),
+        (4, f"{x} " + " ".join(f"c{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dup_wedge_gaps(df, min_common=1).collect()
+    assert {(r.i, r.j) for r in full} == {(2, 3), (2, 4), (3, 4)}
+    capped = dup_wedge_gaps(df, min_common=1, max_center_deg=2).collect()
+    assert capped == []
