@@ -243,6 +243,25 @@ def _shingle_pair_counts(
     )
 
 
+def _jaccard_edges(ex: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(i, j, jac_e4) for every candidate pair from the capped exploded
+    shingle table ``ex`` and full-set sizes ``sizes`` — the ONE
+    canonical near-dup edge definition (floor-scaled Jaccard: capped
+    intersection over full-set union), shared by
+    ``ngram_jaccard_pairs`` (the generator) and ``dup_wedge_gaps``
+    (the audit), so the audited graph can never silently diverge from
+    the generated one."""
+    inter = _shingle_pair_counts(ex)
+    si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
+    sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
+    jac = F.floor(
+        (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))) * 10000
+    ).cast("long")
+    return (
+        inter.join(si, "i").join(sj, "j").select("i", "j", jac.alias("jac_e4"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -284,18 +303,7 @@ def ngram_jaccard_pairs(
         sizes = shingle_sets(df, id_col, col, k).select(
             "did", F.size("ss").alias("nsh")
         )
-    inter = _shingle_pair_counts(ex)
-    si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
-    sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
-    jac = F.floor(
-        (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))) * 10000
-    ).cast("long")
-    return (
-        inter.join(si, "i")
-        .join(sj, "j")
-        .select("i", "j", jac.alias("jac_e4"))
-        .where(F.col("jac_e4") >= threshold_e4)
-    )
+    return _jaccard_edges(ex, sizes).where(F.col("jac_e4") >= threshold_e4)
 
 
 def minhash_signatures(
@@ -1029,19 +1037,14 @@ def dup_wedge_gaps(
         )
     else:
         ex = ex_all
-    # verified pair list — same construction as ngram_jaccard_pairs,
-    # sharing the settled shingle table with the verification stage
-    inter = _shingle_pair_counts(ex)
     si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
     sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
-    jac = F.floor(
-        (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))) * 10000
-    ).cast("long")
     if pairs is None:
+        # verified pair list — the SAME edge definition the generator
+        # uses, built on the settled shingle table shared with the
+        # verification stage
         pairs = (
-            inter.join(si, "i")
-            .join(sj, "j")
-            .select("i", "j", jac.alias("jac_e4"))
+            _jaccard_edges(ex, sizes)
             .where(F.col("jac_e4") >= threshold_e4)
             .select("i", "j")
             .localCheckpoint()
@@ -1079,8 +1082,14 @@ def dup_wedge_gaps(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        cand.join(si, "i")
-        .join(sj, "j")
+        # LEFT joins to the size table: in injected-pairs mode an
+        # external generator can emit an edge touching a doc with no
+        # shingles (< k tokens) — its wedge candidates must still
+        # surface (jacc_e4 = 0), not vanish in an inner join. In the
+        # default mode every edge endpoint has shingles by
+        # construction, so this is plan-identical for the oracle.
+        cand.join(si, "i", "left")
+        .join(sj, "j", "left")
         .join(ver, ["i", "j"], "left")
         .select(
             "i",

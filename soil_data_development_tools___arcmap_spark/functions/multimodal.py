@@ -480,7 +480,9 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def planted_images(df: DataFrame, base_mod: int = 37) -> DataFrame:
+def planted_images(
+    df: DataFrame, base_mod: int = 37, spread: bool = True
+) -> DataFrame:
     """(did, media) — deterministic 16×16 PPM images synthesized per
     doc_id ON THE EXECUTORS: a base pattern keyed doc_id % base_mod
     (the planted duplicate group) plus a uniform brightness offset
@@ -488,7 +490,15 @@ def planted_images(df: DataFrame, base_mod: int = 37) -> DataFrame:
     wraps and the shift stays truly uniform — the perturbation aHash
     is provably invariant to). Shared by the batch phash queries and
     the streaming ingest gate, so one pixel formula backs every
-    oracle recomputation."""
+    oracle recomputation.
+
+    ``spread`` repartitions the 8-byte doc_id frame BEFORE synthesis
+    (pass False for streaming sources): the downstream fingerprint
+    stage then chains in the SAME task, so encoded payloads never
+    cross an exchange — only ids in, fingerprints out."""
+    src = df.select("doc_id")
+    if spread:
+        src = _spread(src, "doc_id")
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -509,16 +519,22 @@ def planted_images(df: DataFrame, base_mod: int = 37) -> DataFrame:
                 medias.append(encode_ppm(16, 16, rgb))
             yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
 
-    return df.select("doc_id").mapInPandas(gen, "did long, media binary")
+    return src.mapInPandas(gen, "did long, media binary")
 
 
-def planted_audio(df: DataFrame, base_mod: int = 23) -> DataFrame:
+def planted_audio(
+    df: DataFrame, base_mod: int = 23, spread: bool = True
+) -> DataFrame:
     """(did, media) — deterministic mono 16-bit WAVs synthesized per
     doc_id on the executors: a base waveform keyed doc_id % base_mod
     (the planted duplicate group) times a per-doc gain 1 + doc_id % 3
     (the loudness-normalization perturbation the energy-delta
     fingerprint is provably invariant to). Shared by the batch audio
-    fingerprint query and the streaming ingest gate."""
+    fingerprint query and the streaming ingest gate. ``spread`` as in
+    ``planted_images`` — ids shuffle, payloads never do."""
+    src = df.select("doc_id")
+    if spread:
+        src = _spread(src, "doc_id")
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -533,7 +549,7 @@ def planted_audio(df: DataFrame, base_mod: int = 23) -> DataFrame:
                 medias.append(encode_wav_pcm16(8000, samples))
             yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
 
-    return df.select("doc_id").mapInPandas(gen, "did long, media binary")
+    return src.mapInPandas(gen, "did long, media binary")
 
 
 def average_hash_64(gray: list[int], height: int, width: int) -> tuple[int, int]:
@@ -571,13 +587,18 @@ def average_hash_64(gray: list[int], height: int, width: int) -> tuple[int, int]
     return hi, lo
 
 
-def image_average_hash(media: DataFrame) -> DataFrame:
+def image_average_hash(media: DataFrame, spread: bool = True) -> DataFrame:
     """(did, ahash_hi, ahash_lo) — perceptual average-hash of P6 PPM
     payloads. Decode and hash happen INSIDE the Arrow batch (the
     designated media escape hatch): at 100 TB the pixel data never
     enters a shuffle — each payload collapses to 8 bytes of fingerprint
-    map-side, and only the fingerprints move."""
-    m = _spread(media.select("did", "media"), "did")
+    map-side, and only the fingerprints move. ``spread=False`` when
+    the input is already well-partitioned (the planted pipelines
+    spread the id frame BEFORE synthesis) or is a stream — spreading
+    HERE would push the payloads themselves through an exchange."""
+    m = media.select("did", "media")
+    if spread:
+        m = _spread(m, "did")
 
     def one(blob: bytes) -> tuple[int, int]:
         h, w, gray = decode_ppm(blob)
@@ -597,7 +618,9 @@ def image_average_hash(media: DataFrame) -> DataFrame:
     return m.mapInPandas(batches, "did long, ahash_hi long, ahash_lo long")
 
 
-def audio_delta_fingerprint(media: DataFrame, window: int = 8) -> DataFrame:
+def audio_delta_fingerprint(
+    media: DataFrame, window: int = 8, spread: bool = True
+) -> DataFrame:
     """(did, fp, n_windows) — an energy-delta acoustic fingerprint of
     mono PCM WAV payloads: split the samples into fixed windows, take
     each window's integer energy Σs², and emit one bit per consecutive
@@ -609,8 +632,10 @@ def audio_delta_fingerprint(media: DataFrame, window: int = 8) -> DataFrame:
     a dedup key for re-encoded/re-normalized audio. Integer-exact, so
     an SQL oracle reproduces it bit-for-bit. Same 100 TB posture as the
     image hash: samples never leave the decode stage; only the 8-byte
-    fingerprint is shuffled."""
-    m = _spread(media.select("did", "media"), "did")
+    fingerprint is shuffled. ``spread`` as in ``image_average_hash``."""
+    m = media.select("did", "media")
+    if spread:
+        m = _spread(m, "did")
 
     def one(blob: bytes) -> tuple[int, int]:
         _, n, samples = decode_wav_pcm16(blob)

@@ -6207,7 +6207,7 @@ def docs_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.multimodal import image_average_hash, planted_images
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    hashes = image_average_hash(planted_images(docs))
+    hashes = image_average_hash(planted_images(docs), spread=False)
     w = Window.partitionBy("ahash_hi", "ahash_lo")
     return hashes.select(
         "did",
@@ -6232,7 +6232,7 @@ def docs_media_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.multimodal import image_average_hash, planted_images
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    hashes = image_average_hash(planted_images(docs))
+    hashes = image_average_hash(planted_images(docs), spread=False)
     w = Window.partitionBy("ahash_hi", "ahash_lo")
     kept = hashes.select(
         "did", (F.col("did") == F.min("did").over(w)).alias("is_rep")
@@ -6296,7 +6296,7 @@ def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.multimodal import audio_delta_fingerprint, planted_audio
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    fps = audio_delta_fingerprint(planted_audio(docs), window=8)
+    fps = audio_delta_fingerprint(planted_audio(docs), window=8, spread=False)
     w = Window.partitionBy("fp")
     return fps.select(
         "did",

@@ -720,13 +720,21 @@ def emb_drift_stateful(
             sn += int(pdf["sum_new_e6"].sum())
         seq += 1
         state.update((no, nn, so, sn, seq))
+        # batch parity: F.sum over an EMPTY when-branch is NULL, not 0
+        # — an empty snapshot half must emit NULL sums (and hence NULL
+        # delta_xn downstream) or the advertised bit-equality with the
+        # batch table breaks on single-parity ingests
         yield pd.DataFrame(
             {
                 "dim": [key[0]],
                 "n_old": [no],
                 "n_new": [nn],
-                "sum_old_e6": [so],
-                "sum_new_e6": [sn],
+                "sum_old_e6": pd.array(
+                    [so if no else None], dtype="Int64"
+                ),
+                "sum_new_e6": pd.array(
+                    [sn if nn else None], dtype="Int64"
+                ),
                 "upd_seq": [seq],
             }
         )
@@ -806,7 +814,62 @@ def _phash_media(df: DataFrame, base_mod: int = 37) -> DataFrame:
     not the operator)."""
     from ..functions.multimodal import image_average_hash, planted_images
 
-    return image_average_hash(planted_images(df, base_mod=base_mod))
+    return image_average_hash(
+        planted_images(df, base_mod=base_mod, spread=False), spread=False
+    )
+
+
+def _run_media_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    fp_fn,
+    join_keys: list[str],
+    source: DataFrame | None,
+    broadcast: bool,
+    prefix: str,
+) -> DataFrame:
+    """Shared stateless media-ingest gate runner: even doc_ids are the
+    indexed corpus, odd doc_ids arrive as the stream; ``fp_fn`` maps a
+    documents frame to (did, *join_keys) fingerprints; the probe is a
+    stream-static equi-join on ``join_keys``, run to completion on an
+    append memory sink. State is ZERO regardless of stream length —
+    the fingerprint is per-row and nothing is aggregated.
+
+    Index-size policy (same as the text gate): no broadcast hint by
+    default — the index is corpus-sized, AQE picks broadcast while it
+    fits and a 100 TB corpus's index goes through a shuffled join;
+    ``broadcast=True`` pins the hint for deployments that know
+    better."""
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast else df
+
+    corpus = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    ).where(F.col("doc_id") % 2 == 0)
+    index = fp_fn(corpus).select(
+        F.col("did").alias("corpus_did"), *join_keys
+    )
+    new = fp_fn(
+        (
+            source
+            if source is not None
+            else read_documents_stream(spark, sf_dir)
+        ).where(F.col("doc_id") % 2 == 1)
+    ).select(F.col("did").alias("new_did"), *join_keys)
+    out = new.join(_hint(index), join_keys).select(
+        "new_did", "corpus_did", *join_keys
+    )
+    name = prefix + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def run_media_phash_stream(
@@ -816,50 +879,30 @@ def run_media_phash_stream(
     broadcast: bool = False,
 ) -> DataFrame:
     """Streaming IMAGE-ingest dedup gate — the multimodal twin of the
-    text near-dup gate above: even doc_ids are the indexed media
-    corpus (static perceptual-hash index), odd doc_ids arrive as the
-    stream, and each arriving image probes the index by its 64-bit
-    aHash. STATELESS like the text gate: the fingerprint is per-row
-    (one Arrow stage, 8 bytes out per image), the probe is a
-    stream-static equi-join on (ahash_hi, ahash_lo), state is ZERO
-    regardless of stream length.
-
-    Same index-size policy as the text gate: no broadcast hint by
-    default (the index is corpus-sized; AQE picks broadcast while it
-    fits, a 100 TB media corpus's index goes through a shuffled
-    join); ``broadcast=True`` pins the hint for deployments that know
-    better. Returns (new_did, corpus_did, ahash_hi, ahash_lo) —
-    arriving images that visually duplicate an indexed one."""
-
-    def _hint(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if broadcast else df
-
-    corpus = spark.read.schema(DOCS_SCHEMA).parquet(
-        f"{sf_dir}/documents.parquet"
-    ).where(F.col("doc_id") % 2 == 0)
-    index = _phash_media(corpus).select(
-        F.col("did").alias("corpus_did"), "ahash_hi", "ahash_lo"
+    text near-dup gate above: arriving images probe a static
+    perceptual-hash index by 64-bit aHash (brightness-shift-invariant
+    matching). Returns (new_did, corpus_did, ahash_hi, ahash_lo).
+    See ``_run_media_gate`` for the shared stateless design and the
+    index-size join policy."""
+    return _run_media_gate(
+        spark,
+        sf_dir,
+        _phash_media,
+        ["ahash_hi", "ahash_lo"],
+        source,
+        broadcast,
+        "media_phash_",
     )
-    new = _phash_media(
-        (
-            source
-            if source is not None
-            else read_documents_stream(spark, sf_dir)
-        ).where(F.col("doc_id") % 2 == 1)
-    ).select(F.col("did").alias("new_did"), "ahash_hi", "ahash_lo")
-    out = new.join(_hint(index), ["ahash_hi", "ahash_lo"]).select(
-        "new_did", "corpus_did", "ahash_hi", "ahash_lo"
-    )
-    name = "media_phash_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+
+
+def _audio_fp_media(df: DataFrame) -> DataFrame:
+    """(did, fp) energy-delta fingerprints over the planted audio
+    synthesis — the audio counterpart of ``_phash_media``."""
+    from ..functions.multimodal import audio_delta_fingerprint, planted_audio
+
+    return audio_delta_fingerprint(
+        planted_audio(df, spread=False), window=8, spread=False
+    ).select("did", "fp")
 
 
 def run_media_audio_stream(
@@ -869,42 +912,11 @@ def run_media_audio_stream(
     broadcast: bool = False,
 ) -> DataFrame:
     """Streaming AUDIO-ingest dedup gate — completes the multimodal
-    gate pair: arriving clips (odd doc_ids) probe a static
-    energy-delta fingerprint index of the corpus (even doc_ids).
-    Stateless like the image gate (per-row Arrow fingerprint +
-    stream-static equi-join on the 8-byte fp, zero state forever);
-    gain-releveled copies match because the fingerprint is invariant
-    under amplitude scaling. Same index-size join policy: no
-    broadcast hint by default. Returns (new_did, corpus_did, fp)."""
-    from ..functions.multimodal import audio_delta_fingerprint, planted_audio
-
-    def _hint(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if broadcast else df
-
-    def fps(df: DataFrame) -> DataFrame:
-        return audio_delta_fingerprint(planted_audio(df), window=8).select(
-            "did", "fp"
-        )
-
-    corpus = spark.read.schema(DOCS_SCHEMA).parquet(
-        f"{sf_dir}/documents.parquet"
-    ).where(F.col("doc_id") % 2 == 0)
-    index = fps(corpus).select(F.col("did").alias("corpus_did"), "fp")
-    new = fps(
-        (
-            source
-            if source is not None
-            else read_documents_stream(spark, sf_dir)
-        ).where(F.col("doc_id") % 2 == 1)
-    ).select(F.col("did").alias("new_did"), "fp")
-    out = new.join(_hint(index), "fp").select("new_did", "corpus_did", "fp")
-    name = "media_audio_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    gate pair: arriving clips probe a static energy-delta fingerprint
+    index (gain-releveled copies match because the fingerprint is
+    invariant under amplitude scaling). Returns
+    (new_did, corpus_did, fp). Shared design: ``_run_media_gate``."""
+    return _run_media_gate(
+        spark, sf_dir, _audio_fp_media, ["fp"], source, broadcast,
+        "media_audio_",
     )
-    q.awaitTermination()
-    return spark.table(name)

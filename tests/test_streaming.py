@@ -1011,3 +1011,42 @@ def test_media_audio_stream_across_batches(spark, tmp_path):
         if c % 2 == 0 and n % 23 == c % 23
     }
     assert planted <= single
+
+
+def test_emb_drift_stream_single_parity_matches_batch(spark, tmp_path):
+    """An ingest with only one snapshot half (all-odd vec_ids) must
+    match the batch table exactly: the empty half's sums are NULL
+    (batch F.sum over an empty when-branch), not 0."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import soil_data_development_tools___arcmap_spark.queries as Q
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        EMB_SCHEMA,
+        run_emb_drift_stream,
+    )
+
+    emb = spark.read.schema(EMB_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "embeddings.parquet")
+    ).where(F.col("vec_id") % 2 == 1)
+    sf_odd = str(tmp_path / "sf_odd")
+    os.makedirs(sf_odd, exist_ok=True)
+    emb.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_odd, "embeddings.parquet")
+    )
+
+    def rows(df):
+        return {
+            (
+                r["dim"], r["n_old"], r["n_new"], r["sum_old_e6"],
+                r["sum_new_e6"], r["delta_xn"], r["drift_rank"],
+            )
+            for r in df.collect()
+        }
+
+    batch = rows(Q.emb_drift(spark, sf_odd))
+    stream = rows(run_emb_drift_stream(spark, sf_odd))
+    assert batch == stream and len(batch) == 64
+    # the empty half is NULL end-to-end, never 0
+    assert all(t[1] == 0 and t[3] is None and t[5] is None for t in batch)
