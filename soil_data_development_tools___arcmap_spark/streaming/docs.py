@@ -814,8 +814,12 @@ def _phash_media(df: DataFrame, base_mod: int = 37) -> DataFrame:
     not the operator)."""
     from ..functions.multimodal import image_average_hash, planted_images
 
+    # spread the 8-byte id frame (works on batch AND streaming frames —
+    # a per-micro-batch shuffle of ids), then synth+hash fuse into one
+    # stage: payloads never cross an exchange, but every core
+    # fingerprints even when a trigger is a single file
     return image_average_hash(
-        planted_images(df, base_mod=base_mod, spread=False), spread=False
+        planted_images(df, base_mod=base_mod, spread=True), spread=False
     )
 
 
@@ -847,9 +851,12 @@ def _run_media_gate(
     corpus = spark.read.schema(DOCS_SCHEMA).parquet(
         f"{sf_dir}/documents.parquet"
     ).where(F.col("doc_id") % 2 == 0)
+    # settle the static index ONCE — a stream-static join re-evaluates
+    # the static side every micro-batch, which would re-fingerprint the
+    # whole corpus per trigger
     index = fp_fn(corpus).select(
         F.col("did").alias("corpus_did"), *join_keys
-    )
+    ).localCheckpoint()
     new = fp_fn(
         (
             source
@@ -901,7 +908,7 @@ def _audio_fp_media(df: DataFrame) -> DataFrame:
     from ..functions.multimodal import audio_delta_fingerprint, planted_audio
 
     return audio_delta_fingerprint(
-        planted_audio(df, spread=False), window=8, spread=False
+        planted_audio(df, spread=True), window=8, spread=False
     ).select("did", "fp")
 
 
