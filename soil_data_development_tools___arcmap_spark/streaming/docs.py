@@ -133,7 +133,11 @@ def run_neardup_stream(
     corpus = spark.read.schema(DOCS_SCHEMA).parquet(
         f"{sf_dir}/documents.parquet"
     ).where(F.col("doc_id") % 2 == 0)
-    index = _with_bands(corpus)
+    # settle the static index ONCE — a stream-static join re-evaluates
+    # its static side per micro-batch, which would re-run the corpus
+    # signature pipeline (shingle + 4 md5 minhashes per doc) on every
+    # trigger (same fix as the media gates' _run_media_gate)
+    index = _with_bands(corpus).localCheckpoint()
     corpus_ss = index.select(
         F.col("doc_id").alias("corpus_did"), F.col("ss").alias("css")
     ).distinct()
