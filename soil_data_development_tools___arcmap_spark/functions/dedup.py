@@ -243,6 +243,13 @@ def _shingle_pair_counts(
     )
 
 
+def _jac_e4(inter: Column, ni: Column, nj: Column) -> Column:
+    """floor(10000 · |∩| / (|A|+|B|−|∩|)) — THE scaled-Jaccard formula,
+    used by the edge generator and the wedge audit's verification
+    column alike so the two can never silently diverge."""
+    return F.floor((inter / (ni + nj - inter)) * 10000).cast("long")
+
+
 def _jaccard_edges(ex: DataFrame, sizes: DataFrame) -> DataFrame:
     """(i, j, jac_e4) for every candidate pair from the capped exploded
     shingle table ``ex`` and full-set sizes ``sizes`` — the ONE
@@ -254,9 +261,7 @@ def _jaccard_edges(ex: DataFrame, sizes: DataFrame) -> DataFrame:
     inter = _shingle_pair_counts(ex)
     si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
     sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
-    jac = F.floor(
-        (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))) * 10000
-    ).cast("long")
+    jac = _jac_e4(F.col("inter"), F.col("ni"), F.col("nj"))
     return (
         inter.join(si, "i").join(sj, "j").select("i", "j", jac.alias("jac_e4"))
     )
@@ -1096,10 +1101,7 @@ def dup_wedge_gaps(
             "j",
             "cn",
             F.coalesce(
-                F.floor(
-                    (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter")))
-                    * 10000
-                ).cast("long"),
+                _jac_e4(F.col("inter"), F.col("ni"), F.col("nj")),
                 F.lit(0).cast("long"),
             ).alias("jacc_e4"),
         )

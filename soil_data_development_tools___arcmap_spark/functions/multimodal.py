@@ -240,11 +240,19 @@ def sample_frames(
     col: str = "text",
     frame_bytes: int = 64,
     every: int = 4,
+    spread: bool = True,
 ) -> DataFrame:
     """Frame sampling: treat the payload as a stream of fixed-size
     frames, keep every Nth — the video-keyframe pattern. One input row
-    fans out to many output rows (mapInPandas as a UDTF)."""
-    media = _spread(attach_media(df, id_col, col).select("did", "media"), "did")
+    fans out to many output rows (mapInPandas as a UDTF).
+
+    ``spread=False`` when the caller already partitioned the input
+    (e.g. spread the id frame BEFORE synthesizing the payload) — the
+    default repartition here moves the PAYLOADS through an exchange,
+    which a synthesized or column-derived payload never needs."""
+    media = attach_media(df, id_col, col).select("did", "media")
+    if spread:
+        media = _spread(media, "did")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -492,10 +500,13 @@ def planted_images(
     the streaming ingest gate, so one pixel formula backs every
     oracle recomputation.
 
-    ``spread`` repartitions the 8-byte doc_id frame BEFORE synthesis
-    (pass False for streaming sources): the downstream fingerprint
-    stage then chains in the SAME task, so encoded payloads never
-    cross an exchange — only ids in, fingerprints out."""
+    ``spread`` repartitions the 8-byte doc_id frame BEFORE synthesis:
+    the downstream fingerprint stage then chains in the SAME task, so
+    encoded payloads never cross an exchange — only ids in,
+    fingerprints out. Works on batch AND streaming frames (a streaming
+    repartition is a per-micro-batch shuffle of ids — the gates keep
+    it ON so a one-file trigger still fingerprints on every core);
+    pass False only when the caller already partitioned the ids."""
     src = df.select("doc_id")
     if spread:
         src = _spread(src, "doc_id")
@@ -531,7 +542,8 @@ def planted_audio(
     (the loudness-normalization perturbation the energy-delta
     fingerprint is provably invariant to). Shared by the batch audio
     fingerprint query and the streaming ingest gate. ``spread`` as in
-    ``planted_images`` — ids shuffle, payloads never do."""
+    ``planted_images`` — ids shuffle (batch or per micro-batch),
+    payloads never do."""
     src = df.select("doc_id")
     if spread:
         src = _spread(src, "doc_id")

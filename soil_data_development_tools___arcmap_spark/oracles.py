@@ -1380,7 +1380,8 @@ SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
 FROM documents GROUP BY md5(text)
 """
 
-ORACLES["docs_ngram_jaccard"] = f"""
+def _ngram_jaccard_sql(threshold_e4: int) -> str:
+    return f"""
 WITH {_JACCARD_COMMON},
 inter AS (
   SELECT a.did AS i, b.did AS j, COUNT(*) AS inter
@@ -1392,8 +1393,11 @@ SELECT i, j, jac_e4 FROM (
   FROM inter
   JOIN (SELECT did AS i, nsh AS ni FROM sizes) si USING (i)
   JOIN (SELECT did AS j, nsh AS nj FROM sizes) sj USING (j))
-WHERE jac_e4 >= 3000
+WHERE jac_e4 >= {threshold_e4}
 """
+
+
+ORACLES["docs_ngram_jaccard"] = _ngram_jaccard_sql(3000)
 
 ORACLES["docs_source_stats"] = """
 WITH tok AS (
@@ -1558,9 +1562,10 @@ SELECT d.v AS doc_id, CAST(d.deg AS BIGINT) AS deg,
 FROM deg d LEFT JOIN ntri n ON n.v = d.v
 """
 
-ORACLES["docs_dup_wedge_gaps"] = f"""
+def _wedge_gaps_sql(threshold_e4: int) -> str:
+    return f"""
 WITH {_JACCARD_COMMON},
-pairs AS ({ORACLES["docs_ngram_jaccard"]}),
+pairs AS ({_ngram_jaccard_sql(threshold_e4)}),
 p AS (SELECT i, j FROM pairs),
 und AS (SELECT i AS ctr, j AS nb FROM p UNION ALL SELECT j, i FROM p),
 cand AS (
@@ -1585,6 +1590,15 @@ JOIN (SELECT did AS i, nsh AS ni FROM sizes) si USING (i)
 JOIN (SELECT did AS j, nsh AS nj FROM sizes) sj USING (j)
 LEFT JOIN ver v ON v.i = c.i AND v.j = c.j
 """
+
+
+ORACLES["docs_dup_wedge_gaps"] = _wedge_gaps_sql(3000)
+
+# the default-threshold graph is transitive at every gate SF (0 rows),
+# which makes its hash check vacuous for the oracle's own arithmetic;
+# the DENSE variant (threshold 0.02) plants real bridges at sf0.01 so
+# the wedge/cn/jacc SQL is certified on non-empty output
+ORACLES["docs_dup_wedge_gaps_dense"] = _wedge_gaps_sql(200)
 
 # audit twin of dedup.minhash_band_stats at bucket_cap=2 (tiny on
 # purpose so the salt-split path actually fires at sf0.01)

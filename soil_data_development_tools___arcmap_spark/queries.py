@@ -2289,6 +2289,21 @@ def docs_dup_wedge_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dup_wedge_gaps_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wedge audit on a DENSE pair graph (Jaccard ≥ 0.02): at the
+    default 0.3 threshold the fixture graph is perfectly transitive
+    (0 bridges — itself a meaningful audit result, but a vacuous
+    cross-engine check), so this variant lowers the edge threshold
+    until genuine sub-threshold bridges exist at sf0.01, making the
+    oracle's wedge-count and verification arithmetic certify on
+    non-empty output."""
+    from .functions.dedup import dup_wedge_gaps
+
+    return dup_wedge_gaps(
+        _t(spark, sf_dir, "documents"), threshold_e4=200, max_freq=100
+    )
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash16
 
@@ -6356,11 +6371,17 @@ def docs_media_video_neardup(
             " ",
         ),
     )
-    vids = _t(spark, sf_dir, "documents").select(
-        d.alias("doc_id"), F.array_join(arr, "").alias("payload")
-    )
+    from .functions.dedup import _spread
+
+    # spread the 8-byte id frame BEFORE synthesizing payloads: the
+    # payload column derives from doc_id alone, so the frame pipeline
+    # chains map-only after one id exchange — video bytes never shuffle
+    vids = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    ).select(d.alias("doc_id"), F.array_join(arr, "").alias("payload"))
     frames = sample_frames(
-        vids, id_col="doc_id", col="payload", frame_bytes=64, every=1
+        vids, id_col="doc_id", col="payload", frame_bytes=64, every=1,
+        spread=False,
     ).select("did", "frame_md5")
     counts = frames.groupBy("did").agg(F.count(F.lit(1)).alias("nf"))
     # stop-frame cap (the max_freq rule of the text shingle path):

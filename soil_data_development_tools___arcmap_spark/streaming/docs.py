@@ -50,25 +50,28 @@ NUM_HASHES = 16
 BANDS = 4
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet as a file-source stream (symlink dir, like
-    read_events_stream). A single-file table gets one symlink; a
-    directory table (multi-part parquet, e.g. the scale replicas) gets
-    one symlink PER PART FILE — the file stream source lists plain
-    files and does not descend into a symlinked subdirectory, so
-    linking the directory itself would stream zero rows."""
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    # cache key includes the source mtime: a rewritten directory table
-    # gets NEW part-file names, so reusing the old per-part symlinks
-    # would dangle (a rewritten single FILE re-resolves through its
-    # symlink, but the key covers it uniformly)
+_STREAM_DIRS: dict = {}
+
+
+def _parquet_file_stream(
+    spark: SparkSession, src: str, schema: str, prefix: str
+) -> DataFrame:
+    """A parquet table as a file-source stream via a symlink dir. A
+    single-file table gets one symlink; a directory table (multi-part
+    parquet, e.g. the scale replicas) gets one symlink PER PART FILE —
+    the file stream source lists plain files and does not descend into
+    a symlinked subdirectory, so linking the directory itself would
+    stream zero rows. The cache key includes the source mtime: a
+    rewritten directory table gets NEW part-file names, so reusing the
+    old per-part symlinks would dangle (a rewritten single FILE
+    re-resolves through its symlink, but the key covers it uniformly).
+    Shared by the documents and embeddings stream readers so the
+    subtle symlink/mtime logic lives in exactly one place."""
+    src = os.path.abspath(src)
     key = (src, os.stat(src).st_mtime_ns)
-    cache = getattr(read_documents_stream, "_dirs", None)
-    if cache is None:
-        cache = read_documents_stream._dirs = {}
-    stream_dir = cache.get(key)
+    stream_dir = _STREAM_DIRS.get(key)
     if stream_dir is None or not os.path.isdir(stream_dir):
-        stream_dir = tempfile.mkdtemp(prefix="sddt_docs_stream_")
+        stream_dir = tempfile.mkdtemp(prefix=prefix)
         if os.path.isdir(src):
             for f in sorted(os.listdir(src)):
                 if f.endswith(".parquet"):
@@ -76,9 +79,17 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                         os.path.join(src, f), os.path.join(stream_dir, f)
                     )
         else:
-            os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
-        cache[key] = stream_dir
-    return spark.readStream.schema(DOCS_SCHEMA).parquet(stream_dir)
+            os.symlink(src, os.path.join(stream_dir, os.path.basename(src)))
+        _STREAM_DIRS[key] = stream_dir
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (symlink dir, like
+    read_events_stream); see ``_parquet_file_stream``."""
+    return _parquet_file_stream(
+        spark, f"{sf_dir}/documents.parquet", DOCS_SCHEMA, "sddt_docs_stream_"
+    )
 
 
 def _with_bands(df: DataFrame) -> DataFrame:
@@ -632,27 +643,11 @@ EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings.parquet as a file-source stream — same symlink-dir
-    convention as ``read_documents_stream`` (one link per part file
-    for directory tables, so multi-part replicas actually stream)."""
-    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
-    key = (src, os.stat(src).st_mtime_ns)
-    cache = getattr(read_embeddings_stream, "_dirs", None)
-    if cache is None:
-        cache = read_embeddings_stream._dirs = {}
-    stream_dir = cache.get(key)
-    if stream_dir is None or not os.path.isdir(stream_dir):
-        stream_dir = tempfile.mkdtemp(prefix="sddt_emb_stream_")
-        if os.path.isdir(src):
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    os.symlink(
-                        os.path.join(src, f), os.path.join(stream_dir, f)
-                    )
-        else:
-            os.symlink(src, os.path.join(stream_dir, "embeddings.parquet"))
-        cache[key] = stream_dir
-    return spark.readStream.schema(EMB_SCHEMA).parquet(stream_dir)
+    """embeddings.parquet as a file-source stream; see
+    ``_parquet_file_stream`` for the symlink-per-part-file rule."""
+    return _parquet_file_stream(
+        spark, f"{sf_dir}/embeddings.parquet", EMB_SCHEMA, "sddt_emb_stream_"
+    )
 
 
 def emb_drift_stateful(

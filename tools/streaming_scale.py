@@ -426,12 +426,17 @@ def main() -> None:
             ).select(
                 F.col("did").alias("new_did"), "ahash_hi", "ahash_lo"
             )
+            # settle the index ONCE like the production gate does — a
+            # stream-static join re-evaluates its static side per
+            # trigger, which would re-fingerprint the corpus 16 times
             index = _phash_media(
                 spark.read.schema(DOCS_SCHEMA)
                 .parquet(docs_dir)
                 .where(F.col("doc_id") % 2 == 0),
                 base_mod=37 * factor,
-            ).select(F.col("did").alias("corpus_did"), "ahash_hi", "ahash_lo")
+            ).select(
+                F.col("did").alias("corpus_did"), "ahash_hi", "ahash_lo"
+            ).localCheckpoint()
             gate = new.join(index, ["ahash_hi", "ahash_lo"])
             m = _run(spark, gate, "append")
             print(json.dumps({"factor": factor, "query": "media_phash", **m}))
