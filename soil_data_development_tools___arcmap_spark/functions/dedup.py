@@ -1055,11 +1055,23 @@ def dup_wedge_gaps(
             .localCheckpoint()
         )
     else:
-        # injected edge list (i < j) — the recall-repair mode: feed the
-        # pairs a BANDED generator emitted and the wedge audit surfaces
+        # injected edge list — the recall-repair mode: feed the pairs a
+        # BANDED generator emitted and the wedge audit surfaces
         # candidate pairs it may have missed (jacc_e4 then separates
-        # banding misses from genuine bridges)
-        pairs = pairs.select("i", "j").localCheckpoint()
+        # banding misses from genuine bridges). Normalized defensively
+        # rather than trusting the caller's i<j contract: a reversed
+        # (j,i) edge or a duplicate row would double-count cn and
+        # defeat the left_anti exclusion below, reporting a genuine
+        # edge as a bridge.
+        pairs = (
+            pairs.select(
+                F.least("i", "j").alias("i"),
+                F.greatest("i", "j").alias("j"),
+            )
+            .where(F.col("i") < F.col("j"))
+            .distinct()
+            .localCheckpoint()
+        )
     und = pairs.select(
         F.col("i").alias("ctr"), F.col("j").alias("nb")
     ).unionByName(pairs.select(F.col("j").alias("ctr"), F.col("i").alias("nb")))

@@ -4418,8 +4418,8 @@ FROM f
 
 ORACLES["docs_stream_media_audio"] = f"""
 WITH af AS ({ORACLES["docs_media_audio_fp"]})
-SELECT n.did AS new_did, c.did AS corpus_did, n.fp
-FROM af n JOIN af c ON n.fp = c.fp
+SELECT n.did AS new_did, c.did AS corpus_did, n.fp, n.n_windows
+FROM af n JOIN af c ON n.fp = c.fp AND n.n_windows = c.n_windows
 WHERE n.did % 2 = 1 AND c.did % 2 = 0
 """
 

@@ -902,13 +902,17 @@ def run_media_phash_stream(
 
 
 def _audio_fp_media(df: DataFrame) -> DataFrame:
-    """(did, fp) energy-delta fingerprints over the planted audio
-    synthesis — the audio counterpart of ``_phash_media``."""
+    """(did, fp, n_windows) energy-delta fingerprints over the planted
+    audio synthesis — the audio counterpart of ``_phash_media``.
+    ``n_windows`` stays in the selection because the delta
+    fingerprint's bit alignment depends on window count: matching on
+    ``fp`` alone would let clips of different lengths collide whenever
+    the shorter clip's bits form a prefix pattern of the longer's."""
     from ..functions.multimodal import audio_delta_fingerprint, planted_audio
 
     return audio_delta_fingerprint(
         planted_audio(df, spread=True), window=8, spread=False
-    ).select("did", "fp")
+    ).select("did", "fp", "n_windows")
 
 
 def run_media_audio_stream(
@@ -920,9 +924,11 @@ def run_media_audio_stream(
     """Streaming AUDIO-ingest dedup gate — completes the multimodal
     gate pair: arriving clips probe a static energy-delta fingerprint
     index (gain-releveled copies match because the fingerprint is
-    invariant under amplitude scaling). Returns
-    (new_did, corpus_did, fp). Shared design: ``_run_media_gate``."""
+    invariant under amplitude scaling; ``n_windows`` is part of the
+    match key so differing-length clips never collide on a bit-prefix
+    pattern). Returns (new_did, corpus_did, fp, n_windows). Shared
+    design: ``_run_media_gate``."""
     return _run_media_gate(
-        spark, sf_dir, _audio_fp_media, ["fp"], source, broadcast,
-        "media_audio_",
+        spark, sf_dir, _audio_fp_media, ["fp", "n_windows"], source,
+        broadcast, "media_audio_",
     )
