@@ -488,8 +488,38 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def ingest_mix_group(d: int, scale: int = 1) -> int:
+    """Piecewise planted-group seed that yields all three ingest-gate
+    outcomes at once (the pure-modulus seeds cannot: an odd modulus
+    puts both parities in every multi-member class → everything is a
+    corpus dup; an even modulus single-parities every class → nothing
+    is). 40% of ids share small cross-parity classes (corpus dups),
+    40% fall in parity-separated 8-blocks (within-stream dup chains
+    among the odd ids), 20% are singletons (novel admits). The three
+    families interleave mod 3, so they are disjoint without any
+    corpus-size constant; ``scale`` grows the small-class count with a
+    replica factor so planted dup-group size — and hence gate match
+    fan-out and admitted-state growth — stays constant as the corpus
+    scales (the same rule every other scale harness applies).
+    Mirrored verbatim by the oracle SQL CASE (oracles._MIX_G)."""
+    if d % 5 < 2:
+        return 3 * (d % (23 * scale))
+    if d % 5 < 4:
+        return 3 * (2 * (d // 8) + d % 2) + 1
+    return 3 * d + 2
+
+
+#: ingest-mix hash bound: group seeds reduce mod 2**22 before the
+#: multiplicative hash so every product stays under 2**63 in BOTH
+#: engines (DuckDB BIGINT vs Python bignum) — the worst factor is the
+#: image channel index 3*255+3, giving 2**22 * 768 * 2654435761 < 2**63
+_MIX_HASH_MOD = 4194304
+_MIX_HASH_MUL = 2654435761
+
+
 def planted_images(
-    df: DataFrame, base_mod: int = 37, spread: bool = True
+    df: DataFrame, base_mod: int = 37, spread: bool = True,
+    group_mode: str = "mod", scale: int = 1,
 ) -> DataFrame:
     """(did, media) — deterministic 16×16 PPM images synthesized per
     doc_id ON THE EXECUTORS: a base pattern keyed doc_id % base_mod
@@ -506,27 +536,46 @@ def planted_images(
     fingerprints out. Works on batch AND streaming frames (a streaming
     repartition is a per-micro-batch shuffle of ids — the gates keep
     it ON so a one-file trigger still fingerprints on every core);
-    pass False only when the caller already partitioned the ids."""
+    pass False only when the caller already partitioned the ids.
+    ``group_mode="ingest_mix"`` swaps the modulus seed for
+    ``ingest_mix_group(d, scale)`` (the growing-gate fixture) AND the
+    linear pattern for a multiplicative-hash one: every linear channel
+    reduces mod 240, so the linear family has at most 240 distinct
+    base images no matter how many groups exist — the growing gate's
+    novel-admit path would saturate at corpus scale. The hash pixels
+    give each group an independent pattern (64-bit aHash space), so
+    admitted-state growth tracks genuine novelty at any factor."""
     src = df.select("doc_id")
     if spread:
         src = _spread(src, "doc_id")
+    mix = group_mode == "ingest_mix"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             medias = []
             for did in pdf["doc_id"]:
                 d = int(did)
-                g, off = d % base_mod, d % 7
-                rgb = bytes(
-                    v
-                    for y in range(16)
-                    for x in range(16)
-                    for v in (
-                        (x * 7 + y * 13 + g * 29) % 240 + off,
-                        (x * 3 + y * 5 + g * 17) % 240 + off,
-                        (x * 11 + y + g * 23) % 240 + off,
+                off = d % 7
+                if mix:
+                    gm = ingest_mix_group(d, scale) % _MIX_HASH_MOD
+                    rgb = bytes(
+                        ((gm + 1) * (3 * k + c) * _MIX_HASH_MUL)
+                        % 4294967296 // 65536 % 240 + off
+                        for k in range(256)
+                        for c in (1, 2, 3)
                     )
-                )
+                else:
+                    g = d % base_mod
+                    rgb = bytes(
+                        v
+                        for y in range(16)
+                        for x in range(16)
+                        for v in (
+                            (x * 7 + y * 13 + g * 29) % 240 + off,
+                            (x * 3 + y * 5 + g * 17) % 240 + off,
+                            (x * 11 + y + g * 23) % 240 + off,
+                        )
+                    )
                 medias.append(encode_ppm(16, 16, rgb))
             yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
 
@@ -534,7 +583,8 @@ def planted_images(
 
 
 def planted_audio(
-    df: DataFrame, base_mod: int = 23, spread: bool = True
+    df: DataFrame, base_mod: int = 23, spread: bool = True,
+    group_mode: str = "mod", scale: int = 1,
 ) -> DataFrame:
     """(did, media) — deterministic mono 16-bit WAVs synthesized per
     doc_id on the executors: a base waveform keyed doc_id % base_mod
@@ -543,21 +593,41 @@ def planted_audio(
     fingerprint is provably invariant to). Shared by the batch audio
     fingerprint query and the streaming ingest gate. ``spread`` as in
     ``planted_images`` — ids shuffle (batch or per micro-batch),
-    payloads never do."""
+    payloads never do; ``group_mode`` as in ``planted_images``.
+
+    The ingest-mix mode also swaps the sawtooth waveform for a
+    multiplicative-hash one: the sawtooth family is a single cyclic
+    sequence entered at ``g``-dependent phases, so its energy-delta
+    bits collapse to ~46 distinct fingerprints across all 512 phases —
+    every stream clip would collide into the corpus and the gate's
+    admit/dup_stream paths would never fire. The hash waveform gives
+    each group an independent orbit, which the gate needs and the
+    oracle mirrors exactly in integer SQL (seeds bounded by
+    ``_MIX_HASH_MOD`` so products fit BIGINT in both engines)."""
     src = df.select("doc_id")
     if spread:
         src = _spread(src, "doc_id")
+    mix = group_mode == "ingest_mix"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             medias = []
             for did in pdf["doc_id"]:
                 d = int(did)
-                g, gain = d % base_mod, 1 + d % 3
-                samples = [
-                    (((g * 37 + k * 29) % 512) - 256) * gain
-                    for k in range(96)
-                ]
+                gain = 1 + d % 3
+                if mix:
+                    gm = ingest_mix_group(d, scale) % _MIX_HASH_MOD
+                    samples = [
+                        (((gm + 1) * (k + 1) * _MIX_HASH_MUL)
+                         % 4294967296 // 16777216 - 128) * gain
+                        for k in range(96)
+                    ]
+                else:
+                    g = d % base_mod
+                    samples = [
+                        (((g * 37 + k * 29) % 512) - 256) * gain
+                        for k in range(96)
+                    ]
                 medias.append(encode_wav_pcm16(8000, samples))
             yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
 

@@ -5213,3 +5213,169 @@ SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
        MAX(CASE WHEN rn = (19 * (n - 1)) // 20 + 1 THEN v END) AS p95
 FROM r GROUP BY event_type
 """
+
+
+# --- Round 9: growing-index ingest gates ------------------------------------
+
+#: the ingest-mix planted-group seed (functions/multimodal.py::
+#: ingest_mix_group) — piecewise so all three gate outcomes coexist:
+#: cross-parity small classes (corpus dups), parity-separated 8-blocks
+#: (within-stream chains), singletons (novel admits)
+#: three families interleaved mod 3 (disjoint without corpus-size
+#: constants); the gm reduction (mod 2**22) bounds every hash product
+#: under 2**63 in both engines — see multimodal._MIX_HASH_MOD
+_MIX_G = """CASE WHEN doc_id % 5 < 2 THEN 3 * (doc_id % 23)
+         WHEN doc_id % 5 < 4 THEN 3 * (2 * (doc_id // 8) + doc_id % 2) + 1
+         ELSE 3 * doc_id + 2 END"""
+
+# growing IMAGE gate: aHash over the ingest-mix planted images; exact
+# fingerprints are transitive, so the sequential fold collapses to
+# min-doc_id-per-fingerprint (the single availableNow trigger makes
+# arrival order doc_id order)
+ORACLES["docs_stream_image_gate_grow"] = f"""
+WITH grp AS (SELECT doc_id, ({_MIX_G}) % 4194304 AS gm FROM documents),
+px AS (
+  SELECT doc_id, gs.k % 16 AS x, gs.k // 16 AS y,
+         ((gm + 1) * (3 * gs.k + 1) * 2654435761) % 4294967296
+           // 65536 % 240 + (doc_id % 7) AS r,
+         ((gm + 1) * (3 * gs.k + 2) * 2654435761) % 4294967296
+           // 65536 % 240 + (doc_id % 7) AS gg,
+         ((gm + 1) * (3 * gs.k + 3) * 2654435761) % 4294967296
+           // 65536 % 240 + (doc_id % 7) AS b
+  FROM grp, generate_series(0, 255) AS gs(k)),
+pool AS (
+  SELECT doc_id, y // 2 AS py, x // 2 AS pxc,
+         SUM((299 * r + 587 * gg + 114 * b) // 1000) // 4 AS p
+  FROM px GROUP BY doc_id, y // 2, x // 2),
+m AS (SELECT doc_id, SUM(p) // 64 AS mean FROM pool GROUP BY doc_id),
+bits AS (
+  SELECT pool.doc_id, py * 8 + pxc AS bidx,
+         CASE WHEN p > mean THEN 1 ELSE 0 END AS bit
+  FROM pool JOIN m ON pool.doc_id = m.doc_id),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bidx < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - bidx))
+                  ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(SUM(CASE WHEN bidx >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (63 - bidx))
+                  ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY doc_id),
+idx AS (
+  SELECT ahash_hi, ahash_lo, MIN(doc_id) AS cd
+  FROM h WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, ahash_hi, ahash_lo,
+         MIN(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo) AS first_did
+  FROM h WHERE doc_id % 2 = 1)
+SELECT s.doc_id AS did, s.ahash_hi, s.ahash_lo,
+       CASE WHEN i.cd IS NOT NULL THEN 'dup_corpus'
+            WHEN s.doc_id = s.first_did THEN 'admit'
+            ELSE 'dup_stream' END AS status,
+       CASE WHEN i.cd IS NOT NULL THEN i.cd
+            WHEN s.doc_id = s.first_did THEN NULL
+            ELSE s.first_did END AS match_did
+FROM s LEFT JOIN idx i
+  ON s.ahash_hi = i.ahash_hi AND s.ahash_lo = i.ahash_lo
+"""
+
+# growing AUDIO gate: energy-delta FP over the ingest-mix hash
+# waveform (multiplicative orbit per group; the sawtooth family's
+# fingerprints collapse to ~46 values, see planted_audio)
+ORACLES["docs_stream_audio_gate_grow"] = f"""
+WITH grp AS (SELECT doc_id, ({_MIX_G}) % 4194304 AS gm FROM documents),
+s AS (
+  SELECT doc_id, gs.k AS k,
+         ((gm + 1) * (gs.k + 1) * 2654435761) % 4294967296 // 16777216 - 128
+           AS v0
+  FROM grp, generate_series(0, 95) AS gs(k)),
+sv AS (SELECT doc_id, k, v0 * (1 + doc_id % 3) AS v FROM s),
+e AS (SELECT doc_id, k // 8 AS w, SUM(v * v) AS en
+      FROM sv GROUP BY doc_id, k // 8),
+d AS (SELECT doc_id, w,
+             CASE WHEN en > LAG(en) OVER (PARTITION BY doc_id ORDER BY w)
+                  THEN 1 ELSE 0 END AS bit
+      FROM e),
+f AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN w > 0
+                      THEN bit * (CAST(1 AS BIGINT) << (11 - w))
+                      ELSE 0 END) AS BIGINT) AS fp
+      FROM d GROUP BY doc_id),
+idx AS (SELECT fp, MIN(doc_id) AS cd FROM f WHERE doc_id % 2 = 0 GROUP BY fp),
+st AS (
+  SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_did
+  FROM f WHERE doc_id % 2 = 1)
+SELECT st.doc_id AS did, st.fp, CAST(12 AS INTEGER) AS n_windows,
+       CASE WHEN i.cd IS NOT NULL THEN 'dup_corpus'
+            WHEN st.doc_id = st.first_did THEN 'admit'
+            ELSE 'dup_stream' END AS status,
+       CASE WHEN i.cd IS NOT NULL THEN i.cd
+            WHEN st.doc_id = st.first_did THEN NULL
+            ELSE st.first_did END AS match_did
+FROM st LEFT JOIN idx i ON st.fp = i.fp
+"""
+
+# growing TEXT near-dup gate: Jaccard is NOT transitive, so the
+# sequential fold is genuine — a recursive CTE replays admission in
+# doc_id order (the single availableNow trigger makes arrival order
+# doc_id order): a doc is dup iff it has a band-colliding verified
+# match in the corpus (dup_corpus) or among EARLIER-ADMITTED stream
+# docs (dup_stream); otherwise it is admitted and joins the index
+ORACLES["docs_stream_text_gate_grow"] = f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         ELSE CAST([] AS VARCHAR[]) END AS ss
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)),
+sigs AS MATERIALIZED (SELECT doc_id, ss, {{RW_MH}} FROM base WHERE len(ss) > 0),
+banded AS MATERIALIZED (SELECT doc_id, ss, {{RW_BANDS}} FROM sigs),
+cm AS MATERIALIZED (
+  SELECT n.doc_id AS did, MIN(c.doc_id) AS cmatch
+  FROM banded n JOIN banded c
+    ON (n.b0 = c.b0 OR n.b1 = c.b1 OR n.b2 = c.b2 OR n.b3 = c.b3)
+  WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    AND CAST(floor(CAST(len(list_intersect(n.ss, c.ss)) AS DOUBLE)
+        / (len(n.ss) + len(c.ss) - len(list_intersect(n.ss, c.ss)))
+        * 10000) AS BIGINT) >= 3000
+  GROUP BY n.doc_id),
+sp AS MATERIALIZED (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM banded a JOIN banded b
+    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1 AND a.doc_id < b.doc_id
+    AND CAST(floor(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+        / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))
+        * 10000) AS BIGINT) >= 3000),
+ord AS MATERIALIZED (
+  SELECT s.doc_id AS did, cm.cmatch,
+         ROW_NUMBER() OVER (ORDER BY s.doc_id) AS rn
+  FROM sigs s LEFT JOIN cm ON cm.did = s.doc_id
+  WHERE s.doc_id % 2 = 1),
+fold(rn, did, status, match_did, admitted) AS (
+  SELECT 0, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT o.rn, o.did,
+    CASE WHEN o.cmatch IS NOT NULL THEN 'dup_corpus'
+         WHEN (SELECT MIN(p.i) FROM sp p
+               WHERE p.j = o.did AND list_contains(f.admitted, p.i))
+              IS NOT NULL THEN 'dup_stream'
+         ELSE 'admit' END,
+    COALESCE(o.cmatch,
+      (SELECT MIN(p.i) FROM sp p
+       WHERE p.j = o.did AND list_contains(f.admitted, p.i))),
+    CASE WHEN o.cmatch IS NULL
+          AND (SELECT MIN(p.i) FROM sp p
+               WHERE p.j = o.did
+                 AND list_contains(f.admitted, p.i)) IS NULL
+         THEN list_append(f.admitted, o.did) ELSE f.admitted END
+  FROM fold f JOIN ord o ON o.rn = f.rn + 1)
+SELECT did, status, match_did FROM fold WHERE rn > 0
+"""
+ORACLES["docs_stream_text_gate_grow"] = ORACLES[
+    "docs_stream_text_gate_grow"
+].replace("{RW_MH}", _RW_MH).replace("{RW_BANDS}", _RW_BANDS)

@@ -7919,3 +7919,49 @@ def events_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
     )
     return exact_order_stats(ev, ["event_type"], "v_c")
+
+
+def docs_stream_image_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING-INDEX streaming image-ingest dedup gate: arriving
+    images (odd doc_ids) probe a static corpus aHash index AND a
+    per-fingerprint applyInPandasWithState store that admits the
+    first-seen novel fingerprint — so a within-stream duplicate is
+    flagged (dup_stream) even though the static index never saw it,
+    closing the hole the stateless docs_stream_media_phash gate
+    documents. State: one long per NOVEL fingerprint (corpus hits
+    never create state). Fixture: the ingest-mix planted images (all
+    three outcomes populated; exact hashing makes admission
+    transitive, so the oracle folds to min-doc_id per fingerprint).
+    See streaming/docs.py::_run_media_gate_grow."""
+    from .streaming.docs import run_media_phash_gate_grow
+
+    return run_media_phash_gate_grow(spark, sf_dir)
+
+
+def docs_stream_audio_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING-INDEX streaming audio-ingest dedup gate — the audio
+    twin of docs_stream_image_gate_grow, keyed by (energy-delta fp,
+    n_windows) over the ingest-mix hash waveform (gain-invariant
+    matching; the sawtooth family's fingerprints collapse to ~46
+    values and would make the admit path vacuous — see
+    functions/multimodal.py::planted_audio)."""
+    from .streaming.docs import run_media_audio_gate_grow
+
+    return run_media_audio_gate_grow(spark, sf_dir)
+
+
+def docs_stream_text_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING-INDEX streaming near-dup TEXT gate: a foreachBatch
+    upsert loop — each micro-batch probes the corpus band index plus
+    every earlier-admitted doc's bands with exact shingle-Jaccard
+    verification; unmatched docs resolve within-batch through a
+    driver-side sequential fold over the (dup-density-sized) verified
+    pair subgraph, and admissions join the index for later batches.
+    Jaccard is not transitive, so the fold is genuine: a doc whose
+    only match is a non-admitted duplicate is itself admitted. The
+    oracle replays the same fold with a recursive CTE. See
+    streaming/docs.py::run_neardup_gate_grow."""
+    from .streaming.docs import run_neardup_gate_grow
+
+    out, _stats = run_neardup_gate_grow(spark, sf_dir)
+    return out

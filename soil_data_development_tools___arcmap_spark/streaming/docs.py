@@ -932,3 +932,385 @@ def run_media_audio_stream(
         spark, sf_dir, _audio_fp_media, ["fp", "n_windows"], source,
         broadcast, "media_audio_",
     )
+
+
+# --- Round 9: growing-index ingest gates ------------------------------------
+#
+# The stateless gates above probe a STATIC index, so a duplicate of a
+# doc that arrived EARLIER IN THE SAME STREAM passes. The growing
+# variants close that hole: the first arrival of a novel fingerprint
+# is ADMITTED (and becomes part of the index), every later arrival is
+# flagged against it. Contract (the sequential-fold twin the oracle
+# recomputes): processing order is arrival order with ties inside a
+# micro-batch broken by ascending doc_id; a doc is a duplicate iff its
+# fingerprint matches the static corpus index OR an earlier-admitted
+# stream doc. For EXACT fingerprints (image aHash, audio delta-FP)
+# matching is transitive, so "earlier-admitted" and "earlier-seen"
+# coincide and the fold collapses to min-doc_id-per-fingerprint; the
+# near-dup text gate (Jaccard is NOT transitive) runs the genuine
+# fold. The registered queries replay the whole table in one
+# availableNow trigger, so arrival order IS doc_id order and the
+# DuckDB oracle can recompute the fold exactly; the multi-batch replay
+# tests feed doc_id-ordered file splits to pin cross-batch behavior.
+
+
+def _run_media_gate_grow(
+    spark: SparkSession,
+    sf_dir: str,
+    fp_fn,
+    join_keys: list[str],
+    source: DataFrame | None,
+    prefix: str,
+    with_query: bool = False,
+):
+    """Shared GROWING exact-fingerprint ingest gate: arriving items
+    (odd doc_ids) probe the static corpus index (even doc_ids, settled
+    once) via a stream-static left join, then a per-fingerprint
+    ``applyInPandasWithState`` group admits the first-seen novel item
+    and flags every later arrival of the same fingerprint — across
+    micro-batches — against it. Returns one decision row per arriving
+    item: (did, *join_keys, status in {admit, dup_corpus, dup_stream},
+    match_did).
+
+    State design (the 100 TB posture): one long per NOVEL fingerprint
+    — corpus-matching fingerprints never create state (the static
+    index already covers them), so the state store grows with the
+    stream's novel-fingerprint count, not its length, and is measured
+    by the engine's own ``stateOperators.numRowsTotal`` in the scale
+    harness. The static index is corpus-sized, so the probe join
+    carries no broadcast hint (AQE decides; same policy as the
+    stateless gates)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    corpus = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    ).where(F.col("doc_id") % 2 == 0)
+    index = (
+        fp_fn(corpus)
+        .groupBy(*join_keys)
+        .agg(F.min("did").alias("corpus_did"))
+        .localCheckpoint()
+    )
+    new = fp_fn(
+        (
+            source
+            if source is not None
+            else read_documents_stream(spark, sf_dir)
+        ).where(F.col("doc_id") % 2 == 1)
+    ).join(index, join_keys, "left")
+
+    key_cols = list(join_keys)
+
+    def gate(key, pdfs, state):
+        rows = pd.concat(list(pdfs)).sort_values("did")
+        cd = rows["corpus_did"].dropna()
+        if len(cd):
+            # static-index hit: every arrival is a corpus dup and no
+            # state is created — the static index already covers this
+            # fingerprint, so the store only grows with NOVEL ones
+            rows["status"] = "dup_corpus"
+            rows["match_did"] = pd.array(
+                [int(cd.iloc[0])] * len(rows), dtype="Int64"
+            )
+        elif state.exists:
+            (admitted,) = state.get
+            rows["status"] = "dup_stream"
+            rows["match_did"] = pd.array(
+                [int(admitted)] * len(rows), dtype="Int64"
+            )
+        else:
+            admitted = int(rows["did"].iloc[0])
+            state.update((admitted,))
+            rows["status"] = ["admit"] + ["dup_stream"] * (len(rows) - 1)
+            rows["match_did"] = pd.array(
+                [None] + [admitted] * (len(rows) - 1), dtype="Int64"
+            )
+        yield rows[["did", *key_cols, "status", "match_did"]]
+
+    out_schema = "did long, " + ", ".join(
+        f"{k} {'int' if k == 'n_windows' else 'long'}" for k in key_cols
+    ) + ", status string, match_did long"
+    res = new.groupBy(*join_keys).applyInPandasWithState(
+        gate, out_schema, "admitted long", "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = prefix + uuid.uuid4().hex[:8]
+    q = (
+        res.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if with_query:
+        return spark.table(name), q
+    return spark.table(name)
+
+
+def _phash_media_mix(df: DataFrame, scale: int = 1) -> DataFrame:
+    """(did, ahash_hi, ahash_lo) over the ingest-mix planted images —
+    the growing-gate fixture whose group seed yields corpus dups,
+    novel admits AND within-stream dup chains at once (a pure modulus
+    cannot; see ``functions.multimodal.ingest_mix_group``). ``scale``
+    keeps planted dup-group size constant on replica corpora."""
+    from ..functions.multimodal import image_average_hash, planted_images
+
+    return image_average_hash(
+        planted_images(df, spread=True, group_mode="ingest_mix",
+                       scale=scale),
+        spread=False,
+    )
+
+
+def _audio_fp_media_mix(df: DataFrame, scale: int = 1) -> DataFrame:
+    """(did, fp, n_windows) over the ingest-mix planted audio — the
+    growing-gate audio fixture (see ``_phash_media_mix``)."""
+    from ..functions.multimodal import audio_delta_fingerprint, planted_audio
+
+    return audio_delta_fingerprint(
+        planted_audio(df, spread=True, group_mode="ingest_mix",
+                      scale=scale),
+        window=8,
+        spread=False,
+    ).select("did", "fp", "n_windows")
+
+
+def run_media_phash_gate_grow(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    scale: int = 1,
+    with_query: bool = False,
+):
+    """Growing IMAGE-ingest dedup gate: first arrival of a novel aHash
+    is admitted into the index, later arrivals are flagged dup_stream
+    against it; corpus-matching images are dup_corpus (and never enter
+    the state store). ``scale`` scales the planted fixture with a
+    replica factor; ``with_query`` also returns the finished streaming
+    query (the scale harness reads stateOperators off it). See
+    ``_run_media_gate_grow``."""
+    return _run_media_gate_grow(
+        spark, sf_dir, lambda df: _phash_media_mix(df, scale),
+        ["ahash_hi", "ahash_lo"], source, "media_phash_grow_",
+        with_query,
+    )
+
+
+def run_media_audio_gate_grow(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    scale: int = 1,
+    with_query: bool = False,
+):
+    """Growing AUDIO-ingest dedup gate: the audio twin of
+    ``run_media_phash_gate_grow`` keyed by (fp, n_windows). See
+    ``_run_media_gate_grow``."""
+    return _run_media_gate_grow(
+        spark, sf_dir, lambda df: _audio_fp_media_mix(df, scale),
+        ["fp", "n_windows"], source, "media_audio_grow_",
+        with_query,
+    )
+
+
+def run_neardup_gate_grow(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e4: int = 3000,
+    source: DataFrame | None = None,
+    broadcast: bool = False,
+) -> tuple[DataFrame, dict]:
+    """Growing-index streaming NEAR-DUP text gate (the production
+    ingest loop the stateless ``run_neardup_stream`` defers to batch):
+    arriving docs (odd doc_ids) probe the static corpus band index
+    (even doc_ids) PLUS every stream doc admitted so far; docs that
+    match neither are ADMITTED and their band entries join the index
+    for all later micro-batches. Returns (decisions, stats): one row
+    per arriving doc with a signature — (did, status in {admit,
+    dup_corpus, dup_stream}, match_did) — and a stats dict with the
+    admitted-index row count per batch (the growing-state measurement
+    the scale harness records).
+
+    Semantics (the sequential-fold twin the oracle recomputes with a
+    recursive CTE): process docs in arrival order, ties within a
+    micro-batch by ascending doc_id; a doc is dup iff a
+    band-colliding, Jaccard-verified (>= threshold) match exists in
+    the corpus index (dup_corpus, match = lowest matching corpus did)
+    or among EARLIER-ADMITTED stream docs (dup_stream, match = lowest
+    matching admitted did). Jaccard is not transitive, so
+    "earlier-admitted" differs from "earlier-seen": a doc whose only
+    match is a non-admitted duplicate is itself admitted — the fold is
+    genuine, not a min-per-group collapse.
+
+    Execution shape (foreachBatch upsert, the 100 TB posture):
+
+    - per batch, ONE banded join of the arriving docs' band keys
+      against the settled corpus index and the accumulated admitted
+      pieces (each piece localCheckpointed once, never rewritten — no
+      quadratic re-materialization), with exact shingle-Jaccard
+      verification; no broadcast hint by default (index is
+      corpus-sized; AQE decides — same policy as the stateless gate);
+    - docs unmatched by the index resolve within-batch via a banded
+      self-join; only the VERIFIED pair ids (dup-density-sized, never
+      text or batch-sized data) are collected for the driver-side
+      sequential fold — the chain logic is inherently serial, and its
+      input is bounded by trigger size x dup density, the same bound
+      the batch LSH verify stage carries;
+    - admitted docs' band entries are settled and appended to the
+      probe list, so the index a batch probes is exactly
+      corpus + all-prior-admissions (upsert cadence = every trigger).
+
+    Citing the reference's ingest loop this generalizes:
+    SSURGO_BatchDownload.py re-checks each arriving survey against
+    what is already loaded before admitting it."""
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast else df
+
+    corpus = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    ).where(F.col("doc_id") % 2 == 0)
+    corpus_idx = (
+        _with_bands(corpus)
+        .select("doc_id", "ss", "band_id", "key", F.lit(True).alias("is_corpus"))
+        .localCheckpoint()
+    )
+    index_pieces: list[DataFrame] = [corpus_idx]
+    decisions: list[DataFrame] = []
+    stats = {"admitted_rows_per_batch": [], "fold_pairs_per_batch": []}
+    dec_schema = "did long, status string, match_did long"
+
+    inter = F.size(F.array_intersect("nss", "iss"))
+    jac = F.floor(
+        (inter / (F.size("nss") + F.size("iss") - inter)) * 10000
+    ).cast("long")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = (
+            _with_bands(batch_df)
+            .select(
+                F.col("doc_id").alias("did"),
+                F.col("ss").alias("nss"),
+                "band_id",
+                "key",
+            )
+            .localCheckpoint()
+        )
+        docs = new.select("did", "nss").distinct()
+        idx = index_pieces[0]
+        for piece in index_pieces[1:]:
+            idx = idx.unionByName(piece)
+        idx = idx.select(
+            F.col("doc_id").alias("idx_did"),
+            F.col("ss").alias("iss"),
+            "band_id",
+            "key",
+            "is_corpus",
+        )
+        ver = (
+            new.join(_hint(idx), ["band_id", "key"])
+            .select("did", "nss", "idx_did", "iss", "is_corpus")
+            .distinct()
+            .where(jac >= threshold_e4)
+        )
+        matches = ver.groupBy("did").agg(
+            F.min(F.when(F.col("is_corpus"), F.col("idx_did"))).alias("cmatch"),
+            F.min(F.when(~F.col("is_corpus"), F.col("idx_did"))).alias("amatch"),
+        )
+        dec_idx = (
+            docs.join(matches, "did")
+            .select(
+                "did",
+                F.when(F.col("cmatch").isNotNull(), F.lit("dup_corpus"))
+                .otherwise(F.lit("dup_stream"))
+                .alias("status"),
+                F.coalesce("cmatch", "amatch").alias("match_did"),
+            )
+            .localCheckpoint()
+        )
+        unmatched = docs.join(matches, "did", "left_anti").localCheckpoint()
+        # within-batch banded pairs among still-unmatched docs: ONLY the
+        # verified pair ids come to the driver (dup-density-sized)
+        ub = new.join(unmatched.select("did"), "did")
+        pairs = (
+            ub.select(F.col("did").alias("i"), F.col("nss").alias("iss"),
+                      "band_id", "key")
+            .join(ub.select(F.col("did").alias("j"),
+                            F.col("nss").alias("nss"), "band_id", "key"),
+                  ["band_id", "key"])
+            .where(F.col("i") < F.col("j"))
+            .select("i", "j", "iss", "nss")
+            .distinct()
+            .where(jac >= threshold_e4)
+            .select("i", "j")
+            .collect()
+        )
+        stats["fold_pairs_per_batch"].append(len(pairs))
+        nbrs: dict[int, list[int]] = {}
+        for r in pairs:
+            nbrs.setdefault(r["j"], []).append(r["i"])
+        involved = {r["i"] for r in pairs} | set(nbrs)
+        # driver-side sequential fold over the pair subgraph, did order
+        fold_rows = []
+        admitted_in_graph: set[int] = set()
+        for d in sorted(involved):
+            ms = sorted(a for a in nbrs.get(d, []) if a in admitted_in_graph)
+            if ms:
+                fold_rows.append((d, "dup_stream", ms[0]))
+            else:
+                admitted_in_graph.add(d)
+                fold_rows.append((d, "admit", None))
+        inv_df = spark.createDataFrame(
+            [(d,) for d in sorted(involved)], "did long"
+        )
+        lonely = unmatched.select("did").join(inv_df, "did", "left_anti")
+        dec = dec_idx.unionByName(
+            spark.createDataFrame(fold_rows, dec_schema)
+        ).unionByName(
+            lonely.select(
+                "did",
+                F.lit("admit").alias("status"),
+                F.lit(None).cast("long").alias("match_did"),
+            )
+        )
+        decisions.append(dec.localCheckpoint())
+        admitted_piece = new.join(
+            lonely.unionByName(
+                spark.createDataFrame(
+                    [(d,) for d in sorted(admitted_in_graph)], "did long"
+                )
+            ),
+            "did",
+        ).select(
+            F.col("did").alias("doc_id"),
+            F.col("nss").alias("ss"),
+            "band_id",
+            "key",
+            F.lit(False).alias("is_corpus"),
+        )
+        index_pieces.append(admitted_piece.localCheckpoint())
+        stats["admitted_rows_per_batch"].append(
+            sum(p.count() for p in index_pieces[1:])
+        )
+
+    src = (
+        source
+        if source is not None
+        else read_documents_stream(spark, sf_dir)
+    ).where(F.col("doc_id") % 2 == 1)
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if decisions:
+        out = decisions[0]
+        for d in decisions[1:]:
+            out = out.unionByName(d)
+    else:
+        out = spark.createDataFrame([], dec_schema)
+    return out, stats

@@ -1050,3 +1050,254 @@ def test_emb_drift_stream_single_parity_matches_batch(spark, tmp_path):
     assert batch == stream and len(batch) == 64
     # the empty half is NULL end-to-end, never 0
     assert all(t[1] == 0 and t[3] is None and t[5] is None for t in batch)
+
+
+# --- Round 9: growing-index ingest gates ------------------------------------
+
+
+def _range_split_odds(spark, tmp_path, name, n_files=4, hi=500):
+    """Write the odd-doc stream as did-ORDERED range files (arrival
+    order must equal doc_id order for the growing gates' sequential
+    fold) and return a maxFilesPerTrigger=1 streaming source."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    step = hi // n_files
+    for part in range(n_files):
+        lo_d, hi_d = part * step, (part + 1) * step
+        docs.where(
+            (F.col("doc_id") >= lo_d) & (F.col("doc_id") < hi_d)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/p{part}")
+        # one file per range dir; link them in order into a flat dir
+    flat = str(tmp_path / (name + "_flat"))
+    os.makedirs(flat, exist_ok=True)
+    import glob
+    import shutil
+    import time
+
+    for part in range(n_files):
+        (f,) = glob.glob(f"{src}/p{part}/part-*.parquet")
+        shutil.copy(f, f"{flat}/{part:02d}.parquet")
+        # file-source order follows modification time; space them out
+        os.utime(f"{flat}/{part:02d}.parquet", (time.time() + part,
+                                                time.time() + part))
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat),
+        step,
+    )
+
+
+def test_image_gate_grow_across_batches(spark, tmp_path):
+    """The growing image gate must admit copy #1 and flag copies #2+
+    as dup_stream ACROSS micro-batches (the stateless gate's
+    documented hole), and a did-ordered multi-batch replay must equal
+    the single-trigger run."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        run_media_phash_gate_grow,
+    )
+
+    single = {
+        (r["did"], r["status"], r["match_did"])
+        for r in run_media_phash_gate_grow(spark, SF_SMOKE).collect()
+    }
+    assert len(single) == 250
+    src, step = _range_split_odds(spark, tmp_path, "img_grow", n_files=4)
+    multi = {
+        (r["did"], r["status"], r["match_did"])
+        for r in run_media_phash_gate_grow(
+            spark, SF_SMOKE, source=src
+        ).collect()
+    }
+    assert multi == single
+    # cross-batch flagging: a dup_stream row whose admitted match
+    # arrived in an EARLIER micro-batch (different did-range file)
+    cross = [
+        (d, m)
+        for d, s, m in multi
+        if s == "dup_stream" and m is not None and m // step < d // step
+    ]
+    assert cross, "no dup group straddles a batch boundary"
+    admits = {d for d, s, _ in multi if s == "admit"}
+    assert all(m in admits for _, m in cross)
+
+
+def test_audio_gate_grow_across_batches(spark, tmp_path):
+    """Audio twin of test_image_gate_grow_across_batches."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        run_media_audio_gate_grow,
+    )
+
+    single = {
+        (r["did"], r["status"], r["match_did"])
+        for r in run_media_audio_gate_grow(spark, SF_SMOKE).collect()
+    }
+    src, step = _range_split_odds(spark, tmp_path, "aud_grow", n_files=4)
+    multi = {
+        (r["did"], r["status"], r["match_did"])
+        for r in run_media_audio_gate_grow(
+            spark, SF_SMOKE, source=src
+        ).collect()
+    }
+    assert multi == single and len(single) == 250
+    cross = [
+        (d, m)
+        for d, s, m in multi
+        if s == "dup_stream" and m is not None and m // step < d // step
+    ]
+    assert cross, "no dup group straddles a batch boundary"
+
+
+def _python_fold_reference(texts: dict[int, str], threshold_e4=3000):
+    """Independent pure-Python sequential fold (triple-implementation
+    check: Spark gate, DuckDB recursive CTE, this)."""
+    import hashlib
+
+    def shingles(t):
+        toks = [x for x in t.split(" ") if x]
+        return (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else set()
+        )
+
+    def bands(ss):
+        mh = [
+            min(
+                hashlib.md5(f"{i // 4}#{s}".encode()).hexdigest()[
+                    8 * (i % 4) : 8 * (i % 4) + 8
+                ]
+                for s in ss
+            )
+            for i in range(16)
+        ]
+        return ["|".join(mh[b * 4 : b * 4 + 4]) for b in range(4)]
+
+    def jac_e4(a, b):
+        inter = len(a & b)
+        return (inter * 10000) // (len(a) + len(b) - inter)
+
+    sigs = {
+        d: (ss, bands(ss))
+        for d, t in texts.items()
+        if (ss := shingles(t))
+    }
+    corpus = {d: v for d, v in sigs.items() if d % 2 == 0}
+    out = {}
+    admitted = {}
+    for d in sorted(sigs):
+        if d % 2 == 0:
+            continue
+        ss, bd = sigs[d]
+        cms = [
+            cd
+            for cd, (css, cbd) in corpus.items()
+            if any(x == y for x, y in zip(bd, cbd))
+            and jac_e4(ss, css) >= threshold_e4
+        ]
+        if cms:
+            out[d] = ("dup_corpus", min(cms))
+            continue
+        ams = [
+            ad
+            for ad, (ass, abd) in admitted.items()
+            if any(x == y for x, y in zip(bd, abd))
+            and jac_e4(ss, ass) >= threshold_e4
+        ]
+        if ams:
+            out[d] = ("dup_stream", min(ams))
+        else:
+            admitted[d] = (ss, bd)
+            out[d] = ("admit", None)
+    return out
+
+
+def test_text_gate_grow_matches_python_fold(spark):
+    """The growing text gate must equal an independent pure-Python
+    sequential fold over the same banded-candidate + Jaccard-verified
+    match definition (the engine-independent layer, like
+    test_property_agg)."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_neardup_gate_grow,
+    )
+
+    out, stats = run_neardup_gate_grow(spark, SF_SMOKE)
+    got = {
+        r["did"]: (r["status"], r["match_did"]) for r in out.collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.schema(DOCS_SCHEMA)
+        .parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+        .collect()
+    }
+    want = _python_fold_reference(texts)
+    assert got == want and len(got) > 0
+    # the admitted index must hold exactly the admitted docs' bands
+    n_admit = sum(1 for s, _ in want.values() if s == "admit")
+    assert stats["admitted_rows_per_batch"][-1] == 4 * n_admit
+
+
+def test_text_gate_grow_cross_batch_chain(spark, tmp_path):
+    """Planted chain across DIFFERENT micro-batches: copy #1 admitted,
+    copy #2 flagged dup_stream in a later batch, and a doc whose ONLY
+    match is the non-admitted copy #2 is itself admitted (the
+    non-transitive fold the exact gates cannot exhibit)."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_neardup_gate_grow,
+    )
+
+    # unique vocabulary -> no shingles shared with the sf0.001 corpus;
+    # the s184 salt makes md5 banding fire for a~b and b~c but not a~c
+    # (a~c is also structurally below threshold: jac 2727 < 3000)
+    base = ["zq%d" % i for i in range(30)]
+    yy = ["y%ds184" % i for i in range(2)]
+    ww = ["w%ds184" % i for i in range(14)]
+    a = " ".join(base)                    # copy #1 (did 1001)
+    b = " ".join(base[:28] + yy)          # near-dup of a (jac 8666)
+    c = " ".join(base[14:28] + yy + ww)   # matches b (3333), not a
+    rows = [(1001, a), (1003, b), (1005, c)]
+    src = str(tmp_path / "chain")
+    os.makedirs(src, exist_ok=True)
+    import time
+
+    for i, (did, text) in enumerate(rows):
+        spark.createDataFrame(
+            [(did, text, "en", "synth", len(text))], DOCS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/p{i}")
+        import glob
+        import shutil
+
+        (f,) = glob.glob(f"{src}/p{i}/part-*.parquet")
+        shutil.copy(f, f"{src}/{i:02d}.parquet")
+        os.utime(f"{src}/{i:02d}.parquet",
+                 (time.time() + i, time.time() + i))
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, _ = run_neardup_gate_grow(spark, SF_SMOKE, source=stream)
+    got = {r["did"]: (r["status"], r["match_did"]) for r in out.collect()}
+    want = _python_fold_reference({0: "", **dict(rows)})
+    assert got == want
+    assert got[1001] == ("admit", None)
+    assert got[1003] == ("dup_stream", 1001)   # flagged across batches
+    assert got[1005][0] == "admit"             # only match was never admitted

@@ -461,6 +461,131 @@ def main() -> None:
             )
             print(json.dumps({"factor": factor, "query": "emb_drift", **m}))
 
+        # round 9: GROWING-index ingest gates over the docs replica.
+        # Unlike every stream above, these gates' state is SUPPOSED to
+        # grow — with the stream's NOVEL-fingerprint count, not its
+        # length. scale=factor keeps planted dup-group size constant
+        # (ingest_mix_group), so the novel fraction — and hence state
+        # growth per stream row — stays constant as the corpus scales;
+        # peak_state_rows comes from the engine's own stateOperators.
+        grow_gates = {"image_gate_grow", "audio_gate_grow",
+                      "text_gate_grow"}
+        if only is None or (only & grow_gates):
+            import tempfile
+
+            from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                DOCS_SCHEMA,
+            )
+
+            docs_dir = build_docs_replica(spark, factor)
+            # the gate runners read the corpus from
+            # <sf_dir>/documents.parquet; present the replica that way
+            wrap = tempfile.mkdtemp(prefix="growgate_sf_")
+            os.symlink(docs_dir, os.path.join(wrap, "documents.parquet"))
+
+            def gsrc():
+                return (
+                    spark.readStream.schema(DOCS_SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(docs_dir)
+                )
+
+            if want("image_gate_grow"):
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_media_phash_gate_grow,
+                )
+
+                t0 = time.time()
+                tbl, q = run_media_phash_gate_grow(
+                    spark, wrap, source=gsrc(), scale=factor,
+                    with_query=True,
+                )
+                wall = time.time() - t0
+                peak = 0
+                rows = 0
+                for pr in q.recentProgress:
+                    rows += int(pr.get("numInputRows") or 0)
+                    for so in pr.get("stateOperators") or []:
+                        peak = max(peak, int(so.get("numRowsTotal") or 0))
+                from pyspark.sql import functions as SF
+
+                counts = {
+                    r["status"]: r["n"]
+                    for r in tbl.groupBy("status")
+                    .agg(SF.count(SF.lit(1)).alias("n"))
+                    .collect()
+                }
+                print(json.dumps({
+                    "factor": factor, "query": "image_gate_grow",
+                    "wall_sec": round(wall, 1), "input_rows": rows,
+                    "rows_per_sec": int(rows / wall) if wall else None,
+                    "peak_state_rows": peak, "decisions": counts,
+                }))
+
+            if want("audio_gate_grow"):
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_media_audio_gate_grow,
+                )
+
+                t0 = time.time()
+                tbl, q = run_media_audio_gate_grow(
+                    spark, wrap, source=gsrc(), scale=factor,
+                    with_query=True,
+                )
+                wall = time.time() - t0
+                peak = 0
+                rows = 0
+                for pr in q.recentProgress:
+                    rows += int(pr.get("numInputRows") or 0)
+                    for so in pr.get("stateOperators") or []:
+                        peak = max(peak, int(so.get("numRowsTotal") or 0))
+                from pyspark.sql import functions as SF
+
+                counts = {
+                    r["status"]: r["n"]
+                    for r in tbl.groupBy("status")
+                    .agg(SF.count(SF.lit(1)).alias("n"))
+                    .collect()
+                }
+                print(json.dumps({
+                    "factor": factor, "query": "audio_gate_grow",
+                    "wall_sec": round(wall, 1), "input_rows": rows,
+                    "rows_per_sec": int(rows / wall) if wall else None,
+                    "peak_state_rows": peak, "decisions": counts,
+                }))
+
+            if want("text_gate_grow"):
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_neardup_gate_grow,
+                )
+
+                t0 = time.time()
+                out, stats = run_neardup_gate_grow(
+                    spark, wrap, source=gsrc()
+                )
+                from pyspark.sql import functions as SF
+
+                counts = {
+                    r["status"]: r["n"]
+                    for r in out.groupBy("status")
+                    .agg(SF.count(SF.lit(1)).alias("n"))
+                    .collect()
+                }
+                wall = time.time() - t0
+                n_in = sum(counts.values())
+                print(json.dumps({
+                    "factor": factor, "query": "text_gate_grow",
+                    "wall_sec": round(wall, 1), "input_rows": n_in,
+                    "rows_per_sec": int(n_in / wall) if wall else None,
+                    # foreachBatch upsert: the growing state is the
+                    # admitted band index (4 rows per admitted doc)
+                    "peak_state_rows":
+                        (stats["admitted_rows_per_batch"] or [0])[-1],
+                    "fold_pairs_per_batch":
+                        stats["fold_pairs_per_batch"],
+                    "decisions": counts,
+                }))
+
 
 if __name__ == "__main__":
     main()
