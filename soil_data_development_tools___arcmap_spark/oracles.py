@@ -5379,3 +5379,21 @@ SELECT did, status, match_did FROM fold WHERE rn > 0
 ORACLES["docs_stream_text_gate_grow"] = ORACLES[
     "docs_stream_text_gate_grow"
 ].replace("{RW_MH}", _RW_MH).replace("{RW_BANDS}", _RW_BANDS)
+
+
+# --- Round 9: partitioned gSSURGO lake + incremental nightly ----------------
+
+# single-survey pruned rating: the planner result restricted to the
+# AS7 partition's mukeys (areasymbol = 'AS' || mukey % 20)
+ORACLES["gssurgo_lake_prune"] = f"""
+SELECT 'AS7' AS areasymbol, q.* FROM ({ORACLES["planner_sdv_rating"]}) q
+WHERE q.mukey % 20 = 7
+"""
+
+# the incremental refresh must equal the FULL recompute — the oracle
+# IS the full-recompute SQL, so the hash match proves the stale
+# partitions were replaced and per-mukey independence holds
+ORACLES["nightly_gssurgo_incremental"] = f"""
+SELECT 'AS' || CAST(mukey % 20 AS VARCHAR) AS areasymbol, q.*
+FROM ({ORACLES["nightly_gssurgo"]}) q
+"""

@@ -4496,6 +4496,21 @@ def nightly_gssurgo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compname", "majcompflag", "compkind", "hydricrating",
         "drainagecl", "localphase", "otherph", "taxorder", "taxsubgrp",
     )
+    return _nightly_rate_and_widen(comp, t)
+
+
+def _nightly_rate_and_widen(comp: DataFrame, t: dict) -> DataFrame:
+    """The nightly core shared by the full run and the incremental
+    per-survey refresh: hydric DCD + drainage DCP rating tables merged
+    with the wide Valu1 on the mapunit spine. Per-mukey independent by
+    construction (every aggregation keys on mukey/cokey), which is the
+    property the incremental refresh relies on — certified by
+    nightly_gssurgo_incremental's oracle hash equalling the full
+    recompute."""
+    from .plans.planner import create_soil_map, hydrate
+    from .tools_merge import merge_rating_tables
+    from .valu1.pipeline import build_valu1
+
     mapunit = comp.select("mukey").distinct()
     tables = {"mapunit": mapunit, "component": comp}
     relations = [
@@ -7965,3 +7980,189 @@ def docs_stream_text_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _stats = run_neardup_gate_grow(spark, sf_dir)
     return out
+
+
+# --- Round 9: areasymbol-partitioned gSSURGO lake + incremental nightly -----
+
+#: surveys in the synthetic corpus — areasymbol = 'AS' || (mukey % 20),
+#: the per-survey partition key SURVEY §3.3 mandates ("per-survey CSV
+#: reads unioned then written once, partitioned by areasymbol";
+#: reference partition strategies: SSURGO_gSSURGO_byState.py:10-15,
+#: byTile.py:267)
+_LAKE_SURVEY_MOD = 20
+
+
+def _lake_asym(mukey) -> F.Column:
+    return F.concat(F.lit("AS"), (F.col(mukey) % _LAKE_SURVEY_MOD).cast("string"))
+
+
+def gssurgo_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Write the gSSURGO lake ONCE, partitioned by areasymbol (SURVEY
+    §3.3's Spark shape), and return its directory. All seven synth
+    tables land under ``<table>/areasymbol=<AS*>/`` — the lineitem
+    children resolve their survey through the cokey→mukey map at WRITE
+    time (one join, paid once), so every later per-survey read is a
+    directory prune, not a scan: a 100 TB lake answers a single-survey
+    rating query by listing one directory (PartitionFilters +
+    PartitionCount=1, plan-asserted in tests) and the incremental
+    nightly reads ONLY changed partitions.
+
+    Content-keyed + atomically renamed like the event day-lake
+    (``partitioned_sink_prune``): regenerated inputs get a fresh lake,
+    concurrent builders race safely."""
+    from .cachefs import cached_dir, content_tag, source_salt
+
+    srcs = [
+        os.path.join(os.path.abspath(sf_dir), "orders.parquet"),
+        os.path.join(os.path.abspath(sf_dir), "lineitem.parquet"),
+    ]
+
+    def build(staging: str) -> None:
+        t = ssurgo_synth(spark, sf_dir)
+        comp = t["component"].withColumn("areasymbol", _lake_asym("mukey"))
+        co_map = comp.select("cokey", "areasymbol")
+        for name, df in t.items():
+            if name == "component":
+                out = comp
+            elif "cokey" in df.columns:
+                out = df.join(co_map, "cokey")
+            else:
+                # chfrags/chtexturegrp/chtexture carry only the horizon
+                # key (chkey == chtgkey == cokey*10 + linenumber), so
+                # the survey resolves arithmetically before the join
+                hk = "chkey" if "chkey" in df.columns else "chtgkey"
+                out = df.withColumn(
+                    "cokey", F.floor(F.col(hk) / 10).cast("long")
+                ).join(co_map, "cokey").drop("cokey")
+            (
+                out.write.mode("overwrite")
+                .partitionBy("areasymbol")
+                .parquet(os.path.join(staging, name))
+            )
+
+    return cached_dir(
+        "gssurgo_lake",
+        content_tag(srcs, extra=source_salt(gssurgo_lake, ssurgo_synth)),
+        build,
+    )
+
+
+def gssurgo_lake_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-survey rating from the PARTITIONED lake: read ONE
+    areasymbol's component partition (directory prune — the plan shows
+    PartitionFilters on areasymbol and PartitionCount=1, asserted in
+    tests/test_round9.py) and run the full metadata-driven Dominant
+    Condition planner on just that survey. This is the reference's
+    per-survey soil-map run (gSSURGO_CreateSoilMap.py on one survey
+    area) against the §3.3 lake layout: at 100 TB the scan cost is the
+    survey's share, not the corpus's."""
+    from .plans.planner import create_soil_map, hydrate
+
+    lake = gssurgo_lake(spark, sf_dir)
+    comp = spark.read.parquet(os.path.join(lake, "component")).where(
+        F.col("areasymbol") == "AS7"
+    )
+    mapunit = comp.select("mukey").distinct()
+    tables = {"mapunit": mapunit, "component": comp}
+    relations = [
+        {
+            "ltabphyname": "mapunit",
+            "rtabphyname": "component",
+            "ltabcolphyname": "mukey",
+            "rtabcolphyname": "mukey",
+        }
+    ]
+    sdv_row = {
+        "attributename": "Hydric Rating Synth",
+        "attributetablename": "component",
+        "attributecolumnname": "hydricrating",
+        "algorithmname": "Dominant Condition",
+        "complevelattribflag": 1,
+        "tiebreakrule": 0,
+        "tiebreakdomainname": "hydric_dom",
+        "sqlwhereclause": "majcompflag = 'Yes'",
+    }
+    domdet = [
+        {"domainname": "hydric_dom", "choice": "Yes", "choicesequence": 1},
+        {"domainname": "hydric_dom", "choice": "Unranked",
+         "choicesequence": 2},
+        {"domainname": "hydric_dom", "choice": "No", "choicesequence": 3},
+    ]
+    req = hydrate(sdv_row, domdet, cutoff=10)
+    return create_soil_map(tables, relations, req).select(
+        F.lit("AS7").alias("areasymbol"), "mukey", "comppct_r", "rating"
+    )
+
+
+def nightly_gssurgo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL nightly gSSURGO — the reference's operational
+    reality (SSURGO_BatchDownload.py re-downloads only CHANGED survey
+    areas, :694-792 ProcessSurvey): instead of recomputing the world,
+    refresh only the changed areasymbols' partitions of the nightly
+    result lake and prove the outcome identical to a full recompute.
+
+    The query stages the whole loop so the oracle certifies it
+    end-to-end:
+
+    1. STALE lake — last night's output: the full nightly computed
+       with the changed surveys' (AS3, AS11) component data PERTURBED
+       (a different comppct modulus), written partitioned by
+       areasymbol into a fresh run-private directory;
+    2. REFRESH — recompute ratings + Valu1 for ONLY the changed
+       surveys, reading ONLY their partitions of the §3.3 gSSURGO lake
+       (directory prune: 2 of 20 partitions per table, plan-asserted
+       in tests), and dynamic-partition-OVERWRITE just those two
+       result partitions (partitionOverwriteMode=dynamic — untouched
+       surveys' files are not rewritten);
+    3. return the refreshed lake.
+
+    The oracle is the FULL-recompute SQL: a hash match therefore
+    proves stale-partition replacement happened AND the per-mukey
+    independence the refresh relies on holds — cost scales with
+    changed surveys (SCALING.md row), correctness with the full
+    corpus."""
+    import tempfile
+
+    changed = ("AS3", "AS11")
+    t = ssurgo_synth(spark, sf_dir)
+    asym = _lake_asym("mukey")
+    stale_comp = t["component"].withColumn(
+        "comppct_r",
+        F.when(
+            asym.isin(*changed), F.col("cokey") % 89 + 3
+        ).otherwise(F.col("comppct_r")),
+    )
+    stale = _nightly_rate_and_widen(stale_comp, t)
+    result_dir = os.path.join(
+        tempfile.mkdtemp(prefix="sddt_nightly_inc_"), "nightly"
+    )
+    (
+        stale.withColumn("areasymbol", _lake_asym("mukey"))
+        .write.partitionBy("areasymbol")
+        .parquet(result_dir)
+    )
+    lake = gssurgo_lake(spark, sf_dir)
+    lt = {
+        name: spark.read.parquet(os.path.join(lake, name))
+        .where(F.col("areasymbol").isin(*changed))
+        .drop("areasymbol")
+        for name in (
+            "component", "chorizon", "chtexturegrp", "chtexture",
+            "chfrags", "corestrictions", "cointerp",
+        )
+    }
+    inc = _nightly_rate_and_widen(lt["component"], lt)
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            inc.withColumn("areasymbol", _lake_asym("mukey"))
+            .write.mode("overwrite")
+            .partitionBy("areasymbol")
+            .parquet(result_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(result_dir)
