@@ -166,10 +166,15 @@ def ivf_topk(
     train: bool = False,
     train_iters: int = 3,
     init: str = "first",
-) -> DataFrame:
+    with_scanned: bool = False,
+):
     """IVF-style approximate top-k: candidates are assigned to their
     nearest coarse centroid (the inverted lists); each query probes
-    only its ``nprobe`` nearest lists.
+    only its ``nprobe`` nearest lists. ``with_scanned=True``
+    additionally returns a per-query scan-cost frame (qid, scanned) —
+    the number of candidates actually scored, i.e. the size of the
+    probed inverted lists: the cost axis of the recall/nprobe curve
+    (emb_ivf_recall_nprobe*).
 
     The default coarse quantizer is deterministic — the first
     ``n_centroids`` candidate vectors by id stand in for k-means
@@ -234,11 +239,17 @@ def ivf_topk(
         "qid", "cid", cos("qv", "cv").alias("cos_e6")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("cid").asc())
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= topk)
         .select("qid", "cid", "cos_e6", "rn")
     )
+    if with_scanned:
+        scanned = scored.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("scanned")
+        )
+        return out, scanned
+    return out
 
 
 #: session-scoped trained-centroid memo (same policy as the BPE

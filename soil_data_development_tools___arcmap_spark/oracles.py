@@ -5397,3 +5397,56 @@ ORACLES["nightly_gssurgo_incremental"] = f"""
 SELECT 'AS' || CAST(mukey % 20 AS VARCHAR) AS areasymbol, q.*
 FROM ({ORACLES["nightly_gssurgo"]}) q
 """
+
+
+# --- Round 9: IVF nprobe sweep (recall + scan cost) --------------------------
+
+def _ivf_nprobe_sql(nprobe: int) -> str:
+    """recall@5 + scanned-candidate count at a given nprobe — the
+    stand-in-centroid IVF (emb_knn_ivf) unrolled with a parameterized
+    probe width and the probed-list size surfaced per query."""
+    return f"""
+WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
+{_EMB_Q},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 8),
+k AS (SELECT vec_id AS kid, v AS kv FROM e WHERE vec_id >= 8 AND vec_id < 24),
+asg AS (
+  SELECT cid, cv, kid FROM (
+    SELECT cid, cv, kid,
+           row_number() OVER (PARTITION BY cid
+             ORDER BY CAST(floor((list_dot_product(cv, kv)/(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(kv, kv))))*1000000) AS BIGINT) DESC, kid ASC) AS arn
+    FROM c CROSS JOIN k)
+  WHERE arn = 1),
+probes AS (
+  SELECT qid, qv, kid FROM (
+    SELECT qid, qv, kid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY CAST(floor((list_dot_product(qv, kv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(kv, kv))))*1000000) AS BIGINT) DESC, kid ASC) AS prn
+    FROM q CROSS JOIN k)
+  WHERE prn <= {nprobe}),
+s AS (SELECT qid, cid, CAST(floor((list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))))*1000000) AS BIGINT) AS cos_e6
+      FROM asg JOIN probes USING (kid)),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cos_e6 DESC, cid ASC) AS rn FROM s)
+  WHERE rn <= 5),
+scan AS (SELECT qid, COUNT(*) AS scanned FROM s GROUP BY qid),
+hits AS (
+  SELECT e.qid, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY e.qid)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.hits), 0) AS BIGINT) AS hits,
+       CAST(COALESCE(MAX(sc.scanned), 0) AS BIGINT) AS scanned
+FROM exact e
+LEFT JOIN hits h ON e.qid = h.qid
+LEFT JOIN scan sc ON e.qid = sc.qid
+GROUP BY e.qid
+"""
+
+
+ORACLES["emb_ivf_recall_nprobe1"] = _ivf_nprobe_sql(1)
+ORACLES["emb_ivf_recall_nprobe2"] = _ivf_nprobe_sql(2)
+ORACLES["emb_ivf_recall_nprobe4"] = _ivf_nprobe_sql(4)

@@ -8166,3 +8166,33 @@ def nightly_gssurgo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.read.parquet(result_dir)
+
+
+def _emb_ivf_recall_nprobe(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """recall@5 AND scan cost of the IVF search at a given nprobe —
+    one point on the recall/cost curve real IVF serving is tuned on
+    (sweep registered at nprobe ∈ {1, 2, 4}): per query, how many of
+    the exact top-5 the probe found (hits) and how many candidates the
+    probed inverted lists made it score (scanned). Recall is monotone
+    in nprobe by construction (probed lists are nested), asserted
+    per-query in tests/test_round9.py together with a planted-cluster
+    fixture where the second-nearest list holds the true neighbors."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx, scanned = ivf_topk(emb, nprobe=nprobe, with_scanned=True)
+    return knn_recall(brute_force_topk(emb), approx).join(scanned, "qid")
+
+
+def emb_ivf_recall_nprobe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_ivf_recall_nprobe(spark, sf_dir, 1)
+
+
+def emb_ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_ivf_recall_nprobe(spark, sf_dir, 2)
+
+
+def emb_ivf_recall_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_ivf_recall_nprobe(spark, sf_dir, 4)

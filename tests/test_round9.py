@@ -138,3 +138,74 @@ def test_incremental_reads_only_changed_partitions(spark):
         df.collect()
         counts = _scan_partition_counts(df)
         assert counts and all(c == 2 for c in counts), (name, counts)
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """Probed lists are nested in nprobe, so per-query hits must be
+    non-decreasing and scanned strictly pays for recall."""
+    by_n = {}
+    for n in (1, 2, 4):
+        by_n[n] = {
+            r["qid"]: (r["hits"], r["scanned"])
+            for r in Q._emb_ivf_recall_nprobe(spark, SF_SMOKE, n).collect()
+        }
+    assert set(by_n[1]) == set(by_n[2]) == set(by_n[4])
+    for qid in by_n[1]:
+        h1, s1 = by_n[1][qid]
+        h2, s2 = by_n[2][qid]
+        h4, s4 = by_n[4][qid]
+        assert h1 <= h2 <= h4, (qid, h1, h2, h4)
+        assert s1 <= s2 <= s4, (qid, s1, s2, s4)
+
+
+def test_ivf_nprobe_planted_cluster_recall_increases(spark):
+    """Planted two-cluster fixture: the query sits between cluster A
+    (its nearest list, holding 2 true neighbors) and cluster B (its
+    second list, holding the other 3) — nprobe=1 structurally caps
+    hits at 2, nprobe=2 reaches 5/5."""
+    from soil_data_development_tools___arcmap_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        knn_recall,
+    )
+
+    def vec(x, y, tail=0.0):
+        return [float(x), float(y)] + [tail] * 2
+
+    rows = []
+    # query 0: between the two clusters, slightly A-ward
+    rows.append((0, vec(1.0, 0.52)))
+    # ids 8..23 are the stand-in centroids (first 16 candidates by id):
+    # give A (id 8) and B (id 9) axis directions; park the other 14
+    # centroids far away on the tail axes so nothing else attracts
+    rows.append((8, vec(1.0, 0.0)))       # centroid A
+    rows.append((9, vec(0.0, 1.0)))       # centroid B
+    for i in range(10, 24):
+        rows.append((i, [0.0, 0.0, 1.0, float(i)]))
+    # cluster A members: near-perfect matches for the query
+    rows.append((30, vec(1.0, 0.5)))
+    rows.append((31, vec(1.0, 0.45)))
+    # cluster B members: still in the query's exact top-5 (the only
+    # other non-orthogonal candidates) but y > x, so the assignment
+    # step files them under centroid B — invisible at nprobe=1
+    rows.append((40, vec(0.55, 0.9)))
+    rows.append((41, vec(0.5, 0.88)))
+    rows.append((42, vec(0.52, 0.86)))
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    exact = brute_force_topk(emb)
+
+    def hits(nprobe):
+        return {
+            r["qid"]: r["hits"]
+            for r in knn_recall(
+                exact, ivf_topk(emb, nprobe=nprobe)
+            ).collect()
+        }
+
+    h1, h2 = hits(1), hits(2)
+    # exact top-5 = {30, 31, 8, 40, 42}; list A holds {8, 30, 31}
+    assert h1[0] == 3 and h2[0] == 5, (h1, h2)
+    probed1 = {r["cid"] for r in ivf_topk(emb, nprobe=1).collect()}
+    assert not {40, 41, 42} & probed1
