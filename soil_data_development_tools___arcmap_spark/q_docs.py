@@ -1,0 +1,2483 @@
+"""Document/text pipeline queries: dedup, quality, BPE, media,
+manifests (the LLM-data-pipeline family)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import (
+    RatingSpec,
+    agg_dcd,
+    agg_dcp,
+    agg_hz_dcp_wta,
+    agg_limiting,
+    agg_maxmin,
+    agg_pp_sum,
+    agg_wta,
+    month_collapse,
+)
+from .operators.horizon_agg import _member_sums, clipped_thickness
+
+from ._qcore import _t
+
+
+
+# -------------------------------------------------- documents (text
+# analysis + dedup: north-star LLM-pipeline surface)
+
+
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import langid_scores
+
+    return langid_scores(_t(spark, sf_dir, "documents"))
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_e4=3000, max_freq=100
+    )
+
+
+def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=16)
+
+
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        threshold_e4=3000,
+        max_freq=100,
+    )
+
+
+def docs_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit surface for the LSH skew guard (no-silent-caps): per-band
+    bucket counts, split sub-bucket counts, max raw bucket size and
+    candidate-pair mass. bucket_cap=2 here is deliberately tiny so the
+    oracle exercises the salt-split path on real buckets at sf0.01 —
+    production calls use the 1000 default."""
+    from .functions.dedup import minhash_band_stats
+
+    return minhash_band_stats(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, bucket_cap=2
+    )
+
+
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-token windows, stride 24): one row
+    per chunk with token count + fingerprint — the packing step before
+    tokenization in a training-data pipeline."""
+    from .functions.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunked corpus: 128-token batches
+    per 64-way shard via one cumulative-sum window per shard."""
+    from .functions.text import chunk_documents, pack_chunks
+
+    return pack_chunks(chunk_documents(_t(spark, sf_dir, "documents")))
+
+
+def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-20 trigram shingles by document
+    frequency (ties broken by shingle text for a deterministic top-k).
+    The same exploded-shingle pipeline the dedup family uses — one
+    aggregation, then a tiny global top-k of the aggregate output."""
+    from .functions.dedup import _explode_ss, _spread, shingle_sets
+
+    ex = _explode_ss(
+        shingle_sets(_spread(_t(spark, sf_dir, "documents"), "doc_id"))
+    )
+    counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # top-20 then a 20-row merge, never a global sort of the (at
+    # corpus scale, billions-row) distinct-shingle table; the rank
+    # window then runs on 20 rows
+    top = counts.orderBy(F.col("n").desc(), F.col("s").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("s").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "s", "n", "rank"
+    )
+
+
+def docs_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: jaccard pairs → connected components
+    (min-label propagation to fixpoint) → (doc_id, group_rep, is_rep).
+    The oracle recomputes components with a recursive reachability CTE
+    — engine-independent fixpoint, so the hash certifies convergence,
+    not just one propagation round."""
+    from .functions.dedup import dup_groups
+
+    return dup_groups(
+        _t(spark, sf_dir, "documents"), threshold_e4=3000, max_freq=100
+    )
+
+
+def docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph — the transitivity
+    audit for single-linkage dedup: per endpoint, its pair-graph
+    degree, triangles through it, and local clustering coefficient
+    (permille). Triangle-dense components are safe to collapse;
+    triangle-free chains are the false-merge mode ``dup_groups``'s
+    connected components can't distinguish.  Degree-ordered
+    orientation bounds every wedge neighborhood by O(sqrt(edges)) —
+    the skew ceiling that makes the self-join survive a power-law
+    dup graph at 100 TB.  See functions/dedup.py::dup_triangles."""
+    from .functions.dedup import dup_triangles
+
+    return dup_triangles(
+        _t(spark, sf_dir, "documents"), threshold_e4=3000, max_freq=100
+    )
+
+
+def docs_dup_wedge_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-merge bridge audit: wedge pairs of the near-dup graph
+    (≥2 shared neighbors) that are themselves BELOW the Jaccard
+    threshold, with the true capped-shingle Jaccard as evidence —
+    every row is a glue point where single-linkage ``dup_groups``
+    merges documents that are not near-dups of each other. See
+    functions/dedup.py::dup_wedge_gaps for the orientation-bounded
+    wedge enumeration and candidate-scoped verification."""
+    from .functions.dedup import dup_wedge_gaps
+
+    return dup_wedge_gaps(
+        _t(spark, sf_dir, "documents"), threshold_e4=3000, max_freq=100
+    )
+
+
+def docs_dup_wedge_gaps_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wedge audit on a DENSE pair graph (Jaccard ≥ 0.02): at the
+    default 0.3 threshold the fixture graph is perfectly transitive
+    (0 bridges — itself a meaningful audit result, but a vacuous
+    cross-engine check), so this variant lowers the edge threshold
+    until genuine sub-threshold bridges exist at sf0.01, making the
+    oracle's wedge-count and verification arithmetic certify on
+    non-empty output."""
+    from .functions.dedup import dup_wedge_gaps
+
+    return dup_wedge_gaps(
+        _t(spark, sf_dir, "documents"), threshold_e4=200, max_freq=100
+    )
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"))
+
+
+def docs_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import media_metadata
+
+    return media_metadata(_t(spark, sf_dir, "documents"))
+
+
+def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import media_features
+
+    return media_features(_t(spark, sf_dir, "documents"))
+
+
+def docs_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import sample_frames
+
+    return sample_frames(_t(spark, sf_dir, "documents"))
+
+
+def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline in ONE declarative
+    plan: quality filter (>=20 tokens) -> language filter (en) ->
+    exact-dup removal (keep min id) -> near-dup removal (drop the j
+    side of Jaccard>=0.3 pairs) -> fingerprinted clean corpus. Each
+    stage is a semi/anti join on doc_id, so Catalyst fuses the chain
+    without materialization barriers."""
+    from .functions.dedup import exact_dedup, ngram_jaccard_pairs
+    from .functions.text import langid_scores, quality_features, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs).where(F.col("n_tokens") >= 20).select("doc_id")
+    la = langid_scores(docs).where(F.col("lang_pred") == "en").select("doc_id")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    near_j = (
+        ngram_jaccard_pairs(docs, threshold_e4=3000, max_freq=100)
+        .select(F.col("j").alias("doc_id"))
+        .distinct()
+    )
+    out = (
+        docs.join(q, "doc_id", "left_semi")
+        .join(la, "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+        .join(near_j, "doc_id", "left_anti")
+    )
+    return out.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.substring(F.md5(F.col("text")), 1, 15).alias("fp"),
+    )
+
+
+def docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile for mixture design: doc count, DOUBLED
+    median token count and the discrete p95 order statistic — exact,
+    engine-reproducible (percentile_approx's GK sketch is not), via the
+    reusable count-histogram order-statistics operator
+    (functions/profile.exact_order_stats): raw docs collapse to a
+    (source, n_tok) histogram, ranks read off cumulative counts, the
+    only window bounded by DISTINCT token counts per source — no
+    per-source raw-row sort at any scale (the round-4 `weak` fix,
+    measured in SCALING.md)."""
+    from .functions.profile import exact_order_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    return exact_order_stats(tok, ["source"], "n_tok").select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("med2").alias("med2_tok"),
+        F.col("p95").alias("p95_tok"),
+    )
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing any 3-gram
+    shingle with the benchmark subset (doc_id % 97 == 0 plays the
+    held-out eval suite) are flagged with their hit count — the
+    test-set-leakage guard every training corpus needs. Benchmark
+    shingles collapse to a broadcast distinct set; the corpus side is
+    a map-side semi-join, no self-join."""
+    from .functions.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench)
+
+
+def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: per-source sampling rates (the srcN
+    suffix drives rate = (N%5+1)*2 out of 10, i.e. 20%..100%) applied
+    as id-modulus Bernoulli — reproducible across runs and engines,
+    broadcast weights, zero-shuffle keep decision. denom=10 so the
+    filter provably drops rows at every test SF (doc ids are dense
+    from 0)."""
+    from .functions.text import mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.substring(F.col("source"), 4, 8).cast("long") % 5 + 1) * 2
+            ).alias("rate"),
+        )
+    )
+    return mix_sample(docs, weights, denom=10).select("doc_id", "source")
+
+
+# ------------------------------------------- round-3 breadth batch
+
+
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: near-dup groups (3-gram Jaccard ≥ 0.3 →
+    connected components) resolved by KEEPING the member with the
+    highest type-token ratio instead of the arbitrary min-id rep —
+    the drop-the-worse-copy policy a training corpus wants. Group
+    resolution + one argbest struct aggregate; no window, no sort."""
+    from .functions.dedup import dup_groups, resolve_keep_best
+    from .functions.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = dup_groups(docs)
+    scores = quality_features(docs).select(
+        "doc_id", F.col("ttr_e4").alias("score")
+    )
+    return resolve_keep_best(groups, scores)
+
+
+def docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality terciles per language:
+    bucket = ((rank−1)·3) div n under the total order (ttr_e4, doc_id)
+    — exact integer terciles, no float percentile interpolation.
+    The rank is a per-language window; with only a handful of language
+    partitions at 100 TB the honest scale path is a two-pass exact
+    selection (per-language count, then order-statistic thresholds at
+    indices n/3 and 2n/3 broadcast back as range predicates) — same
+    answer, no single-task whole-language sort; the window form here
+    keeps the plan one stage at test scale."""
+    from .functions.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ttr_e4").asc(), F.col("doc_id").asc()
+    )
+    ws = Window.partitionBy("lang")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(ws))
+        .select(
+            "doc_id",
+            "lang",
+            "ttr_e4",
+            F.expr("CAST(((rn - 1) * 3) div n AS INT)").alias("bucket"),
+        )
+    )
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter: per-rule pass/fail columns +
+    the conjunction keep flag, exact integer thresholds throughout."""
+    from .functions.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition: top word-2-gram count / fraction per
+    document — the templated-text signal exact-dup misses."""
+    from .functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated 5-gram span profile per document — the
+    partial-template-reuse signal the whole-doc dedup family misses."""
+    from .functions.dedup import dup_spans
+
+    return dup_spans(_t(spark, sf_dir, "documents"))
+
+
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — output bit-identical to
+    docs_decontaminate (same oracle); the Bloom pass is the scale path
+    for benchmark shingle sets too large to broadcast."""
+    from .functions.dedup import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(train, bench)
+
+
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (the cheap perplexity proxy a
+    corpus filter runs before any model-based scorer): per doc,
+    Shannon entropy of the character distribution in floor(H·10⁶)
+    micro-bits. Determinism: counts are exact integers; the float fold
+    runs over the SORTED (count, char-order-free) array left-to-right,
+    so both engines execute the identical double sequence."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.dedup import _spread
+
+    chars = _spread(docs, "doc_id").select(
+        F.col("doc_id").alias("did"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("did", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("did").agg(
+        F.sort_array(F.collect_list("c")).alias("cs"),
+        F.sum("c").alias("n"),
+    )
+    ent = F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (c.cast("double") / F.col("n"))
+        * F.log2(c.cast("double") / F.col("n")),
+    )
+    return per_doc.select(
+        "did",
+        F.col("n").alias("n_chars_counted"),
+        F.floor(ent * 1000000).cast("long").alias("entropy_e6"),
+    )
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus runs
+    before the tokenizer: e-mails and dotted-quad IPs replaced with
+    typed placeholders, per-doc match counts kept for the audit trail.
+    PII is planted deterministically (doc_id % 13 / % 17) so the scrub
+    is non-vacuous at every SF; the patterns use only regex constructs
+    with identical semantics in Java regex and RE2/DuckDB (no \\d, no
+    lookaround). Map-only: one projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.col("doc_id").alias("did"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    email = "[a-z0-9._]+@[a-z0-9.]+"
+    ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    return planted.select(
+        "did",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(ip), F.lit(0))).alias("n_ips"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), email, "<EMAIL>"), ip, "<IP>"
+            )
+        ).alias("scrubbed_md5"),
+    )
+
+
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning histogram: docs bucketed by
+    floor(log2(n_chars)) — the distribution a packing/batching stage
+    sizes its budgets from. Integer bucket via bit length
+    (63 − leading-zeros), no float log anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    # floor(log2(n)) == bit_length(n) - 1 for n >= 1, via base-2 string
+    bucket = F.expr(
+        "length(conv(cast(n_chars as string), 10, 2)) - 1"
+    ).cast("int")
+    return (
+        docs.where(F.col("n_chars") >= 1)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def docs_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integerized LM-quality filter (the KenLM-perplexity stand-in a
+    corpus pipeline runs when no model is at hand): a document scores
+    badly when many of its word bigrams are globally rare. Two passes
+    over the bigram explode — global counts, then the per-doc rare
+    fraction in exact micro-units ((n_rare·10⁶) div n_bigrams, integer
+    division — no float log-prob sum to de-determinize ranks). The
+    bigram self-frequency join shuffles on the bigram key; counts
+    combine map-side."""
+    from .functions.dedup import _spread
+    from .functions.text import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tk = docs.select(F.col("doc_id").alias("did"), tokens().alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    bg = tk.select(
+        "did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.concat_ws(" ", F.col("tk")[i], F.col("tk")[i + 1]),
+            )
+        ).alias("b"),
+    )
+    gc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    scored = bg.join(gc, "b").groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("c") <= 5).cast("long")).alias("n_rare"),
+    )
+    return scored.select(
+        "did",
+        "n_bigrams",
+        "n_rare",
+        F.expr("(n_rare * 1000000) div n_bigrams").alias("rare_e6"),
+    )
+
+
+def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking through a PYTHON UDTF (Spark 4's
+    table-function surface — @udtf with lateral join), certified by
+    the SAME oracle as the declarative docs_chunk: one input doc row
+    fans out to its 32-token / stride-24 chunk rows inside the UDTF.
+    Exists to keep the UDTF escape hatch tested (the declarative
+    explode form in functions/text.py is the production path — same
+    policy as events_cogroup_profile vs the JVM as-of join)."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tok int, chunk_fp string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            n = max(len(toks) - 1, 0)
+            for idx, start in enumerate(range(0, n + 1, 24)):
+                window = toks[start : start + 32]
+                fp = hashlib.md5(" ".join(window).encode()).hexdigest()[:16]
+                yield doc_id, idx, len(window), fp
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs_in")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.* FROM _udtf_docs_in d, "
+        "LATERAL chunk_doc(d.doc_id, d.text) c"
+    )
+
+
+def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup APPLIED (the Lee et al. 2022 step after
+    the docs_dup_spans profile): tokens covered by any globally
+    repeated 5-gram span are removed from every document; output the
+    per-doc removal audit plus the cleaned-text fingerprint. The span
+    membership test is a nested higher-order filter over the doc's
+    popular-span start list — pure array expressions, no UDF. Two
+    shuffles: the global gram count and the per-doc start-list
+    collect; the removal itself is map-side."""
+    from .functions.dedup import _spread
+    from .functions.text import tokens
+
+    toks = _spread(_t(spark, sf_dir, "documents"), "doc_id").select(
+        F.col("doc_id").alias("did"), tokens().alias("tk")
+    )
+    grams = toks.where(F.size("tk") >= 5).select(
+        "did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 5),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("tk"), i + 1, 5)
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("did", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    pop = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    starts = (
+        grams.join(pop, "gram", "left_semi")
+        .groupBy("did")
+        .agg(F.collect_list("i").alias("starts"))
+    )
+    cleaned = (
+        toks.join(starts, "did", "left")
+        .withColumn(
+            "starts",
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "kept",
+            F.filter(
+                "tk",
+                lambda t, i: ~F.exists(
+                    F.col("starts"), lambda s: (i >= s) & (i <= s + 4)
+                ),
+            ),
+        )
+    )
+    return cleaned.select(
+        "did",
+        F.size("tk").alias("n_tokens"),
+        (F.size("tk") - F.size("kept")).alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_fp"),
+    )
+
+
+def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline observability: how many docs survive each
+    CUMULATIVE stage of docs_clean_corpus (input → quality → +lang →
+    +exact-dedup → +near-dedup) — the funnel a data-quality dashboard
+    tracks per ingest batch. Five counts stacked into one result; each
+    stage reuses the same semi/anti-join logic as the cleaning query
+    itself, so the funnel can never drift from the pipeline."""
+    from .functions.dedup import exact_dedup, ngram_jaccard_pairs
+    from .functions.text import langid_scores, quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs).where(F.col("n_tokens") >= 20).select("doc_id")
+    la = langid_scores(docs).where(F.col("lang_pred") == "en").select("doc_id")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    near_j = (
+        ngram_jaccard_pairs(docs, threshold_e4=3000, max_freq=100)
+        .select(F.col("j").alias("doc_id"))
+        .distinct()
+    )
+    s0 = docs.select("doc_id")
+    s1 = s0.join(q, "doc_id", "left_semi")
+    s2 = s1.join(la, "doc_id", "left_semi")
+    s3 = s2.join(keep, "doc_id", "left_semi")
+    s4 = s3.join(near_j, "doc_id", "left_anti")
+    stages = [
+        ("0_input", s0),
+        ("1_quality", s1),
+        ("2_language", s2),
+        ("3_exact_dedup", s3),
+        ("4_near_dedup", s4),
+    ]
+    counted = None
+    for name, df in stages:
+        c = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        counted = c if counted is None else counted.unionByName(c)
+    return counted
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the query-based example
+    selection a data pipeline uses to mine topic-relevant training
+    docs. Exact term statistics (df via distinct doc-term pairs, tf,
+    doc length, average length), classic BM25 with k1=1.2 b=0.75,
+    score quantized to e4 for cross-engine hashing, rank computed on
+    the QUANTIZED integer (ties → doc_id) so both engines sort
+    identical keys; top-10 per query. One shuffle on the term for df,
+    one on (query, doc) for scoring — no cartesian: docs join the
+    3-term query table through the inverted term list."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    # ONE shuffle materializes (doc, term, tf); doc length, corpus size
+    # and avgdl all derive from it (dl = Σ tf) instead of re-scanning
+    # the exploded tokens three times
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    queries = [
+        (0, ["hash", "join"]),
+        (1, ["window", "sort"]),
+        (2, ["stream", "batch", "data"]),
+    ]
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in ts], "qid int, term string"
+    )
+    # df only matters for query terms: restrict BEFORE the per-term count
+    df_t = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (
+        1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * 2.2) / denom
+    agg = scored.groupBy("qid", "doc_id").agg(
+        F.floor(F.sum(contrib) * 10000).cast("long").alias("score_e4"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_e4").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "doc_id", "score_e4", "n_terms_hit")
+    )
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/val/test split (90/5/5) — the
+    leakage-safe corpus partitioning every training run needs:
+    membership is a pure function of (salt, doc_id), so re-runs,
+    engines and machines agree, and adding docs never reshuffles
+    existing assignments (unlike randomSplit). Bucket = first 15 hex
+    digits of md5('split1:'||doc_id) mod 100 — exact integer in both
+    engines. Output: one row per doc (the hash pins EVERY membership
+    assignment, not just split totals)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+
+
+def docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus
+    sampling rule: sample probability ∝ sizeᵅ, α=0.5, largest source
+    kept in full) — upweights small sources without letting the head
+    swamp the mixture. Per-source keep-rate = floor(√n_s/√n_max·10⁶);
+    membership = md5-bucket(doc) < rate, so the draw is deterministic,
+    engine-stable, and consistent under corpus growth. √ is
+    IEEE-exactly-rounded in every engine (unlike pow/log), which is
+    why α is expressed as a square root and not a general exponent.
+    Two tiny aggregates + a broadcast join; the corpus side is one
+    map-only pass."""
+    docs = _t(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    mx = sizes.agg(F.max("n_s").alias("n_max"))
+    rates = sizes.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_s",
+        F.floor(
+            F.sqrt(F.col("n_s").cast("double"))
+            / F.sqrt(F.col("n_max").cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("rate_e6"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(bucket < F.col("rate_e6"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_s",
+        "rate_e6",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+def docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data story composed end-to-end in ONE declarative
+    plan: clean (quality → language → exact-dedup → near-dedup, the
+    docs_clean_corpus chain) → deterministic salted-hash split →
+    token-window chunking → the per-split manifest a training run is
+    configured from (docs, chunks, token budget, chunk-fingerprint
+    xor-ish checksum). Every stage is the SAME operator the individual
+    gate queries certify — the composition proves they compose, and
+    Catalyst fuses the semi-join chain into the chunker's scan."""
+    from .functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned_ids = docs_clean_corpus(spark, sf_dir).select("doc_id")
+    clean_docs = docs.join(cleaned_ids, "doc_id", "left_semi")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    chunks = chunk_documents(clean_docs).join(
+        clean_docs.select("doc_id", split.alias("split")), "doc_id"
+    )
+    return chunks.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(
+            F.conv(F.substring(F.col("chunk_fp"), 1, 8), 16, 10).cast("long")
+        ).alias("fp_sum"),
+    )
+
+
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the
+    reproducible-training-order primitive: every epoch-0 data loader
+    must see the SAME pseudo-random document order on every rerun,
+    engine, and machine. Order key = md5('shuffle1:'||doc_id) (a pure
+    function of the seed and the id, so adding docs never perturbs the
+    relative order of existing ones); shard = key % 8; within-shard
+    position and cumulative token offset come from ONE window pass
+    partitioned by shard.
+
+    100 TB posture: there is deliberately NO global ordering window —
+    a corpus-wide running sum would serialize onto one task. Sharding
+    first bounds every window partition to corpus/n_shards, and a real
+    deployment raises n_shards with the data (100k shards at 100 TB);
+    the per-shard (pos, tok_offset) pair is exactly what a sharded
+    data loader consumes. One shuffle total (the window's hash
+    partition); everything else is map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuffle1:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = F.size(F.split(F.col("text"), " "))
+    keyed = docs.select(
+        "doc_id", h.alias("h"), (h % 8).alias("shard"), toks.alias("n_tok")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("tok_offset"),
+        "n_tok",
+    )
+
+
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup — the CommonCrawl-shaped
+    pipeline step: a NEW crawl batch (doc_id % 3 == 0 stands in for
+    the arriving snapshot) is deduplicated against the already-kept
+    corpus (the other docs) without ever rescanning-and-regrouping the
+    union. Per new doc: 'dup_of_old' if its content md5 exists in the
+    prior corpus (precedence over everything), else 'dup_in_new' if an
+    earlier-id new doc has the same hash, else 'kept'.
+
+    100 TB posture: the old side reduces to its DISTINCT hash set once
+    (in production: the persisted dedup index, not a rescan), the
+    probe is one hash equi-join (left-semi shaped), and the
+    within-batch pass is a window partitioned by content hash (group
+    size = duplicate multiplicity, never corpus-sized). The new batch
+    is typically ~1% of the corpus, so the join build side is the
+    small, bounded one. No all-pairs surface anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text")).alias("h")
+    old_hashes = (
+        docs.where(F.col("doc_id") % 3 != 0).select(h).distinct()
+        .withColumn("in_old", F.lit(1))
+    )
+    new = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", h)
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    return (
+        new.join(old_hashes, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_old").isNotNull(), "dup_of_old")
+            .when(rn > 1, "dup_in_new")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words quality classifier inference (the
+    fastText-shaped filter every web-scale corpus runs): score =
+    Σ w(token) over the document, with hashed feature weights
+    w(t) = md5-bucket('w1:'||t) in [-1000, 1000] standing in for a
+    trained weight table — deterministic, so the gate pins every
+    per-document score, and structurally identical to real inference
+    (swap the hash for a broadcast weight lookup).
+
+    100 TB posture: map-only — tokenize, transform to per-token
+    weights, fold with F.aggregate, all inside whole-stage codegen;
+    no shuffle, no UDF, no driver participation. The keep decision is
+    an integer cross-multiply (score·64 > n_tok·margin), no float."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    weights = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit("w1:"), t)), 1, 15), 16, 10
+        ).cast("long")
+        % 2001
+        - 1000,
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "score"
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "score",
+        (F.col("score") * 64 > F.col("n_tok") * F.lit(-640))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def docs_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — exactly k=20 docs per
+    source (or all of a smaller source), drawn uniformly,
+    reproducibly, and stably under corpus growth: the sample is the k
+    SMALLEST md5('sample1:'||doc_id) values per source (bottom-k
+    sketch), so membership is a pure function of the seed and the ids
+    present.
+
+    100 TB posture: the naive per-source row_number window sorts every
+    document of a source on one task — the docs_source_stats
+    hot-partition mistake. Instead: (1) count per source (map-side
+    combined); (2) keep only hashes under a per-source THRESHOLD
+    (~4k/n of the key space — a broadcast-joined map-only prefilter
+    that discards ~99.99% of a large source BEFORE any window);
+    (3) verify the prefilter per source (one tiny count) and widen to
+    full-keep for any source whose survivor count fell under k — the
+    monotone-prefix property means survivors always ARE the true
+    bottom of the hash order, so the final row_number window over the
+    (tiny) survivor set returns exactly the global bottom-k. The
+    verify step makes the operator exact by construction, not
+    with-high-probability; the widen branch fires with probability
+    ~e^-22 per source (Chernoff at 4x margin), so its cost is the
+    count, not the rescan."""
+    docs = _t(spark, sf_dir, "documents")
+    k = 20
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    keyed = docs.select("doc_id", "source", h.alias("h"))
+    provisional = (
+        keyed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .select(
+            "source",
+            F.when(F.col("n_s") <= 4 * k, F.lit(1000000))
+            .otherwise((4 * k * F.lit(1000000)) / F.col("n_s"))
+            .cast("long")
+            .alias("thresh"),
+        )
+    )
+    surv_cnt = (
+        keyed.join(F.broadcast(provisional), "source")
+        .where(F.col("h") < F.col("thresh"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    final_thresh = (
+        provisional.join(surv_cnt, "source", "left")
+        .select(
+            "source",
+            F.when(F.coalesce("c_s", F.lit(0)) >= k, F.col("thresh"))
+            .otherwise(F.lit(1000000))
+            .alias("thresh"),
+        )
+    )
+    survivors = keyed.join(F.broadcast(final_thresh), "source").where(
+        F.col("h") < F.col("thresh")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "source", "rk")
+    )
+
+
+def docs_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-size estimation via a KMV bottom-k
+    distinct sketch (k=64), side-by-side with the exact distinct
+    count so the estimator's error is part of the certified result.
+
+    The sketch is the k smallest DISTINCT md5-derived token hashes
+    per source (functions/sketches.py) — order-independent and
+    mergeable, so at 100 TB each executor ships at most k rows per
+    source to the final reducer; the estimate (k-1)*M // h_(k) is
+    pure integer floor math, bit-equal in DuckDB.  The exact count
+    shown alongside is vocab-bounded (distinct (source, token) —
+    bounded by vocabulary, not corpus rows), the repo's accepted
+    shuffle posture for token-level aggregates; at true corpus scale
+    you'd drop the exact column and keep only the sketch — the point
+    of the query is certifying that the sketch alone is within a few
+    percent.  Columns: source, n_sketch, est_distinct,
+    exact_distinct, err_permille (floor(|est-exact|*1000/exact)).
+    """
+    from .functions.sketches import kmv_estimate, kmv_sketch
+    from .functions.text import tokens
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    sk = kmv_sketch(toks, F.concat(F.lit("kmv1:"), F.col("tok")), ["source"], k, "")
+    est = kmv_estimate(sk, ["source"], k)
+    exact = toks.select("source", "tok").distinct().groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_sketch",
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000 div exact_distinct"
+            ).alias("err_permille"),
+        )
+    )
+
+
+def docs_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set operations between source vocabularies
+    WITHOUT materializing either vocabulary: for every pair of
+    sources (A < B), estimate |A ∪ B| and |A ∩ B| from the two KMV
+    bottom-k sketches alone.
+
+    Union sketch = k smallest of the merged sketch member hashes
+    (closed under merge — this is why KMV is the distributed
+    estimator of choice); jaccard_est = (members of the union sketch
+    present in BOTH sides) / k; intersection = jaccard * union.  All
+    arithmetic integer floor (permille scaling) so the DuckDB oracle
+    hash certifies the estimates exactly.  Exact overlap columns are
+    computed alongside (vocab-bounded) to certify estimator quality.
+
+    At 100 TB the exact columns drop out and the pair enumeration
+    runs on sketches of size k×n_sources — driver-trivial regardless
+    of corpus size.  Columns: src_a, src_b, union_est, inter_est,
+    jaccard_permille, union_exact, inter_exact.
+    """
+    from .functions.sketches import kmv_sketch
+    from .functions.text import tokens
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    # k×n_sources rows — settle once; the pair enumeration and both
+    # join sides derive from it (otherwise 4 corpus re-scans).
+    sk = (
+        kmv_sketch(toks, F.concat(F.lit("kmv1:"), F.col("tok")), ["source"], k, "")
+        .select("source", "h")
+        .localCheckpoint()
+    )
+    a = sk.select(F.col("source").alias("src_a"), F.col("h").alias("h_a"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("h").alias("h_b"))
+    # merged member set per pair; tag membership on each side
+    pairs = (
+        a.select("src_a")
+        .distinct()
+        .join(b.select("src_b").distinct(), F.col("src_a") < F.col("src_b"))
+    )
+    merged = (
+        pairs.join(a, "src_a")
+        .select("src_a", "src_b", F.col("h_a").alias("h"))
+        .unionByName(
+            pairs.join(b, "src_b").select(
+                "src_a", "src_b", F.col("h_b").alias("h")
+            )
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    union_sk = merged.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    est = union_sk.groupBy("src_a", "src_b").agg(
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("h_k"),
+        F.count(F.lit(1)).alias("n_u"),
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0)).alias("n_both"),
+    )
+    M = 1_000_000_000_000
+    est = est.select(
+        "src_a",
+        "src_b",
+        F.when(F.col("n_u") < k, F.col("n_u"))
+        .otherwise(F.expr(f"({k} - 1) * {M}L div h_k"))
+        .cast("long")
+        .alias("union_est"),
+        F.expr("n_both * 1000 div n_u").alias("jaccard_permille"),
+        "n_u",
+        "n_both",
+    ).select(
+        "src_a",
+        "src_b",
+        "union_est",
+        F.expr("union_est * n_both div n_u").alias("inter_est"),
+        "jaccard_permille",
+    )
+    # exact columns (vocab-bounded) for estimator-quality certification
+    va = toks.select(F.col("source").alias("src_a"), "tok").distinct()
+    vb = toks.select(F.col("source").alias("src_b"), "tok").distinct()
+    inter = (
+        va.join(vb, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    sizes = va.groupBy("src_a").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_b = sizes.select(
+        F.col("src_a").alias("src_b"), F.col("n_a").alias("n_b")
+    )
+    exact = (
+        inter.join(F.broadcast(sizes), "src_a")
+        .join(F.broadcast(sizes_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            (F.col("n_a") + F.col("n_b") - F.col("inter_exact")).alias(
+                "union_exact"
+            ),
+            "inter_exact",
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "union_est",
+        "inter_est",
+        "jaccard_permille",
+        "union_exact",
+        "inter_exact",
+    )
+
+
+def docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted document sampling via priority sampling
+    (Duffield–Lund–Thorup): draw n=50 docs with inclusion probability
+    proportional to n_chars (long documents dominate training-token
+    budgets, so budget audits must sample by weight, not uniformly),
+    deterministic and order-independent, plus the Horvitz–Thompson
+    estimate of TOTAL corpus chars reconstructed from the sample
+    alone.  ``docs_weighted_sample`` is the sample-only cousin (same
+    u div w priority keying); this one adds the (n+1)-th-key τ
+    threshold and the HT estimator — the part that turns a sample
+    into an unbiased population estimate.
+
+    key_i = u_i * 10^6 div w_i (u_i = seeded md5 hash) — the n
+    smallest keys are the n largest priorities w_i/u_i; the (n+1)-th
+    key is the threshold τ_key, and the HT total is
+    Σ max(w_i, 10^12 * 10^6 div τ_key) over the sample — every step
+    integer floor, bit-equal in the DuckDB oracle.  The result
+    carries per-row sample membership AND the one-row estimate
+    columns so the certified hash pins both.
+
+    Scale: keying is map-only; top-(n+1) is TakeOrderedAndProject
+    (per-partition limit + driver merge of n+1 rows/partition), no
+    global sort.  Columns: doc_id, source, n_chars, prank, ht_total,
+    exact_total, err_permille.
+    """
+    from .functions.sketches import priority_sample
+
+    n = 50
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    samp = priority_sample(docs, F.col("n_chars"), n, "psamp1:")
+    ht = samp.agg(
+        F.sum(
+            F.greatest(
+                F.col("w_"),
+                F.expr("1000000000000000000 div tau_key"),
+            )
+        )
+        .cast("long")
+        .alias("ht_total")
+    )
+    exact = docs.agg(F.sum("n_chars").cast("long").alias("exact_total"))
+    est = ht.crossJoin(exact).select(
+        "ht_total",
+        "exact_total",
+        F.expr("abs(ht_total - exact_total) * 1000 div exact_total").alias(
+            "err_permille"
+        ),
+    )
+    return samp.select("doc_id", "source", "n_chars", "prank").crossJoin(
+        F.broadcast(est)
+    )
+
+
+def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens via the two-stage distributed
+    pattern: LOCAL top-k per shard proposes candidates, a global
+    count-min sketch (depth 3 × width 512 — Cormode & Muthukrishnan
+    2005) estimates each candidate's corpus count.  The exact global
+    count is computed alongside so the certified result carries the
+    estimator's overcount explicitly (CMS never undercounts).
+
+    Why this shape at 100 TB: the global token count table is
+    vocabulary-sized (fine at sf0.1, hostile at web scale), but the
+    CMS grid is 1,536 cells REGARDLESS of corpus size — partial
+    aggregation means each map task ships at most 1,536 rows — and
+    candidate generation is per-source top-12 (shard-local heavy
+    hitters; a true global heavy hitter is a local heavy hitter in
+    at least one shard by pigeonhole when shards are balanced).  The
+    exact column is the certification yardstick and would drop out
+    at true scale, exactly like ``docs_kmv_vocab``.  All hashing is
+    the md5-derived ``seeded_hash`` — grid and estimates bit-equal
+    in DuckDB.  Columns: tok, exact_cnt, cms_est, overcount.
+    """
+    from .functions.sketches import cms_lookup, cms_sketch
+    from .functions.text import tokens
+
+    depth, width = 3, 512
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    # shard-local candidate proposal: top-12 tokens per source by
+    # exact per-source count (deterministic tie-break on the token).
+    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w_src = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+    cand = (
+        per_src.withColumn("rk", F.row_number().over(w_src))
+        .where(F.col("rk") <= 12)
+        .select("tok")
+        .distinct()
+    )
+    sketch = cms_sketch(toks, F.col("tok"), depth, width, "cms")
+    est = cms_lookup(sketch, cand, F.col("tok"), ["tok"], depth, width, "cms")
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "tok").select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def docs_cms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots from
+    their count-min grids alone — the distribution-shift monitor a
+    training-data pipeline runs between crawl batches.  Snapshots are
+    the deterministic doc_id halves (even = old, odd = new); each
+    side builds the same 3×512 seeded grid, candidates are each
+    side's shard-local heavy hitters, and every candidate gets
+    est_old / est_new / delta_est next to the exact counts and exact
+    delta.
+
+    Why CMS here and not KMV: the count-min grid is a LINEAR sketch —
+    cell-wise ADD/SUBTRACT of two grids is the grid of the
+    concatenated/differenced stream (tests pin mergeability) — so an
+    archived yesterday-grid plus today's 1,536 cells answers "what
+    changed" without re-touching yesterday's corpus; bottom-k
+    sketches cannot subtract.  Columns: tok, exact_old, exact_new,
+    est_old, est_new, delta_est, delta_exact.
+    """
+    from .functions.sketches import cms_lookup, cms_sketch
+    from .functions.text import tokens
+
+    depth, width = 3, 512
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(tokens("text")).alias("tok"),
+    ).where(F.col("tok") != "")
+    # three corpus passes total: candidate counts, grids, exact counts
+    # (each map-side-combined; everything downstream is sketch-sized)
+    per = toks.groupBy("is_new", "source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_src = Window.partitionBy("is_new", "source").orderBy(F.desc("c"), "tok")
+    # ≤ 2×12×n_sources candidate rows — settle once; four consumers
+    # (two grid probes, the exact join, the output spine) would each
+    # re-derive it from the corpus otherwise
+    cand = (
+        per.withColumn("rk", F.row_number().over(w_src))
+        .where(F.col("rk") <= 12)
+        .select("tok")
+        .distinct()
+        .localCheckpoint()
+    )
+    # both halves' grids from ONE pass; ≤ 2·depth·width rows, settled
+    # once so the two lookups don't rescan the corpus
+    cells = cms_sketch(
+        toks, F.col("tok"), depth, width, "cms", group_cols=["is_new"]
+    ).localCheckpoint()
+    out = cand
+    for label, flag in (("old", False), ("new", True)):
+        sketch = cells.where(F.col("is_new") == flag).select("r", "c", "cnt")
+        est = cms_lookup(sketch, cand, F.col("tok"), ["tok"], depth, width, "cms")
+        out = out.join(est.withColumnRenamed("cms_est", f"est_{label}"), "tok")
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(
+            F.sum((~F.col("is_new")).cast("long")).alias("exact_old"),
+            F.sum(F.col("is_new").cast("long")).alias("exact_new"),
+        )
+    )
+    return out.join(exact, "tok").select(
+        "tok",
+        "exact_old",
+        "exact_new",
+        "est_old",
+        "est_new",
+        (F.col("est_new") - F.col("est_old")).alias("delta_est"),
+        (F.col("exact_new") - F.col("exact_old")).alias("delta_exact"),
+    )
+
+
+def docs_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end with zero native dependencies:
+    deterministic RGB images are synthesized per doc_id, encoded as
+    binary PPM (P6) ON THE EXECUTORS, then decoded by the 'ppm' codec
+    (header parse + integer ITU-R 601 grayscale) through the same
+    ``decode_media`` mapInPandas plumbing the pillow path uses. The
+    oracle recomputes the expected grayscale values straight from the
+    pixel formula — it never sees the bytes — so a decoder bug
+    (header offset, channel order, luma arithmetic) cannot cancel out.
+
+    100 TB posture: payloads are born, encoded, and decoded inside the
+    executors (two Arrow-batched stages, no driver participation, no
+    shuffle of pixel data; the only exchange is _spread's rebalance of
+    (did, media) rows)."""
+    from .functions.multimodal import decode_media, encode_ppm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, hgt = 8 + d % 5, 6 + d % 7
+                rgb = bytes(
+                    v
+                    for y in range(hgt)
+                    for x in range(w)
+                    for v in (
+                        (x * 7 + y * 13 + d) % 256,
+                        (x * 3 + y * 5 + 2 * d) % 256,
+                        (x * 11 + y + 3 * d) % 256,
+                    )
+                )
+                medias.append(encode_ppm(w, hgt, rgb))
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    media = docs.mapInPandas(gen, "did long, media binary")
+    dec = decode_media(None, media=media, codec="ppm")
+    return dec.select(
+        "did",
+        "height",
+        "width",
+        F.aggregate(
+            F.col("head"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("head_sum"),
+    )
+
+
+def docs_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, zero dependencies: mono 16-bit
+    PCM WAVs are synthesized per doc_id from an integer sample formula
+    (s_k = ((doc_id*31 + k*17) % 4096) - 2048), RIFF-encoded on the
+    executors, then chunk-walked back by ``decode_wav_pcm16`` and
+    reduced to integer loudness features by ``audio_features``. The
+    oracle recomputes Σ|s_k| and the peak straight from the formula —
+    it never sees the bytes — so any decoder fault (chunk offsets,
+    endianness, sign handling) surfaces as a hash mismatch.
+
+    100 TB posture: identical to the image path — two Arrow-batched
+    executor stages, no shuffle of sample data, no driver
+    participation."""
+    from .functions.multimodal import audio_features, encode_wav_pcm16
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            medias = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 64 + d % 17
+                samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
+                medias.append(
+                    encode_wav_pcm16(8000 + (d % 3) * 4000, samples)
+                )
+            yield pd.DataFrame({"did": pdf["doc_id"], "media": medias})
+
+    media = docs.mapInPandas(gen, "did long, media binary")
+    return audio_features(media)
+
+
+def docs_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate grouping by perceptual average-hash — the
+    media-side twin of MinHash dedup. Deterministic 16×16 RGB images
+    are synthesized per doc_id from a base pattern keyed on
+    doc_id % 37 (the planted duplicate group) PLUS a per-doc uniform
+    brightness offset (doc_id % 7) — the exact perturbation a
+    re-encode/re-exposure produces and that byte-level md5 dedup can
+    never catch. The aHash (mean-pool 8×8, threshold against the
+    global mean — ``average_hash_64``) is provably invariant to the
+    offset, so docs sharing a base pattern collapse to one fingerprint
+    and group by an ordinary hash groupBy.
+
+    Oracle: recomputes the luma grid, pooling, thresholds, and the
+    64-bit pack straight from the pixel formula — it never sees a PPM
+    byte, so a decoder or pooling fault cannot cancel out.
+
+    100 TB posture: images are born, encoded, decoded, and hashed
+    inside one Arrow-batched executor stage; each payload collapses to
+    8 bytes map-side and ONLY the fingerprints shuffle (one exchange
+    on the hash pair). Channel bases stay ≤239 and the offset ≤6, so
+    no byte ever wraps — keeping the brightness shift truly uniform."""
+    from .functions.multimodal import image_average_hash, planted_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashes = image_average_hash(planted_images(docs), spread=False)
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return hashes.select(
+        "did",
+        "ahash_hi",
+        "ahash_lo",
+        F.min("did").over(w).alias("group_rep"),
+        F.count(F.lit(1)).over(w).alias("group_n"),
+    )
+
+
+def docs_media_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed MEDIA curation pipeline in one declarative plan — the
+    multimodal twin of ``docs_clean_corpus``: synthesize → perceptual
+    aHash (Arrow stage, 8 bytes out per image) → keep one
+    representative per fingerprint group (min doc_id) → per-source
+    curation manifest (how much each source shrank under visual
+    dedup). The keep rule and counts are all integer-deterministic, so
+    the whole funnel hash-checks cross-engine on top of the phash
+    oracle's pixel-formula recomputation.
+
+    Columns: source, n_media, n_kept, kept_permille."""
+    from .functions.multimodal import image_average_hash, planted_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    hashes = image_average_hash(planted_images(docs), spread=False)
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    kept = hashes.select(
+        "did", (F.col("did") == F.min("did").over(w)).alias("is_rep")
+    )
+    return (
+        docs.join(kept, docs.doc_id == kept.did)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("is_rep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_media",
+            "n_kept",
+            F.expr("1000 * n_kept DIV n_media").alias("kept_permille"),
+        )
+    )
+
+
+def docs_stream_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image-ingest dedup gate — arriving images (odd
+    doc_ids) probe a static perceptual-hash index of the corpus (even
+    doc_ids) by 64-bit aHash. Stateless end-to-end (per-row Arrow
+    fingerprint + stream-static equi-join, zero state forever); the
+    oracle recomputes both sides from the pixel formulas. See
+    streaming/docs.py::run_media_phash_stream for the index-size
+    join policy."""
+    from .streaming.docs import run_media_phash_stream
+
+    return run_media_phash_stream(spark, sf_dir)
+
+
+def docs_stream_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING audio-ingest dedup gate — the audio twin of
+    docs_stream_media_phash: arriving clips probe a static
+    energy-delta fingerprint index (stateless, zero state forever;
+    gain-invariant matching). See
+    streaming/docs.py::run_media_audio_stream."""
+    from .streaming.docs import run_media_audio_stream
+
+    return run_media_audio_stream(spark, sf_dir)
+
+
+def docs_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate grouping by energy-delta fingerprint.
+    Mono 16-bit WAVs are synthesized per doc_id: a base waveform keyed
+    on doc_id % 23 (the planted group), multiplied by a per-doc gain
+    (1 + doc_id % 3) — the loudness-normalization difference that
+    defeats byte dedup. ``audio_delta_fingerprint`` reduces each clip
+    to one bit per consecutive window pair (energy rose / didn't);
+    gain scales every energy by gain², preserving every comparison, so
+    re-leveled copies share a fingerprint and group by hash groupBy.
+
+    Oracle: recomputes windows, Σs² energies, deltas, and the bit pack
+    from the sample formula — the RIFF bytes never reach SQL, so chunk
+    or endianness faults in the decoder surface as hash mismatches.
+
+    100 TB posture: identical to the image path — samples never leave
+    the Arrow decode stage; one exchange of 8-byte fingerprints."""
+    from .functions.multimodal import audio_delta_fingerprint, planted_audio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    fps = audio_delta_fingerprint(planted_audio(docs), window=8, spread=False)
+    w = Window.partitionBy("fp")
+    return fps.select(
+        "did",
+        "fp",
+        "n_windows",
+        F.min("did").over(w).alias("group_rep"),
+        F.count(F.lit(1)).over(w).alias("group_n"),
+    )
+
+
+def docs_media_video_neardup(
+    spark: SparkSession, sf_dir: str, base_mod: int = 29,
+    max_freq: int = 1000,
+) -> DataFrame:
+    """VIDEO near-duplicate pairs by shared-keyframe Jaccard — the
+    third leg of the media dedup triad (image aHash, audio FP, and
+    now frame-set similarity, the standard re-upload/re-edit detector).
+    Deterministic 'videos' are synthesized per doc_id: 24..28 frames of
+    64 bytes, most carrying the base-video content (keyed doc_id %
+    base_mod — 29 in the registered query; scale runs raise it with the
+    corpus so dup-group size, hence join-bucket size, stays constant),
+    every tenth slot carrying a doc-specific frame (an inserted
+    overlay/re-encode artifact). The REAL frame pipeline runs: payload
+    bytes → ``sample_frames`` (Arrow UDTF fan-out, every frame) → md5
+    per frame; then a shared-frame equi-join blocks candidate pairs and
+    an integer Jaccard (‰, floor) keeps pairs ≥ 0.5 — same-base videos
+    share ~90% of frames and pass, others share none.
+
+    Oracle: recomputes every frame hash as md5(rpad(formula, 64)) and
+    the same join/threshold — the byte slicing and hashing of the UDTF
+    stage are cross-checked, not assumed.
+
+    100 TB posture: frame hashing is map-only inside the Arrow stage
+    (64-byte frames → 16-byte hashes); candidate generation is the
+    shared-frame equi-join, so cost follows duplicate density exactly
+    like shingle-blocked text near-dup. A production corpus would cap
+    ubiquitous frames (intros/black frames) with the same max-frequency
+    stop-key rule as ``ngram_jaccard_pairs``'s stop-shingle cap."""
+    from .functions.multimodal import sample_frames
+
+    d = F.col("doc_id")
+    n = (F.lit(24) + d % 5).cast("int")
+    arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.rpad(
+            F.concat(
+                F.when(
+                    (j + d) % 10 == 0,
+                    F.concat(F.lit("u"), d.cast("string")),
+                ).otherwise(
+                    F.concat(F.lit("b"), (d % base_mod).cast("string"))
+                ),
+                F.lit(":"),
+                j.cast("string"),
+            ),
+            64,
+            " ",
+        ),
+    )
+    from .functions.dedup import _spread
+
+    # spread the 8-byte id frame BEFORE synthesizing payloads: the
+    # payload column derives from doc_id alone, so the frame pipeline
+    # chains map-only after one id exchange — video bytes never shuffle
+    vids = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    ).select(d.alias("doc_id"), F.array_join(arr, "").alias("payload"))
+    frames = sample_frames(
+        vids, id_col="doc_id", col="payload", frame_bytes=64, every=1,
+        spread=False,
+    ).select("did", "frame_md5")
+    counts = frames.groupBy("did").agg(F.count(F.lit(1)).alias("nf"))
+    # stop-frame cap (the max_freq rule of the text shingle path):
+    # frames shared by > max_freq videos (intros, black frames, test
+    # cards) are excluded from CANDIDATE GENERATION — they are too
+    # common to be discriminative and each contributes C(n,2) join
+    # rows. nf (per-video frame count) keeps counting them, so the
+    # Jaccard denominator is unchanged; shared-frame counts lose only
+    # the non-discriminative keys. 1000 is provably a no-op at every
+    # gate SF (dup-group size ≤ docs/29 ≤ 172 at sf0.1) — the oracle
+    # mirrors the filter.
+    ffreq = frames.groupBy("frame_md5").agg(F.count(F.lit(1)).alias("ff"))
+    disc = frames.join(
+        ffreq.where(F.col("ff") <= max_freq).select("frame_md5"), "frame_md5"
+    )
+    a = disc.select(F.col("did").alias("did_a"), "frame_md5")
+    b = disc.select(F.col("did").alias("did_b"), "frame_md5")
+    pairs = (
+        a.join(b, "frame_md5")
+        .where(F.col("did_a") < F.col("did_b"))
+        .groupBy("did_a", "did_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("did").alias("did_a"), F.col("nf").alias("nf_a"))
+    cb = counts.select(F.col("did").alias("did_b"), F.col("nf").alias("nf_b"))
+    return (
+        # counts is corpus-sized (one row per video): no broadcast
+        # hint — AQE picks broadcast at fixture scale, shuffle at 100 TB
+        pairs.join(ca, "did_a")
+        .join(cb, "did_b")
+        .withColumn(
+            "jacc_e3",
+            F.expr("1000 * shared DIV (nf_a + nf_b - shared)"),
+        )
+        .where(F.col("jacc_e3") >= 500)
+        .select("did_a", "did_b", "shared", "nf_a", "nf_b", "jacc_e3")
+    )
+
+
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index build — the retrieval-side artifact
+    a corpus engine materializes once per crawl: for every term its
+    document frequency, collection frequency, and a canonical posting
+    string ``doc:pos1,pos2;doc:...`` (docs ascending, positions
+    ascending). Terms more frequent than ``MAX_DF`` docs keep their
+    df/cf statistics but get a NULL posting list — the stop-word
+    guard that keeps any single term's posting payload bounded (at
+    100 TB the posting list of 'the' is a multi-GB value no single
+    reducer should materialize).
+
+    100 TB posture: shuffle on (term, doc) with map-side combine,
+    then ONE term exchange shared by the df window, the statistics
+    aggregate, and the bounded posting collect (Catalyst reuses the
+    partitioning); the df > MAX_DF filter runs BEFORE the collect, so
+    the unbounded aggregation state never exists."""
+    MAX_DF = 32
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).where(F.col("term") != "")
+    perdoc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda p: p.cast("string"),
+            ),
+            ",",
+        ).alias("ps"),
+    )
+    wdf = Window.partitionBy("term")
+    perdoc = perdoc.withColumn("dfw", F.count(F.lit(1)).over(wdf))
+    # ONE aggregate produces stats AND postings: rows of an over-cap
+    # term enter the collect as NULL (collect_list drops them), so the
+    # stop-term aggregation state stays empty — no second scan, and
+    # the window's term partitioning is reused by the groupBy
+    return perdoc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("dfw") <= MAX_DF,
+                            F.struct("doc_id", "ps"),
+                        )
+                    )
+                ),
+                lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.ps),
+            ),
+            ";",
+        ).alias("postings_raw"),
+    ).select(
+        "term",
+        "df",
+        "cf",
+        F.when(F.col("df") <= MAX_DF, F.col("postings_raw")).alias(
+            "postings"
+        ),
+    )
+
+
+def docs_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass (the first stage of every cleaning
+    pipeline): lowercase, collapse space/tab runs, trim — reported as
+    the normalized length, an md5 fingerprint of the normalized form
+    (the key exact dedup runs on AFTER normalization), and a changed
+    flag. ASCII-deterministic by construction (the corpus is ASCII;
+    ``lower``/``md5`` agree across engines on ASCII).
+
+    100 TB posture: map-only — no shuffle, no Python; the fingerprint
+    feeds the same hash-groupBy dedup path as docs_exact_dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \\t]+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+    )
+
+
+def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by integer-exact PMI over the bigram
+    contingency table: for bigrams seen ≥5 times, score_e6 =
+    (c_xy · N · 10⁶) div (c_x · c_y) with c_x/c_y the LEFT/RIGHT
+    MARGINALS (Σ_y c_xy / Σ_x c_xy) and N = Σ c_xy — the standard
+    contingency-table PMI, in exact micro-units (monotone in PMI, so
+    the ranking is identical to the log form without a float entering
+    the comparison; the integer form needs N·c_max·10⁶ < 2⁶³ — now
+    ENFORCED by a per-row raise_error guard instead of a docstring
+    argument, so a larger corpus fails loudly instead of silently
+    wrapping negative — a 100 TB corpus moves to log-space doubles for
+    the score but keeps this exact form for the top-k candidate cut).
+
+    The marginal formulation is WHY this scales: the corpus is scanned
+    and shuffled ONCE (into the vocab²-bounded bigram count table,
+    localCheckpoint-settled); marginals and the total then re-aggregate
+    that small table, never the corpus. The top-100 plans as
+    TakeOrderedAndProject, never a global sort."""
+    from .functions.dedup import _spread
+    from .functions.text import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    pairs = (
+        tok.withColumn(
+            "nxt",
+            F.lead("w").over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("w").alias("x"), F.col("nxt").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint()  # one corpus pass; everything below re-reads
+        # this vocab²-bounded table, not the corpus
+    )
+    xm = pairs.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    ym = pairs.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = pairs.agg(F.sum("c_xy").alias("n_bg"))
+    return (
+        pairs.where(F.col("c_xy") >= 5)
+        .join(xm, "x")
+        .join(ym, "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                # overflow guard: c_xy*n_bg*1e6 must fit BIGINT; the
+                # equivalent division form never overflows itself
+                f"CASE WHEN c_xy > {(2 ** 63 - 1) // 1000000} div n_bg "
+                "THEN raise_error('docs_collocations: c_xy*n_bg*1e6 "
+                "exceeds BIGINT — switch to log-space PMI scoring') "
+                "ELSE (c_xy * n_bg * 1000000) div (c_x * c_y) END"
+            ).alias("pmi_e6"),
+        )
+        .orderBy(F.desc("pmi_e6"), F.asc("x"), F.asc("y"))
+        .limit(100)
+    )
+
+
+def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring, integer-exact: a
+    held-out reference slice (doc_id % 10 == 0 — the 'Wikipedia' side
+    of the CCNet recipe) trains Laplace-smoothed bigram transition
+    counts, and EVERY doc is scored by its mean transition probability
+    in ppm — p_e6 = ((c_xy + 1)·10⁶) div (c_x + |V|) per transition,
+    averaged with integer division. Low scores mark text the reference
+    LM finds improbable (gibberish, boilerplate, wrong language) —
+    the perplexity filter of a pretraining pipeline, expressed without
+    a float log so the oracle hashes it exactly.
+
+    100 TB posture: the reference model is a vocab²-bounded count
+    table (joins broadcast when small, shuffle on the bigram key when
+    not); the corpus side is one scan + one per-doc window; nothing
+    corpus-sized ever sits in driver or single-task state."""
+    from .functions.dedup import _spread
+    from .functions.text import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("nxt", F.lead("w").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("w").alias("x"), F.col("nxt").alias("y"))
+    )
+    ref = (
+        bg.where(F.col("doc_id") % 10 == 0)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    rx = ref.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    v = ref.agg(F.countDistinct("y").alias("vocab"))
+    sc = (
+        bg.join(ref, ["x", "y"], "left")
+        .join(rx, "x", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "((coalesce(c_xy, 0) + 1) * 1000000)"
+                " div (coalesce(c_x, 0) + vocab)"
+            ).alias("p_e6"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.expr("sum(p_e6) div count(1)").alias("score_e6"),
+    )
+
+
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-targeted data selection by importance weighting over
+    hashed n-gram features (the DSIR recipe, Xie et al. 2023,
+    integer-exact): fit two Laplace-smoothed hashed-bigram bag models
+    — p on the target domain (source 'src0'), q on the raw pool — and
+    weight every raw doc by its mean per-bigram probability ratio in
+    ppm: r_e6(b) = ((c_p(b)+1)·(N_q+B)·10⁶) div ((c_q(b)+1)·(N_p+B)),
+    w_e6 = Σ r_e6 div n_bigrams.  The mean-ratio form is the repo's
+    established no-float-log stand-in (``docs_lm_quality``); the
+    selection itself is the already-certified ``priority_sample``
+    keyed on w_e6, so target-like documents are drawn with
+    probability ∝ weight, without replacement, deterministically.
+
+    100 TB posture: the feature space is B=1024 hash buckets — both
+    models and the ratio table are B-bounded broadcasts no matter the
+    corpus; the pool side is one scan → bigram hash (map-only) →
+    broadcast ratio join → per-doc mean; selection is the map-keyed
+    TakeOrderedAndProject top-(n+1).  (Ratio numerators multiply
+    corpus-sized N into 10⁶-scaled counts — at true trillion-bigram
+    scale move the 10⁶ scaling inside the div or widen to DECIMAL;
+    documented, not hit at fixture scales.)  Columns: doc_id, source,
+    n_bg, w_e6, prank, pool_mean_w_e6 (selected docs' weights sit
+    far above the pool mean — the point of the recipe).
+    """
+    from .functions.dedup import _spread
+    from .functions.sketches import priority_sample, seeded_hash
+
+    B, n = 1024, 50
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    # adjacent non-empty token pairs straight off the split array —
+    # MAP-ONLY (no posexplode + per-doc lead window; same pairs as the
+    # filtered-lead formulation the oracle uses). Guard the <2-token
+    # case explicitly: Spark's sequence(0, -1) counts DOWN, it is not
+    # empty.
+    arr = docs.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("tk"),
+    )
+    grams = F.expr(
+        "CASE WHEN size(tk) < 2 THEN array()"
+        " ELSE transform(sequence(0, size(tk) - 2),"
+        "                i -> concat(tk[i], ' ', tk[i + 1])) END"
+    )
+    bg = arr.select("doc_id", "source", F.explode(grams).alias("g")).select(
+        "doc_id", "source", (seeded_hash(F.col("g"), "dsir:") % B).alias("b")
+    )
+    tgt = bg.where(F.col("source") == "src0")
+    raw = bg.where(F.col("source") != "src0")
+    cp = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("c_p"))
+    cq = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_q"))
+    np_ = tgt.agg(F.count(F.lit(1)).alias("n_p"))
+    nq_ = raw.agg(F.count(F.lit(1)).alias("n_q"))
+    # every raw bigram's bucket appears in cq by construction, so the
+    # outer join + inner lookup below never drops a pool bigram
+    ratio = (
+        cp.join(cq, "b", "outer")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nq_))
+        .select(
+            "b",
+            F.expr(
+                f"((coalesce(c_p, 0) + 1) * (n_q + {B}) * 1000000)"
+                f" div ((coalesce(c_q, 0) + 1) * (n_p + {B}))"
+            ).alias("r_e6"),
+        )
+    )
+    wdoc = (
+        raw.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.expr("sum(r_e6) div count(1)").alias("w_e6"),
+        )
+    )
+    pool = wdoc.agg(F.expr("sum(w_e6) div count(1)").alias("pool_mean_w_e6"))
+    samp = priority_sample(wdoc, F.col("w_e6"), n, "dsir:", id_col="doc_id")
+    return samp.select("doc_id", "source", "n_bg", "w_e6", "prank").crossJoin(
+        F.broadcast(pool)
+    )
+
+
+def docs_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFrame:
+    """Tokenizer training: greedy BPE merge-rule discovery over the
+    corpus — per round, count adjacent token pairs, pick the most
+    frequent (count desc, then lexicographic — fully deterministic),
+    fuse its occurrences left-to-right, repeat. Output is the trained
+    artifact: the merge table (rank, x, y, c).
+
+    Fusion is CANONICAL single-pass greedy (round 7; the previous
+    single-spaced double-replace left pairs unfused or mis-paired on
+    identical-token runs): the corpus lives on a DOUBLE-SPACED canvas
+    — tokens joined by two spaces, one space at each end — and one
+    literal ``replace`` of `` x  y `` with `` x<SEP>y `` per round IS
+    the textbook left-to-right non-overlapping walk: a match consumes
+    only ONE of the two boundary spaces, so the next adjacency is
+    still pattern-visible immediately after it (the single-spaced form
+    consumed the shared boundary and skipped every other pair of a
+    run). Proof obligations are pinned by unit tests (``a a a a a`` →
+    [aa, aa, a]) and the DuckDB oracle runs the SAME literal replace —
+    the cross-engine hash certifies canonical semantics, not merely a
+    shared deviation.
+
+    100 TB posture: each round is one map-side-combined pair count
+    (shuffle keys bounded by vocab², not corpus) + a MAP-ONLY string
+    fusion; only the 1-row argmax is collected per round (the same
+    metadata-sized driver traffic as k-means centroid updates). Rounds
+    are sequential by nature — that's BPE — but each round is
+    embarrassingly parallel. The trained run (merges + fused corpus)
+    is memoized per (session, corpus fingerprint, n_merges) so
+    docs_bpe_apply reuses the artifact instead of re-training."""
+    merges, _ = _bpe_run(spark, sf_dir, n_merges)
+    return spark.createDataFrame(merges, "rank int, x string, y string, c long")
+
+
+#: trained-BPE artifact memo: (applicationId, corpus path, mtime, size,
+#: n_merges, parity) -> (merge list, fused-corpus DataFrame). An entry
+#: REPLACED by a corpus rewrite (same path+params, new fingerprint) has
+#: its checkpoint blocks freed eagerly — any lazy consumer of it is
+#: reading a dead corpus anyway, and erroring beats silently-stale.
+#: Distinct-key entries are never freed, only dropped when the memo
+#: exceeds capacity: a caller may still hold a lazy DataFrame built on
+#: their blocks (docs_bpe_apply then docs_bpe_tokenize), and Spark's
+#: ContextCleaner reclaims the blocks once the dropped RDD is GC'd.
+_BPE_MEMO: dict[tuple, tuple] = {}
+_BPE_MEMO_CAP = 4
+
+
+def _bpe_canvas(text: Column) -> Column:
+    """text → the double-spaced canvas: tokens joined by TWO spaces,
+    one at each end — the representation that makes a single literal
+    replace the canonical greedy fusion (see docs_bpe_train)."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    return F.concat(F.lit(" "), F.array_join(toks, "  "), F.lit(" "))
+
+
+def _bpe_run(
+    spark: SparkSession, sf_dir: str, n_merges: int, parity: int | None = None
+):
+    """Shared BPE training loop: returns (merge list, fused corpus
+    DataFrame after the final round), memoized on the corpus content
+    fingerprint so train + apply in one gate run train ONCE.
+    ``parity`` restricts the training corpus to doc_id % 2 == parity
+    (the train/serve split of docs_bpe_tokenize). See docs_bpe_train."""
+    import contextlib
+
+    from .functions.dedup import _free_checkpoint as _free_ckpt
+    from .functions.dedup import _spread
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    app = spark.sparkContext.applicationId
+    key = (app, src, st.st_mtime_ns, st.st_size, n_merges, parity)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        return hit
+
+    SEP = "\x1f"  # unit separator: cannot collide with corpus tokens
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    if parity is not None:
+        docs = docs.where(F.col("doc_id") % 2 == parity)
+    cur = _spread(docs).select("doc_id", _bpe_canvas(F.col("text")).alias("s"))
+    w_ = Window.partitionBy("doc_id").orderBy("pos")
+    merges = []
+    for rank in range(1, n_merges + 1):
+        tok = cur.select(
+            "doc_id", F.posexplode(F.split("s", " ")).alias("pos", "w")
+        ).where(F.col("w") != "")
+        cnt = (
+            tok.withColumn("nxt", F.lead("w").over(w_))
+            .where(F.col("nxt").isNotNull())
+            .groupBy(F.col("w").alias("x"), F.col("nxt").alias("y"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = cnt.orderBy(
+            F.col("c").desc(), F.col("x").asc(), F.col("y").asc()
+        ).limit(1).collect()
+        if not win:
+            break
+        x, y, c = win[0]["x"], win[0]["y"], win[0]["c"]
+        merges.append((rank, x, y, int(c)))
+        # canonical map-only fusion: the match eats one boundary space
+        # on each side, leaving one — so the canvas invariant holds
+        # and back-to-back adjacencies stay visible to the same pass
+        pat = F.lit(f" {x}  {y} ")
+        rep = F.lit(f" {x}{SEP}{y} ")
+        # checkpoint the fused corpus so round k does not re-execute
+        # rounds 1..k-1 (lineage would grow O(k) scans); free the
+        # superseded round's blocks deterministically (CC-loop lesson)
+        prev = cur
+        cur = cur.select(
+            "doc_id", F.replace(F.col("s"), pat, rep).alias("s")
+        ).localCheckpoint()
+        if rank > 1:
+            _free_ckpt(prev)
+    for old_key in list(_BPE_MEMO):
+        # rewritten corpus under the same (session, path, params):
+        # free eagerly — consumers of the old artifact are stale
+        if (old_key[0], old_key[1], old_key[4], old_key[5]) == (
+            app, src, n_merges, parity
+        ):
+            _, old_cur = _BPE_MEMO.pop(old_key)
+            with contextlib.suppress(Exception):
+                _free_ckpt(old_cur)
+    while len(_BPE_MEMO) >= _BPE_MEMO_CAP:
+        # capacity: drop the oldest reference WITHOUT freeing (a lazy
+        # consumer may still depend on its blocks; ContextCleaner
+        # reclaims them after GC)
+        _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+    _BPE_MEMO[key] = (merges, cur)
+    return merges, cur
+
+
+def docs_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-with-the-trained-rules: segment every doc with the 8
+    learned merge rules and report the per-doc piece economics — piece
+    count after merging, fused-piece count, and the raw token count —
+    the compression the tokenizer buys, measured on the corpus it was
+    trained on. Map-only over the fused corpus the training loop
+    already produced (no re-segmentation pass)."""
+    _, fused = _bpe_run(spark, sf_dir, 8)
+    SEP = "\x1f"
+    pieces = F.filter(F.split("s", " "), lambda x: x != "")
+    return fused.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(
+            F.filter(pieces, lambda x: x.contains(SEP))
+        ).alias("n_fused"),
+        F.size(
+            F.flatten(
+                F.transform(pieces, lambda x: F.split(x, SEP))
+            )
+        ).alias("n_raw_tokens"),
+    )
+
+
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/SERVE split tokenization — the shape a production
+    tokenizer actually runs: merge rules are trained on the even
+    doc_id half of the corpus, then applied MAP-ONLY to the held-out
+    odd half (one projection chaining the <=8 literal canvas replaces
+    in rank order — canonical greedy application, no shuffle, no
+    state), reporting the per-doc piece economics on text the trainer
+    never saw. The training loop is shared (memoized) with
+    docs_bpe_train's machinery; the oracle reruns the same training
+    chain on the even half and the same replace chain on the odd half,
+    so the trained-artifact transfer is cross-engine hash-verified.
+
+    100 TB posture: serving is embarrassingly parallel — the rule
+    table is driver-held metadata (k rows) baked into the projection,
+    so tokenizing new data is a pure map stage at any scale."""
+    merges, _ = _bpe_run(spark, sf_dir, 8, parity=0)
+    SEP = "\x1f"
+    holdout = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1
+    ).select("doc_id", _bpe_canvas(F.col("text")).alias("s"))
+    s = F.col("s")
+    for _rank, x, y, _c in merges:
+        s = F.replace(s, F.lit(f" {x}  {y} "), F.lit(f" {x}{SEP}{y} "))
+    pieces = F.filter(F.split(s, " "), lambda t: t != "")
+    return holdout.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.filter(pieces, lambda t: t.contains(SEP))).alias("n_fused"),
+        F.size(
+            F.flatten(F.transform(pieces, lambda t: F.split(t, SEP)))
+        ).alias("n_raw_tokens"),
+    )
+
+
+def docs_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup gate: odd-doc_id documents ARRIVE AS A
+    STREAM and are checked against the static MinHash band index of
+    the even-doc_id corpus — signature per row (no exploded groupBy:
+    streaming-compatible array_min formulation, value-identical to the
+    batch signatures), stream-static band join, exact per-row Jaccard
+    verification. Zero streaming state. See streaming/docs.py."""
+    from .streaming.docs import run_neardup_stream
+
+    return run_neardup_stream(spark, sf_dir)
+
+
+def docs_stream_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source vocabulary estimation with BOUNDED state:
+    stream state per source is its KMV bottom-k sketch (≤ 64 int64s
+    per source FOREVER — a streaming distinct-count would grow with
+    vocabulary), merged per micro-batch by applyInPandasWithState;
+    token hashing stays JVM-side on the stream. Final rows equal the
+    batch docs_kmv_vocab sketch columns (same oracle shape), and the
+    multi-batch replay test pins batch-partition invariance.
+    See streaming/docs.py::kmv_vocab_stateful."""
+    from .streaming.docs import run_kmv_vocab_stream
+
+    return run_kmv_vocab_stream(spark, sf_dir)
+
+
+def docs_stream_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min grid with BOUNDED state: the stream state
+    IS the 3×512 counter grid (depth keys × width int64s forever),
+    merged per micro-batch by applyInPandasWithState; tokenising and
+    cell hashing stay JVM-side on the stream. Because the CMS is a
+    LINEAR sketch the incremental merge is exact — the final
+    streaming grid equals the batch ``cms_sketch`` grid bit for bit,
+    and the batch grid SQL certifies it cross-engine (unlike the KMV
+    and quantile twins, whose sketches are approximate). Completes
+    the sketch layer's streaming story: every mergeable sketch in
+    ``functions/sketches.py`` that a monitor would run continuously
+    (KMV vocabulary, log-bucket quantiles, CMS frequencies) has a
+    bounded-state streaming twin. Columns: r, c, cnt.
+    See streaming/docs.py::cms_grid_stateful."""
+    from .streaming.docs import run_cms_grid_stream
+
+    return run_cms_grid_stream(spark, sf_dir)
+
+
+def docs_stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming priority sampling with BOUNDED state: maintain a
+    weight-proportional (n_chars) sample of everything streamed so
+    far — the "keep a representative eval set off an infinite
+    ingest" operator.  State is 8 salt keys × 51 (skey, id, source,
+    chars) rows + one running total FOREVER (priority sampling is
+    mergeable exactly like KMV: global top-(n+1) = top-(n+1) of the
+    union of per-salt top-(n+1)s); priority keying stays JVM-side on
+    the stream as integer-div expressions.  Every step is
+    deterministic integer math, so the final sample, τ threshold and
+    Horvitz–Thompson total equal the batch ``docs_priority_sample``
+    EXACTLY — the same oracle certifies both.  Columns: doc_id,
+    source, n_chars, prank, ht_total, exact_total, err_permille.
+    See streaming/docs.py::priority_sample_stateful."""
+    from .streaming.docs import run_priority_sample_stream
+
+    return run_priority_sample_stream(spark, sf_dir)
+
+
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based global decile binning WITHOUT a global sort — the
+    equal-frequency feature-binning step (and the pattern for any
+    exact global rank at scale): decile(d) = (10 · #docs with smaller
+    n_tok) div N, assigned by joining each doc to a (n_tok →
+    cumulative-count) broadcast histogram. All docs sharing a length
+    land in one decile (value-based quantile semantics — ties never
+    straddle a boundary, unlike ntile).
+
+    100 TB posture: the histogram is a map-side-combined groupBy
+    bounded by DISTINCT lengths (independent of doc count — same
+    argument as docs_source_stats); its cumulative sum runs over
+    histogram rows only; docs then map-side join the broadcast
+    thresholds. No row ever sorts against another row."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    )
+    hist = d.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    wh = (
+        Window.orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # fold the grand total into the same tiny histogram pass (an
+    # unpartitioned window over histogram ROWS, not documents) so the
+    # corpus isn't re-scanned for a 1-row denominator
+    cum = hist.select(
+        "n_tok",
+        (F.sum("cnt").over(wh) - F.col("cnt")).alias("below"),
+        F.sum("cnt")
+        .over(Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing))
+        .alias("n_total"),
+    )
+    return d.join(F.broadcast(cum), "n_tok").select(
+        "doc_id",
+        "n_tok",
+        F.expr("(10 * below) div n_total").alias("decile"),
+    )
+
+
+def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — catches what Jaccard misses: a
+    short document QUOTED inside a long one scores low Jaccard but
+    high containment C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+    For each ordered pair with containment ≥ 50% the exact ppm score
+    is reported — computed in exact integers (cross-multiplied cutoff,
+    ppm by integer division).
+
+    Shares the Jaccard operator's conventions exactly (3-token string
+    shingles, max_freq=100 stop-shingle cap, |A| from the FULL shingle
+    set while the intersection runs over capped shingles — the capped
+    intersection is a lower bound whose dropped members are
+    corpus-stopword shingles with no dedup signal).
+
+    100 TB posture: the shingle table is built ONCE
+    (localCheckpoint-settled, like ngram_jaccard's reuse path) and
+    serves sizes, the frequency cap, and both join sides; ordered-pair
+    mass is bounded by Σ freq² over kept shingles (≤ 100² per
+    shingle), never all-pairs; only (did, shingle) rows move."""
+    from .functions.dedup import _explode_ss, _spread, shingle_sets
+
+    MAX_FREQ, CUT_NUM, CUT_DEN = 100, 1, 2
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ex_all = _explode_ss(shingle_sets(docs)).localCheckpoint()
+    sizes = ex_all.groupBy("did").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = ex_all.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    kept = ex_all.join(
+        freq.where(F.col("f") <= MAX_FREQ).select("s"), "s"
+    )
+    inter = (
+        kept.alias("a")
+        .join(kept.alias("b"), "s")
+        .where(F.col("a.did") != F.col("b.did"))
+        .groupBy(
+            F.col("a.did").alias("src"), F.col("b.did").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("did").alias("src"), "n_sh"), "src")
+        .where(F.col("n_common") * CUT_DEN >= F.col("n_sh") * CUT_NUM)
+        .select(
+            "src",
+            "dst",
+            "n_common",
+            "n_sh",
+            F.expr("n_common * 1000000 div n_sh").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling — the training-mix primitive
+    'prefer higher-quality/longer docs, reproducibly': each doc draws
+    a seeded 60-bit hash and its priority is ``h div w`` (weight w =
+    token count, clamped ≥1), so inclusion odds scale with w exactly
+    as in bottom-k priority sampling; the sample is the 100 SMALLEST
+    priorities (doc_id tiebreak). Pure integer arithmetic — the same
+    seed and corpus always yield the same sample, across engines.
+
+    100 TB posture: map-side hash + weight, then TakeOrderedAndProject
+    bottom-100 (per-partition heaps, driver merge of 100) — never a
+    global sort; membership is stable under corpus growth exactly
+    like the stratified sampler."""
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("wsample1:"), F.col("doc_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.greatest(F.size(tokens("text")), F.lit(1)).alias("w"),
+            h.alias("h"),
+        )
+        .select(
+            "doc_id", "w", F.expr("h div w").alias("priority")
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CANDIDATE PAIRS — completes the SimHash path
+    (the signature operator existed; this is the banded join that
+    makes it a dedup method): the 16-bit signature splits into 4
+    bands of 4 bits, docs sharing ANY exact band become candidates
+    (pigeonhole: hamming ≤ 3 ⇒ at least one band matches), and the
+    exact Hamming distance ``bit_count(xor)`` keeps pairs ≤ 3. Same
+    band-bucket shape as MinHash-LSH, so the same scale guards apply
+    (bucket mass follows signature collisions; a production 64-bit
+    signature with 4×16-bit bands makes buckets sparse — the 16-bit
+    gate form is deliberately collision-dense so the filter is
+    exercised).
+
+    100 TB posture: one signature pass, one band-key shuffle; the
+    Hamming filter is integer bit math on the joined signature pair —
+    no text ever joins."""
+    from .functions.dedup import simhash16
+
+    sig = simhash16(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).localCheckpoint()  # one signature pass serves all 4 band joins
+    bands = None
+    for b in range(4):
+        bd = sig.select(
+            "did",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.expr(f"(simhash div {16 ** b}) % 16").alias("bv"),
+        )
+        bands = bd if bands is None else bands.unionByName(bd)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.did") < F.col("b.did"))
+        .select(
+            F.col("a.did").alias("i"),
+            F.col("b.did").alias("j"),
+            F.col("a.simhash").alias("si"),
+            F.col("b.simhash").alias("sj"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "i",
+        "j",
+        F.expr("bit_count(si ^ sj)").cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= 3)
+
+
+def docs_stream_image_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING-INDEX streaming image-ingest dedup gate: arriving
+    images (odd doc_ids) probe a static corpus aHash index AND a
+    per-fingerprint applyInPandasWithState store that admits the
+    first-seen novel fingerprint — so a within-stream duplicate is
+    flagged (dup_stream) even though the static index never saw it,
+    closing the hole the stateless docs_stream_media_phash gate
+    documents. State: one long per NOVEL fingerprint (corpus hits
+    never create state). Fixture: the ingest-mix planted images (all
+    three outcomes populated; exact hashing makes admission
+    transitive, so the oracle folds to min-doc_id per fingerprint).
+    See streaming/docs.py::_run_media_gate_grow."""
+    from .streaming.docs import run_media_phash_gate_grow
+
+    return run_media_phash_gate_grow(spark, sf_dir)
+
+
+def docs_stream_audio_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING-INDEX streaming audio-ingest dedup gate — the audio
+    twin of docs_stream_image_gate_grow, keyed by (energy-delta fp,
+    n_windows) over the ingest-mix hash waveform (gain-invariant
+    matching; the sawtooth family's fingerprints collapse to ~46
+    values and would make the admit path vacuous — see
+    functions/multimodal.py::planted_audio)."""
+    from .streaming.docs import run_media_audio_gate_grow
+
+    return run_media_audio_gate_grow(spark, sf_dir)
+
+
+def docs_stream_text_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING-INDEX streaming near-dup TEXT gate: a foreachBatch
+    upsert loop — each micro-batch probes the corpus band index plus
+    every earlier-admitted doc's bands with exact shingle-Jaccard
+    verification; unmatched docs resolve within-batch through a
+    driver-side sequential fold over the (dup-density-sized) verified
+    pair subgraph, and admissions join the index for later batches.
+    Jaccard is not transitive, so the fold is genuine: a doc whose
+    only match is a non-admitted duplicate is itself admitted. The
+    oracle replays the same fold with a recursive CTE. See
+    streaming/docs.py::run_neardup_gate_grow."""
+    from .streaming.docs import run_neardup_gate_grow
+
+    out, _stats = run_neardup_gate_grow(spark, sf_dir)
+    return out

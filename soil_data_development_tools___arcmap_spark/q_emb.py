@@ -1,0 +1,472 @@
+"""Embedding / ANN / similarity queries."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import (
+    RatingSpec,
+    agg_dcd,
+    agg_dcp,
+    agg_hz_dcp_wta,
+    agg_limiting,
+    agg_maxmin,
+    agg_pp_sum,
+    agg_wta,
+    month_collapse,
+)
+from .operators.horizon_agg import _member_sums, clipped_thickness
+
+from ._qcore import _t
+
+
+
+def emb_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space dedup groups: cosine near-dup pairs (multi-band
+    RP-LSH + exact verify) resolved into connected components — the
+    embedding twin of docs_dup_groups. Output (vec_id, group_rep,
+    is_rep); keep-one dedup is a single is_rep filter."""
+    from .functions.dedup import connected_components
+    from .functions.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(
+        emb, threshold_e6=300000, num_planes=8, bands=6
+    )
+    nodes = emb.select(F.col("vec_id").alias("did"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("did").alias("vec_id"),
+        "group_rep",
+        (F.col("did") == F.col("group_rep")).cast("int").alias("is_rep"),
+    )
+
+
+# ------------------------------------------------ embeddings (ANN)
+
+
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import rp_lsh_topk
+
+    return rp_lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 planes x 6 bands here (vs the 16x3 function default): the
+    synthetic embeddings have no true near-identical pairs, only weak
+    0.3-0.5 cosine neighbors, and sign-LSH recall at that similarity
+    needs shorter band keys (p_agree^planes per band). Scale safety
+    comes from banded_buckets' cap+salt-split — candidate mass is
+    bounded at ~n*cap/2 per band regardless of key width."""
+    from .functions.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold_e6=300000,
+        num_planes=8,
+        bands=6,
+    )
+
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm profile over the e6-quantized vectors
+    (exact integer squared norms — the pre-normalization sanity check
+    an embedding pipeline runs before cosine math). One map-side
+    projection + one groupBy on the label; no shuffle of the vectors
+    themselves, only (label, long) pairs."""
+    from .functions.similarity import quantize_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = quantize_embedding("embedding")
+    n2 = F.aggregate(
+        F.transform(qv, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select("label", n2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("n2").alias("min_n2"),
+            F.max("n2").alias("max_n2"),
+            F.sum("n2").alias("sum_n2"),
+        )
+    )
+
+
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two corpus
+    snapshots — the embedding-space counterpart of the token-level
+    ``docs_cms_drift``: a new encoder rollout, a crawl-mix change, or
+    an upstream normalization bug shows up as mean shift concentrated
+    in a few dimensions long before recall metrics move.  Snapshots
+    are the deterministic vec_id halves (even = old, odd = new).
+
+    Integer-exact and cross-engine safe: components are e6-quantized
+    (the ``quantize_embedding`` contract every ANN path shares), and
+    the mean shift is carried as the cross-multiplied numerator
+    ``delta_xn = sum_new*n_old - sum_old*n_new`` (the sign/order of
+    mean_new - mean_old without ever dividing — engines disagree on
+    negative integer division, floor vs truncate, so the certified
+    column avoids it; n_old/n_new are per-snapshot constants, so
+    ranking by |delta_xn| IS ranking by |mean shift|).
+
+    Scale: one posexplode projection + one groupBy whose key space is
+    the DIMENSIONALITY (64), not the corpus — partial aggregation
+    ships ≤64 rows per map task; the rank window runs on 64 rows.
+    Columns: dim, n_old, n_new, sum_old_e6, sum_new_e6, delta_xn,
+    drift_rank.
+    """
+    from .functions.similarity import quantize_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        (F.col("vec_id") % 2 == 1).alias("is_new"),
+        F.posexplode(quantize_embedding("embedding")).alias("dim", "v"),
+    )
+    agg = rows.groupBy("dim").agg(
+        F.count(F.when(~F.col("is_new"), F.lit(1))).alias("n_old"),
+        F.count(F.when(F.col("is_new"), F.lit(1))).alias("n_new"),
+        F.sum(F.when(~F.col("is_new"), F.col("v"))).alias("sum_old_e6"),
+        F.sum(F.when(F.col("is_new"), F.col("v"))).alias("sum_new_e6"),
+    )
+    out = agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_old",
+        "n_new",
+        "sum_old_e6",
+        "sum_new_e6",
+        (
+            F.col("sum_new_e6") * F.col("n_old")
+            - F.col("sum_old_e6") * F.col("n_new")
+        ).alias("delta_xn"),
+    )
+    w = Window.orderBy(F.abs(F.col("delta_xn")).desc(), "dim")
+    return out.withColumn(
+        "drift_rank", F.row_number().over(w).cast("long")
+    )
+
+
+def emb_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-dimension embedding-drift monitor — the
+    continuous-ingest twin of ``emb_drift``: state is the
+    per-dimension moment vector (4 int64s × 64 dims FOREVER), merged
+    per micro-batch; counts and quantized component sums are linear,
+    so the final streaming table equals the batch table bit for bit
+    and the SAME oracle certifies both engines AND both execution
+    modes. See streaming/docs.py::emb_drift_stateful for the
+    pre-combine that keeps the 64-key stateful stage off the
+    every-component shuffle path."""
+    from .streaming.docs import run_emb_drift_stream
+
+    return run_emb_drift_stream(spark, sf_dir)
+
+
+def emb_knn_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pruned ANN: search only the query's label partition
+    (IVF search with a precomputed assignment, nprobe=1)."""
+    from .functions.similarity import cluster_topk
+
+    return cluster_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_cluster_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the cluster-pruned search against the exact
+    brute-force top-k — the measurement every ANN deployment needs
+    before trading accuracy for scan cost. Integer hits per query."""
+    from .functions.similarity import (
+        brute_force_topk,
+        cluster_topk,
+        knn_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), cluster_topk(emb))
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) cluster-scoped semantic pruning:
+    per label partition, drop any vector whose cosine to a lower-id
+    vector in the same partition exceeds tau; report per-cluster
+    kept/dropped counts. All-integer cross-multiplied comparisons."""
+    from .functions.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 most-similar candidates with a DIFFERENT label — the
+    highest-value negatives a retrieval/embedding trainer wants.
+    Same broadcast-scored shape as the brute-force top-k with the
+    label-inequality predicate in the join."""
+    from .functions.similarity import (
+        _cos_e6,
+        _dot,
+        _norm2,
+        quantize_embedding,
+    )
+    from .functions.dedup import _spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        quantize_embedding().alias("qv"),
+    )
+    c = _spread(emb.where(F.col("vec_id") >= 8), "vec_id").select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        quantize_embedding().alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("clabel") != F.col("qlabel")
+    ).select(
+        "qid",
+        "cid",
+        _cos_e6(
+            _dot(F.col("qv"), F.col("cv")),
+            _norm2(F.col("qv")),
+            _norm2(F.col("cv")),
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_e6").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "cid", "cos_e6", "rn")
+    )
+
+
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF search (deterministic stand-in centroids,
+    nprobe=4) against the exact brute-force top-k — completes the
+    accuracy measurement across the ANN family (brute force / LSH /
+    IVF / cluster-pruned)."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), ivf_topk(emb))
+
+
+def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table — codes +
+    asymmetric (reconstruction) scoring; see functions/similarity.pq_topk."""
+    from .functions.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED coarse centroids: 3 rounds of Lloyd's
+    k-means over the full vectors replace the first-16 stand-in; the
+    probe/score path is byte-identical. The oracle unrolls the
+    training iterations, so the learned quantizer — not just the
+    search — is cross-engine verified (the IVF twin of
+    emb_knn_pq_trained)."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), train=True)
+
+
+def emb_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of trained-centroid IVF against exact brute force —
+    the production-quantizer accuracy row next to the stand-in's."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), ivf_topk(emb, train=True))
+
+
+def emb_knn_ivf_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with trained centroids seeded FARTHEST-FIRST (the
+    deterministic limit of k-means++ D²-weighted sampling) instead of
+    first-N — the seeding for corpora with real cluster structure. The
+    oracle unrolls the k-1 traversal steps AND the 3 Lloyd iterations,
+    so the alternative learned quantizer is cross-engine verified
+    end-to-end. Sits next to emb_knn_ivf_trained so the seeding
+    choice stays a measured comparison (see train_ivf_centroids for
+    the recorded recall@5 numbers that keep first-N the default on
+    this cluster-free fixture)."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), train=True, init="farthest")
+
+
+def emb_ivf_recall_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of farthest-first-seeded trained IVF against exact
+    brute force — the measured row that justifies (or indicts) the
+    seeding on any given corpus, side by side with
+    emb_ivf_recall_trained's first-N row."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(
+        brute_force_topk(emb), ivf_topk(emb, train=True, init="farthest")
+    )
+
+
+def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with TRAINED per-subspace codebooks: 3 rounds of Lloyd's
+    k-means per subspace (train_ivf_centroids, floored-integer means,
+    deterministic first-k init) replace the stand-in first-16
+    codebook; the search path is byte-identical. The oracle unrolls
+    the three training iterations in SQL, so the learned codebook —
+    not just the search — is cross-engine verified."""
+    from .functions.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"), train=True)
+
+
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of TRAINED-codebook PQ search against the exact
+    brute-force top-k — completes the measured-accuracy story across
+    all four ANN family members (brute / LSH / IVF+cluster / PQ), in
+    the production (trained) configuration rather than the stand-in."""
+    from .functions.similarity import brute_force_topk, knn_recall, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), pq_topk(emb, train=True))
+
+
+def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (int8) ANN — per-dimension [min,max]
+    trained on the corpus, candidates stored as 8-bit codes, queries
+    score the decoded reconstruction (asymmetric, 4× memory vs
+    float32). See functions/similarity.sq8_topk."""
+    from .functions.similarity import sq8_topk
+
+    return sq8_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of int8 scalar-quantized search against the exact
+    brute-force top-k — the compression-accuracy row for the memory
+    story (SQ8 keeps full dimensional structure, so its recall upper-
+    bounds PQ's at the same byte budget on these low-dim vectors)."""
+    from .functions.similarity import brute_force_topk, knn_recall, sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), sq8_topk(emb))
+
+
+def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over the embeddings table — coarse inverted lists
+    route the probe, residuals are product-quantized, queries score
+    the centroid+residual reconstruction (asymmetric cosine); see
+    functions/similarity.ivfpq_topk for the memory/scan story."""
+    from .functions.similarity import ivfpq_topk
+
+    return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF-PQ against exact brute force — the fifth
+    measured-accuracy row of the ANN family (brute / RP-LSH /
+    IVF+cluster / PQ / IVF-PQ): the composed index must show its
+    recall cost next to its scan+memory savings."""
+    from .functions.similarity import brute_force_topk, ivfpq_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), ivfpq_topk(emb))
+
+
+def emb_knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + EXACT re-ranking — the two-stage serving pattern: the
+    compressed index shortlists 16 candidates per query, only those
+    fetch their exact vectors for the final top-5 (see
+    functions/similarity.ivfpq_rerank_topk). Output cosine values are
+    exact, not reconstructions."""
+    from .functions.similarity import ivfpq_rerank_topk
+
+    return ivfpq_rerank_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def emb_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of re-ranked IVF-PQ against exact brute force — the
+    measured proof that the exact re-rank stage repairs PQ
+    quantization error (side-by-side with emb_ivfpq_recall's raw
+    number at identical index parameters: 1/40 raw → 3/40 re-ranked
+    at sf0.01). The remaining loss is COARSE ROUTING (nprobe=2 over
+    the deterministic first-N stand-in centroids) — re-ranking can
+    only repair mis-ordering inside the probed lists, its ceiling is
+    exact-scoring-within-probed-lists; production recall comes from
+    pairing it with the trained-centroid router (emb_knn_ivf_trained
+    family)."""
+    from .functions.similarity import (
+        brute_force_topk,
+        ivfpq_rerank_topk,
+        knn_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(brute_force_topk(emb), ivfpq_rerank_topk(emb))
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@5 of
+    exact kNN run on only the FIRST 16 of 64 embedding dimensions,
+    measured against the full-dimension exact top-k — the
+    retrieve-cheap-then-rerank design decision (how much accuracy does
+    a 4× smaller index buy back?) made measurable with the same
+    integer recall contract as the LSH/IVF/PQ evaluations.
+
+    100 TB posture: truncation is a map-side slice; the scoring rides
+    the same broadcast-queries shape as the brute-force baseline it is
+    compared to — the recall join itself touches queries × k rows."""
+    from .functions.similarity import brute_force_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb)
+    trunc = brute_force_topk(
+        emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    )
+    return knn_recall(exact, trunc)
+
+
+def _emb_ivf_recall_nprobe(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """recall@5 AND scan cost of the IVF search at a given nprobe —
+    one point on the recall/cost curve real IVF serving is tuned on
+    (sweep registered at nprobe ∈ {1, 2, 4}): per query, how many of
+    the exact top-5 the probe found (hits) and how many candidates the
+    probed inverted lists made it score (scanned). Recall is monotone
+    in nprobe by construction (probed lists are nested), asserted
+    per-query in tests/test_round9.py together with a planted-cluster
+    fixture where the second-nearest list holds the true neighbors."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx, scanned = ivf_topk(emb, nprobe=nprobe, with_scanned=True)
+    return knn_recall(brute_force_topk(emb), approx).join(scanned, "qid")
+
+
+def emb_ivf_recall_nprobe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_ivf_recall_nprobe(spark, sf_dir, 1)
+
+
+def emb_ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_ivf_recall_nprobe(spark, sf_dir, 2)
+
+
+def emb_ivf_recall_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_ivf_recall_nprobe(spark, sf_dir, 4)

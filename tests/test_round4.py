@@ -76,7 +76,9 @@ def test_asof_attribution_semantics(spark):
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string",
     )
-    import soil_data_development_tools___arcmap_spark.queries as Qm
+    # patch the module the query RESOLVES the reader from (q_events
+    # since the round-9 family split, not the queries re-export shim)
+    import soil_data_development_tools___arcmap_spark.q_events as Qm
 
     orig = Qm.read_events
     Qm.read_events = lambda _s, _d: ev
@@ -357,16 +359,30 @@ def test_point_in_ring_randomized_rect_and_triangle(spark):
 
 def test_no_cartesian_product_in_any_plan(spark):
     """Scale hygiene sweep: build the physical plan of every registered
-    batch query at sf0.001 and reject CartesianProduct anywhere.
-    (Broadcast nested-loop joins against tiny broadcast sets are
-    acceptable and appear under a different operator name.) Streaming
+    batch query at sf0.001 and reject (a) CartesianProduct anywhere,
+    (b) any GLOBAL window (WindowExec with an empty partition spec —
+    a single-task sort of its whole input) outside the explicit
+    bounded-input allowlist in tools/plan_audit.py. (Broadcast
+    nested-loop joins against tiny broadcast sets are acceptable and
+    appear under a different operator name.) Streaming
     run-to-completion entries are skipped — building them executes the
     stream; their plans are covered by their own tests."""
+    import os
+    import sys
+
     import __spark_entry__ as E
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from plan_audit import GLOBAL_WINDOW_ALLOWED, count_global_windows
 
     skip_prefixes = ("events_stream_", "events_sessionize_stateful")
     checked = 0
     offenders = []
+    gw_offenders = []
     for name, fn in E.queries().items():
         if name.startswith(skip_prefixes):
             continue
@@ -375,8 +391,15 @@ def test_no_cartesian_product_in_any_plan(spark):
         checked += 1
         if "CartesianProduct" in plan:
             offenders.append(name)
+        if (
+            not name.startswith("docs_stream_")
+            and name not in GLOBAL_WINDOW_ALLOWED
+            and count_global_windows(df)
+        ):
+            gw_offenders.append(name)
     assert checked > 140
     assert not offenders, offenders
+    assert not gw_offenders, gw_offenders
 
 
 def test_udtf_chunker_equals_declarative(spark):

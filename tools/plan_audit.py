@@ -58,6 +58,67 @@ PY_NODES = (
 )
 
 
+def count_global_windows(df) -> int:
+    """Number of executed Window nodes with an EMPTY partition spec —
+    a single-task sort of the whole input unless the input is provably
+    bounded. Every non-zero count must be on the explicit allowlist
+    (GLOBAL_WINDOW_ALLOWED); tests/test_round9.py rejects any other
+    query, so a future edit cannot put a global window on data-sized
+    input and pass review."""
+
+    def walk(node, out):
+        nm = node.getClass().getSimpleName()
+        if "Window" in nm:
+            try:
+                out.append(bool(node.partitionSpec().isEmpty()))
+            except Exception:  # noqa: BLE001  (node without a spec)
+                pass
+        for meth in ("executedPlan", "finalPhysicalPlan", "plan"):
+            try:
+                child = getattr(node, meth)()
+                walk(child, out)
+                return out
+            except Exception:  # noqa: BLE001
+                pass
+        try:
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), out)
+        except Exception:  # noqa: BLE001
+            pass
+        return out
+
+    return sum(walk(df._jdf.queryExecution().executedPlan(), []))
+
+
+#: queries whose global windows run over PROVABLY BOUNDED inputs —
+#: each entry names the bound; anything else with a global window
+#: fails tests/test_round4.py::test_no_cartesian_product_in_any_plan
+#: (the full-registry plan sweep), so a future edit cannot put a
+#: global window on data-sized input and pass review
+GLOBAL_WINDOW_ALLOWED = {
+    # rank over the top-(n+1) priority rows (functions/sketches.py)
+    "docs_priority_sample",
+    # priority_sample inside the DSIR selection — same top-(n+1) bound
+    "docs_dsir_sample",
+    # rank over the 20 rows a TakeOrderedAndProject already reduced to
+    "docs_top_ngrams",
+    # cumulative histogram over DISTINCT token counts (length domain)
+    "docs_length_deciles",
+    # drift_rank over the 64 embedding dimensions
+    "emb_drift",
+    "emb_stream_drift",
+    # prefix max over per-1M-id chunk maxima (one row per chunk)
+    "events_late_data_audit",
+    # dense_rank over distinct rating values (domain-sized lookup)
+    "raster_lookup_codes",
+    # Bezier ramp interpolation over class-count ramp rows
+    "legend_color_ramp",
+    # page numbering over already-aggregated report rows
+    "report_pagination",
+}
+
+
 def audit_plan(plan: str) -> dict:
     return {
         "exchanges": len(
@@ -99,7 +160,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             rows.append({"query": name, "error": str(exc)[:120]})
             continue
-        rows.append({"query": name, **audit_plan(plan)})
+        rows.append({
+            "query": name,
+            **audit_plan(plan),
+            "global_window": count_global_windows(df),
+        })
 
     if markdown:
         out = [
@@ -107,18 +172,21 @@ def main() -> int:
             "",
             f"{len(rows)} batch queries at {sf_dir}. `python` lists the",
             "Arrow-batched escape-hatch nodes in the plan (empty = pure",
-            "JVM). CartesianProduct is pinned to zero by",
+            "JVM). CartesianProduct is pinned to zero and `gwin`",
+            "(global windows — empty partition spec) to the bounded-input",
+            "allowlist in tools/plan_audit.py, both by",
             "tests/test_round4.py.",
             "",
-            "| query | exchanges | scans | topk | cartesian | python |",
-            "|---|---|---|---|---|---|",
+            "| query | exchanges | scans | topk | cartesian | gwin | python |",
+            "|---|---|---|---|---|---|---|",
         ]
         for r in sorted(rows, key=lambda r: r["query"]):
             if "error" in r:
-                out.append(f"| {r['query']} | ERROR: {r['error']} | | | | |")
+                out.append(f"| {r['query']} | ERROR: {r['error']} | | | | | |")
                 continue
             out.append(
                 "| {query} | {exchanges} | {scans} | {topk} | {cartesian} "
+                "| {global_window} "
                 "| {py} |".format(py=",".join(r["python"]) or "-", **r)
             )
         path = os.path.join(
@@ -132,6 +200,11 @@ def main() -> int:
         for r in rows:
             print(json.dumps(r))
     bad = [r for r in rows if r.get("cartesian")]
+    bad += [
+        r for r in rows
+        if r.get("global_window")
+        and r["query"] not in GLOBAL_WINDOW_ALLOWED
+    ]
     return 1 if bad else 0
 
 
