@@ -1163,6 +1163,16 @@ def run_neardup_gate_grow(
       probe list, so the index a batch probes is exactly
       corpus + all-prior-admissions (upsert cadence = every trigger).
 
+    Exactly-once caveat (production deployment note): this runner
+    accumulates decisions and the admitted index as session-local
+    settled frames, which is correct for the availableNow
+    run-to-completion shape used here (and what the oracle certifies);
+    a long-lived deployment would instead key both writes by
+    ``batch_id`` into an idempotent store (e.g. a partitioned table
+    with batch_id overwrite — the same foreachBatch recipe as the
+    repo's landing sinks) so a retried micro-batch replaces rather
+    than duplicates its decisions.
+
     Citing the reference's ingest loop this generalizes:
     SSURGO_BatchDownload.py re-checks each arriving survey against
     what is already loaded before admitting it."""
