@@ -1588,7 +1588,14 @@ def gssurgo_lake(spark: SparkSession, sf_dir: str) -> str:
 
     return cached_dir(
         "gssurgo_lake",
-        content_tag(srcs, extra=source_salt(gssurgo_lake, ssurgo_synth)),
+        # salt with the partition rule too (_lake_asym + its modulus):
+        # editing the survey mapping must invalidate the cached lake,
+        # not silently serve the old layout
+        content_tag(
+            srcs,
+            extra=f"{_LAKE_SURVEY_MOD}|"
+            + source_salt(gssurgo_lake, ssurgo_synth, _lake_asym),
+        ),
         build,
     )
 

@@ -1301,10 +1301,14 @@ def run_neardup_gate_grow(
             "key",
             F.lit(False).alias("is_corpus"),
         )
-        index_pieces.append(admitted_piece.localCheckpoint())
-        stats["admitted_rows_per_batch"].append(
-            sum(p.count() for p in index_pieces[1:])
+        settled = admitted_piece.localCheckpoint()
+        index_pieces.append(settled)
+        # running total — recounting every prior settled piece each
+        # batch would be O(batches^2) count jobs
+        stats["_admitted_total"] = (
+            stats.get("_admitted_total", 0) + settled.count()
         )
+        stats["admitted_rows_per_batch"].append(stats["_admitted_total"])
 
     src = (
         source

@@ -379,7 +379,17 @@ def test_no_cartesian_product_in_any_plan(spark):
     )
     from plan_audit import GLOBAL_WINDOW_ALLOWED, count_global_windows
 
-    skip_prefixes = ("events_stream_", "events_sessionize_stateful")
+    # run-to-completion stream entries are skipped like
+    # tools/plan_audit.py does: building them EXECUTES the stream
+    # (minutes for the growing gates) only to inspect a memory-sink
+    # scan with no join/window content; their plans are covered by
+    # their own replay tests
+    skip_prefixes = (
+        "events_stream_",
+        "docs_stream_",
+        "emb_stream_",
+        "events_sessionize_stateful",
+    )
     checked = 0
     offenders = []
     gw_offenders = []
@@ -391,11 +401,7 @@ def test_no_cartesian_product_in_any_plan(spark):
         checked += 1
         if "CartesianProduct" in plan:
             offenders.append(name)
-        if (
-            not name.startswith("docs_stream_")
-            and name not in GLOBAL_WINDOW_ALLOWED
-            and count_global_windows(df)
-        ):
+        if name not in GLOBAL_WINDOW_ALLOWED and count_global_windows(df):
             gw_offenders.append(name)
     assert checked > 140
     assert not offenders, offenders

@@ -159,10 +159,11 @@ def test_ivf_recall_monotone_in_nprobe(spark):
 
 
 def test_ivf_nprobe_planted_cluster_recall_increases(spark):
-    """Planted two-cluster fixture: the query sits between cluster A
-    (its nearest list, holding 2 true neighbors) and cluster B (its
-    second list, holding the other 3) — nprobe=1 structurally caps
-    hits at 2, nprobe=2 reaches 5/5."""
+    """Planted two-cluster fixture: the query's exact top-5 is
+    {30, 31, 8, 40, 42} — three in list A (members 30, 31 and the
+    centroid-candidate 8 itself) and two in list B (40, 42, whose
+    y > x files them under centroid B) — so nprobe=1 structurally
+    caps hits at 3 and nprobe=2 reaches 5/5."""
     from soil_data_development_tools___arcmap_spark.functions.similarity import (
         brute_force_topk,
         ivf_topk,

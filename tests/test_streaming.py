@@ -1274,25 +1274,28 @@ def test_text_gate_grow_cross_batch_chain(spark, tmp_path):
     b = " ".join(base[:28] + yy)          # near-dup of a (jac 8666)
     c = " ".join(base[14:28] + yy + ww)   # matches b (3333), not a
     rows = [(1001, a), (1003, b), (1005, c)]
-    src = str(tmp_path / "chain")
-    os.makedirs(src, exist_ok=True)
+    # stage and stream from SEPARATE dirs (same pattern as
+    # _range_split_odds): staging subdirectories inside the streamed
+    # dir would double-ingest under recursiveFileLookup-style readers
+    stage = str(tmp_path / "chain_stage")
+    flat = str(tmp_path / "chain")
+    os.makedirs(flat, exist_ok=True)
+    import glob
+    import shutil
     import time
 
     for i, (did, text) in enumerate(rows):
         spark.createDataFrame(
             [(did, text, "en", "synth", len(text))], DOCS_SCHEMA
-        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/p{i}")
-        import glob
-        import shutil
-
-        (f,) = glob.glob(f"{src}/p{i}/part-*.parquet")
-        shutil.copy(f, f"{src}/{i:02d}.parquet")
-        os.utime(f"{src}/{i:02d}.parquet",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/p{i}")
+        (f,) = glob.glob(f"{stage}/p{i}/part-*.parquet")
+        shutil.copy(f, f"{flat}/{i:02d}.parquet")
+        os.utime(f"{flat}/{i:02d}.parquet",
                  (time.time() + i, time.time() + i))
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        .parquet(flat)
     )
     out, _ = run_neardup_gate_grow(spark, SF_SMOKE, source=stream)
     got = {r["did"]: (r["status"], r["match_did"]) for r in out.collect()}

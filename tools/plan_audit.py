@@ -62,8 +62,8 @@ def count_global_windows(df) -> int:
     """Number of executed Window nodes with an EMPTY partition spec —
     a single-task sort of the whole input unless the input is provably
     bounded. Every non-zero count must be on the explicit allowlist
-    (GLOBAL_WINDOW_ALLOWED); tests/test_round9.py rejects any other
-    query, so a future edit cannot put a global window on data-sized
+    (GLOBAL_WINDOW_ALLOWED); tests/test_round4.py::test_no_cartesian_product_in_any_plan
+    rejects any other query, so a future edit cannot put a global window on data-sized
     input and pass review."""
 
     def walk(node, out):

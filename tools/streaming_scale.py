@@ -469,7 +469,7 @@ def main() -> None:
         # growth per stream row — stays constant as the corpus scales;
         # peak_state_rows comes from the engine's own stateOperators.
         grow_gates = {"image_gate_grow", "audio_gate_grow",
-                      "text_gate_grow"}
+                      "text_gate_grow", "text_gate_grow_salted"}
         if only is None or (only & grow_gates):
             import tempfile
 
@@ -490,13 +490,14 @@ def main() -> None:
                     .parquet(docs_dir)
                 )
 
-            if want("image_gate_grow"):
-                from soil_data_development_tools___arcmap_spark.streaming.docs import (
-                    run_media_phash_gate_grow,
-                )
+            def _run_grow_gate(qname, runner):
+                """Shared exact-gate measurement: wall, engine-counted
+                peak state, decision mix — one code path so a metric
+                fix cannot skew one gate's published numbers."""
+                from pyspark.sql import functions as SF
 
                 t0 = time.time()
-                tbl, q = run_media_phash_gate_grow(
+                tbl, q = runner(
                     spark, wrap, source=gsrc(), scale=factor,
                     with_query=True,
                 )
@@ -507,8 +508,6 @@ def main() -> None:
                     rows += int(pr.get("numInputRows") or 0)
                     for so in pr.get("stateOperators") or []:
                         peak = max(peak, int(so.get("numRowsTotal") or 0))
-                from pyspark.sql import functions as SF
-
                 counts = {
                     r["status"]: r["n"]
                     for r in tbl.groupBy("status")
@@ -516,42 +515,68 @@ def main() -> None:
                     .collect()
                 }
                 print(json.dumps({
-                    "factor": factor, "query": "image_gate_grow",
+                    "factor": factor, "query": qname,
                     "wall_sec": round(wall, 1), "input_rows": rows,
                     "rows_per_sec": int(rows / wall) if wall else None,
                     "peak_state_rows": peak, "decisions": counts,
                 }))
+
+            if want("image_gate_grow"):
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_media_phash_gate_grow,
+                )
+
+                _run_grow_gate("image_gate_grow", run_media_phash_gate_grow)
 
             if want("audio_gate_grow"):
                 from soil_data_development_tools___arcmap_spark.streaming.docs import (
                     run_media_audio_gate_grow,
                 )
 
-                t0 = time.time()
-                tbl, q = run_media_audio_gate_grow(
-                    spark, wrap, source=gsrc(), scale=factor,
-                    with_query=True,
+                _run_grow_gate("audio_gate_grow", run_media_audio_gate_grow)
+
+            if want("text_gate_grow_salted"):
+                # the OTHER novelty extreme: per-replica token salting
+                # (media_scale's builder) makes every replica novel, so
+                # the admitted index must grow with the corpus — the
+                # honest worst case of a growing index (the plain
+                # replica above shows the constant-novelty best case)
+                sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+                from media_scale import build_salted_docs_replica
+
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_neardup_gate_grow,
                 )
-                wall = time.time() - t0
-                peak = 0
-                rows = 0
-                for pr in q.recentProgress:
-                    rows += int(pr.get("numInputRows") or 0)
-                    for so in pr.get("stateOperators") or []:
-                        peak = max(peak, int(so.get("numRowsTotal") or 0))
+
+                sdir = build_salted_docs_replica(spark, factor)
+                swrap = tempfile.mkdtemp(prefix="growgate_salted_sf_")
+                os.symlink(sdir, os.path.join(swrap, "documents.parquet"))
+                ssrc = (
+                    spark.readStream.schema(DOCS_SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(sdir)
+                )
+                t0 = time.time()
+                out, stats = run_neardup_gate_grow(spark, swrap, source=ssrc)
                 from pyspark.sql import functions as SF
 
                 counts = {
                     r["status"]: r["n"]
-                    for r in tbl.groupBy("status")
+                    for r in out.groupBy("status")
                     .agg(SF.count(SF.lit(1)).alias("n"))
                     .collect()
                 }
+                wall = time.time() - t0
+                n_in = sum(counts.values())
                 print(json.dumps({
-                    "factor": factor, "query": "audio_gate_grow",
-                    "wall_sec": round(wall, 1), "input_rows": rows,
-                    "rows_per_sec": int(rows / wall) if wall else None,
-                    "peak_state_rows": peak, "decisions": counts,
+                    "factor": factor, "query": "text_gate_grow_salted",
+                    "wall_sec": round(wall, 1), "input_rows": n_in,
+                    "rows_per_sec": int(n_in / wall) if wall else None,
+                    "peak_state_rows":
+                        (stats["admitted_rows_per_batch"] or [0])[-1],
+                    "fold_pairs_per_batch":
+                        stats["fold_pairs_per_batch"],
+                    "decisions": counts,
                 }))
 
             if want("text_gate_grow"):
