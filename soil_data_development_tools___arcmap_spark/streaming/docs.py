@@ -1122,6 +1122,8 @@ def run_neardup_gate_grow(
     threshold_e4: int = 3000,
     source: DataFrame | None = None,
     broadcast: bool = False,
+    land_dir: str | None = None,
+    checkpoint: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Growing-index streaming NEAR-DUP text gate (the production
     ingest loop the stateless ``run_neardup_stream`` defers to batch):
@@ -1163,15 +1165,23 @@ def run_neardup_gate_grow(
       probe list, so the index a batch probes is exactly
       corpus + all-prior-admissions (upsert cadence = every trigger).
 
-    Exactly-once caveat (production deployment note): this runner
-    accumulates decisions and the admitted index as session-local
-    settled frames, which is correct for the availableNow
-    run-to-completion shape used here (and what the oracle certifies);
-    a long-lived deployment would instead key both writes by
-    ``batch_id`` into an idempotent store (e.g. a partitioned table
-    with batch_id overwrite — the same foreachBatch recipe as the
-    repo's landing sinks) so a retried micro-batch replaces rather
-    than duplicates its decisions.
+    Exactly-once / restartable mode: pass ``land_dir`` (and a
+    ``checkpoint`` location) and the gate becomes the production
+    deployment shape — every batch OVERWRITES its own
+    ``batch_id=<id>`` partition of ``<land_dir>/decisions`` and
+    ``<land_dir>/admitted`` (direct partition-path writes, so a
+    retried or replayed micro-batch replaces rather than duplicates
+    its output), and a NEW invocation recovers the admitted index
+    from the landed partitions before its first batch, so a restart
+    continues the same growing index (the checkpoint makes the file
+    source skip already-processed files). Admitted docs are pairwise
+    non-matching by construction, so a full replay against the
+    recovered index reproduces byte-identical decisions (the
+    idempotence + recovery tests in tests/test_streaming.py pin
+    both); the returned frame in this mode is read back FROM the
+    landed table — the store is the truth, not session memory.
+    Without ``land_dir`` the runner keeps the session-local
+    availableNow shape the oracle certifies.
 
     Citing the reference's ingest loop this generalizes:
     SSURGO_BatchDownload.py re-checks each arriving survey against
@@ -1189,6 +1199,18 @@ def run_neardup_gate_grow(
         .localCheckpoint()
     )
     index_pieces: list[DataFrame] = [corpus_idx]
+    if land_dir is not None and os.path.isdir(
+        os.path.join(land_dir, "admitted")
+    ):
+        # restart recovery: prior runs' admissions rejoin the index
+        index_pieces.append(
+            spark.read.parquet(os.path.join(land_dir, "admitted"))
+            .select(
+                "doc_id", "ss", "band_id", "key",
+                F.lit(False).alias("is_corpus"),
+            )
+            .localCheckpoint()
+        )
     decisions: list[DataFrame] = []
     stats = {"admitted_rows_per_batch": [], "fold_pairs_per_batch": []}
     dec_schema = "did long, status string, match_did long"
@@ -1222,6 +1244,10 @@ def run_neardup_gate_grow(
         )
         ver = (
             new.join(_hint(idx), ["band_id", "key"])
+            # a doc is never its own duplicate: the self-pair only
+            # arises when a replayed batch probes an index that
+            # already contains its own admissions (landed-mode retry)
+            .where(F.col("idx_did") != F.col("did"))
             .select("did", "nss", "idx_did", "iss", "is_corpus")
             .distinct()
             .where(jac >= threshold_e4)
@@ -1309,19 +1335,33 @@ def run_neardup_gate_grow(
             stats.get("_admitted_total", 0) + settled.count()
         )
         stats["admitted_rows_per_batch"].append(stats["_admitted_total"])
+        if land_dir is not None:
+            # direct partition-path overwrite: idempotent under batch
+            # replay (same batch_id -> same directory, replaced whole)
+            dec.write.mode("overwrite").parquet(
+                os.path.join(land_dir, "decisions", f"batch_id={batch_id}")
+            )
+            settled.select("doc_id", "ss", "band_id", "key").write.mode(
+                "overwrite"
+            ).parquet(
+                os.path.join(land_dir, "admitted", f"batch_id={batch_id}")
+            )
 
     src = (
         source
         if source is not None
         else read_documents_stream(spark, sf_dir)
     ).where(F.col("doc_id") % 2 == 1)
-    q = (
-        src.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = src.writeStream.foreachBatch(fold_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    if decisions:
+    if land_dir is not None:
+        out = spark.read.parquet(
+            os.path.join(land_dir, "decisions")
+        ).select("did", "status", "match_did")
+    elif decisions:
         out = decisions[0]
         for d in decisions[1:]:
             out = out.unionByName(d)

@@ -1304,3 +1304,103 @@ def test_text_gate_grow_cross_batch_chain(spark, tmp_path):
     assert got[1001] == ("admit", None)
     assert got[1003] == ("dup_stream", 1001)   # flagged across batches
     assert got[1005][0] == "admit"             # only match was never admitted
+
+
+def test_text_gate_grow_landed_matches_memory(spark, tmp_path):
+    """Landed mode (batch_id-partitioned idempotent store) must produce
+    exactly the session-local decisions, and a FULL REPLAY of the same
+    stream against the already-landed store (fresh checkpoint, same
+    land_dir) must leave the decisions byte-identical — the retry /
+    at-least-once-delivery guarantee."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        run_neardup_gate_grow,
+    )
+
+    src, _ = _range_split_odds(spark, tmp_path, "landed_gate", n_files=4)
+    plain, _ = run_neardup_gate_grow(spark, SF_SMOKE)
+    want = {
+        (r["did"], r["status"], r["match_did"]) for r in plain.collect()
+    }
+    land = str(tmp_path / "land")
+    out1, _ = run_neardup_gate_grow(
+        spark, SF_SMOKE, source=src,
+        land_dir=land, checkpoint=str(tmp_path / "ck1"),
+    )
+    got1 = {(r["did"], r["status"], r["match_did"]) for r in out1.collect()}
+    assert got1 == want
+    # full replay: fresh checkpoint -> every file re-delivered with the
+    # same batch ids against the recovered admitted index
+    src2, _ = _range_split_odds(spark, tmp_path, "landed_gate2", n_files=4)
+    out2, _ = run_neardup_gate_grow(
+        spark, SF_SMOKE, source=src2,
+        land_dir=land, checkpoint=str(tmp_path / "ck2"),
+    )
+    got2 = {(r["did"], r["status"], r["match_did"]) for r in out2.collect()}
+    assert got2 == want
+    # no duplicate rows either (partition overwrite, not append)
+    assert out2.count() == len(want)
+
+
+def test_text_gate_grow_landed_restart_recovers_index(spark, tmp_path):
+    """Crash/restart recovery: process the first half of the stream,
+    then a NEW invocation with the same checkpoint + land_dir processes
+    only the remaining files — and its decisions must equal the
+    single-run fold because the admitted index is recovered from the
+    landed partitions (a doc in the second half that duplicates a
+    first-half admission must flag dup_stream, not admit)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_neardup_gate_grow,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    stage = str(tmp_path / "restart_stage")
+    flat = str(tmp_path / "restart_flat")
+    os.makedirs(flat, exist_ok=True)
+    step = 125
+    for part in range(4):
+        docs.where(
+            (F.col("doc_id") >= part * step)
+            & (F.col("doc_id") < (part + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/p{part}")
+
+    def publish(part):
+        (f,) = glob.glob(f"{stage}/p{part}/part-*.parquet")
+        shutil.copy(f, f"{flat}/{part:02d}.parquet")
+        os.utime(f"{flat}/{part:02d}.parquet",
+                 (time.time() + part, time.time() + part))
+
+    land = str(tmp_path / "restart_land")
+    ck = str(tmp_path / "restart_ck")
+
+    def run():
+        srcdf = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        return run_neardup_gate_grow(
+            spark, SF_SMOKE, source=srcdf, land_dir=land, checkpoint=ck
+        )
+
+    publish(0)
+    publish(1)
+    run()  # first run: files 0-1 only
+    publish(2)
+    publish(3)
+    out, _ = run()  # restart: must process ONLY files 2-3
+    got = {(r["did"], r["status"], r["match_did"]) for r in out.collect()}
+    plain, _ = run_neardup_gate_grow(spark, SF_SMOKE)
+    want = {
+        (r["did"], r["status"], r["match_did"]) for r in plain.collect()
+    }
+    assert got == want
