@@ -5450,3 +5450,66 @@ GROUP BY e.qid
 ORACLES["emb_ivf_recall_nprobe1"] = _ivf_nprobe_sql(1)
 ORACLES["emb_ivf_recall_nprobe2"] = _ivf_nprobe_sql(2)
 ORACLES["emb_ivf_recall_nprobe4"] = _ivf_nprobe_sql(4)
+
+
+# growing VIDEO gate: frame-set Jaccard over the ingest-mix planted
+# videos (same frame formula as docs_media_video_neardup with the mix
+# group seed); like the text gate, admission replays as a recursive
+# sequential fold — frame-set Jaccard is not transitive either
+ORACLES["docs_stream_video_gate_grow"] = f"""
+WITH RECURSIVE
+v AS MATERIALIZED (
+  SELECT doc_id, 24 + doc_id % 5 AS n, ({_MIX_G}) AS g FROM documents),
+f AS MATERIALIZED (
+  SELECT v.doc_id AS did,
+         md5(rpad(CASE WHEN (gs.j + v.doc_id) % 10 = 0
+                       THEN 'u' || CAST(v.doc_id AS VARCHAR)
+                       ELSE 'b' || CAST(g AS VARCHAR) END
+                  || ':' || CAST(gs.j AS VARCHAR), 64, ' ')) AS h
+  FROM v, generate_series(0, 28) AS gs(j)
+  WHERE gs.j < v.n),
+c AS MATERIALIZED (SELECT did, COUNT(*) AS nf FROM f GROUP BY did),
+cm AS MATERIALIZED (
+  SELECT s.did, MIN(s.cdid) AS cmatch FROM (
+    SELECT a.did, b.did AS cdid, COUNT(*) AS shared
+    FROM f a JOIN f b ON a.h = b.h
+    WHERE a.did % 2 = 1 AND b.did % 2 = 0
+    GROUP BY a.did, b.did) s
+  JOIN c ca ON ca.did = s.did JOIN c cb ON cb.did = s.cdid
+  WHERE CAST(floor(CAST(s.shared AS DOUBLE)
+        / (ca.nf + cb.nf - s.shared) * 10000) AS BIGINT) >= 5000
+  GROUP BY s.did),
+sp AS MATERIALIZED (
+  SELECT s.i, s.j FROM (
+    SELECT a.did AS i, b.did AS j, COUNT(*) AS shared
+    FROM f a JOIN f b ON a.h = b.h
+    WHERE a.did % 2 = 1 AND b.did % 2 = 1 AND a.did < b.did
+    GROUP BY a.did, b.did) s
+  JOIN c ca ON ca.did = s.i JOIN c cb ON cb.did = s.j
+  WHERE CAST(floor(CAST(s.shared AS DOUBLE)
+        / (ca.nf + cb.nf - s.shared) * 10000) AS BIGINT) >= 5000),
+ord AS MATERIALIZED (
+  SELECT c.did, cm.cmatch, ROW_NUMBER() OVER (ORDER BY c.did) AS rn
+  FROM c LEFT JOIN cm ON cm.did = c.did
+  WHERE c.did % 2 = 1),
+fold(rn, did, status, match_did, admitted) AS (
+  SELECT 0, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT o.rn, o.did,
+    CASE WHEN o.cmatch IS NOT NULL THEN 'dup_corpus'
+         WHEN (SELECT MIN(p.i) FROM sp p
+               WHERE p.j = o.did AND list_contains(f.admitted, p.i))
+              IS NOT NULL THEN 'dup_stream'
+         ELSE 'admit' END,
+    COALESCE(o.cmatch,
+      (SELECT MIN(p.i) FROM sp p
+       WHERE p.j = o.did AND list_contains(f.admitted, p.i))),
+    CASE WHEN o.cmatch IS NULL
+          AND (SELECT MIN(p.i) FROM sp p
+               WHERE p.j = o.did
+                 AND list_contains(f.admitted, p.i)) IS NULL
+         THEN list_append(f.admitted, o.did) ELSE f.admitted END
+  FROM fold f JOIN ord o ON o.rn = f.rn + 1)
+SELECT did, status, match_did FROM fold WHERE rn > 0
+"""

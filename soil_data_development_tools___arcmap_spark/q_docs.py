@@ -2481,3 +2481,19 @@ def docs_stream_text_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _stats = run_neardup_gate_grow(spark, sf_dir)
     return out
+
+
+def docs_stream_video_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING-INDEX streaming VIDEO ingest gate — the fourth modality
+    on the shared sequential-fold runner (text/image/audio/video):
+    arriving videos probe the corpus frame-hash index AND every
+    earlier-admitted video (shared-frame candidates through the REAL
+    sample_frames UDTF pipeline, exact frame-set Jaccard >= 0.5
+    verification); first-seen videos are admitted, their frames join
+    the index for later batches. Frame-set Jaccard is not transitive,
+    so the oracle replays admission with the same recursive-CTE fold
+    as the text gate. See streaming/docs.py::run_video_gate_grow."""
+    from .streaming.docs import run_video_gate_grow
+
+    out, _stats = run_video_gate_grow(spark, sf_dir)
+    return out

@@ -1124,6 +1124,7 @@ def run_neardup_gate_grow(
     broadcast: bool = False,
     land_dir: str | None = None,
     checkpoint: str | None = None,
+    bands_fn=None,
 ) -> tuple[DataFrame, dict]:
     """Growing-index streaming NEAR-DUP text gate (the production
     ingest loop the stateless ``run_neardup_stream`` defers to batch):
@@ -1190,11 +1191,17 @@ def run_neardup_gate_grow(
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast else df
 
+    # the fold is fingerprint-agnostic: any (doc_id, ss, band_id, key)
+    # long form works — text minhash bands by default, video frame
+    # hashes via run_video_gate_grow (candidates = shared key in any
+    # band, verification = exact set Jaccard over ss)
+    if bands_fn is None:
+        bands_fn = _with_bands
     corpus = spark.read.schema(DOCS_SCHEMA).parquet(
         f"{sf_dir}/documents.parquet"
     ).where(F.col("doc_id") % 2 == 0)
     corpus_idx = (
-        _with_bands(corpus)
+        bands_fn(corpus)
         .select("doc_id", "ss", "band_id", "key", F.lit(True).alias("is_corpus"))
         .localCheckpoint()
     )
@@ -1222,7 +1229,7 @@ def run_neardup_gate_grow(
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         new = (
-            _with_bands(batch_df)
+            bands_fn(batch_df)
             .select(
                 F.col("doc_id").alias("did"),
                 F.col("ss").alias("nss"),
@@ -1368,3 +1375,85 @@ def run_neardup_gate_grow(
     else:
         out = spark.createDataFrame([], dec_schema)
     return out, stats
+
+
+def _video_mix_bands(df: DataFrame, scale: int = 1) -> DataFrame:
+    """(doc_id, ss, band_id, key) frame-fingerprint long form over the
+    ingest-mix planted videos, through the REAL frame pipeline
+    (payload bytes → sample_frames UDTF → per-frame md5): ``ss`` is
+    the video's distinct frame-hash set, each row carries one frame
+    hash as the candidate ``key`` (band_id 0 — a video's "bands" ARE
+    its frames). Same per-doc synthesis as docs_media_video_neardup
+    but keyed by ``ingest_mix_group`` so corpus-dup / novel-admit /
+    within-stream-chain outcomes all occur (an odd base modulus makes
+    every class cross-parity — everything would be a corpus dup).
+    Stop-frame capping is omitted: mix groups are ≤ ~9 docs at any
+    scale by construction, so no frame is shared widely enough to
+    matter (the batch video query documents the max_freq rule)."""
+    from ..functions.multimodal import sample_frames
+
+    d = F.col("doc_id")
+    g = F.expr(
+        f"CASE WHEN doc_id % 5 < 2 THEN 3 * (doc_id % {23 * scale})"
+        "     WHEN doc_id % 5 < 4"
+        "       THEN 3 * (2 * (doc_id div 8) + doc_id % 2) + 1"
+        "     ELSE 3 * doc_id + 2 END"
+    )
+    n = (F.lit(24) + d % 5).cast("int")
+    arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.rpad(
+            F.concat(
+                F.when(
+                    (j + d) % 10 == 0,
+                    F.concat(F.lit("u"), d.cast("string")),
+                ).otherwise(F.concat(F.lit("b"), g.cast("string"))),
+                F.lit(":"),
+                j.cast("string"),
+            ),
+            64,
+            " ",
+        ),
+    )
+    from ..functions.dedup import _spread
+
+    vids = _spread(df.select("doc_id"), "doc_id").select(
+        F.col("doc_id"), F.array_join(arr, "").alias("payload")
+    )
+    fr = sample_frames(
+        vids, id_col="doc_id", col="payload", frame_bytes=64, every=1,
+        spread=False,
+    ).select(F.col("did").alias("doc_id"), "frame_md5")
+    ss = fr.groupBy("doc_id").agg(F.collect_set("frame_md5").alias("ss"))
+    return fr.join(ss, "doc_id").select(
+        "doc_id", "ss", F.lit(0).alias("band_id"),
+        F.col("frame_md5").alias("key"),
+    )
+
+
+def run_video_gate_grow(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    scale: int = 1,
+    threshold_e4: int = 5000,
+    land_dir: str | None = None,
+    checkpoint: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Growing-index streaming VIDEO ingest gate — the fourth modality
+    on the shared sequential-fold runner: arriving videos (odd
+    doc_ids) probe the corpus frame index plus every earlier-admitted
+    video by shared frame hash, verified with exact frame-set Jaccard
+    (>= 0.5); unmatched first-seen videos are admitted and their
+    frames join the index. Inherits the landed/restartable mode.
+    See ``run_neardup_gate_grow`` (the fold) and ``_video_mix_bands``
+    (the fingerprint)."""
+    return run_neardup_gate_grow(
+        spark,
+        sf_dir,
+        threshold_e4=threshold_e4,
+        source=source,
+        land_dir=land_dir,
+        checkpoint=checkpoint,
+        bands_fn=lambda df: _video_mix_bands(df, scale),
+    )

@@ -1404,3 +1404,39 @@ def test_text_gate_grow_landed_restart_recovers_index(spark, tmp_path):
         (r["did"], r["status"], r["match_did"]) for r in plain.collect()
     }
     assert got == want
+
+
+def test_video_gate_grow_across_batches(spark, tmp_path):
+    """Video twin of test_image_gate_grow_across_batches on the shared
+    fold runner: did-ordered multi-batch replay equals the
+    single-trigger run, dup groups straddling a batch boundary are
+    flagged against an earlier batch's admission, and every decision
+    class is populated."""
+    import collections
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        run_video_gate_grow,
+    )
+
+    out, _ = run_video_gate_grow(spark, SF_SMOKE)
+    single = {
+        (r["did"], r["status"], r["match_did"]) for r in out.collect()
+    }
+    counts = collections.Counter(s for _, s, _ in single)
+    assert len(single) == 250
+    assert min(counts["admit"], counts["dup_corpus"],
+               counts["dup_stream"]) > 0
+    src, step = _range_split_odds(spark, tmp_path, "vid_grow", n_files=4)
+    out2, _ = run_video_gate_grow(spark, SF_SMOKE, source=src)
+    multi = {
+        (r["did"], r["status"], r["match_did"]) for r in out2.collect()
+    }
+    assert multi == single
+    cross = [
+        (d, m)
+        for d, s, m in multi
+        if s == "dup_stream" and m is not None and m // step < d // step
+    ]
+    assert cross, "no dup group straddles a batch boundary"
+    admits = {d for d, s, _ in multi if s == "admit"}
+    assert all(m in admits for _, m in cross)

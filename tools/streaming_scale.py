@@ -469,7 +469,8 @@ def main() -> None:
         # growth per stream row — stays constant as the corpus scales;
         # peak_state_rows comes from the engine's own stateOperators.
         grow_gates = {"image_gate_grow", "audio_gate_grow",
-                      "text_gate_grow", "text_gate_grow_salted"}
+                      "text_gate_grow", "text_gate_grow_salted",
+                      "video_gate_grow"}
         if only is None or (only & grow_gates):
             import tempfile
 
@@ -570,6 +571,36 @@ def main() -> None:
                 n_in = sum(counts.values())
                 print(json.dumps({
                     "factor": factor, "query": "text_gate_grow_salted",
+                    "wall_sec": round(wall, 1), "input_rows": n_in,
+                    "rows_per_sec": int(n_in / wall) if wall else None,
+                    "peak_state_rows":
+                        (stats["admitted_rows_per_batch"] or [0])[-1],
+                    "fold_pairs_per_batch":
+                        stats["fold_pairs_per_batch"],
+                    "decisions": counts,
+                }))
+
+            if want("video_gate_grow"):
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_video_gate_grow,
+                )
+
+                t0 = time.time()
+                out, stats = run_video_gate_grow(
+                    spark, wrap, source=gsrc(), scale=factor
+                )
+                from pyspark.sql import functions as SF
+
+                counts = {
+                    r["status"]: r["n"]
+                    for r in out.groupBy("status")
+                    .agg(SF.count(SF.lit(1)).alias("n"))
+                    .collect()
+                }
+                wall = time.time() - t0
+                n_in = sum(counts.values())
+                print(json.dumps({
+                    "factor": factor, "query": "video_gate_grow",
                     "wall_sec": round(wall, 1), "input_rows": n_in,
                     "rows_per_sec": int(n_in / wall) if wall else None,
                     "peak_state_rows":
