@@ -501,9 +501,16 @@ def ingest_mix_group(d: int, scale: int = 1) -> int:
     replica factor so planted dup-group size — and hence gate match
     fan-out and admitted-state growth — stays constant as the corpus
     scales (the same rule every other scale harness applies).
-    Mirrored verbatim by the oracle SQL CASE (oracles._MIX_G)."""
+    Mirrored verbatim by the oracle SQL CASE (oracles._MIX_G). The
+    scaled small-class modulus is forced ODD: an even modulus puts
+    every class on a single parity (members differ by a multiple of
+    it), which would empty the dup_corpus outcome at every even
+    factor — the round-9 video harness caught exactly that (scale=1
+    keeps the original 23, so registered-query hashes are
+    untouched)."""
     if d % 5 < 2:
-        return 3 * (d % (23 * scale))
+        m = 23 * scale
+        return 3 * (d % (m + 1 - m % 2))
     if d % 5 < 4:
         return 3 * (2 * (d // 8) + d % 2) + 1
     return 3 * d + 2

@@ -1393,8 +1393,10 @@ def _video_mix_bands(df: DataFrame, scale: int = 1) -> DataFrame:
     from ..functions.multimodal import sample_frames
 
     d = F.col("doc_id")
+    m = 23 * scale
+    m += 1 - m % 2  # forced odd — see ingest_mix_group
     g = F.expr(
-        f"CASE WHEN doc_id % 5 < 2 THEN 3 * (doc_id % {23 * scale})"
+        f"CASE WHEN doc_id % 5 < 2 THEN 3 * (doc_id % {m})"
         "     WHEN doc_id % 5 < 4"
         "       THEN 3 * (2 * (doc_id div 8) + doc_id % 2) + 1"
         "     ELSE 3 * doc_id + 2 END"
