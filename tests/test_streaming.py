@@ -1440,3 +1440,29 @@ def test_video_gate_grow_across_batches(spark, tmp_path):
     assert cross, "no dup group straddles a batch boundary"
     admits = {d for d, s, _ in multi if s == "admit"}
     assert all(m in admits for _, m in cross)
+
+
+def test_image_gate_grow_state_equals_admit_count(spark, tmp_path):
+    """The growing gate's state-store bill must be exactly the
+    novel-fingerprint count: corpus-matching fingerprints never create
+    state, so the engine's own numRowsTotal equals the admit count
+    (dup_stream groups share their admitter's row)."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        run_media_phash_gate_grow,
+    )
+
+    src, _ = _range_split_odds(spark, tmp_path, "img_state", n_files=4)
+    tbl, q = run_media_phash_gate_grow(
+        spark, SF_SMOKE, source=src, with_query=True
+    )
+    rows = tbl.collect()
+    admits = sum(1 for r in rows if r["status"] == "admit")
+    # dup_stream fingerprints also live in the store (one row per
+    # novel fingerprint, admitted by its first arrival)
+    peak = 0
+    for pr in q.recentProgress:
+        for so in pr.get("stateOperators") or []:
+            peak = max(peak, int(so.get("numRowsTotal") or 0))
+    assert admits > 0 and peak == admits
+    corpus_dups = sum(1 for r in rows if r["status"] == "dup_corpus")
+    assert corpus_dups > 0  # and none of them contributed state
