@@ -962,6 +962,8 @@ def _run_media_gate_grow(
     source: DataFrame | None,
     prefix: str,
     with_query: bool = False,
+    land_dir: str | None = None,
+    checkpoint: str | None = None,
 ):
     """Shared GROWING exact-fingerprint ingest gate: arriving items
     (odd doc_ids) probe the static corpus index (even doc_ids, settled
@@ -971,6 +973,15 @@ def _run_media_gate_grow(
     micro-batches — against it. Returns one decision row per arriving
     item: (did, *join_keys, status in {admit, dup_corpus, dup_stream},
     match_did).
+
+    Landed/restartable mode: pass ``land_dir`` + ``checkpoint`` and
+    decisions stream into a parquet sink instead of the memory table —
+    the checkpoint then carries BOTH the file-source offsets and the
+    applyInPandasWithState store, so a restarted invocation resumes
+    the exact per-fingerprint state (an item whose fingerprint was
+    admitted before the restart is flagged dup_stream after it —
+    pinned by the restart test) and the append-mode sink stays
+    exactly-once under replay.
 
     State design (the 100 TB posture): one long per NOVEL fingerprint
     — corpus-matching fingerprints never create state (the static
@@ -1036,6 +1047,18 @@ def _run_media_gate_grow(
         gate, out_schema, "admitted long", "append",
         GroupStateTimeout.NoTimeout,
     )
+    if land_dir is not None:
+        q = (
+            res.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", land_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(land_dir)
+        return (out, q) if with_query else out
     name = prefix + uuid.uuid4().hex[:8]
     q = (
         res.writeStream.outputMode("append")
@@ -1084,6 +1107,8 @@ def run_media_phash_gate_grow(
     source: DataFrame | None = None,
     scale: int = 1,
     with_query: bool = False,
+    land_dir: str | None = None,
+    checkpoint: str | None = None,
 ):
     """Growing IMAGE-ingest dedup gate: first arrival of a novel aHash
     is admitted into the index, later arrivals are flagged dup_stream
@@ -1095,7 +1120,7 @@ def run_media_phash_gate_grow(
     return _run_media_gate_grow(
         spark, sf_dir, lambda df: _phash_media_mix(df, scale),
         ["ahash_hi", "ahash_lo"], source, "media_phash_grow_",
-        with_query,
+        with_query, land_dir, checkpoint,
     )
 
 

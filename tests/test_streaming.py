@@ -1466,3 +1466,83 @@ def test_image_gate_grow_state_equals_admit_count(spark, tmp_path):
     assert admits > 0 and peak == admits
     corpus_dups = sum(1 for r in rows if r["status"] == "dup_corpus")
     assert corpus_dups > 0  # and none of them contributed state
+
+
+def test_image_gate_grow_landed_restart_resumes_state(spark, tmp_path):
+    """Checkpointed landed mode for the stateful image gate: a restart
+    resumes the applyInPandasWithState store from the checkpoint, so a
+    post-restart duplicate of a pre-restart admission is flagged
+    dup_stream (not re-admitted), the parquet sink stays exactly-once,
+    and the combined output equals the single-run gate."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_media_phash_gate_grow,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    stage = str(tmp_path / "img_restart_stage")
+    flat = str(tmp_path / "img_restart_flat")
+    os.makedirs(flat, exist_ok=True)
+    # boundary at 100: the planted odd-block chain (97, 103) straddles
+    # it, so the restarted run MUST consult pre-restart state to flag
+    # 103 as a dup of 97
+    bounds = [(0, 100), (100, 250), (250, 375), (375, 500)]
+    for part, (lo, hi) in enumerate(bounds):
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/p{part}")
+
+    def publish(part):
+        (f,) = glob.glob(f"{stage}/p{part}/part-*.parquet")
+        shutil.copy(f, f"{flat}/{part:02d}.parquet")
+        os.utime(f"{flat}/{part:02d}.parquet",
+                 (time.time() + part, time.time() + part))
+
+    land = str(tmp_path / "img_land")
+    ck = str(tmp_path / "img_ck")
+
+    def run():
+        srcdf = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        return run_media_phash_gate_grow(
+            spark, SF_SMOKE, source=srcdf, land_dir=land, checkpoint=ck
+        )
+
+    publish(0)
+    run()
+    publish(1)
+    publish(2)
+    publish(3)
+    out = run()  # restart: state store recovered from the checkpoint
+    got = {
+        (r["did"], r["status"], r["match_did"]) for r in out.collect()
+    }
+    single = run_media_phash_gate_grow(spark, SF_SMOKE)
+    want = {
+        (r["did"], r["status"], r["match_did"]) for r in single.collect()
+    }
+    assert got == want
+    assert out.count() == len(want)  # exactly-once: no duplicate rows
+    # the restart really crossed an admission: some dup_stream's
+    # admitter arrived in the pre-restart half
+    cross_restart = [
+        (d, m)
+        for d, s_, m in got
+        if s_ == "dup_stream" and m is not None and m < 100 <= d
+    ]
+    assert (103, 97) in cross_restart, (
+        "the (97, 103) chain must cross the restart boundary",
+        sorted(cross_restart),
+    )
