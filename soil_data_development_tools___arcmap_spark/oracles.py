@@ -5513,3 +5513,39 @@ fold(rn, did, status, match_did, admitted) AS (
   FROM fold f JOIN ord o ON o.rn = f.rn + 1)
 SELECT did, status, match_did FROM fold WHERE rn > 0
 """
+
+
+# the wide (window=4, 24-window/23-bit) audio gate: same skeleton with
+# the wider bit packing — the fingerprint-width lever
+ORACLES["docs_stream_audio_gate_grow_wide"] = f"""
+WITH grp AS (SELECT doc_id, ({_MIX_G}) % 4194304 AS gm FROM documents),
+s AS (
+  SELECT doc_id, gs.k AS k,
+         ((gm + 1) * (gs.k + 1) * 2654435761) % 4294967296 // 16777216 - 128
+           AS v0
+  FROM grp, generate_series(0, 95) AS gs(k)),
+sv AS (SELECT doc_id, k, v0 * (1 + doc_id % 3) AS v FROM s),
+e AS (SELECT doc_id, k // 4 AS w, SUM(v * v) AS en
+      FROM sv GROUP BY doc_id, k // 4),
+d AS (SELECT doc_id, w,
+             CASE WHEN en > LAG(en) OVER (PARTITION BY doc_id ORDER BY w)
+                  THEN 1 ELSE 0 END AS bit
+      FROM e),
+f AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN w > 0
+                      THEN bit * (CAST(1 AS BIGINT) << (23 - w))
+                      ELSE 0 END) AS BIGINT) AS fp
+      FROM d GROUP BY doc_id),
+idx AS (SELECT fp, MIN(doc_id) AS cd FROM f WHERE doc_id % 2 = 0 GROUP BY fp),
+st AS (
+  SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_did
+  FROM f WHERE doc_id % 2 = 1)
+SELECT st.doc_id AS did, st.fp, CAST(24 AS INTEGER) AS n_windows,
+       CASE WHEN i.cd IS NOT NULL THEN 'dup_corpus'
+            WHEN st.doc_id = st.first_did THEN 'admit'
+            ELSE 'dup_stream' END AS status,
+       CASE WHEN i.cd IS NOT NULL THEN i.cd
+            WHEN st.doc_id = st.first_did THEN NULL
+            ELSE st.first_did END AS match_did
+FROM st LEFT JOIN idx i ON st.fp = i.fp
+"""

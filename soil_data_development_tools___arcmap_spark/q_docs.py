@@ -2497,3 +2497,18 @@ def docs_stream_video_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _stats = run_video_gate_grow(spark, sf_dir)
     return out
+
+
+def docs_stream_audio_gate_grow_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROWING audio gate at the WIDE fingerprint setting (window=4 →
+    24 windows / 23 delta bits vs the default 11): the
+    width-vs-collision lever. The default 2048-value space saturates
+    at corpus scale (SCALING round-9 audio row); this variant shows
+    the same gate machinery with an 8.4M-value space — fewer
+    accidental cross-group collisions, more novel admissions. Same
+    oracle skeleton with the wider bit packing unrolled."""
+    from .streaming.docs import run_media_audio_gate_grow
+
+    return run_media_audio_gate_grow(spark, sf_dir, window=4)

@@ -1088,15 +1088,21 @@ def _phash_media_mix(df: DataFrame, scale: int = 1) -> DataFrame:
     )
 
 
-def _audio_fp_media_mix(df: DataFrame, scale: int = 1) -> DataFrame:
+def _audio_fp_media_mix(
+    df: DataFrame, scale: int = 1, window: int = 8
+) -> DataFrame:
     """(did, fp, n_windows) over the ingest-mix planted audio — the
-    growing-gate audio fixture (see ``_phash_media_mix``)."""
+    growing-gate audio fixture (see ``_phash_media_mix``). ``window``
+    sets the fingerprint resolution: 8 → 12 windows / 11 bits (the
+    default, whose 2048-value space saturates at corpus scale —
+    documented in SCALING); 4 → 24 windows / 23 bits, the
+    width-vs-collision lever a production deployment would turn."""
     from ..functions.multimodal import audio_delta_fingerprint, planted_audio
 
     return audio_delta_fingerprint(
         planted_audio(df, spread=True, group_mode="ingest_mix",
                       scale=scale),
-        window=8,
+        window=window,
         spread=False,
     ).select("did", "fp", "n_windows")
 
@@ -1130,12 +1136,14 @@ def run_media_audio_gate_grow(
     source: DataFrame | None = None,
     scale: int = 1,
     with_query: bool = False,
+    window: int = 8,
 ):
     """Growing AUDIO-ingest dedup gate: the audio twin of
-    ``run_media_phash_gate_grow`` keyed by (fp, n_windows). See
+    ``run_media_phash_gate_grow`` keyed by (fp, n_windows); ``window``
+    is the fingerprint-width lever (see ``_audio_fp_media_mix``). See
     ``_run_media_gate_grow``."""
     return _run_media_gate_grow(
-        spark, sf_dir, lambda df: _audio_fp_media_mix(df, scale),
+        spark, sf_dir, lambda df: _audio_fp_media_mix(df, scale, window),
         ["fp", "n_windows"], source, "media_audio_grow_",
         with_query,
     )

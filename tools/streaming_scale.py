@@ -469,6 +469,7 @@ def main() -> None:
         # growth per stream row — stays constant as the corpus scales;
         # peak_state_rows comes from the engine's own stateOperators.
         grow_gates = {"image_gate_grow", "audio_gate_grow",
+                      "audio_gate_grow_wide",
                       "text_gate_grow", "text_gate_grow_salted",
                       "video_gate_grow"}
         if only is None or (only & grow_gates):
@@ -491,7 +492,7 @@ def main() -> None:
                     .parquet(docs_dir)
                 )
 
-            def _run_grow_gate(qname, runner):
+            def _run_grow_gate(qname, runner, **kw):
                 """Shared exact-gate measurement: wall, engine-counted
                 peak state, decision mix — one code path so a metric
                 fix cannot skew one gate's published numbers."""
@@ -500,7 +501,7 @@ def main() -> None:
                 t0 = time.time()
                 tbl, q = runner(
                     spark, wrap, source=gsrc(), scale=factor,
-                    with_query=True,
+                    with_query=True, **kw,
                 )
                 wall = time.time() - t0
                 peak = 0
@@ -535,6 +536,16 @@ def main() -> None:
                 )
 
                 _run_grow_gate("audio_gate_grow", run_media_audio_gate_grow)
+
+            if want("audio_gate_grow_wide"):
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_media_audio_gate_grow,
+                )
+
+                _run_grow_gate(
+                    "audio_gate_grow_wide", run_media_audio_gate_grow,
+                    window=4,
+                )
 
             if want("text_gate_grow_salted"):
                 # the OTHER novelty extreme: per-replica token salting
