@@ -111,6 +111,109 @@ def rotate_about_e4(
     )
 
 
+def _clip_halfplane(coords: Column, axis: str, bound, keep_ge: bool) -> Column:
+    """One Sutherland–Hodgman half-plane pass: clip an OPEN ring
+    (array<struct<x:double,y:double>>, no closing vertex) against
+    ``axis >= bound`` (keep_ge) or ``axis <= bound``. Per directed
+    edge (A, B) the standard emission: B if both inside; the
+    edge/boundary intersection I if the edge crosses; [I, B] when
+    entering. The intersection ordinate is the exact linear
+    interpolation — one double divide whose operands differ by
+    construction (A and B are strictly on opposite sides). Empty or
+    fully-outside rings clip to an empty array."""
+    b = F.lit(float(bound)) if not isinstance(bound, Column) else bound
+    other = "y" if axis == "x" else "x"
+
+    def inside(p):
+        return p[axis] >= b if keep_ge else p[axis] <= b
+
+    def isect(a, p):
+        t = (b - a[axis]) / (p[axis] - a[axis])
+        o = a[other] + (p[other] - a[other]) * t
+        if axis == "x":
+            return F.struct(b.alias("x"), o.alias("y"))
+        return F.struct(o.alias("x"), b.alias("y"))
+
+    n = F.size(coords)
+    emitted = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.when(
+            inside(coords[i]) & inside(coords[(i + 1) % n]),
+            F.array(coords[(i + 1) % n]),
+        )
+        .when(
+            inside(coords[i]) & ~inside(coords[(i + 1) % n]),
+            F.array(isect(coords[i], coords[(i + 1) % n])),
+        )
+        .when(
+            ~inside(coords[i]) & inside(coords[(i + 1) % n]),
+            F.array(
+                isect(coords[i], coords[(i + 1) % n]), coords[(i + 1) % n]
+            ),
+        )
+        .otherwise(
+            F.array().cast("array<struct<x:double,y:double>>")
+        ),
+    )
+    # sequence(0, -1) would step BACKWARDS on an empty ring — guard it
+    return F.when(n < 1, coords).otherwise(F.flatten(emitted))
+
+
+def clip_ring_to_rect(
+    wkt: str | Column, xmin, ymin, xmax, ymax
+) -> Column:
+    """Polygon ∩ axis-aligned AOI rectangle — the geometric core of the
+    reference's clip tool (gSSURGO_Clip.py:160, arcpy.Clip_analysis;
+    point_in_ring covers only the select-by-location half). Classic
+    Sutherland–Hodgman against the four AOI half-planes, expressed as
+    four chained Column array passes over the parsed WKT exterior ring
+    (no UDF, stays in codegen): returns the clipped OPEN ring as
+    array<struct<x:double,y:double>> — empty when disjoint. The clip
+    region is convex, so SH is exact for any simple subject ring
+    (degenerate duplicate vertices it may emit are shoelace-neutral)."""
+    open_ring = F.transform(
+        F.slice(ring_coords(wkt), 1, F.size(ring_coords(wkt)) - 1),
+        lambda p: F.struct(
+            p["x"].cast("double").alias("x"),
+            p["y"].cast("double").alias("y"),
+        ),
+    )
+    r = _clip_halfplane(open_ring, "x", xmin, keep_ge=True)
+    r = _clip_halfplane(r, "x", xmax, keep_ge=False)
+    r = _clip_halfplane(r, "y", ymin, keep_ge=True)
+    return _clip_halfplane(r, "y", ymax, keep_ge=False)
+
+
+def ring_area2x(ring: Column) -> Column:
+    """Twice the absolute shoelace area of an OPEN double-typed ring
+    (wrap-around edge included) — the clipped-geometry companion of
+    ``shoelace_area2x``. Returned as double; quantize at the caller
+    (for integral vertices — e.g. a slope-±1/axis-edged subject
+    clipped by an integer AOI, where every SH intersection lands on
+    the integer grid — the double arithmetic is exact well past any
+    survey-scale coordinate)."""
+    n = F.size(ring)
+    terms = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: ring[i]["x"] * ring[(i + 1) % n]["y"]
+        - ring[(i + 1) % n]["x"] * ring[i]["y"],
+    )
+    s = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(n < 3, F.lit(0.0)).otherwise(F.abs(s))
+
+
+def clip_area2x_rect(
+    wkt: str | Column, xmin, ymin, xmax, ymax
+) -> Column:
+    """Doubled intersection area of a WKT polygon with an AOI
+    rectangle, quantized to BIGINT — the clipped-acreage figure the
+    reference reads off the GIS after Clip_analysis
+    (gSSURGO_Clip.py:160 → gSSURGO_AcreageReport SHAPE_Area)."""
+    return F.round(
+        ring_area2x(clip_ring_to_rect(wkt, xmin, ymin, xmax, ymax))
+    ).cast("long")
+
+
 def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:
     """Ray-casting point-in-polygon over the exterior WKT ring — the
     select-by-location core of the clip tool (gSSURGO_Clip.py runs the

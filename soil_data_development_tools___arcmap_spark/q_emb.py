@@ -457,7 +457,19 @@ def _emb_ivf_recall_nprobe(
 
     emb = _t(spark, sf_dir, "embeddings")
     approx, scanned = ivf_topk(emb, nprobe=nprobe, with_scanned=True)
-    return knn_recall(brute_force_topk(emb), approx).join(scanned, "qid")
+    # LEFT join + COALESCE 0, mirroring the oracle: a query whose
+    # probed inverted lists score zero candidates (possible if an
+    # exact-cosine tie ever reassigns a centroid's own vector to a
+    # lower-kid list) must still emit its row with scanned = 0, not
+    # vanish from the recall curve (round-9 ADVICE).
+    return (
+        knn_recall(brute_force_topk(emb), approx)
+        .join(scanned, "qid", "left")
+        .select(
+            "qid", "k", "hits",
+            F.coalesce(F.col("scanned"), F.lit(0)).cast("long").alias("scanned"),
+        )
+    )
 
 
 def emb_ivf_recall_nprobe1(spark: SparkSession, sf_dir: str) -> DataFrame:

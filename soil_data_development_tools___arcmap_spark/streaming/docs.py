@@ -1158,6 +1158,8 @@ def run_neardup_gate_grow(
     land_dir: str | None = None,
     checkpoint: str | None = None,
     bands_fn=None,
+    fold_pair_cap: int = 50000,
+    fold_window_docs: int = 512,
 ) -> tuple[DataFrame, dict]:
     """Growing-index streaming NEAR-DUP text gate (the production
     ingest loop the stateless ``run_neardup_stream`` defers to batch):
@@ -1181,6 +1183,19 @@ def run_neardup_gate_grow(
     match is a non-admitted duplicate is itself admitted — the fold is
     genuine, not a min-per-group collapse.
 
+    ARRIVAL ORDER is the contract, not doc_id order. A caller-supplied
+    ``source`` whose micro-batches arrive out of doc_id order still
+    gets the arrival-order fold (batch order outranks doc_id; doc_id
+    only breaks ties INSIDE a batch) — in particular ``match_did`` for
+    a dup_stream doc is the lowest did among matches admitted in
+    EARLIER BATCHES or earlier within its own batch, which equals the
+    global-min matching did only when arrival order is doc_id order
+    (true for the registered query's default source, whose availableNow
+    file replay is did-ordered; the oracle's recursive-CTE fold assumes
+    it). tests/test_streaming.py pins the out-of-order behavior
+    against a pure-Python arrival-order fold so the contract stays
+    explicit (round-9 ADVICE).
+
     Execution shape (foreachBatch upsert, the 100 TB posture):
 
     - per batch, ONE banded join of the arriving docs' band keys
@@ -1195,6 +1210,25 @@ def run_neardup_gate_grow(
       sequential fold — the chain logic is inherently serial, and its
       input is bounded by trigger size x dup density, the same bound
       the batch LSH verify stage carries;
+    - the driver fold is HARD-BOUNDED (round-9 verdict item 3): the
+      fast path collects at most ``fold_pair_cap + 1`` pair ids (a
+      limit() probe, no extra count job); a batch whose verified pair
+      graph exceeds the cap — e.g. one adversarial micro-batch that is
+      a single giant near-dup clique — switches to a did-ordered
+      WINDOWED fold that preserves the exact same semantics: graph
+      docs are ranked by did and processed in windows of
+      ``fold_window_docs``; per window the driver receives only the
+      intra-window verified pairs (<= K(K-1)/2), the per-doc MIN
+      earlier-window-ADMITTED match (computed DISTRIBUTED by joining
+      cross-window pairs against the admitted-so-far frame, <= K
+      rows), and the window's doc list (<= K rows); per-window
+      decisions and admissions go straight back to executor-side
+      frames. Exactness: the fold processes docs in ascending did and
+      a doc's decision depends only on ADMITTED lower-did neighbors,
+      so a prefix fold plus the distributed min-admitted join is the
+      same function — no deferral, no admit/dup flips. Peak driver
+      rows per collect is O(fold_window_docs^2) regardless of batch
+      or family size (stats record the observed peak);
     - admitted docs' band entries are settled and appended to the
       probe list, so the index a batch probes is exactly
       corpus + all-prior-admissions (upsert cadence = every trigger).
@@ -1311,7 +1345,7 @@ def run_neardup_gate_grow(
         # within-batch banded pairs among still-unmatched docs: ONLY the
         # verified pair ids come to the driver (dup-density-sized)
         ub = new.join(unmatched.select("did"), "did")
-        pairs = (
+        pairs_df = (
             ub.select(F.col("did").alias("i"), F.col("nss").alias("iss"),
                       "band_id", "key")
             .join(ub.select(F.col("did").alias("j"),
@@ -1322,30 +1356,133 @@ def run_neardup_gate_grow(
             .distinct()
             .where(jac >= threshold_e4)
             .select("i", "j")
-            .collect()
         )
-        stats["fold_pairs_per_batch"].append(len(pairs))
-        nbrs: dict[int, list[int]] = {}
-        for r in pairs:
-            nbrs.setdefault(r["j"], []).append(r["i"])
-        involved = {r["i"] for r in pairs} | set(nbrs)
-        # driver-side sequential fold over the pair subgraph, did order
-        fold_rows = []
-        admitted_in_graph: set[int] = set()
-        for d in sorted(involved):
-            ms = sorted(a for a in nbrs.get(d, []) if a in admitted_in_graph)
-            if ms:
-                fold_rows.append((d, "dup_stream", ms[0]))
-            else:
-                admitted_in_graph.add(d)
-                fold_rows.append((d, "admit", None))
-        inv_df = spark.createDataFrame(
-            [(d,) for d in sorted(involved)], "did long"
+        # bounded probe: at most cap+1 rows ever reach the driver here
+        probe = pairs_df.limit(fold_pair_cap + 1).collect()
+        peak = stats.get("fold_driver_rows_peak", 0)
+        if len(probe) <= fold_pair_cap:
+            # fast path (the registered-query shape): the whole verified
+            # pair graph is dup-density-sized — fold it in one pass
+            pairs = probe
+            stats["fold_pairs_per_batch"].append(len(pairs))
+            stats["fold_driver_rows_peak"] = max(peak, len(pairs))
+            nbrs: dict[int, list[int]] = {}
+            for r in pairs:
+                nbrs.setdefault(r["j"], []).append(r["i"])
+            involved = {r["i"] for r in pairs} | set(nbrs)
+            # driver-side sequential fold over the pair subgraph, did order
+            fold_rows = []
+            admitted_in_graph: set[int] = set()
+            for d in sorted(involved):
+                ms = sorted(
+                    a for a in nbrs.get(d, []) if a in admitted_in_graph
+                )
+                if ms:
+                    fold_rows.append((d, "dup_stream", ms[0]))
+                else:
+                    admitted_in_graph.add(d)
+                    fold_rows.append((d, "admit", None))
+            inv_df = spark.createDataFrame(
+                [(d,) for d in sorted(involved)], "did long"
+            )
+            graph_dec = spark.createDataFrame(fold_rows, dec_schema)
+            admitted_graph_df = spark.createDataFrame(
+                [(d,) for d in sorted(admitted_in_graph)], "did long"
+            )
+        else:
+            # windowed fold (adversarial batches, e.g. one giant near-dup
+            # clique): same fold function, bounded driver memory — see
+            # the execution-shape docstring for the exactness argument
+            from pyspark.sql import Window
+
+            pairs_dd = pairs_df.localCheckpoint()
+            stats["fold_pairs_per_batch"].append(pairs_dd.count())
+            # row_number sorts ONLY the graph docs' dids (8 B each) —
+            # the one global sort here, over the dup graph, never the
+            # batch; windows must be did-contiguous for prefix exactness
+            ranks = (
+                pairs_dd.select(F.col("i").alias("d"))
+                .unionByName(pairs_dd.select(F.col("j").alias("d")))
+                .distinct()
+                .withColumn(
+                    "win",
+                    F.floor(
+                        (F.row_number().over(Window.orderBy("d")) - 1)
+                        / fold_window_docs
+                    ).cast("int"),
+                )
+                .localCheckpoint()
+            )
+            n_wins = ranks.agg(F.max("win")).collect()[0][0] + 1
+            pr = (
+                pairs_dd.join(
+                    ranks.select(F.col("d").alias("i"), F.col("win").alias("iw")),
+                    "i",
+                )
+                .join(
+                    ranks.select(F.col("d").alias("j"), F.col("win").alias("jw")),
+                    "j",
+                )
+                .localCheckpoint()
+            )
+            admitted_graph_df = spark.createDataFrame([], "did long")
+            win_dec: list[DataFrame] = []
+            for wn in range(n_wins):
+                win_docs = [
+                    r["d"]
+                    for r in ranks.where(F.col("win") == wn)
+                    .select("d").collect()
+                ]
+                intra = (
+                    pr.where((F.col("iw") == wn) & (F.col("jw") == wn))
+                    .select("i", "j").collect()
+                )
+                # per-doc MIN earlier-window ADMITTED match, distributed:
+                # only <= K (j, min) rows come back, never the edges
+                cross = (
+                    pr.where((F.col("jw") == wn) & (F.col("iw") < wn))
+                    .join(
+                        admitted_graph_df.select(F.col("did").alias("i")),
+                        "i",
+                    )
+                    .groupBy("j").agg(F.min("i").alias("cm"))
+                    .collect()
+                )
+                peak = max(peak, len(win_docs) + len(intra) + len(cross))
+                cross_min = {r["j"]: r["cm"] for r in cross}
+                nbrs = {}
+                for r in intra:
+                    nbrs.setdefault(r["j"], []).append(r["i"])
+                fold_rows = []
+                admitted_in_win: set[int] = set()
+                for d in sorted(win_docs):
+                    ms = [a for a in nbrs.get(d, []) if a in admitted_in_win]
+                    if d in cross_min:
+                        ms.append(cross_min[d])
+                    if ms:
+                        fold_rows.append((d, "dup_stream", min(ms)))
+                    else:
+                        admitted_in_win.add(d)
+                        fold_rows.append((d, "admit", None))
+                win_dec.append(
+                    spark.createDataFrame(fold_rows, dec_schema)
+                    .localCheckpoint()
+                )
+                admitted_graph_df = admitted_graph_df.unionByName(
+                    spark.createDataFrame(
+                        [(d,) for d in sorted(admitted_in_win)], "did long"
+                    )
+                ).localCheckpoint()
+            stats["fold_driver_rows_peak"] = peak
+            graph_dec = win_dec[0]
+            for d_ in win_dec[1:]:
+                graph_dec = graph_dec.unionByName(d_)
+            inv_df = ranks.select(F.col("d").alias("did"))
+        stats["fold_driver_rows_peak"] = max(
+            stats.get("fold_driver_rows_peak", 0), peak
         )
         lonely = unmatched.select("did").join(inv_df, "did", "left_anti")
-        dec = dec_idx.unionByName(
-            spark.createDataFrame(fold_rows, dec_schema)
-        ).unionByName(
+        dec = dec_idx.unionByName(graph_dec).unionByName(
             lonely.select(
                 "did",
                 F.lit("admit").alias("status"),
@@ -1354,11 +1491,7 @@ def run_neardup_gate_grow(
         )
         decisions.append(dec.localCheckpoint())
         admitted_piece = new.join(
-            lonely.unionByName(
-                spark.createDataFrame(
-                    [(d,) for d in sorted(admitted_in_graph)], "did long"
-                )
-            ),
+            lonely.unionByName(admitted_graph_df.select("did")),
             "did",
         ).select(
             F.col("did").alias("doc_id"),

@@ -1,0 +1,208 @@
+"""Round 10: bounded text-gate driver fold (windowed exact fold under
+adversarial dup density) + out-of-order-arrival pins for the growing
+gates (the arrival-order contract, explicit rather than assumed)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from conftest import SF_SMOKE
+from pyspark.sql import functions as F
+
+from test_streaming import _python_fold_reference, _range_split_odds
+
+
+def _publish_files(stage, flat, parts):
+    """Copy one part file per staged dir into ``flat`` with mtimes in
+    the order given by ``parts`` (the file source replays by mtime)."""
+    os.makedirs(flat, exist_ok=True)
+    for seq, part in enumerate(parts):
+        (f,) = glob.glob(f"{stage}/p{part}/part-*.parquet")
+        shutil.copy(f, f"{flat}/{seq:02d}.parquet")
+        os.utime(
+            f"{flat}/{seq:02d}.parquet",
+            (time.time() + seq, time.time() + seq),
+        )
+
+
+def test_text_gate_windowed_fold_matches_default(spark):
+    """Forcing the bounded WINDOWED fold (cap 0, window 3) must produce
+    byte-identical decisions to the default fast path on the same
+    stream — the exactness claim, not just a bound claim."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        run_neardup_gate_grow,
+    )
+
+    plain, _ = run_neardup_gate_grow(spark, SF_SMOKE)
+    want = {
+        (r["did"], r["status"], r["match_did"]) for r in plain.collect()
+    }
+    out, stats = run_neardup_gate_grow(
+        spark, SF_SMOKE, fold_pair_cap=0, fold_window_docs=3
+    )
+    got = {(r["did"], r["status"], r["match_did"]) for r in out.collect()}
+    assert got == want and len(got) > 0
+    # every per-window collect stayed within the K-derived bound:
+    # win_docs (<=3) + intra pairs (<=3) + cross minima (<=3)
+    assert 0 < stats["fold_driver_rows_peak"] <= 3 + 3 + 3
+
+
+def test_text_gate_adversarial_clique_bounded(spark, tmp_path):
+    """One micro-batch that is a single giant near-dup clique — the
+    round-9 'unbounded in principle' scenario: the windowed fold must
+    (a) keep peak driver rows at the window-derived bound instead of
+    the ~n^2/2 pair count, and (b) still fold it exactly: first did
+    admitted, every other member dup_stream against it."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_neardup_gate_grow,
+    )
+
+    n = 120
+    text = " ".join("clq%d" % i for i in range(30))  # vocab disjoint
+    rows = [(2001 + 2 * i, text, "en", "synth", len(text))
+            for i in range(n)]
+    flat = str(tmp_path / "clique")
+    os.makedirs(flat, exist_ok=True)
+    spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "clique_stage"))
+    (f,) = glob.glob(str(tmp_path / "clique_stage") + "/part-*.parquet")
+    shutil.copy(f, f"{flat}/00.parquet")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out, stats = run_neardup_gate_grow(
+        spark, SF_SMOKE, source=stream,
+        fold_pair_cap=10, fold_window_docs=8,
+    )
+    got = {r["did"]: (r["status"], r["match_did"]) for r in out.collect()}
+    assert len(got) == n
+    assert got[2001] == ("admit", None)
+    assert all(
+        got[2001 + 2 * i] == ("dup_stream", 2001) for i in range(1, n)
+    )
+    # the full clique was verified distributed (n(n-1)/2 pairs) ...
+    assert stats["fold_pairs_per_batch"] == [n * (n - 1) // 2]
+    # ... but no single driver collect exceeded the window bound:
+    # win_docs (8) + intra pairs (8*7/2) + cross minima (8)
+    assert stats["fold_driver_rows_peak"] <= 8 + 28 + 8
+
+
+def test_text_gate_out_of_order_arrival(spark, tmp_path):
+    """NON-doc_id arrival order: the gate's decisions must match the
+    ARRIVAL-order fold (the documented contract), not the doc_id-order
+    fold — pinned with a chain where the two genuinely differ."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_neardup_gate_grow,
+    )
+
+    # the chain fixture's TUNED vocabulary (see
+    # test_text_gate_grow_cross_batch_chain): the s184 salt makes md5
+    # banding fire for a~b and b~c but not a~c
+    base = ["zq%d" % i for i in range(30)]
+    yy = ["y%ds184" % i for i in range(2)]
+    ww = ["w%ds184" % i for i in range(14)]
+    a = " ".join(base)                    # did 1001: matches b only
+    b = " ".join(base[:28] + yy)          # did 1003: matches a and c
+    c = " ".join(base[14:28] + yy + ww)   # did 1005: matches b only
+    texts = {1001: a, 1003: b, 1005: c}
+    stage = str(tmp_path / "ooo_stage")
+    for i, did in enumerate([1005, 1003, 1001]):  # reverse-did arrival
+        spark.createDataFrame(
+            [(did, texts[did], "en", "synth", len(texts[did]))],
+            DOCS_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/p{i}")
+    flat = str(tmp_path / "ooo_flat")
+    _publish_files(stage, flat, [0, 1, 2])
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out, _ = run_neardup_gate_grow(spark, SF_SMOKE, source=stream)
+    got = {r["did"]: (r["status"], r["match_did"]) for r in out.collect()}
+    want = _python_fold_reference(
+        {0: "", **texts}, arrival=[[1005], [1003], [1001]]
+    )
+    assert got == want
+    # and the two orders genuinely disagree, so the pin has teeth
+    did_order = _python_fold_reference({0: "", **texts})
+    assert got == {
+        1005: ("admit", None),
+        1003: ("dup_stream", 1005),
+        1001: ("admit", None),
+    }
+    assert did_order[1003] == ("dup_stream", 1001) and got != did_order
+
+
+def test_image_gate_out_of_order_arrival(spark, tmp_path):
+    """Exact-fingerprint twin of the out-of-order pin: feeding the did
+    ranges in REVERSE batch order must reproduce the arrival-order
+    fold — an admitted high-did doc becomes the match_did for its
+    lower-did later-arriving duplicates."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        _phash_media_mix,
+        run_media_phash_gate_grow,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    stage = str(tmp_path / "img_ooo_stage")
+    step = 125
+    for part in range(4):
+        docs.where(
+            (F.col("doc_id") >= part * step)
+            & (F.col("doc_id") < (part + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/p{part}")
+    flat = str(tmp_path / "img_ooo_flat")
+    _publish_files(stage, flat, [3, 2, 1, 0])  # reverse batch order
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = run_media_phash_gate_grow(spark, SF_SMOKE, source=stream)
+    got = {r["did"]: (r["status"], r["match_did"]) for r in out.collect()}
+    # arrival-order fold over the engine's own batch fingerprints
+    fps = {
+        r["did"]: (r["ahash_hi"], r["ahash_lo"])
+        for r in _phash_media_mix(docs.select("doc_id")).collect()
+    }
+    corpus_fp: dict[tuple, int] = {}
+    for d in sorted(x for x in fps if x % 2 == 0):
+        corpus_fp.setdefault(fps[d], d)
+    admitted: dict[tuple, int] = {}
+    want = {}
+    for part in [3, 2, 1, 0]:
+        lo = part * step
+        for d in range(lo + 1 - lo % 2, (part + 1) * step, 2):
+            fp = fps[d]
+            if fp in corpus_fp:
+                want[d] = ("dup_corpus", corpus_fp[fp])
+            elif fp in admitted:
+                want[d] = ("dup_stream", admitted[fp])
+            else:
+                admitted[fp] = d
+                want[d] = ("admit", None)
+    assert got == want and len(got) == 250
+    # teeth: at least one dup_stream match points at a HIGHER did
+    assert any(
+        s == "dup_stream" and m > d for d, (s, m) in got.items()
+    )
+
+
+def test_range_split_helper_still_ordered(spark, tmp_path):
+    """Guard for the shared did-ordered splitter the other grow tests
+    rely on (arrival order == doc_id order there)."""
+    src, step = _range_split_odds(spark, tmp_path, "ord_guard", n_files=2)
+    assert step == 250 and src.isStreaming

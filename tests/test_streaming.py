@@ -1159,9 +1159,14 @@ def test_audio_gate_grow_across_batches(spark, tmp_path):
     assert cross, "no dup group straddles a batch boundary"
 
 
-def _python_fold_reference(texts: dict[int, str], threshold_e4=3000):
+def _python_fold_reference(texts: dict[int, str], threshold_e4=3000,
+                           arrival: list[list[int]] | None = None):
     """Independent pure-Python sequential fold (triple-implementation
-    check: Spark gate, DuckDB recursive CTE, this)."""
+    check: Spark gate, DuckDB recursive CTE, this). ``arrival`` is an
+    optional list of micro-batches (each a list of doc_ids): the fold
+    processes batches in the given order, ties inside a batch by
+    ascending doc_id — the gate's documented arrival-order contract.
+    Default: one batch of everything, i.e. pure doc_id order."""
     import hashlib
 
     def shingles(t):
@@ -1196,7 +1201,9 @@ def _python_fold_reference(texts: dict[int, str], threshold_e4=3000):
     corpus = {d: v for d, v in sigs.items() if d % 2 == 0}
     out = {}
     admitted = {}
-    for d in sorted(sigs):
+    batches = arrival if arrival is not None else [sorted(sigs)]
+    order = [d for b in batches for d in sorted(b) if d in sigs]
+    for d in order:
         if d % 2 == 0:
             continue
         ss, bd = sigs[d]

@@ -506,6 +506,12 @@ def main() -> None:
                 wall = time.time() - t0
                 peak = 0
                 rows = 0
+                # same ring-buffer guard as _run (round-9 ADVICE): if
+                # recentProgress overflowed, input_rows / peak_state
+                # would silently undercount.
+                assert len(q.recentProgress) < 10000, (
+                    "progress ring buffer overflow"
+                )
                 for pr in q.recentProgress:
                     rows += int(pr.get("numInputRows") or 0)
                     for so in pr.get("stateOperators") or []:
