@@ -111,6 +111,17 @@ def rotate_about_e4(
     )
 
 
+def _let(value: Column, fn) -> Column:
+    """Bind ``value`` once and hand ``fn`` a cheap reference to it —
+    the single-element transform trick. Chained array passes that
+    reference their input k times would otherwise inline the whole
+    upstream expression k times (multiplicative tree blow-up: four
+    chained Sutherland–Hodgman passes OOMed Catalyst at plan-build
+    before this); a lambda variable is a bound reference, so the tree
+    stays the SUM of the pass sizes."""
+    return F.transform(F.array(value), fn)[0]
+
+
 def _clip_halfplane(coords: Column, axis: str, bound, keep_ge: bool) -> Column:
     """One Sutherland–Hodgman half-plane pass: clip an OPEN ring
     (array<struct<x:double,y:double>>, no closing vertex) against
@@ -134,29 +145,30 @@ def _clip_halfplane(coords: Column, axis: str, bound, keep_ge: bool) -> Column:
             return F.struct(b.alias("x"), o.alias("y"))
         return F.struct(o.alias("x"), b.alias("y"))
 
-    n = F.size(coords)
-    emitted = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.when(
-            inside(coords[i]) & inside(coords[(i + 1) % n]),
-            F.array(coords[(i + 1) % n]),
-        )
-        .when(
-            inside(coords[i]) & ~inside(coords[(i + 1) % n]),
-            F.array(isect(coords[i], coords[(i + 1) % n])),
-        )
-        .when(
-            ~inside(coords[i]) & inside(coords[(i + 1) % n]),
-            F.array(
-                isect(coords[i], coords[(i + 1) % n]), coords[(i + 1) % n]
+    def pass_(c):
+        n = F.size(c)
+        emitted = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.when(
+                inside(c[i]) & inside(c[(i + 1) % n]),
+                F.array(c[(i + 1) % n]),
+            )
+            .when(
+                inside(c[i]) & ~inside(c[(i + 1) % n]),
+                F.array(isect(c[i], c[(i + 1) % n])),
+            )
+            .when(
+                ~inside(c[i]) & inside(c[(i + 1) % n]),
+                F.array(isect(c[i], c[(i + 1) % n]), c[(i + 1) % n]),
+            )
+            .otherwise(
+                F.array().cast("array<struct<x:double,y:double>>")
             ),
         )
-        .otherwise(
-            F.array().cast("array<struct<x:double,y:double>>")
-        ),
-    )
-    # sequence(0, -1) would step BACKWARDS on an empty ring — guard it
-    return F.when(n < 1, coords).otherwise(F.flatten(emitted))
+        # sequence(0, -1) steps BACKWARDS on an empty ring — guard it
+        return F.when(n < 1, c).otherwise(F.flatten(emitted))
+
+    return _let(coords, pass_)
 
 
 def clip_ring_to_rect(
@@ -171,11 +183,14 @@ def clip_ring_to_rect(
     array<struct<x:double,y:double>> — empty when disjoint. The clip
     region is convex, so SH is exact for any simple subject ring
     (degenerate duplicate vertices it may emit are shoelace-neutral)."""
-    open_ring = F.transform(
-        F.slice(ring_coords(wkt), 1, F.size(ring_coords(wkt)) - 1),
-        lambda p: F.struct(
-            p["x"].cast("double").alias("x"),
-            p["y"].cast("double").alias("y"),
+    open_ring = _let(
+        ring_coords(wkt),
+        lambda cc: F.transform(
+            F.slice(cc, 1, F.size(cc) - 1),
+            lambda p: F.struct(
+                p["x"].cast("double").alias("x"),
+                p["y"].cast("double").alias("y"),
+            ),
         ),
     )
     r = _clip_halfplane(open_ring, "x", xmin, keep_ge=True)
@@ -192,14 +207,18 @@ def ring_area2x(ring: Column) -> Column:
     clipped by an integer AOI, where every SH intersection lands on
     the integer grid — the double arithmetic is exact well past any
     survey-scale coordinate)."""
-    n = F.size(ring)
-    terms = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: ring[i]["x"] * ring[(i + 1) % n]["y"]
-        - ring[(i + 1) % n]["x"] * ring[i]["y"],
-    )
-    s = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
-    return F.when(n < 3, F.lit(0.0)).otherwise(F.abs(s))
+
+    def area_(r):
+        n = F.size(r)
+        terms = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: r[i]["x"] * r[(i + 1) % n]["y"]
+            - r[(i + 1) % n]["x"] * r[i]["y"],
+        )
+        s = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(n < 3, F.lit(0.0)).otherwise(F.abs(s))
+
+    return _let(ring, area_)
 
 
 def clip_area2x_rect(

@@ -2997,6 +2997,47 @@ SELECT c_custkey AS okey,
 FROM customer
 """
 
+# round 10: intersection-clip truth derived from CLOSED FORMS — the
+# rect∩rect overlap product and the corner inclusion–exclusion identity
+# area{{x+y>=c in [a,b]x[p,q]}} = [f(b+q-c) - f(a+q-c) - f(b+p-c)
+# + f(a+p-c)]/2 with f(u)=max(0,u)^2 — never a vertex clip, so the
+# Spark side's Sutherland–Hodgman + shoelace is certified end-to-end
+ORACLES["clip_polygon_intersect"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS s, c_custkey % 7 + 1 AS h,
+         (c_custkey % 3 = 0) AS tri,
+         c_custkey % 100 + c_custkey % 5 - 2 AS ax0,
+         c_custkey % 57 + c_custkey % 4 - 1 AS ay0,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1 AS ax1,
+         c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1 AS ay1
+  FROM customer),
+d AS (
+  SELECT okey, tri, s, h, ax0, ay0, ax1, ay1, x0, y0,
+         x0 + s AS x1,
+         CASE WHEN tri THEN y0 + s ELSE y0 + h END AS y1,
+         x0 + y0 + s AS c,
+         GREATEST(x0, ax0) AS a, GREATEST(y0, ay0) AS p
+  FROM g)
+SELECT okey,
+       CAST(CASE WHEN tri THEN s * s ELSE 2 * s * h END AS BIGINT)
+         AS poly_a2x,
+       CAST(2 * (ax1 - ax0) * (ay1 - ay0) AS BIGINT) AS aoi_a2x,
+       CAST(CASE
+         WHEN NOT tri THEN
+           2 * GREATEST(0, LEAST(x1, ax1) - GREATEST(x0, ax0))
+             * GREATEST(0, LEAST(y1, ay1) - GREATEST(y0, ay0))
+         WHEN a >= ax1 OR p >= ay1 THEN 0
+         ELSE 2 * (ax1 - a) * (ay1 - p)
+              - (GREATEST(0, ax1 + ay1 - c) * GREATEST(0, ax1 + ay1 - c)
+                 - GREATEST(0, a + ay1 - c) * GREATEST(0, a + ay1 - c)
+                 - GREATEST(0, ax1 + p - c) * GREATEST(0, ax1 + p - c)
+                 + GREATEST(0, a + p - c) * GREATEST(0, a + p - c))
+       END AS BIGINT) AS clip_a2x
+FROM d
+"""
+
 ORACLES["emb_ivf_recall"] = f"""
 WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
 approx AS ({ORACLES["emb_knn_ivf"]}),

@@ -574,6 +574,73 @@ def clip_select_by_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_polygon_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon ∩ AOI intersection clip — the reference capability the
+    containment test (clip_select_by_location) does NOT cover:
+    gSSURGO_Clip.py:160 runs arcpy.Clip_analysis and the downstream
+    acreage reads the CLIPPED geometry's area. Here the clip itself is
+    portable: Sutherland–Hodgman against the AOI rectangle's four
+    half-planes, pure Column array passes over the parsed WKT ring
+    (functions/geometry.py:clip_ring_to_rect — no UDF, map-only, zero
+    shuffles; at 100 TB this is embarrassingly parallel per polygon).
+
+    Per customer: a synthetic subject polygon on the integer grid —
+    axis-aligned rectangle, or a 45° right triangle (equal legs) when
+    k%3=0, so every SH boundary intersection lands on integer
+    coordinates and the doubled clipped area is an exact integer — and
+    a per-customer AOI rectangle that lands anywhere from disjoint to
+    fully covering. The oracle derives the clipped area INDEPENDENTLY
+    from closed forms (rect∩rect overlap product; the triangle via the
+    corner inclusion–exclusion identity area{x+y≥c in box} =
+    [f(b+q−c) − f(a+q−c) − f(b+p−c) + f(a+p−c)]/2, f(u)=max(0,u)²) —
+    it never runs a vertex clip, certifying the SH pipeline
+    end-to-end. tests/test_round10.py adds the hypothesis property
+    layer (clip ≤ min(poly, AOI); half-plane split partitions the
+    area; agreement with an independent pure-Python SH)."""
+    from .functions.geometry import clip_area2x_rect, shoelace_area2x
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    s = k % 13 + 1          # rect width / triangle leg
+    h = k % 7 + 1           # rect height
+    tri = k % 3 == 0
+    x1 = x0 + s
+    y1 = F.when(tri, y0 + s).otherwise(y0 + h)
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
+        sep, pt(x0, y0), F.lit("))"),
+    )
+    tri_wkt = F.concat(
+        F.lit("POLYGON (("),
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x0, y1), sep, pt(x0, y0),
+        F.lit("))"),
+    )
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        F.when(tri, tri_wkt).otherwise(rect_wkt).alias("wkt"),
+        ax0.alias("ax0"), ay0.alias("ay0"),
+        ax1.alias("ax1"), ay1.alias("ay1"),
+    )
+    return base.select(
+        "okey",
+        shoelace_area2x("wkt").alias("poly_a2x"),
+        (2 * (F.col("ax1") - F.col("ax0")) * (F.col("ay1") - F.col("ay0")))
+        .cast("long").alias("aoi_a2x"),
+        clip_area2x_rect(
+            "wkt", F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")
+        ).alias("clip_a2x"),
+    )
+
+
 def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survey re-download upsert (SSURGO_BatchDownload.py:611 replaces
     a stale survey folder before re-import; SSURGO_MergeDatabases

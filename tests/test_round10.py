@@ -206,3 +206,150 @@ def test_range_split_helper_still_ordered(spark, tmp_path):
     rely on (arrival order == doc_id order there)."""
     src, step = _range_split_odds(spark, tmp_path, "ord_guard", n_files=2)
     assert step == 250 and src.isStreaming
+
+
+# --- Polygon intersection clip (round-10 verdict item 1) ---------------------
+
+
+def _py_clip_rect(pts, xmin, ymin, xmax, ymax):
+    """Independent pure-Python Sutherland–Hodgman (rect AOI) — the
+    engine-independent reference for the Column implementation."""
+
+    def one(poly, inside, isect):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            a, b = poly[i], poly[(i + 1) % n]
+            ia, ib = inside(a), inside(b)
+            if ia and ib:
+                out.append(b)
+            elif ia and not ib:
+                out.append(isect(a, b))
+            elif not ia and ib:
+                out.append(isect(a, b))
+                out.append(b)
+        return out
+
+    def vx(bound, ge):
+        def isect(a, b):
+            t = (bound - a[0]) / (b[0] - a[0])
+            return (bound, a[1] + (b[1] - a[1]) * t)
+        return (lambda p: p[0] >= bound if ge else p[0] <= bound), isect
+
+    def vy(bound, ge):
+        def isect(a, b):
+            t = (bound - a[1]) / (b[1] - a[1])
+            return (a[0] + (b[0] - a[0]) * t, bound)
+        return (lambda p: p[1] >= bound if ge else p[1] <= bound), isect
+
+    for (ins, isx) in [vx(xmin, True), vx(xmax, False),
+                       vy(ymin, True), vy(ymax, False)]:
+        pts = one(pts, ins, isx)
+        if not pts:
+            return []
+    return pts
+
+
+def _py_area2x(pts):
+    n = len(pts)
+    if n < 3:
+        return 0.0
+    return abs(sum(
+        pts[i][0] * pts[(i + 1) % n][1] - pts[(i + 1) % n][0] * pts[i][1]
+        for i in range(n)
+    ))
+
+
+def _convex_hull(points):
+    """Monotone chain; returns hull CCW without repeated last point."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower, upper = half(pts), half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def test_clip_properties_vs_python_sh(spark):
+    """Property layer for the SH clip: on seeded-random integer CONVEX
+    polygons and integer AOI rectangles, the Column implementation must
+    (a) agree with an independent pure-Python SH, (b) satisfy
+    clip <= min(poly, AOI), and (c) partition under a half-plane
+    split (left + right == whole)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        clip_ring_to_rect,
+        ring_area2x,
+        shoelace_area2x,
+    )
+
+    rng = random.Random(1040)
+    rows = []
+    for i in range(300):
+        hull = []
+        while len(hull) < 3:
+            hull = _convex_hull(
+                [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(8)]
+            )
+        ring = hull + [hull[0]]
+        wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+        ax0, ay0 = rng.randint(-5, 55), rng.randint(-5, 55)
+        ax1, ay1 = ax0 + rng.randint(1, 30), ay0 + rng.randint(1, 30)
+        xsplit = rng.randint(-5, 65)
+        rows.append((
+            i, wkt, float(ax0), float(ay0), float(ax1), float(ay1),
+            float(xsplit),
+            float(_py_area2x(_py_clip_rect(hull, ax0, ay0, ax1, ay1))),
+            float(_py_area2x(hull)),
+            2.0 * (ax1 - ax0) * (ay1 - ay0),
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "id int, wkt string, ax0 double, ay0 double, ax1 double,"
+        " ay1 double, xsplit double, py_clip double, py_poly double,"
+        " aoi double",
+    )
+    big = F.lit(1e6)
+    got = df.select(
+        "id", "py_clip", "py_poly", "aoi",
+        ring_area2x(clip_ring_to_rect(
+            "wkt", F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")
+        )).alias("clip"),
+        shoelace_area2x("wkt").cast("double").alias("poly"),
+        ring_area2x(clip_ring_to_rect(
+            "wkt", -big, -big, F.col("xsplit"), big
+        )).alias("left"),
+        ring_area2x(clip_ring_to_rect(
+            "wkt", F.col("xsplit"), -big, big, big
+        )).alias("right"),
+    ).collect()
+    assert len(got) == 300
+    n_partial = 0
+    for r in got:
+        tol = 1e-6 * max(1.0, r["py_clip"])
+        assert abs(r["clip"] - r["py_clip"]) <= tol, r
+        assert r["clip"] <= min(r["poly"], r["aoi"]) + 1e-6, r
+        assert r["poly"] == r["py_poly"]
+        # half-plane split partitions the area exactly
+        assert abs(r["left"] + r["right"] - r["poly"]) <= 1e-6 * max(
+            1.0, r["poly"]
+        ), r
+        if 1e-9 < r["clip"] < r["poly"] - 1e-9:
+            n_partial += 1
+    # the fixture genuinely exercises partial overlaps, not just
+    # trivial disjoint/containment cases
+    assert n_partial >= 60
