@@ -93,6 +93,82 @@ def rating_raster_cells(
 
 
 # --------------------------------------------------------------------
+# NLCD snap-grid alignment (round 10): SSURGO_ExportMuRaster.py:175-335
+# SnapToNLCD. The reference aligns every exported raster extent to the
+# fixed national 30 m NLCD lattice so CONUS tiles from different runs
+# overlay cell-for-cell. The arithmetic is portable integer math:
+#   iCol = int((x1 - xNLCD) / 30)          # Python-2 int() = TRUNC
+#   x1'  = 30*iCol + xNLCD - 60            # snap + 2-cell buffer
+#   nCol = int(round((x2 - x1') / 30)) + 2 # half-up on ints
+#   x2'  = 30*nCol + x1'
+# (same for rows). The per-region origins are the reference's own
+# constants (:225-255). TRUNC (not floor) is the reference's semantic
+# for extents below the origin; the -60 buffer absorbs the <=30 m
+# trunc/floor discrepancy, so coverage holds either side.
+
+#: (xNLCD, yNLCD) per reference region key (SSURGO_ExportMuRaster.py)
+NLCD_SNAP_ORIGINS: dict[str, tuple[int, int]] = {
+    "CONUS": (532695, 1550295),
+    "Hawaii": (-29805, 839235),
+    "Alaska_NAD83": (-368805, 1362465),
+    "Alaska_WGS84": (-366405, 2032455),
+    "PuertoRico": (197645, 246965),
+    "PacBasin": (-2390975, -703265),
+}
+
+_NLCD_CELL = 30
+
+
+def snap_extent_nlcd(
+    x1: int, y1: int, x2: int, y2: int, region: str = "CONUS"
+) -> tuple[int, int, int, int, int, int]:
+    """Python twin of the snap arithmetic (drives tile layout inside
+    the sinks): returns (x1', y1', x2', y2', n_cols, n_rows), all
+    exact integers on the region's NLCD lattice."""
+    xo, yo = NLCD_SNAP_ORIGINS[region]
+    c = _NLCD_CELL
+
+    def trunc_div(u: int, d: int) -> int:
+        return -((-u) // d) if u < 0 else u // d
+
+    sx = c * trunc_div(x1 - xo, c) + xo - 2 * c
+    sy = c * trunc_div(y1 - yo, c) + yo - 2 * c
+    ncol = (x2 - sx + c // 2) // c + 2   # round-half-up on ints
+    nrow = (y2 - sy + c // 2) // c + 2
+    return sx, sy, c * ncol + sx, c * nrow + sy, ncol, nrow
+
+
+def snap_extent_nlcd_cols(
+    x1: Column, y1: Column, x2: Column, y2: Column, region: str = "CONUS"
+) -> dict[str, Column]:
+    """Column form of ``snap_extent_nlcd`` for distributed per-survey /
+    per-tile extent planning. TRUNC division is spelled
+    (u - u % d) / d — Spark's % carries the dividend's sign, so the
+    quotient truncates toward zero exactly like the reference's
+    Python-2 int(); all arithmetic stays integral (exact BIGINT,
+    cross-engine hashable)."""
+    c = F.lit(_NLCD_CELL)
+    xo, yo = NLCD_SNAP_ORIGINS[region]
+
+    def trunc_div(u: Column) -> Column:
+        return ((u - u % c) / c).cast("long")
+
+    sx = c * trunc_div(x1 - F.lit(xo)) + F.lit(xo) - 2 * c
+    sy = c * trunc_div(y1 - F.lit(yo)) + F.lit(yo) - 2 * c
+    # round-half-up on exact ints: (u + 15) div 30, u >= 0 by buffer
+    ncol = ((x2 - sx + 15 - (x2 - sx + 15) % c) / c).cast("long") + 2
+    nrow = ((y2 - sy + 15 - (y2 - sy + 15) % c) / c).cast("long") + 2
+    return {
+        "snap_x1": sx.cast("long"),
+        "snap_y1": sy.cast("long"),
+        "snap_x2": (c * ncol + sx).cast("long"),
+        "snap_y2": (c * nrow + sy).cast("long"),
+        "n_cols": ncol,
+        "n_rows": nrow,
+    }
+
+
+# --------------------------------------------------------------------
 # GeoTIFF sink (round 5): the actual raster FILE the reference's
 # ExportMuRaster/ExportRasters tools leave to ArcGIS is a plain TIFF
 # with three GeoTIFF tags — small enough to emit dependency-free.
@@ -241,6 +317,7 @@ def write_raster_tiles(
     tile_size: int = 16,
     cell_size: float = 30.0,
     epsg: int = 5070,
+    snap_region: str | None = None,
 ) -> DataFrame:
     """Distributed raster export: a (tile_id, row, col, cellvalue) cell
     table becomes one GeoTIFF per tile, ENCODED AND WRITTEN ON THE
@@ -248,10 +325,27 @@ def write_raster_tiles(
     driver); missing cells fill with nodata 0. Returns the manifest
     (tile_id, path, n_pixels, n_nodata, content_md5) the catalog keeps
     per tile. ``out_dir`` must be a shared filesystem in production
-    (object store / NFS); local[*] writes to the local path."""
+    (object store / NFS); local[*] writes to the local path.
+
+    ``snap_region`` (round 10) anchors the tile grid to that region's
+    NLCD snap origin (SnapToNLCD, SSURGO_ExportMuRaster.py:175-335):
+    tile origins become xNLCD + tile_col·tile_size·cell — every
+    decoded GeoTIFF origin then sits on the national 30 m lattice, so
+    exports from different runs overlay cell-for-cell (the reference's
+    reason for snapping). Requires tile_size·cell_size to be a
+    multiple of the 30 m NLCD cell."""
     import os
 
     import pandas as pd
+
+    if snap_region is not None:
+        ox0, oy0 = NLCD_SNAP_ORIGINS[snap_region]
+        if (tile_size * cell_size) % _NLCD_CELL:
+            raise ValueError(
+                "tile stride must be a multiple of the 30 m NLCD cell"
+            )
+    else:
+        ox0, oy0 = 0, 0
 
     def one_tile(key, pdf):
         (tile_id,) = key
@@ -262,8 +356,8 @@ def write_raster_tiles(
             tile_size,
             tile_size,
             vals,
-            origin_x=float(tile_id % 1000) * tile_size * cell_size,
-            origin_y=float(tile_id // 1000 + 1) * tile_size * cell_size,
+            origin_x=float(ox0) + float(tile_id % 1000) * tile_size * cell_size,
+            origin_y=float(oy0) + float(tile_id // 1000 + 1) * tile_size * cell_size,
             cell_size=cell_size,
             epsg=epsg,
         )

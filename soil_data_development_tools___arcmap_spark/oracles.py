@@ -3038,6 +3038,37 @@ SELECT okey,
 FROM d
 """
 
+# round 10: NLCD snap arithmetic recomputed with DIFFERENT algebra —
+# double TRUNC / ROUND here vs the Spark side's integral mod division
+# (both equal the reference's Python-2 int()/round() semantics)
+ORACLES["raster_snap_nlcd"] = """
+WITH e AS (
+  SELECT c_custkey AS okey,
+         532695 + (c_custkey % 997) * 7 - 3000 AS x1,
+         1550295 + (c_custkey % 883) * 5 - 2000 AS y1,
+         532695 + (c_custkey % 997) * 7 - 3000
+           + (c_custkey % 211 + 1) * 3 AS x2,
+         1550295 + (c_custkey % 883) * 5 - 2000
+           + (c_custkey % 173 + 1) * 2 AS y2
+  FROM customer),
+s AS (
+  SELECT okey, x1, y1, x2, y2,
+         30 * CAST(TRUNC(CAST(x1 - 532695 AS DOUBLE) / 30) AS BIGINT)
+           + 532695 - 60 AS snap_x1,
+         30 * CAST(TRUNC(CAST(y1 - 1550295 AS DOUBLE) / 30) AS BIGINT)
+           + 1550295 - 60 AS snap_y1
+  FROM e),
+n AS (
+  SELECT *, CAST(ROUND((x2 - snap_x1) / 30.0) AS BIGINT) + 2 AS n_cols,
+            CAST(ROUND((y2 - snap_y1) / 30.0) AS BIGINT) + 2 AS n_rows
+  FROM s)
+SELECT okey, x1, y1, x2, y2, snap_x1, snap_y1,
+       30 * n_cols + snap_x1 AS snap_x2,
+       30 * n_rows + snap_y1 AS snap_y2,
+       n_cols, n_rows, n_rows * 3 AS n_rows_i10
+FROM n
+"""
+
 ORACLES["emb_ivf_recall"] = f"""
 WITH exact AS ({ORACLES["emb_knn_bruteforce"]}),
 approx AS ({ORACLES["emb_knn_ivf"]}),

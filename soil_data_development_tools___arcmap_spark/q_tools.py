@@ -641,6 +641,38 @@ def clip_polygon_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raster_snap_nlcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NLCD snap-grid alignment (SnapToNLCD,
+    SSURGO_ExportMuRaster.py:175-335): the fixed-national-grid extent
+    arithmetic every grid-aligned raster export runs before writing —
+    snap the lower-left corner DOWN onto the region lattice with a
+    2-cell buffer (Python-2 int() = TRUNC toward zero, mirrored
+    bit-for-bit), then round-half-up the column/row counts and push
+    the upper-right corner back out. Per customer a synthetic Albers
+    extent straddling the CONUS origin both sides (so the trunc
+    branch for negative offsets is exercised); output the snapped
+    extent, 30 m dims, and the row count at the reference's
+    iRaster=10 resolution (numRows*30/iRaster). Map-only: zero
+    shuffles; the oracle recomputes the snap with DIFFERENT algebra
+    (double TRUNC/ROUND vs integral mod arithmetic).
+    tests/test_round10.py adds the byte layer: GeoTIFF tiles written
+    with snap_region decode to origins on the NLCD lattice."""
+    from .functions.raster import snap_extent_nlcd_cols
+
+    k = F.col("c_custkey")
+    x1 = (F.lit(532695) + (k % 997) * 7 - 3000).cast("long")
+    y1 = (F.lit(1550295) + (k % 883) * 5 - 2000).cast("long")
+    x2 = x1 + ((k % 211 + 1) * 3).cast("long")
+    y2 = y1 + ((k % 173 + 1) * 2).cast("long")
+    snapped = snap_extent_nlcd_cols(x1, y1, x2, y2, region="CONUS")
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        x1.alias("x1"), y1.alias("y1"), x2.alias("x2"), y2.alias("y2"),
+        *[v.alias(n) for n, v in snapped.items()],
+        (snapped["n_rows"] * 3).alias("n_rows_i10"),
+    )
+
+
 def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survey re-download upsert (SSURGO_BatchDownload.py:611 replaces
     a stale survey folder before re-import; SSURGO_MergeDatabases
