@@ -753,3 +753,64 @@ def audio_delta_fingerprint(
             )
 
     return m.mapInPandas(batches, "did long, fp long, n_windows int")
+
+
+def audio_spectral_fingerprint(
+    media: DataFrame, frame: int = 24, bands: int = 8, spread: bool = True
+) -> DataFrame:
+    """(did, fp, n_windows) — a SPECTRAL-SHAPE acoustic fingerprint,
+    the second fingerprint family next to ``audio_delta_fingerprint``
+    (round-10 verdict item 5: the energy-delta family's 11-bit space
+    tops out at a few hundred patterns on any one signal family; a
+    family keyed to spectral CONTENT keeps growing with novelty).
+
+    Per fixed-length frame, correlate the PCM samples against a bank
+    of square-wave comb filters (period 2(b+1), b = 0..bands-1 — a
+    coarse integer filter bank), square each correlation into a band
+    energy, and emit one bit per adjacent band pair (1 when energy
+    rises with b): the sign of the spectral slope, frame by frame.
+    4 frames × 7 comparisons = 28 bits on the 96-sample fixture —
+    ~2^28 values vs the delta family's 2^11.
+
+    Same invariance and posture as the delta family: uniform gain
+    scales every band energy by gain², preserving all comparisons;
+    all-integer (correlations ≤ frame·|s|max, energies fit BIGINT), so
+    a SQL oracle reproduces it bit-for-bit; samples never leave the
+    Arrow batch — only the 8-byte fingerprint shuffles."""
+    m = media.select("did", "media")
+    if spread:
+        m = _spread(m, "did")
+
+    def one(blob: bytes) -> tuple[int, int]:
+        _, n, samples = decode_wav_pcm16(blob)
+        nf = n // frame
+        bits_total = nf * (bands - 1)
+        if bits_total > 63:
+            raise ValueError("fingerprint supports at most 63 bits")
+        fp = 0
+        for f in range(nf):
+            fr = samples[f * frame : (f + 1) * frame]
+            ens = []
+            for b in range(bands):
+                corr = sum(
+                    v if (i // (b + 1)) % 2 == 0 else -v
+                    for i, v in enumerate(fr)
+                )
+                ens.append(corr * corr)
+            for b in range(1, bands):
+                bit = 1 if ens[b] > ens[b - 1] else 0
+                fp |= bit << (bits_total - 1 - (f * (bands - 1) + b - 1))
+        return fp, nf
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = pdf["media"].map(lambda b: one(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "did": pdf["did"],
+                    "fp": fps.map(lambda t: t[0]),
+                    "n_windows": fps.map(lambda t: t[1]),
+                }
+            )
+
+    return m.mapInPandas(batches, "did long, fp long, n_windows int")

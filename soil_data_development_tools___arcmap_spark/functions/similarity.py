@@ -167,6 +167,7 @@ def ivf_topk(
     train_iters: int = 3,
     init: str = "first",
     with_scanned: bool = False,
+    train_sample: int | None = None,
 ):
     """IVF-style approximate top-k: candidates are assigned to their
     nearest coarse centroid (the inverted lists); each query probes
@@ -201,6 +202,7 @@ def ivf_topk(
             id_col=id_col,
             col=col,
             init=init,
+            train_sample=train_sample,
         )
         cents = emb.sparkSession.createDataFrame(
             trained, "kid int, kv array<long>"
@@ -266,6 +268,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     col: str = "embedding",
     init: str = "first",
+    train_sample: int | None = None,
 ) -> list[tuple[int, list[int]]]:
     """Lloyd's k-means over the quantized embeddings — the offline
     training job that replaces ``ivf_topk``'s first-N-centroid
@@ -315,6 +318,19 @@ def train_ivf_centroids(
     own file-index caching already breaks there)."""
     qz = quantize_embedding(col)
     v = emb.select(F.col(id_col).alias("did"), qz.alias("v"))
+    if train_sample is not None:
+        # SAMPLE-THEN-TRAIN (round-10 verdict item 4): the training set
+        # is a FIXED-SIZE deterministic sample — top-N by md5(id), a
+        # TakeOrdered plan whose cost is one scan + per-partition top-N
+        # regardless of corpus size (a fraction sample would still
+        # scale with the corpus). Seeding and every Lloyd pass below
+        # then touch only the sample, so training cost — including
+        # farthest-first's k sequential argmin passes, the round-9
+        # watch item — is bounded by the sample, while ASSIGNMENT in
+        # ivf_topk stays distributed over the full corpus.
+        v = v.orderBy(F.md5(F.col("did").cast("string")), "did").limit(
+            train_sample
+        )
     spark = emb.sparkSession
     memo_key = (
         spark.sparkContext.applicationId,
@@ -322,10 +338,15 @@ def train_ivf_centroids(
         n_centroids,
         iters,
         init,
+        train_sample,
     )
     hit = _IVF_MEMO.get(memo_key)
     if hit is not None:
         return [(k, list(kv)) for k, kv in hit]
+    if train_sample is not None:
+        # materialize the sample once — every Lloyd pass and seeding
+        # scan below re-reads it, not the corpus
+        v = v.localCheckpoint()
     if init == "farthest":
         first = v.orderBy("did").limit(1).collect()
         cents = [(0, list(first[0]["v"]))] if first else []

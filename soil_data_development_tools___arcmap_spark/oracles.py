@@ -3713,6 +3713,28 @@ GROUP BY e.qid
 ORACLES["emb_ivf_recall_trained"] = _ivf_recall_sql(_IVF_TRAINED)
 ORACLES["emb_ivf_recall_ff"] = _ivf_recall_sql(_IVF_TRAINED_FF)
 
+# round 10: SAMPLE-THEN-TRAIN — the training set cs becomes a fixed-
+# size deterministic sample (top-48 candidates by md5(cid), the SQL
+# twin of Spark's TakeOrdered sample), seeding = first-16 of the
+# sample by cid (rank-based: the sample's cids are arbitrary, so the
+# full-corpus 'cid < 24' first-N form does not apply)
+_IVF_SAMPLED_INIT = """
+cb0 AS (
+  SELECT CAST(rn - 1 AS INTEGER) AS kid, j, sv AS kv
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cid) AS rn FROM cs)
+  WHERE rn <= 16),"""
+
+_IVF_TRAINED_SAMPLED = _IVF_TRAINED_TMPL.format(
+    init=_IVF_SAMPLED_INIT
+).replace(
+    "cs AS MATERIALIZED (SELECT cid, 0 AS j, cv AS sv FROM c),",
+    "cs AS MATERIALIZED (SELECT cid, 0 AS j, cv AS sv FROM c"
+    " ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT 48),",
+)
+assert "LIMIT 48" in _IVF_TRAINED_SAMPLED  # replace anchor must hold
+
+ORACLES["emb_ivf_recall_sampled"] = _ivf_recall_sql(_IVF_TRAINED_SAMPLED)
+
 # IVF-PQ: coarse inverted lists (first-8 stand-in centroids) + PQ over
 # RESIDUALS (first-16 stand-in residual codebook); queries probe their
 # 2 nearest lists and score the centroid+decoded-residual
@@ -5378,6 +5400,50 @@ st AS (
   SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_did
   FROM f WHERE doc_id % 2 = 1)
 SELECT st.doc_id AS did, st.fp, CAST(12 AS INTEGER) AS n_windows,
+       CASE WHEN i.cd IS NOT NULL THEN 'dup_corpus'
+            WHEN st.doc_id = st.first_did THEN 'admit'
+            ELSE 'dup_stream' END AS status,
+       CASE WHEN i.cd IS NOT NULL THEN i.cd
+            WHEN st.doc_id = st.first_did THEN NULL
+            ELSE st.first_did END AS match_did
+FROM st LEFT JOIN idx i ON st.fp = i.fp
+"""
+
+# round 10: the SPECTRAL-SHAPE audio family — same planted hash
+# waveform, fingerprint = per-frame signs of adjacent comb-filter-bank
+# band-energy differences (28 bits vs the delta family's 11); exact
+# fingerprints are transitive, so the fold is min-per-fp like the
+# delta gate's
+ORACLES["docs_stream_audio_gate_grow_spectral"] = f"""
+WITH grp AS (SELECT doc_id, ({_MIX_G}) % 4194304 AS gm FROM documents),
+s AS (
+  SELECT doc_id, gs.k AS k,
+         ((gm + 1) * (gs.k + 1) * 2654435761) % 4294967296 // 16777216 - 128
+           AS v0
+  FROM grp, generate_series(0, 95) AS gs(k)),
+sv AS (SELECT doc_id, k, v0 * (1 + doc_id % 3) AS v FROM s),
+c AS (
+  SELECT doc_id, k // 24 AS f, bs.b AS b,
+         SUM(CASE WHEN ((k % 24) // (bs.b + 1)) % 2 = 0 THEN v ELSE -v END)
+           AS corr
+  FROM sv, generate_series(0, 7) AS bs(b)
+  GROUP BY doc_id, k // 24, bs.b),
+e AS (SELECT doc_id, f, b, corr * corr AS en FROM c),
+d AS (SELECT doc_id, f, b,
+             CASE WHEN en > LAG(en) OVER (PARTITION BY doc_id, f ORDER BY b)
+                  THEN 1 ELSE 0 END AS bit
+      FROM e),
+fpt AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN b > 0
+                      THEN bit * (CAST(1 AS BIGINT) << (27 - (f * 7 + b - 1)))
+                      ELSE 0 END) AS BIGINT) AS fp
+      FROM d GROUP BY doc_id),
+idx AS (SELECT fp, MIN(doc_id) AS cd FROM fpt WHERE doc_id % 2 = 0
+        GROUP BY fp),
+st AS (
+  SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_did
+  FROM fpt WHERE doc_id % 2 = 1)
+SELECT st.doc_id AS did, st.fp, CAST(4 AS INTEGER) AS n_windows,
        CASE WHEN i.cd IS NOT NULL THEN 'dup_corpus'
             WHEN st.doc_id = st.first_did THEN 'admit'
             ELSE 'dup_stream' END AS status,

@@ -2466,6 +2466,22 @@ def docs_stream_audio_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_media_audio_gate_grow(spark, sf_dir)
 
 
+def docs_stream_audio_gate_grow_spectral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROWING audio gate on the SPECTRAL-SHAPE fingerprint family
+    (round 10): comb-filter-bank band energies, one bit per adjacent
+    band comparison per frame — 28 bits on this fixture vs the delta
+    family's 11, so the admitted-state space keeps growing with
+    novelty where the delta family saturates (the round-9 SCALING
+    finding). Registered side by side with
+    docs_stream_audio_gate_grow so the family comparison is a
+    measured pair of rows, same runner, same key shape."""
+    from .streaming.docs import run_media_audio_spectral_gate_grow
+
+    return run_media_audio_spectral_gate_grow(spark, sf_dir)
+
+
 def docs_stream_text_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROWING-INDEX streaming near-dup TEXT gate: a foreachBatch
     upsert loop — each micro-batch probes the corpus band index plus

@@ -296,6 +296,26 @@ def emb_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_recall(brute_force_topk(emb), ivf_topk(emb, train=True))
 
 
+def emb_ivf_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of SAMPLE-THEN-TRAIN IVF (round-10): k-means trains on
+    a fixed-size deterministic sample — the top-48 candidates by
+    md5(vec_id), a TakeOrdered plan whose cost is independent of
+    corpus size — and assignment stays distributed over the full
+    corpus. This is the production shape for training at 100 TB (a
+    full-corpus Lloyd pass per iteration is the non-starter the
+    round-9 verdict flagged); the oracle unrolls the SAME sampled
+    traversal (ORDER BY md5 LIMIT in SQL) so the learned quantizer
+    stays cross-engine hash-verified. Sits beside
+    emb_ivf_recall_trained so the sample-vs-full recall delta is a
+    measured number, not an assumption."""
+    from .functions.similarity import brute_force_topk, ivf_topk, knn_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_recall(
+        brute_force_topk(emb), ivf_topk(emb, train=True, train_sample=48)
+    )
+
+
 def emb_knn_ivf_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with trained centroids seeded FARTHEST-FIRST (the
     deterministic limit of k-means++ D²-weighted sampling) instead of

@@ -1149,6 +1149,39 @@ def run_media_audio_gate_grow(
     )
 
 
+def _audio_spectral_media_mix(df: DataFrame, scale: int = 1) -> DataFrame:
+    """(did, fp, n_windows) over the ingest-mix planted audio through
+    the SPECTRAL-SHAPE fingerprint family (see
+    ``functions.multimodal.audio_spectral_fingerprint``) — the
+    round-10 second family whose 28-bit space keeps state growing
+    with novelty where the 11-bit delta family saturates."""
+    from ..functions.multimodal import audio_spectral_fingerprint, planted_audio
+
+    return audio_spectral_fingerprint(
+        planted_audio(df, spread=True, group_mode="ingest_mix",
+                      scale=scale),
+        spread=False,
+    ).select("did", "fp", "n_windows")
+
+
+def run_media_audio_spectral_gate_grow(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    scale: int = 1,
+    with_query: bool = False,
+):
+    """Growing AUDIO-ingest dedup gate on the SPECTRAL-SHAPE
+    fingerprint family — the second-family row the round-9 verdict
+    asked for: same shared runner, same (fp, n_windows) key shape,
+    different acoustic feature. See ``_run_media_gate_grow``."""
+    return _run_media_gate_grow(
+        spark, sf_dir, lambda df: _audio_spectral_media_mix(df, scale),
+        ["fp", "n_windows"], source, "media_audio_spec_grow_",
+        with_query,
+    )
+
+
 def run_neardup_gate_grow(
     spark: SparkSession,
     sf_dir: str,

@@ -434,3 +434,69 @@ def test_write_raster_tiles_snap_region(spark, tmp_path):
             cells, str(tmp_path / "bad"), cell_size=7.0,
             snap_region="CONUS",
         )
+
+
+# --- Video gate landed/restart (round-10 verdict item 6) ---------------------
+
+
+def test_video_gate_grow_landed_restart_recovers_index(spark, tmp_path):
+    """Crash/restart recovery for the VIDEO gate (largest state of the
+    four modalities): process half the stream, restart with the same
+    checkpoint + land_dir, process the rest — decisions must equal the
+    single-run fold (a second-half video duplicating a first-half
+    admission flags dup_stream against it, because the admitted frame
+    index is recovered from the landed partitions), with exactly-once
+    parquet decisions (no duplicate rows)."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_video_gate_grow,
+    )
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    stage = str(tmp_path / "vid_stage")
+    flat = str(tmp_path / "vid_flat")
+    os.makedirs(flat, exist_ok=True)
+    # split at 45: the middle-class dup group {43, 47} (same octet,
+    # same parity, no corpus twin) straddles the restart boundary, so
+    # recovery of the admitted index is load-bearing, not incidental
+    cut = 45
+    for part, (lo, hi) in enumerate([(0, cut), (cut, 500)]):
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/p{part}")
+
+    def publish(part):
+        (f,) = glob.glob(f"{stage}/p{part}/part-*.parquet")
+        shutil.copy(f, f"{flat}/{part:02d}.parquet")
+        os.utime(f"{flat}/{part:02d}.parquet",
+                 (time.time() + part, time.time() + part))
+
+    land = str(tmp_path / "vid_land")
+    ck = str(tmp_path / "vid_ck")
+
+    def run():
+        srcdf = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        return run_video_gate_grow(
+            spark, SF_SMOKE, source=srcdf, land_dir=land, checkpoint=ck
+        )
+
+    publish(0)
+    run()  # first run: docs below the cut only
+    publish(1)
+    out, _ = run()  # restart: must process ONLY the second file
+    got = {(r["did"], r["status"], r["match_did"]) for r in out.collect()}
+    plain, _ = run_video_gate_grow(spark, SF_SMOKE)
+    want = {
+        (r["did"], r["status"], r["match_did"]) for r in plain.collect()
+    }
+    assert got == want
+    assert out.count() == len(want)  # exactly-once, no dup rows
+    # the restart really crossed an admission: 47 (post-restart) flags
+    # against 43, admitted pre-restart and recovered from the store
+    assert (47, "dup_stream", 43) in got

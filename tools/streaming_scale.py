@@ -469,7 +469,7 @@ def main() -> None:
         # growth per stream row — stays constant as the corpus scales;
         # peak_state_rows comes from the engine's own stateOperators.
         grow_gates = {"image_gate_grow", "audio_gate_grow",
-                      "audio_gate_grow_wide",
+                      "audio_gate_grow_wide", "audio_gate_grow_spectral",
                       "text_gate_grow", "text_gate_grow_salted",
                       "video_gate_grow"}
         if only is None or (only & grow_gates):
@@ -551,6 +551,20 @@ def main() -> None:
                 _run_grow_gate(
                     "audio_gate_grow_wide", run_media_audio_gate_grow,
                     window=4,
+                )
+
+            if want("audio_gate_grow_spectral"):
+                # round 10: the SECOND fingerprint family — 28-bit
+                # spectral-shape space; the saturation row the delta
+                # family hits (state stuck at the family's pattern
+                # count) should not reproduce here
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_media_audio_spectral_gate_grow,
+                )
+
+                _run_grow_gate(
+                    "audio_gate_grow_spectral",
+                    run_media_audio_spectral_gate_grow,
                 )
 
             if want("text_gate_grow_salted"):
