@@ -5453,6 +5453,44 @@ SELECT st.doc_id AS did, st.fp, CAST(4 AS INTEGER) AS n_windows,
 FROM st LEFT JOIN idx i ON st.fp = i.fp
 """
 
+# round 10: the RANK-ORDER audio family — the joint argsort of all 32
+# frame×band energies, md5-packed; near-injective on the waveform
+ORACLES["docs_stream_audio_gate_grow_rank"] = f"""
+WITH grp AS (SELECT doc_id, ({_MIX_G}) % 4194304 AS gm FROM documents),
+s AS (
+  SELECT doc_id, gs.k AS k,
+         ((gm + 1) * (gs.k + 1) * 2654435761) % 4294967296 // 16777216 - 128
+           AS v0
+  FROM grp, generate_series(0, 95) AS gs(k)),
+sv AS (SELECT doc_id, k, v0 * (1 + doc_id % 3) AS v FROM s),
+c AS (
+  SELECT doc_id, (k // 24) * 8 + bs.b AS pos,
+         SUM(CASE WHEN ((k % 24) // (bs.b + 1)) % 2 = 0 THEN v ELSE -v END)
+           AS corr
+  FROM sv, generate_series(0, 7) AS bs(b)
+  GROUP BY doc_id, (k // 24) * 8 + bs.b),
+o AS (SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY corr * corr, pos) AS rn
+      FROM c),
+fpt AS (SELECT doc_id,
+               md5(string_agg(CAST(pos AS VARCHAR), '|' ORDER BY rn)) AS fp
+        FROM o GROUP BY doc_id),
+idx AS (SELECT fp, MIN(doc_id) AS cd FROM fpt WHERE doc_id % 2 = 0
+        GROUP BY fp),
+st AS (
+  SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_did
+  FROM fpt WHERE doc_id % 2 = 1)
+SELECT st.doc_id AS did, st.fp, CAST(4 AS INTEGER) AS n_windows,
+       CASE WHEN i.cd IS NOT NULL THEN 'dup_corpus'
+            WHEN st.doc_id = st.first_did THEN 'admit'
+            ELSE 'dup_stream' END AS status,
+       CASE WHEN i.cd IS NOT NULL THEN i.cd
+            WHEN st.doc_id = st.first_did THEN NULL
+            ELSE st.first_did END AS match_did
+FROM st LEFT JOIN idx i ON st.fp = i.fp
+"""
+
 # growing TEXT near-dup gate: Jaccard is NOT transitive, so the
 # sequential fold is genuine — a recursive CTE replays admission in
 # doc_id order (the single availableNow trigger makes arrival order

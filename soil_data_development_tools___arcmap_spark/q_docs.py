@@ -2482,6 +2482,22 @@ def docs_stream_audio_gate_grow_spectral(
     return run_media_audio_spectral_gate_grow(spark, sf_dir)
 
 
+def docs_stream_audio_gate_grow_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROWING audio gate on the RANK-ORDER fingerprint — the top of
+    the round-10 entropy ladder (energy-delta 652 → sign-bits 2,639 →
+    rank order 19,416 distinct patterns per 20k docs on this
+    waveform, vs the near-injective ceiling of 19,881): gate state
+    tracks TRUE novelty, and the false dup flags the narrower
+    families produce on distinct clips disappear. Registered beside
+    the delta/wide/spectral rows so the ladder is measured, not
+    asserted."""
+    from .streaming.docs import run_media_audio_rank_gate_grow
+
+    return run_media_audio_rank_gate_grow(spark, sf_dir)
+
+
 def docs_stream_text_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROWING-INDEX streaming near-dup TEXT gate: a foreachBatch
     upsert loop — each micro-batch probes the corpus band index plus

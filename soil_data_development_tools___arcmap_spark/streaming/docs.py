@@ -964,6 +964,7 @@ def _run_media_gate_grow(
     with_query: bool = False,
     land_dir: str | None = None,
     checkpoint: str | None = None,
+    key_types: dict[str, str] | None = None,
 ):
     """Shared GROWING exact-fingerprint ingest gate: arriving items
     (odd doc_ids) probe the static corpus index (even doc_ids, settled
@@ -1041,7 +1042,8 @@ def _run_media_gate_grow(
         yield rows[["did", *key_cols, "status", "match_did"]]
 
     out_schema = "did long, " + ", ".join(
-        f"{k} {'int' if k == 'n_windows' else 'long'}" for k in key_cols
+        f"{k} {(key_types or {}).get(k, 'int' if k == 'n_windows' else 'long')}"
+        for k in key_cols
     ) + ", status string, match_did long"
     res = new.groupBy(*join_keys).applyInPandasWithState(
         gate, out_schema, "admitted long", "append",
@@ -1179,6 +1181,40 @@ def run_media_audio_spectral_gate_grow(
         spark, sf_dir, lambda df: _audio_spectral_media_mix(df, scale),
         ["fp", "n_windows"], source, "media_audio_spec_grow_",
         with_query,
+    )
+
+
+def _audio_rank_media_mix(df: DataFrame, scale: int = 1) -> DataFrame:
+    """(did, fp, n_windows) over the ingest-mix planted audio through
+    the RANK-ORDER fingerprint family — the near-injective top of the
+    round-10 entropy ladder (see
+    ``functions.multimodal.audio_rank_fingerprint``)."""
+    from ..functions.multimodal import audio_rank_fingerprint, planted_audio
+
+    return audio_rank_fingerprint(
+        planted_audio(df, spread=True, group_mode="ingest_mix",
+                      scale=scale),
+        spread=False,
+    ).select("did", "fp", "n_windows")
+
+
+def run_media_audio_rank_gate_grow(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    scale: int = 1,
+    with_query: bool = False,
+):
+    """Growing AUDIO-ingest dedup gate on the RANK-ORDER fingerprint
+    (string md5 key): near-injective on the waveform, so the state
+    store tracks TRUE novelty — the saturation the delta/spectral
+    comparison-bit families hit (state pinned at the family's pattern
+    ceiling, distinct clips falsely flagged dup) does not occur.
+    See ``_run_media_gate_grow``."""
+    return _run_media_gate_grow(
+        spark, sf_dir, lambda df: _audio_rank_media_mix(df, scale),
+        ["fp", "n_windows"], source, "media_audio_rank_grow_",
+        with_query, key_types={"fp": "string"},
     )
 
 

@@ -470,6 +470,7 @@ def main() -> None:
         # peak_state_rows comes from the engine's own stateOperators.
         grow_gates = {"image_gate_grow", "audio_gate_grow",
                       "audio_gate_grow_wide", "audio_gate_grow_spectral",
+                      "audio_gate_grow_rank",
                       "text_gate_grow", "text_gate_grow_salted",
                       "video_gate_grow"}
         if only is None or (only & grow_gates):
@@ -565,6 +566,19 @@ def main() -> None:
                 _run_grow_gate(
                     "audio_gate_grow_spectral",
                     run_media_audio_spectral_gate_grow,
+                )
+
+            if want("audio_gate_grow_rank"):
+                # round 10: the near-injective rank-order family —
+                # state here tracks TRUE novelty (the planted novel
+                # clip count), the ladder's end point
+                from soil_data_development_tools___arcmap_spark.streaming.docs import (
+                    run_media_audio_rank_gate_grow,
+                )
+
+                _run_grow_gate(
+                    "audio_gate_grow_rank",
+                    run_media_audio_rank_gate_grow,
                 )
 
             if want("text_gate_grow_salted"):
