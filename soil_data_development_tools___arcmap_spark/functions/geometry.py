@@ -233,6 +233,67 @@ def clip_area2x_rect(
     ).cast("long")
 
 
+def all_rings_coords(wkt: str | Column) -> Column:
+    """ALL rings of a WKT ``POLYGON ((ext...), (hole...), ...)`` as
+    ``array<array<struct<x:double,y:double>>>`` — ring 0 is the
+    exterior, the rest are interior holes; the closing vertex of each
+    ring is DROPPED (open-ring form, what the clip passes consume)."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    body = F.regexp_replace(
+        F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1), r"^\(|\)$", ""
+    )
+    return F.transform(
+        F.split(body, r"\)\s*,\s*\("),
+        lambda ring: _let(
+            F.transform(
+                F.split(ring, r",\s*"),
+                lambda p: F.struct(
+                    F.split(F.trim(p), " ").getItem(0).cast("double").alias("x"),
+                    F.split(F.trim(p), " ").getItem(1).cast("double").alias("y"),
+                ),
+            ),
+            lambda cc: F.slice(cc, 1, F.size(cc) - 1),
+        ),
+    )
+
+
+def clip_area2x_rect_holes(
+    wkt: str | Column, xmin, ymin, xmax, ymax
+) -> Column:
+    """Doubled polygon∩AOI area for polygons WITH interior rings
+    (lakes — common in real SSURGO mapunit polygons): clip every ring
+    independently against the AOI and subtract the holes' clipped
+    areas from the exterior's. Valid because each hole lies inside the
+    exterior, so its AOI intersection lies inside the exterior's AOI
+    intersection — areas subtract exactly (no partial-overlap terms).
+    Same Sutherland–Hodgman passes per ring, same quantization
+    contract as ``clip_area2x_rect``."""
+
+    def clip_ring(r: Column) -> Column:
+        out = _clip_halfplane(r, "x", xmin, keep_ge=True)
+        out = _clip_halfplane(out, "x", xmax, keep_ge=False)
+        out = _clip_halfplane(out, "y", ymin, keep_ge=True)
+        return _clip_halfplane(out, "y", ymax, keep_ge=False)
+
+    areas = F.transform(
+        all_rings_coords(wkt), lambda r: ring_area2x(clip_ring(r))
+    )
+    return F.round(
+        _let(
+            areas,
+            lambda a: a[0]
+            - F.coalesce(
+                F.aggregate(
+                    F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                F.lit(0.0),
+            ),
+        )
+    ).cast("long")
+
+
 def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:
     """Ray-casting point-in-polygon over the exterior WKT ring — the
     select-by-location core of the clip tool (gSSURGO_Clip.py runs the

@@ -641,6 +641,64 @@ def clip_polygon_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection clip for polygons WITH interior rings (lakes —
+    gSSURGO mapunit polygons routinely carry them; Clip_analysis
+    handles them natively): every ring is clipped independently and
+    the holes' clipped areas subtract from the exterior's
+    (functions/geometry.py:clip_area2x_rect_holes). Synthesis: the
+    rectangle subjects of clip_polygon_intersect, with an interior
+    hole punched when the exterior is big enough (w, h >= 3) — a
+    third of customers get hole-less polygons, exercising the
+    single-ring path through the multi-ring parser. The oracle is
+    pure closed form: overlap(ext, AOI) − overlap(hole, AOI).
+    Map-only, zero shuffles."""
+    from .functions.geometry import clip_area2x_rect_holes
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    x1, y1 = x0 + w, y0 + h
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            F.lit("("),
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+            F.lit(")"),
+        )
+
+    wkt = F.concat(
+        F.lit("POLYGON ("),
+        ring(x0, y0, x1, y1),
+        F.when(
+            has_hole,
+            F.concat(
+                F.lit(", "),
+                ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(")"),
+    )
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    hole_a2x = F.when(has_hole, 2 * hw * hh).otherwise(F.lit(0))
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        (2 * w * h - hole_a2x).cast("long").alias("poly_a2x"),
+        clip_area2x_rect_holes(wkt, ax0, ay0, ax1, ay1).alias("clip_a2x"),
+    )
+
+
 def raster_snap_nlcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NLCD snap-grid alignment (SnapToNLCD,
     SSURGO_ExportMuRaster.py:175-335): the fixed-national-grid extent

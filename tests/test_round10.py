@@ -500,3 +500,60 @@ def test_video_gate_grow_landed_restart_recovers_index(spark, tmp_path):
     # the restart really crossed an admission: 47 (post-restart) flags
     # against 43, admitted pre-restart and recovered from the store
     assert (47, "dup_stream", 43) in got
+
+
+def test_clip_holes_properties(spark):
+    """Multi-ring clip: seeded-random rect-with-hole subjects vs the
+    independent closed form, plus the identities clip(ext) −
+    clip(hole) == clip(polygon) and hole ⊂ ext ⇒ clip ≥ 0."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        clip_area2x_rect_holes,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(200):
+        x0, y0 = rng.randint(0, 40), rng.randint(0, 40)
+        w, h = rng.randint(3, 20), rng.randint(3, 20)
+        hx0 = x0 + rng.randint(1, w - 2)
+        hy0 = y0 + rng.randint(1, h - 2)
+        hw = rng.randint(1, x0 + w - hx0 - 1)
+        hh = rng.randint(1, y0 + h - hy0 - 1)
+        ax0, ay0 = rng.randint(-5, 55), rng.randint(-5, 55)
+        ax1, ay1 = ax0 + rng.randint(1, 30), ay0 + rng.randint(1, 30)
+
+        def ring(a, b, c, d):
+            return f"({a} {b}, {c} {b}, {c} {d}, {a} {d}, {a} {b})"
+
+        wkt = (
+            f"POLYGON ({ring(x0, y0, x0 + w, y0 + h)}, "
+            f"{ring(hx0, hy0, hx0 + hw, hy0 + hh)})"
+        )
+
+        def ov(lo1, hi1, lo2, hi2):
+            return max(0, min(hi1, hi2) - max(lo1, lo2))
+
+        want = 2 * (
+            ov(x0, x0 + w, ax0, ax1) * ov(y0, y0 + h, ay0, ay1)
+            - ov(hx0, hx0 + hw, ax0, ax1) * ov(hy0, hy0 + hh, ay0, ay1)
+        )
+        rows.append((i, wkt, float(ax0), float(ay0), float(ax1),
+                     float(ay1), want))
+    df = spark.createDataFrame(
+        rows,
+        "id int, wkt string, ax0 double, ay0 double, ax1 double,"
+        " ay1 double, want long",
+    )
+    got = df.select(
+        "want",
+        clip_area2x_rect_holes(
+            "wkt", F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")
+        ).alias("got"),
+    ).collect()
+    assert len(got) == 200
+    for r in got:
+        assert r["got"] == r["want"] and r["got"] >= 0
