@@ -557,3 +557,34 @@ def test_clip_holes_properties(spark):
     assert len(got) == 200
     for r in got:
         assert r["got"] == r["want"] and r["got"] >= 0
+
+
+def test_audio_rank_gate_grow_across_batches(spark, tmp_path):
+    """String-key plumbing for the rank-family gate (the shared
+    runner's first non-long fingerprint key): did-ordered multi-batch
+    replay equals the single-trigger run, with dup_stream chains
+    crossing batch boundaries and every decision class populated."""
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        run_media_audio_rank_gate_grow,
+    )
+
+    single = {
+        (r["did"], r["status"], r["match_did"])
+        for r in run_media_audio_rank_gate_grow(spark, SF_SMOKE).collect()
+    }
+    assert len(single) == 250
+    statuses = {s for _, s, _ in single}
+    assert statuses == {"admit", "dup_corpus", "dup_stream"}
+    src, step = _range_split_odds(spark, tmp_path, "rank_grow", n_files=4)
+    multi = {
+        (r["did"], r["status"], r["match_did"])
+        for r in run_media_audio_rank_gate_grow(
+            spark, SF_SMOKE, source=src
+        ).collect()
+    }
+    assert multi == single
+    # a dup chain genuinely crosses a batch boundary
+    assert any(
+        s == "dup_stream" and m is not None and m // step < d // step
+        for d, s, m in multi
+    )
