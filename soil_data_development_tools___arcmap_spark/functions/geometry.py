@@ -294,6 +294,87 @@ def clip_area2x_rect_holes(
     ).cast("long")
 
 
+def _ring_pts(ring_str: Column) -> Column:
+    """One ring body string ``"x y, x y, ..."`` → OPEN ring
+    ``array<struct<x:double,y:double>>`` (closing vertex dropped)."""
+    return _let(
+        F.transform(
+            F.split(ring_str, r",\s*"),
+            lambda p: F.struct(
+                F.split(F.trim(p), " ").getItem(0).cast("double").alias("x"),
+                F.split(F.trim(p), " ").getItem(1).cast("double").alias("y"),
+            ),
+        ),
+        lambda cc: F.slice(cc, 1, F.size(cc) - 1),
+    )
+
+
+def _rings_clip_area2x(rings_body: Column, xmin, ymin, xmax, ymax) -> Column:
+    """Clipped doubled area of one polygon given its ring-body strings
+    (element 0 = exterior, rest = holes): clip each ring, subtract the
+    holes' clipped areas from the exterior's."""
+
+    def clip_ring(r: Column) -> Column:
+        out = _clip_halfplane(_ring_pts(r), "x", xmin, keep_ge=True)
+        out = _clip_halfplane(out, "x", xmax, keep_ge=False)
+        out = _clip_halfplane(out, "y", ymin, keep_ge=True)
+        return ring_area2x(_clip_halfplane(out, "y", ymax, keep_ge=False))
+
+    return _let(
+        F.transform(rings_body, clip_ring),
+        lambda a: a[0]
+        - F.aggregate(
+            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def clip_area2x_geom(
+    wkt: str | Column, xmin, ymin, xmax, ymax
+) -> Column:
+    """Doubled geometry∩AOI area for ANY WKT polygon text —
+    ``POLYGON`` (with or without interior rings) or ``MULTIPOLYGON``
+    (multipart mapunits are routine in real gSSURGO) — the full input
+    surface of the reference's Clip_analysis (gSSURGO_Clip.py:160).
+    Multipart area = Σ over parts of (exterior − holes), each ring
+    clipped by the same Sutherland–Hodgman passes; dispatch on the
+    WKT prefix stays one Column CASE, map-only."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    # POLYGON ((ext), (hole)) → ring bodies
+    poly_rings = _let(
+        F.regexp_replace(
+            F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1), r"^\(|\)$", ""
+        ),
+        lambda body: F.split(body, r"\)\s*,\s*\("),
+    )
+    # MULTIPOLYGON (((ext), (hole)), ((ext2))) → per-part ring bodies
+    multi_area = _let(
+        F.regexp_replace(
+            F.regexp_extract(c, r"MULTIPOLYGON\s*\((.*)\)", 1),
+            r"^\(\s*\(|\)\s*\)$",
+            "",
+        ),
+        lambda body: F.aggregate(
+            F.transform(
+                F.split(body, r"\)\s*\)\s*,\s*\(\s*\("),
+                lambda part: _rings_clip_area2x(
+                    _let(part, lambda p: F.split(p, r"\)\s*,\s*\(")),
+                    xmin, ymin, xmax, ymax,
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.round(
+        F.when(c.startswith("MULTIPOLYGON"), multi_area).otherwise(
+            _rings_clip_area2x(poly_rings, xmin, ymin, xmax, ymax)
+        )
+    ).cast("long")
+
+
 def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:
     """Ray-casting point-in-polygon over the exterior WKT ring — the
     select-by-location core of the clip tool (gSSURGO_Clip.py runs the

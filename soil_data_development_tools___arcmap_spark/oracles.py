@@ -3067,6 +3067,38 @@ SELECT okey,
 FROM g
 """
 
+# round 10: multipolygon clip — closed-form overlap sums over the
+# parts (plain-POLYGON rows have no part 2)
+ORACLES["clip_multipolygon"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole,
+         c_custkey % 4 + 1 AS pw, c_custkey % 3 + 1 AS ph,
+         (c_custkey % 3 = 0) AS plain,
+         c_custkey % 100 + c_custkey % 5 - 2 AS ax0,
+         c_custkey % 57 + c_custkey % 4 - 1 AS ay0,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 29 + 1 AS ax1,
+         c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1 AS ay1
+  FROM customer)
+SELECT okey,
+       CAST(2 * GREATEST(0, LEAST(x0 + w, ax1) - GREATEST(x0, ax0))
+              * GREATEST(0, LEAST(y0 + h, ay1) - GREATEST(y0, ay0))
+            - CASE WHEN has_hole THEN
+                2 * GREATEST(0, LEAST(x0 + 1 + hw, ax1) - GREATEST(x0 + 1, ax0))
+                  * GREATEST(0, LEAST(y0 + 1 + hh, ay1) - GREATEST(y0 + 1, ay0))
+              ELSE 0 END
+            + CASE WHEN plain THEN 0 ELSE
+                2 * GREATEST(0, LEAST(x0 + 20 + pw, ax1) - GREATEST(x0 + 20, ax0))
+                  * GREATEST(0, LEAST(y0 + ph, ay1) - GREATEST(y0, ay0))
+              END
+          AS BIGINT) AS clip_a2x
+FROM g
+"""
+
 # round 10: NLCD snap arithmetic recomputed with DIFFERENT algebra —
 # double TRUNC / ROUND here vs the Spark side's integral mod division
 # (both equal the reference's Python-2 int()/round() semantics)

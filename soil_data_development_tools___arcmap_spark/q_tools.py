@@ -699,6 +699,65 @@ def clip_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection clip over the FULL WKT input surface of
+    Clip_analysis — MULTIPOLYGON parts (multipart mapunits are routine
+    in real gSSURGO) with interior rings, plus plain POLYGON rows
+    through the same dispatch (functions/geometry.py:clip_area2x_geom).
+    Synthesis: two-part multipolygons (part 1 = the holes-query
+    subject, part 2 a second rectangle 20 m east, reachable by the
+    widened AOI for some customers) with every third customer a plain
+    POLYGON. Oracle: pure closed-form overlap sums. Map-only."""
+    from .functions.geometry import clip_area2x_geom
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pw, ph = k % 4 + 1, k % 3 + 1
+    plain = k % 3 == 0
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            F.lit("("),
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+            F.lit(")"),
+        )
+
+    part1 = F.concat(
+        ring(x0, y0, x0 + w, y0 + h),
+        F.when(
+            has_hole,
+            F.concat(F.lit(", "),
+                     ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+        ).otherwise(F.lit("")),
+    )
+    part2 = ring(x0 + 20, y0, x0 + 20 + pw, y0 + ph)
+    wkt = F.when(
+        plain, F.concat(F.lit("POLYGON ("), part1, F.lit(")"))
+    ).otherwise(
+        F.concat(
+            F.lit("MULTIPOLYGON (("), part1, F.lit("), ("), part2,
+            F.lit("))"),
+        )
+    )
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 29 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        clip_area2x_geom(wkt, ax0, ay0, ax1, ay1).alias("clip_a2x"),
+    )
+
+
 def raster_snap_nlcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NLCD snap-grid alignment (SnapToNLCD,
     SSURGO_ExportMuRaster.py:175-335): the fixed-national-grid extent

@@ -588,3 +588,67 @@ def test_audio_rank_gate_grow_across_batches(spark, tmp_path):
         s == "dup_stream" and m is not None and m // step < d // step
         for d, s, m in multi
     )
+
+
+def test_clip_geom_dispatch_properties(spark):
+    """clip_area2x_geom on seeded-random MULTIPOLYGONs (2-3 disjoint
+    rect parts, optional hole in part 1) and plain POLYGONs through
+    the same dispatch, vs independent overlap arithmetic; multipart
+    area == sum of single-part clips."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        clip_area2x_geom,
+    )
+
+    rng = random.Random(200)
+
+    def ring(a, b, c, d):
+        return f"({a} {b}, {c} {b}, {c} {d}, {a} {d}, {a} {b})"
+
+    def ov(lo1, hi1, lo2, hi2):
+        return max(0, min(hi1, hi2) - max(lo1, lo2))
+
+    rows = []
+    for i in range(150):
+        n_parts = rng.randint(1, 3)
+        parts, want = [], 0
+        ax0, ay0 = rng.randint(-5, 40), rng.randint(-5, 40)
+        ax1, ay1 = ax0 + rng.randint(1, 60), ay0 + rng.randint(1, 30)
+        xoff = 0
+        for p in range(n_parts):
+            x0, y0 = xoff + rng.randint(0, 5), rng.randint(0, 40)
+            w, h = rng.randint(3, 15), rng.randint(3, 15)
+            xoff = x0 + w + 2  # parts stay disjoint
+            rings = [ring(x0, y0, x0 + w, y0 + h)]
+            want += 2 * ov(x0, x0 + w, ax0, ax1) * ov(y0, y0 + h, ay0, ay1)
+            if rng.random() < 0.5:
+                hx0, hy0 = x0 + 1, y0 + 1
+                hw, hh = rng.randint(1, w - 2), rng.randint(1, h - 2)
+                rings.append(ring(hx0, hy0, hx0 + hw, hy0 + hh))
+                want -= 2 * ov(hx0, hx0 + hw, ax0, ax1) * ov(
+                    hy0, hy0 + hh, ay0, ay1
+                )
+            parts.append("(" + ", ".join(rings) + ")")
+        if n_parts == 1 and rng.random() < 0.5:
+            wkt = "POLYGON " + parts[0]
+        else:
+            wkt = "MULTIPOLYGON (" + ", ".join(parts) + ")"
+        rows.append((i, wkt, float(ax0), float(ay0), float(ax1),
+                     float(ay1), want))
+    df = spark.createDataFrame(
+        rows,
+        "id int, wkt string, ax0 double, ay0 double, ax1 double,"
+        " ay1 double, want long",
+    )
+    got = df.select(
+        "want",
+        clip_area2x_geom(
+            "wkt", F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")
+        ).alias("got"),
+    ).collect()
+    assert len(got) == 150
+    for r in got:
+        assert r["got"] == r["want"] and r["got"] >= 0

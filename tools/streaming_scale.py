@@ -622,6 +622,11 @@ def main() -> None:
                         (stats["admitted_rows_per_batch"] or [0])[-1],
                     "fold_pairs_per_batch":
                         stats["fold_pairs_per_batch"],
+                    # round 10: max rows any single driver collect saw
+                    # during the folds (<= fold_pair_cap + 1 on the
+                    # fast path; window-bounded on the windowed path)
+                    "fold_driver_rows_peak":
+                        stats.get("fold_driver_rows_peak"),
                     "decisions": counts,
                 }))
 
@@ -652,6 +657,11 @@ def main() -> None:
                         (stats["admitted_rows_per_batch"] or [0])[-1],
                     "fold_pairs_per_batch":
                         stats["fold_pairs_per_batch"],
+                    # round 10: max rows any single driver collect saw
+                    # during the folds (<= fold_pair_cap + 1 on the
+                    # fast path; window-bounded on the windowed path)
+                    "fold_driver_rows_peak":
+                        stats.get("fold_driver_rows_peak"),
                     "decisions": counts,
                 }))
 
@@ -684,6 +694,11 @@ def main() -> None:
                         (stats["admitted_rows_per_batch"] or [0])[-1],
                     "fold_pairs_per_batch":
                         stats["fold_pairs_per_batch"],
+                    # round 10: max rows any single driver collect saw
+                    # during the folds (<= fold_pair_cap + 1 on the
+                    # fast path; window-bounded on the windowed path)
+                    "fold_driver_rows_peak":
+                        stats.get("fold_driver_rows_peak"),
                     "decisions": counts,
                 }))
 
