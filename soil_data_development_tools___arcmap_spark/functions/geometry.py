@@ -375,6 +375,47 @@ def clip_area2x_geom(
     ).cast("long")
 
 
+def point_in_polygon(wkt: str | Column, px: Column, py: Column) -> Column:
+    """Point-in-polygon over ALL rings (even-odd rule summed across
+    exterior + holes, so a point inside a lake tests OUTSIDE — the
+    semantics ``point_in_ring`` approximates when holes exist; same
+    exact cross-multiplied crossing arithmetic, generalized to the
+    multi-ring parse). Map-only Column expression."""
+
+    def ring_crossings(r: Column) -> Column:
+        def one(c):
+            n = F.size(c)
+            return F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.when(
+                        (c[i]["y"] > py) != (c[(i + 1) % n]["y"] > py),
+                        F.when(
+                            (
+                                (px - c[i]["x"])
+                                * (c[(i + 1) % n]["y"] - c[i]["y"])
+                                < (c[(i + 1) % n]["x"] - c[i]["x"])
+                                * (py - c[i]["y"])
+                            )
+                            == (c[(i + 1) % n]["y"] > c[i]["y"]),
+                            F.lit(1),
+                        ).otherwise(F.lit(0)),
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+
+        return _let(r, lambda c: F.when(F.size(c) < 3, F.lit(0)).otherwise(one(c)))
+
+    total = F.aggregate(
+        F.transform(all_rings_coords(wkt), ring_crossings),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (total % 2 == 1).cast("int")
+
+
 def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:
     """Ray-casting point-in-polygon over the exterior WKT ring — the
     select-by-location core of the clip tool (gSSURGO_Clip.py runs the

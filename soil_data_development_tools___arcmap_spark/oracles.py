@@ -3067,6 +3067,28 @@ SELECT okey,
 FROM g
 """
 
+# round 10: hole-aware containment — truth from the rectangle bounds
+# (inside exterior AND NOT inside hole), never a ray cast
+ORACLES["clip_select_with_holes"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         (c_custkey % 100) * 2 AS x0, (c_custkey % 57) * 2 AS y0,
+         (c_custkey % 100) * 2 + (c_custkey % 13 + 2) * 2 AS x1,
+         (c_custkey % 57) * 2 + (c_custkey % 7 + 2) * 2 AS y1,
+         (c_custkey % 100) * 2 + 2 AS hx0, (c_custkey % 57) * 2 + 2 AS hy0,
+         LEAST((c_custkey % 100) * 2 + 2 + (c_custkey % 3 + 1) * 2,
+               (c_custkey % 100) * 2 + (c_custkey % 13 + 2) * 2) AS hx1,
+         (c_custkey % 57) * 2 + 4 AS hy1,
+         (c_custkey % 100) * 2 + (c_custkey % 23) * 2 - 9 AS px,
+         (c_custkey % 57) * 2 + (c_custkey % 19) * 2 - 7 AS py
+  FROM customer)
+SELECT okey, px, py,
+       CAST(CASE WHEN px > x0 AND px < x1 AND py > y0 AND py < y1
+                  AND NOT (px > hx0 AND px < hx1 AND py > hy0 AND py < hy1)
+            THEN 1 ELSE 0 END AS INTEGER) AS inside
+FROM g
+"""
+
 # round 10: multipolygon clip — closed-form overlap sums over the
 # parts (plain-POLYGON rows have no part 2)
 ORACLES["clip_multipolygon"] = """

@@ -641,6 +641,51 @@ def clip_polygon_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_select_with_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select-by-location with INTERIOR rings: a probe point inside a
+    lake must test OUTSIDE (even-odd across all rings —
+    functions/geometry.py:point_in_polygon); clip_select_by_location
+    covers only the exterior test. Even-grid rectangle + hole, odd-grid
+    probes (never edge-incident); oracle truth derived independently
+    from the rectangle bounds: inside ext AND NOT inside hole."""
+    from .functions.geometry import point_in_polygon
+
+    k = F.col("c_custkey")
+    x0, y0 = (k % 100) * 2, (k % 57) * 2
+    w = (k % 13 + 2) * 2            # >= 4: room for an interior hole
+    h = (k % 7 + 2) * 2
+    x1, y1 = x0 + w, y0 + h
+    hx0, hy0 = x0 + 2, y0 + 2
+    # hole clamped INSIDE the exterior (touching an edge is fine —
+    # parity of coincident-edge crossings stays correct for the
+    # never-edge-incident odd-grid probes; poking out would not be)
+    hx1 = F.least(hx0 + (k % 3 + 1) * 2, x1)
+    hy1 = hy0 + 2
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(a, b, c, d):
+        return F.concat(
+            F.lit("("), pt(a, b), sep, pt(c, b), sep, pt(c, d), sep,
+            pt(a, d), sep, pt(a, b), F.lit(")"),
+        )
+
+    wkt = F.concat(
+        F.lit("POLYGON ("), ring(x0, y0, x1, y1), F.lit(", "),
+        ring(hx0, hy0, hx1, hy1), F.lit(")"),
+    )
+    px = x0 + (k % 23) * 2 - 9  # odd: misses every even-grid edge
+    py = y0 + (k % 19) * 2 - 7
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        px.alias("px"),
+        py.alias("py"),
+        point_in_polygon(wkt, px, py).alias("inside"),
+    )
+
+
 def clip_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intersection clip for polygons WITH interior rings (lakes —
     gSSURGO mapunit polygons routinely carry them; Clip_analysis
