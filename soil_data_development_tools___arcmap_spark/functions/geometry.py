@@ -375,6 +375,189 @@ def clip_area2x_geom(
     ).cast("long")
 
 
+def _clip_halfplane_edge(
+    coords: Column, ex, ey, fx, fy
+) -> Column:
+    """One Sutherland–Hodgman pass against an ARBITRARY half-plane —
+    the set of points on or LEFT of the directed edge E→F
+    (``cross(F−E, P−E) >= 0``; a counter-clockwise convex AOI keeps
+    its interior). Generalizes ``_clip_halfplane``'s axis-aligned
+    bounds to the diagonal AOI edges real clip boundaries have
+    (gSSURGO_Clip.py:160 clips against arbitrary AOI featureclasses,
+    not bounding boxes). Same open-ring contract; the edge/boundary
+    intersection uses the exact signed-distance ratio
+    t = side(A)/(side(A) − side(B)) — A and B strictly straddle the
+    line so the denominator is nonzero by construction. Intersection
+    coordinates can carry ~1 ulp of double rounding; area consumers
+    quantize with one final round, which absorbs it for grid-exact
+    syntheses (slope-±1 AOI edges against axis-aligned subjects land
+    on integer coordinates up to that ulp)."""
+    exc = F.lit(float(ex)) if not isinstance(ex, Column) else ex
+    eyc = F.lit(float(ey)) if not isinstance(ey, Column) else ey
+    dxc = (F.lit(float(fx)) if not isinstance(fx, Column) else fx) - exc
+    dyc = (F.lit(float(fy)) if not isinstance(fy, Column) else fy) - eyc
+
+    def side(p):
+        return dxc * (p["y"] - eyc) - dyc * (p["x"] - exc)
+
+    def isect(a, p):
+        t = side(a) / (side(a) - side(p))
+        return F.struct(
+            (a["x"] + (p["x"] - a["x"]) * t).alias("x"),
+            (a["y"] + (p["y"] - a["y"]) * t).alias("y"),
+        )
+
+    def pass_(c):
+        n = F.size(c)
+        emitted = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.when(
+                (side(c[i]) >= 0) & (side(c[(i + 1) % n]) >= 0),
+                F.array(c[(i + 1) % n]),
+            )
+            .when(
+                (side(c[i]) >= 0) & ~(side(c[(i + 1) % n]) >= 0),
+                F.array(isect(c[i], c[(i + 1) % n])),
+            )
+            .when(
+                ~(side(c[i]) >= 0) & (side(c[(i + 1) % n]) >= 0),
+                F.array(isect(c[i], c[(i + 1) % n]), c[(i + 1) % n]),
+            )
+            .otherwise(
+                F.array().cast("array<struct<x:double,y:double>>")
+            ),
+        )
+        return F.when(n < 1, c).otherwise(F.flatten(emitted))
+
+    return _let(coords, pass_)
+
+
+def clip_ring_convex(ring: Column, edges) -> Column:
+    """Clip an OPEN double-typed ring against a convex AOI given as a
+    list of directed half-plane edges ``[((ex, ey), (fx, fy)), ...]``
+    (counter-clockwise boundary: interior on the left of every edge).
+    One chained ``_clip_halfplane_edge`` pass per edge — the AOI's
+    edge list is query-plan metadata (one AOI clips the whole layer),
+    so the plan stays map-only with |edges| array passes and zero
+    shuffles regardless of layer size."""
+    out = ring
+    for (ex, ey), (fx, fy) in edges:
+        out = _clip_halfplane_edge(out, ex, ey, fx, fy)
+    return out
+
+
+def _rings_clip_area2x_convex(rings_body: Column, edges) -> Column:
+    """Clipped doubled area of one polygon (ring-body strings, element
+    0 = exterior then holes) against a convex edge-list AOI: clip each
+    ring, subtract the holes' clipped areas from the exterior's —
+    exact because each hole's AOI intersection nests inside the
+    exterior's (same argument as ``clip_area2x_rect_holes``)."""
+
+    def clip_ring(r: Column) -> Column:
+        return ring_area2x(clip_ring_convex(_ring_pts(r), edges))
+
+    return _let(
+        F.transform(rings_body, clip_ring),
+        lambda a: a[0]
+        - F.aggregate(
+            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def clip_area2x_convex(wkt: str | Column, edges) -> Column:
+    """Doubled polygon∩AOI area for an arbitrary CONVEX AOI polygon
+    (edge list, CCW) over any ``POLYGON`` WKT with optional interior
+    rings — the diagonal-boundary generalization of
+    ``clip_area2x_rect_holes``. One final round quantizes the ulp
+    noise general-edge intersections can carry."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    rings = _let(
+        F.regexp_replace(
+            F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1), r"^\(|\)$", ""
+        ),
+        lambda body: F.split(body, r"\)\s*,\s*\("),
+    )
+    return F.round(_rings_clip_area2x_convex(rings, edges)).cast("long")
+
+
+def rectilinear_decompose(
+    pts: list[tuple[float, float]]
+) -> list[tuple[float, float, float, float]]:
+    """Decompose a simple RECTILINEAR polygon (axis-aligned edges,
+    either orientation, no self-intersection; closing vertex optional)
+    into DISJOINT axis-aligned rectangles ``(x0, y0, x1, y1)`` by
+    horizontal band slicing: cut at every distinct vertex y, and
+    within each band pair up the crossing vertical edges left-to-right
+    (even–odd). Driver-side pure Python — the AOI is one small
+    polygon (broadcast-scale metadata), the DATA never touches this
+    path. Enables concave-AOI clips as Σ over pieces of the convex
+    clip: pieces have disjoint interiors, so clipped areas add with
+    no overlap terms. Exact integer arithmetic for integer vertices.
+
+    Reference parity: arcpy.Clip_analysis (gSSURGO_Clip.py:160)
+    accepts arbitrary AOI shapes; rectilinear covers gridded AOIs
+    (raster footprints, tile boundaries, county-mosaic steps) and the
+    convex edge-list path covers the rest."""
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    n = len(pts)
+    if n < 3:
+        return []
+    vert = []  # (x, ylo, yhi) vertical edges
+    for i in range(n):
+        (x1, y1), (x2, y2) = pts[i], pts[(i + 1) % n]
+        if x1 == x2 and y1 != y2:
+            vert.append((x1, min(y1, y2), max(y1, y2)))
+        elif y1 != y2:
+            raise ValueError(
+                "rectilinear_decompose: non-axis-aligned edge "
+                f"({x1},{y1})->({x2},{y2})"
+            )
+    ys = sorted({p[1] for p in pts})
+    rects: list[tuple[float, float, float, float]] = []
+    for ylo, yhi in zip(ys, ys[1:]):
+        xs = sorted(x for x, e0, e1 in vert if e0 <= ylo and e1 >= yhi)
+        # even–odd pairing: consecutive (entry, exit) pairs are inside
+        for j in range(0, len(xs) - 1, 2):
+            if xs[j] < xs[j + 1]:
+                rects.append((xs[j], ylo, xs[j + 1], yhi))
+    return rects
+
+
+def clip_area2x_rectilinear(
+    wkt: str | Column, pieces: list[tuple[float, float, float, float]]
+) -> Column:
+    """Doubled polygon∩AOI area for a CONCAVE rectilinear AOI given as
+    its disjoint rectangle decomposition (``rectilinear_decompose``):
+    Σ over pieces of the holes-aware rectangle clip. Disjoint pieces
+    ⇒ the per-piece clipped regions are disjoint ⇒ areas sum exactly.
+    Map-only; plan size grows with |pieces| × rings, never with data."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    rings = _let(
+        F.regexp_replace(
+            F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1), r"^\(|\)$", ""
+        ),
+        lambda body: F.split(body, r"\)\s*,\s*\("),
+    )
+
+    if not pieces:
+        return F.lit(0).cast("long")
+
+    def total(rb: Column) -> Column:
+        s = None
+        for x0, y0, x1, y1 in pieces:
+            term = _rings_clip_area2x(rb, x0, y0, x1, y1)
+            s = term if s is None else s + term
+        return s
+
+    # bind the parsed rings ONCE; each piece's clip references the
+    # binding instead of re-inlining the WKT parse |pieces| times
+    return F.round(_let(rings, total)).cast("long")
+
+
 def point_in_polygon(wkt: str | Column, px: Column, py: Column) -> Column:
     """Point-in-polygon over ALL rings (even-odd rule summed across
     exterior + holes, so a point inside a lake tests OUTSIDE — the

@@ -3121,6 +3121,86 @@ SELECT okey,
 FROM g
 """
 
+# round 10: convex pentagon AOI — closed-form rect overlap minus the
+# corner inclusion–exclusion cut, exterior and hole independently;
+# never runs a vertex clip
+ORACLES["clip_convex_aoi"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole,
+         c_custkey % 100 + c_custkey % 5 - 2 AS ax0,
+         c_custkey % 57 + c_custkey % 4 - 1 AS ay0,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1 AS ax1,
+         c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1 AS ay1,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1
+           + c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1
+           - c_custkey % 4 AS cc
+  FROM customer),
+r AS (
+  SELECT okey, 1 AS sgn, x0 AS sx0, y0 AS sy0,
+         x0 + w AS sx1, y0 + h AS sy1, ax0, ay0, ax1, ay1, cc FROM g
+  UNION ALL
+  SELECT okey, -1, x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh,
+         ax0, ay0, ax1, ay1, cc FROM g WHERE has_hole),
+o AS (
+  SELECT okey, sgn,
+         GREATEST(sx0, ax0) AS a, LEAST(sx1, ax1) AS b,
+         GREATEST(sy0, ay0) AS p, LEAST(sy1, ay1) AS q, cc FROM r),
+c AS (
+  SELECT okey,
+         SUM(sgn * CASE WHEN b > a AND q > p THEN
+           2 * (b - a) * (q - p)
+           - (GREATEST(0, b + q - cc) * GREATEST(0, b + q - cc)
+              - GREATEST(0, a + q - cc) * GREATEST(0, a + q - cc)
+              - GREATEST(0, b + p - cc) * GREATEST(0, b + p - cc)
+              + GREATEST(0, a + p - cc) * GREATEST(0, a + p - cc))
+           ELSE 0 END) AS clip2x
+  FROM o GROUP BY okey)
+SELECT g.okey,
+       CAST(2 * w * h
+            - CASE WHEN has_hole THEN 2 * hw * hh ELSE 0 END AS BIGINT)
+         AS poly_a2x,
+       CAST(COALESCE(c.clip2x, 0) AS BIGINT) AS clip_a2x
+FROM g LEFT JOIN c ON g.okey = c.okey
+"""
+
+# round 10: concave staircase AOI — the three decomposition pieces
+# mirrored as a VALUES list (pinned against rectilinear_decompose by
+# tests/test_round10.py); closed-form overlap per piece, never a clip
+ORACLES["clip_concave_aoi"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole
+  FROM customer),
+p (px0, py0, px1, py1) AS (
+  VALUES (10, 5, 95, 20), (10, 20, 70, 35), (10, 35, 45, 50)),
+c AS (
+  SELECT okey,
+         SUM(2 * GREATEST(0, LEAST(x0 + w, px1) - GREATEST(x0, px0))
+               * GREATEST(0, LEAST(y0 + h, py1) - GREATEST(y0, py0))
+             - CASE WHEN has_hole THEN
+                 2 * GREATEST(0, LEAST(x0 + 1 + hw, px1)
+                                 - GREATEST(x0 + 1, px0))
+                   * GREATEST(0, LEAST(y0 + 1 + hh, py1)
+                                 - GREATEST(y0 + 1, py0))
+               ELSE 0 END) AS clip2x
+  FROM g CROSS JOIN p GROUP BY okey)
+SELECT g.okey,
+       CAST(2 * w * h
+            - CASE WHEN has_hole THEN 2 * hw * hh ELSE 0 END AS BIGINT)
+         AS poly_a2x,
+       CAST(COALESCE(c.clip2x, 0) AS BIGINT) AS clip_a2x
+FROM g LEFT JOIN c ON g.okey = c.okey
+"""
+
 # round 10: NLCD snap arithmetic recomputed with DIFFERENT algebra —
 # double TRUNC / ROUND here vs the Spark side's integral mod division
 # (both equal the reference's Python-2 int()/round() semantics)

@@ -803,6 +803,146 @@ def clip_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_convex_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection clip against a NON-RECTANGULAR convex AOI — the
+    diagonal-boundary half of arcpy.Clip_analysis's input surface
+    (gSSURGO_Clip.py:160 clips against arbitrary AOI featureclasses;
+    the rect queries cover only bounding boxes). AOI per customer: a
+    pentagon — the AOI rectangle with its upper-right corner cut by
+    the 45° half-plane x+y <= cc — expressed as a CCW directed-edge
+    list and clipped by chained general half-plane passes
+    (functions/geometry.py:_clip_halfplane_edge / clip_area2x_convex),
+    holes subtracting per ring. Subjects are the holes-family
+    rectangles, so every Sutherland–Hodgman intersection lands on the
+    integer grid (axis-aligned subject edges × slope-±1 or axis AOI
+    edges) and one final round makes the doubled area an exact BIGINT.
+    The oracle never clips a vertex: rect-overlap product minus the
+    corner inclusion–exclusion identity
+    area2x{x+y>=c in [a,b]x[p,q]} = f(b+q−c) − f(a+q−c) − f(b+p−c)
+    + f(a+p−c), f(u)=max(0,u)², applied to exterior and hole
+    independently. Map-only, zero shuffles."""
+    from .functions.geometry import clip_area2x_convex
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            F.lit("("),
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+            F.lit(")"),
+        )
+
+    wkt = F.concat(
+        F.lit("POLYGON ("),
+        ring(x0, y0, x0 + w, y0 + h),
+        F.when(
+            has_hole,
+            F.concat(F.lit(", "),
+                     ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+        ).otherwise(F.lit("")),
+        F.lit(")"),
+    )
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    # 45° corner cut: keep x+y <= cc; cc = corner sum − (k%4) cuts a
+    # leg-(k%4) triangle (0 = line through the corner, cuts nothing —
+    # the tangent edge case goes through the same pass)
+    cc = ax1 + ay1 - (k % 4).cast("double")
+    edges = [
+        ((ax0, ay0), (ax1, ay0)),          # y >= ay0
+        ((ax1, ay0), (ax1, ay1)),          # x <= ax1
+        ((cc, F.lit(0.0)), (cc - 1, F.lit(1.0))),  # x + y <= cc
+        ((ax1, ay1), (ax0, ay1)),          # y <= ay1
+        ((ax0, ay1), (ax0, ay0)),          # x >= ax0
+    ]
+    hole_a2x = F.when(has_hole, 2 * hw * hh).otherwise(F.lit(0))
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        (2 * w * h - hole_a2x).cast("long").alias("poly_a2x"),
+        clip_area2x_convex(wkt, edges).alias("clip_a2x"),
+    )
+
+
+#: staircase AOI for clip_concave_aoi — one CONSTANT concave
+#: rectilinear polygon clipping the whole layer (the realistic shape:
+#: one watershed/tile boundary against every mapunit polygon); its
+#: disjoint-rectangle decomposition is computed ONCE at plan build
+_STAIR_AOI = [
+    (10, 5), (95, 5), (95, 20), (70, 20),
+    (70, 35), (45, 35), (45, 50), (10, 50),
+]
+
+
+def clip_concave_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection clip against a CONCAVE AOI — the remaining input
+    shape of arcpy.Clip_analysis (gSSURGO_Clip.py:160) after the rect
+    and convex queries. A constant 3-step staircase polygon (classic
+    concave rectilinear boundary: tile mosaics, county steps) is
+    decomposed ONCE, driver-side, into disjoint rectangles
+    (functions/geometry.py:rectilinear_decompose — AOI is broadcast-
+    scale metadata, the data never touches Python), and the clipped
+    area is the SUM over pieces of the holes-aware rectangle clip
+    (clip_area2x_rectilinear): pieces are interior-disjoint so areas
+    add exactly, Sutherland–Hodgman per piece stays all-integer. The
+    oracle mirrors the three pieces as closed-form overlap products
+    (exterior − hole per piece) and never decomposes or clips.
+    Map-only, zero shuffles, plan size ∝ |pieces|, not data."""
+    from .functions.geometry import (
+        clip_area2x_rectilinear,
+        rectilinear_decompose,
+    )
+
+    pieces = rectilinear_decompose(_STAIR_AOI)
+    assert len(pieces) == 3, pieces  # staircase bands: documented shape
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            F.lit("("),
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+            F.lit(")"),
+        )
+
+    wkt = F.concat(
+        F.lit("POLYGON ("),
+        ring(x0, y0, x0 + w, y0 + h),
+        F.when(
+            has_hole,
+            F.concat(F.lit(", "),
+                     ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+        ).otherwise(F.lit("")),
+        F.lit(")"),
+    )
+    hole_a2x = F.when(has_hole, 2 * hw * hh).otherwise(F.lit(0))
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        (2 * w * h - hole_a2x).cast("long").alias("poly_a2x"),
+        clip_area2x_rectilinear(wkt, pieces).alias("clip_a2x"),
+    )
+
+
 def raster_snap_nlcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NLCD snap-grid alignment (SnapToNLCD,
     SSURGO_ExportMuRaster.py:175-335): the fixed-national-grid extent

@@ -652,3 +652,203 @@ def test_clip_geom_dispatch_properties(spark):
     assert len(got) == 150
     for r in got:
         assert r["got"] == r["want"] and r["got"] >= 0
+
+
+# --- general-AOI clip: convex edge lists + concave rectilinear ---------------
+
+
+def _py_clip_edges(pts, edges):
+    """Independent pure-Python Sutherland–Hodgman against arbitrary
+    directed half-plane edges (keep left of E->F) — the reference for
+    _clip_halfplane_edge / clip_ring_convex."""
+    for (ex, ey), (fx, fy) in edges:
+        dx, dy = fx - ex, fy - ey
+
+        def side(p):
+            return dx * (p[1] - ey) - dy * (p[0] - ex)
+
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            sa, sb = side(a), side(b)
+            ia, ib = sa >= 0, sb >= 0
+            if ia and ib:
+                out.append(b)
+            elif ia != ib:
+                t = sa / (sa - sb)
+                isect = (a[0] + (b[0] - a[0]) * t, a[1] + (b[1] - a[1]) * t)
+                out.append(isect)
+                if ib:
+                    out.append(b)
+        pts = out
+        if not pts:
+            return []
+    return pts
+
+
+def test_rectilinear_decompose_properties():
+    """Decomposition invariants on seeded-random staircases plus fixed
+    concave shapes: piece areas sum to the polygon's shoelace area,
+    pieces are pairwise interior-disjoint, and the staircase pinned in
+    the clip_concave_aoi oracle VALUES decomposes to exactly those
+    three rectangles."""
+    import random
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        rectilinear_decompose,
+    )
+    from soil_data_development_tools___arcmap_spark.q_tools import _STAIR_AOI
+
+    assert rectilinear_decompose(_STAIR_AOI) == [
+        (10, 5, 95, 20), (10, 20, 70, 35), (10, 35, 45, 50),
+    ]
+
+    def check(pts):
+        rects = rectilinear_decompose(pts)
+        area = sum(2 * (x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in rects)
+        assert area == _py_area2x(pts), (pts, rects)
+        for i in range(len(rects)):
+            for j in range(i + 1, len(rects)):
+                a, b = rects[i], rects[j]
+                assert (
+                    a[2] <= b[0] or b[2] <= a[0]
+                    or a[3] <= b[1] or b[3] <= a[1]
+                ), (a, b)
+
+    # U-shape and plus-sign (non-staircase concavity)
+    check([(0, 0), (10, 0), (10, 8), (7, 8), (7, 3), (3, 3), (3, 8),
+           (0, 8)])
+    check([(3, 0), (6, 0), (6, 3), (9, 3), (9, 6), (6, 6), (6, 9),
+           (3, 9), (3, 6), (0, 6), (0, 3), (3, 3)])
+
+    rng = random.Random(1041)
+    for _ in range(40):
+        # random monotone staircase: x shrinks as y climbs
+        steps = rng.randint(1, 6)
+        widths = sorted(
+            rng.sample(range(2, 40), steps), reverse=True
+        )
+        ys = sorted(rng.sample(range(0, 40), steps + 1))
+        pts = [(0, ys[0]), (widths[0], ys[0])]
+        for s in range(steps):
+            pts.append((widths[s], ys[s + 1]))
+            if s + 1 < steps:
+                pts.append((widths[s + 1], ys[s + 1]))
+        pts.append((0, ys[-1]))
+        check(pts)
+
+    # diagonal edges are rejected, not silently mis-decomposed
+    try:
+        rectilinear_decompose([(0, 0), (4, 0), (2, 3)])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_clip_convex_edges_vs_python_sh(spark):
+    """clip_area2x_convex on random convex-hull AOIs (true diagonal
+    edges) against random convex subjects must match the independent
+    pure-Python general-edge SH, and obey clip <= min(poly, AOI)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        all_rings_coords,
+        clip_ring_convex,
+        ring_area2x,
+        shoelace_area2x,
+    )
+
+    rng = random.Random(1042)
+    subjects = []
+    for i in range(60):
+        hull = []
+        while len(hull) < 3:
+            hull = _convex_hull(
+                [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(7)]
+            )
+        ring = hull + [hull[0]]
+        subjects.append(
+            (i, "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring)
+             + "))", hull)
+        )
+    df = spark.createDataFrame(
+        [(i, w) for i, w, _ in subjects], "id int, wkt string"
+    )
+    n_partial = 0
+    for _ in range(8):
+        aoi = []
+        while len(aoi) < 3:
+            aoi = _convex_hull(
+                [(rng.randint(-5, 55), rng.randint(-5, 55))
+                 for _ in range(6)]
+            )
+        edges = [
+            (aoi[j], aoi[(j + 1) % len(aoi)]) for j in range(len(aoi))
+        ]
+        got = {
+            r["id"]: (r["clip"], r["poly"])
+            for r in df.select(
+                "id",
+                ring_area2x(
+                    clip_ring_convex(all_rings_coords("wkt")[0], edges)
+                ).alias("clip"),
+                shoelace_area2x("wkt").cast("double").alias("poly"),
+            ).collect()
+        }
+        aoi_a2x = _py_area2x(aoi)
+        for i, _, hull in subjects:
+            want = _py_area2x(_py_clip_edges(hull, edges))
+            clip, poly = got[i]
+            assert abs(clip - want) <= 1e-6 * max(1.0, want), (
+                i, aoi, clip, want,
+            )
+            assert clip <= min(poly, aoi_a2x) + 1e-6
+            if 0 < clip < poly:
+                n_partial += 1
+    assert n_partial >= 40
+
+
+def test_clip_rectilinear_vs_piecewise_python(spark):
+    """clip_area2x_rectilinear over the staircase AOI equals the sum
+    of per-piece pure-Python rect clips, holes subtracting."""
+    import random
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        clip_area2x_rectilinear,
+        rectilinear_decompose,
+    )
+    from soil_data_development_tools___arcmap_spark.q_tools import _STAIR_AOI
+
+    pieces = rectilinear_decompose(_STAIR_AOI)
+    rng = random.Random(1043)
+    rows = []
+    for i in range(120):
+        x0, y0 = rng.randint(0, 100), rng.randint(0, 55)
+        w, h = rng.randint(1, 14), rng.randint(1, 9)
+        ext = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+        rings = ["(" + ", ".join(
+            f"{x} {y}" for x, y in ext + [ext[0]]) + ")"]
+        hole = None
+        if w >= 3 and h >= 3 and rng.random() < 0.6:
+            hw, hh = rng.randint(1, w - 2), rng.randint(1, h - 2)
+            hole = [(x0 + 1, y0 + 1), (x0 + 1 + hw, y0 + 1),
+                    (x0 + 1 + hw, y0 + 1 + hh), (x0 + 1, y0 + 1 + hh)]
+            rings.append("(" + ", ".join(
+                f"{x} {y}" for x, y in hole + [hole[0]]) + ")")
+        want = 0.0
+        for px0, py0, px1, py1 in pieces:
+            want += _py_area2x(_py_clip_rect(ext, px0, py0, px1, py1))
+            if hole is not None:
+                want -= _py_area2x(_py_clip_rect(hole, px0, py0, px1, py1))
+        rows.append((i, "POLYGON (" + ", ".join(rings) + ")", int(want)))
+    df = spark.createDataFrame(rows, "id int, wkt string, want long")
+    got = df.select(
+        "want", clip_area2x_rectilinear("wkt", pieces).alias("got")
+    ).collect()
+    assert len(got) == 120
+    assert sum(1 for r in got if r["got"] > 0) >= 20
+    for r in got:
+        assert r["got"] == r["want"]
