@@ -35,26 +35,61 @@ from ._qcore import (
 
 
 def valu1_aws_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CalcAWS: one pass over ALL depth ranges — the range list is an
-    exploded dimension (single scan), not the reference's 11 sequential
-    passes (gSSURGO_ValuTable.py:1481-1674)."""
-    ranges = F.array(
-        *[
-            F.struct(F.lit(t).alias("top"), F.lit(b).alias("bot"))
-            for t, b in [(0, 20), (20, 50), (50, 100), (0, 100)]
-        ]
+    """CalcAWS: one pass over ALL depth ranges — not the reference's 11
+    sequential passes (gSSURGO_ValuTable.py:1481-1674).
+
+    Scale shape (round 10): the ranges are CONDITIONAL AGGREGATE
+    COLUMNS over the raw horizon rows, not an exploded row dimension —
+    the horizon scan aggregates straight to one row per component
+    (2R sum columns) BEFORE any join, so the big shuffle carries
+    component-count rows once instead of R× the horizon rows, and the
+    component-weight join lands on already-aggregated rows (broadcast
+    at bench SF; co-partitioned equi-join at scale — still strictly
+    smaller than joining raw horizons). Only the component level is
+    exploded back to long form. All sums are exact integers (depths,
+    qty, cents), so the reshape is hash-identical to the row-dimension
+    form."""
+    ranges = [(0, 20), (20, 50), (50, 100), (0, 100)]
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        cents("o_totalprice").alias("o_w"),
     )
-    df = li_horizon(spark, sf_dir).withColumn("r", F.explode(ranges))
-    hz_t = F.greatest(
-        F.least(F.col("hzdepb"), F.col("r.bot"))
-        - F.greatest(F.col("hzdept"), F.col("r.top")),
-        F.lit(0),
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        ((F.col("l_linenumber") - 1) * 15).cast("long").alias("hzdept"),
+        (
+            (F.col("l_linenumber") - 1) * 15 + 5 + F.col("l_partkey") % 11
+        ).cast("long").alias("hzdepb"),
+        F.col("l_quantity").cast("long").alias("qty"),
     )
-    comp = (
-        df.groupBy("ckey", "okey", "o_w", "r.top", "r.bot")
-        .agg(F.sum(hz_t * F.col("qty")).alias("txv"), F.sum(hz_t).alias("t"))
-        .where(F.col("t") > 0)
-    )
+    aggs = []
+    for t, b in ranges:
+        hz_t = F.greatest(
+            F.least(F.col("hzdepb"), F.lit(b))
+            - F.greatest(F.col("hzdept"), F.lit(t)),
+            F.lit(0),
+        )
+        aggs.append(F.sum(hz_t * F.col("qty")).alias(f"__txv_{t}_{b}"))
+        aggs.append(F.sum(hz_t).alias(f"__t_{t}_{b}"))
+    comp_wide = li.groupBy("okey").agg(*aggs).join(orders, "okey")
+    comp = comp_wide.select(
+        "ckey",
+        "o_w",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("top"),
+                    F.lit(b).alias("bot"),
+                    F.col(f"__txv_{t}_{b}").alias("txv"),
+                    F.col(f"__t_{t}_{b}").alias("t"),
+                )
+                for t, b in ranges
+            ])
+        ).alias("r"),
+    ).select(
+        "ckey", "o_w", "r.top", "r.bot", "r.txv", "r.t"
+    ).where(F.col("t") > 0)
     return comp.groupBy("ckey", "top", "bot").agg(
         F.sum("o_w").alias("comppct_r"),
         F.floor((F.sum(F.col("o_w") * F.col("txv")) / F.sum("o_w")) * 10000)
