@@ -599,6 +599,64 @@ def point_in_polygon(wkt: str | Column, px: Column, py: Column) -> Column:
     return (total % 2 == 1).cast("int")
 
 
+def point_in_geom(wkt: str | Column, px: Column, py: Column) -> Column:
+    """Point-in-geometry over the FULL WKT surface — ``POLYGON`` (with
+    holes) or ``MULTIPOLYGON`` (multipart mapunits): the even-odd rule
+    is additive across rings, so summing ray crossings over ALL rings
+    of ALL parts gives containment for disjoint parts with holes in
+    one pass — no per-part dispatch needed. The flat ring parse strips
+    paren runs (``^\\(+|\\)+$``) and splits on ``\\)+, *\\(+`` so part
+    and ring boundaries flatten uniformly; the unanchored POLYGON
+    regex matches inside MULTIPOLYGON too. Same exact cross-multiplied
+    crossing arithmetic as ``point_in_ring`` (integral vertices +
+    non-edge-incident probes ⇒ exact BIGINT decisions). Map-only."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    rings = F.split(
+        F.regexp_replace(
+            F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1),
+            r"^\(+|\)+$",
+            "",
+        ),
+        r"\)+\s*,\s*\(+",
+    )
+
+    def ring_crossings(ring_str: Column) -> Column:
+        def one(cc):
+            n = F.size(cc)
+            return F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.when(
+                        (cc[i]["y"] > py) != (cc[(i + 1) % n]["y"] > py),
+                        F.when(
+                            (
+                                (px - cc[i]["x"])
+                                * (cc[(i + 1) % n]["y"] - cc[i]["y"])
+                                < (cc[(i + 1) % n]["x"] - cc[i]["x"])
+                                * (py - cc[i]["y"])
+                            )
+                            == (cc[(i + 1) % n]["y"] > cc[i]["y"]),
+                            F.lit(1),
+                        ).otherwise(F.lit(0)),
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+
+        return _let(
+            _ring_pts(ring_str),
+            lambda cc: F.when(F.size(cc) < 3, F.lit(0)).otherwise(one(cc)),
+        )
+
+    total = F.aggregate(
+        F.transform(rings, ring_crossings),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (total % 2 == 1).cast("int")
+
+
 def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:
     """Ray-casting point-in-polygon over the exterior WKT ring — the
     select-by-location core of the clip tool (gSSURGO_Clip.py runs the

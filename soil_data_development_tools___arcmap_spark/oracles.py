@@ -3121,6 +3121,36 @@ SELECT okey,
 FROM g
 """
 
+# round 10: multipart containment — truth from rectangle bounds
+# ((in ext AND NOT in hole) OR in part 2), never a ray cast
+ORACLES["clip_select_multipart"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         (c_custkey % 100) * 2 AS x0, (c_custkey % 57) * 2 AS y0,
+         (c_custkey % 100) * 2 + (c_custkey % 13 + 2) * 2 AS x1,
+         (c_custkey % 57) * 2 + (c_custkey % 7 + 2) * 2 AS y1,
+         (c_custkey % 100) * 2 + 2 AS hx0, (c_custkey % 57) * 2 + 2 AS hy0,
+         LEAST((c_custkey % 100) * 2 + 2 + (c_custkey % 3 + 1) * 2,
+               (c_custkey % 100) * 2 + (c_custkey % 13 + 2) * 2) AS hx1,
+         (c_custkey % 57) * 2 + 4 AS hy1,
+         (c_custkey % 100) * 2 + 40 AS px0,
+         (c_custkey % 57) * 2 AS py0,
+         (c_custkey % 100) * 2 + 40 + (c_custkey % 4 + 1) * 2 AS px1,
+         (c_custkey % 57) * 2 + (c_custkey % 3 + 1) * 2 AS py1,
+         (c_custkey % 3 = 0) AS plain,
+         (c_custkey % 100) * 2 + (c_custkey % 29) * 2 - 9 AS px,
+         (c_custkey % 57) * 2 + (c_custkey % 19) * 2 - 7 AS py
+  FROM customer)
+SELECT okey, px, py,
+       CAST(CASE WHEN
+              (px > x0 AND px < x1 AND py > y0 AND py < y1
+               AND NOT (px > hx0 AND px < hx1 AND py > hy0 AND py < hy1))
+              OR (NOT plain AND px > px0 AND px < px1
+                  AND py > py0 AND py < py1)
+            THEN 1 ELSE 0 END AS INTEGER) AS inside
+FROM g
+"""
+
 # round 10: convex pentagon AOI — closed-form rect overlap minus the
 # corner inclusion–exclusion cut, exterior and hole independently;
 # never runs a vertex clip

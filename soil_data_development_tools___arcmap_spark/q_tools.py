@@ -803,6 +803,64 @@ def clip_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_select_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select-by-location over the FULL WKT surface — MULTIPOLYGON
+    parts with interior holes plus plain POLYGON rows through one
+    dispatch-free parse (functions/geometry.py:point_in_geom; the
+    even-odd rule sums crossings across all rings of all parts). The
+    containment half of the reference's clip tool for multipart
+    mapunits (gSSURGO_Clip.py Select By Location; multipart polygons
+    are routine in real gSSURGO). Even-grid geometry, odd-grid probes
+    (never edge-incident) — exact integer crossing decisions; oracle
+    truth from rectangle bounds: (in ext AND NOT in hole) OR in
+    part 2. Map-only, zero shuffles."""
+    from .functions.geometry import point_in_geom
+
+    k = F.col("c_custkey")
+    x0, y0 = (k % 100) * 2, (k % 57) * 2
+    w = (k % 13 + 2) * 2
+    h = (k % 7 + 2) * 2
+    x1, y1 = x0 + w, y0 + h
+    hx0, hy0 = x0 + 2, y0 + 2
+    hx1 = F.least(hx0 + (k % 3 + 1) * 2, x1)
+    hy1 = hy0 + 2
+    px0, py0 = x0 + 40, y0            # part 2: rectangle 40 m east
+    px1 = px0 + (k % 4 + 1) * 2
+    py1 = py0 + (k % 3 + 1) * 2
+    plain = k % 3 == 0
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(a, b, c, d):
+        return F.concat(
+            F.lit("("), pt(a, b), sep, pt(c, b), sep, pt(c, d), sep,
+            pt(a, d), sep, pt(a, b), F.lit(")"),
+        )
+
+    part1 = F.concat(
+        ring(x0, y0, x1, y1), F.lit(", "), ring(hx0, hy0, hx1, hy1)
+    )
+    wkt = F.when(
+        plain, F.concat(F.lit("POLYGON ("), part1, F.lit(")"))
+    ).otherwise(
+        F.concat(
+            F.lit("MULTIPOLYGON (("), part1, F.lit("), ("),
+            ring(px0, py0, px1, py1), F.lit("))"),
+        )
+    )
+    # probe roams far enough right to land in part 2 for some customers
+    px = x0 + (k % 29) * 2 - 9  # odd: misses every even-grid edge
+    py = y0 + (k % 19) * 2 - 7
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        px.alias("px"),
+        py.alias("py"),
+        point_in_geom(wkt, px, py).alias("inside"),
+    )
+
+
 def clip_convex_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intersection clip against a NON-RECTANGULAR convex AOI — the
     diagonal-boundary half of arcpy.Clip_analysis's input surface

@@ -852,3 +852,77 @@ def test_clip_rectilinear_vs_piecewise_python(spark):
     assert sum(1 for r in got if r["got"] > 0) >= 20
     for r in got:
         assert r["got"] == r["want"]
+
+
+def test_point_in_geom_vs_python(spark):
+    """point_in_geom vs a pure-Python even-odd crossings reference on
+    random MULTIPOLYGONs (parts + holes) and plain POLYGONs with
+    never-edge-incident probes."""
+    import random
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        point_in_geom,
+    )
+
+    def py_inside(rings, px, py):
+        total = 0
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+                if (y1 > py) != (y2 > py):
+                    if ((px - x1) * (y2 - y1) < (x2 - x1) * (py - y1)) == (
+                        y2 > y1
+                    ):
+                        total += 1
+        return total % 2
+
+    rng = random.Random(1044)
+    rows = []
+    for i in range(250):
+        rings = []
+        n_parts = rng.randint(1, 3)
+        parts_wkt = []
+        for p in range(n_parts):
+            x0 = rng.randint(0, 40) * 2 + p * 100
+            y0 = rng.randint(0, 40) * 2
+            x1 = x0 + rng.randint(2, 12) * 2
+            y1 = y0 + rng.randint(2, 12) * 2
+            ext = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+            rr = [ext]
+            part = ["(" + ", ".join(
+                f"{x} {y}" for x, y in ext + [ext[0]]) + ")"]
+            if x1 - x0 >= 6 and y1 - y0 >= 6 and rng.random() < 0.7:
+                hole = [(x0 + 2, y0 + 2), (x1 - 2, y0 + 2),
+                        (x1 - 2, y1 - 2), (x0 + 2, y1 - 2)]
+                rr.append(hole)
+                part.append("(" + ", ".join(
+                    f"{x} {y}" for x, y in hole + [hole[0]]) + ")")
+            rings.extend(rr)
+            parts_wkt.append("(" + ", ".join(part) + ")")
+        if n_parts == 1 and rng.random() < 0.5:
+            wkt = "POLYGON " + parts_wkt[0]
+        else:
+            wkt = "MULTIPOLYGON (" + ", ".join(parts_wkt) + ")"
+        # odd-coordinate probe: never on an even-grid edge; biased
+        # near a random part's bbox so insides genuinely occur
+        if rng.random() < 0.75:
+            bx0, by0 = rings[0][0]
+            bx1, by1 = rings[0][2]
+            px = rng.randint(bx0 // 2 - 2, bx1 // 2 + 2) * 2 + 1
+            py = rng.randint(by0 // 2 - 2, by1 // 2 + 2) * 2 + 1
+        else:
+            px = rng.randint(-5, 130) * 2 + 1
+            py = rng.randint(-5, 50) * 2 + 1
+        rows.append((i, wkt, px, py, py_inside(rings, px, py)))
+    df = spark.createDataFrame(
+        rows, "id int, wkt string, px long, py long, want int"
+    )
+    got = df.select(
+        "want",
+        point_in_geom("wkt", F.col("px"), F.col("py")).alias("got"),
+    ).collect()
+    assert len(got) == 250
+    assert sum(r["want"] for r in got) >= 20  # fixture hits insides
+    for r in got:
+        assert r["got"] == r["want"]
