@@ -527,6 +527,105 @@ def rectilinear_decompose(
     return rects
 
 
+def triangulate_simple_polygon(
+    pts: list[tuple[float, float]]
+) -> list[list[tuple[float, float]]]:
+    """Ear-clipping triangulation of a simple polygon (either
+    orientation, closing vertex optional) into CCW triangles —
+    driver-side pure Python, completing the AOI story: ANY simple
+    concave AOI decomposes into convex (triangle) pieces for
+    ``clip_ring_convex``, clipped areas summing exactly because the
+    triangles are interior-disjoint. O(n²) is irrelevant here: the
+    AOI is one small polygon (broadcast-scale metadata), never data.
+
+    Reference parity: arcpy.Clip_analysis (gSSURGO_Clip.py:160)
+    accepts arbitrary AOI polygons; together with
+    ``rectilinear_decompose`` (fewer, larger pieces for gridded AOIs)
+    this covers the full simple-polygon AOI surface."""
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    n = len(pts)
+    if n < 3:
+        return []
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    # normalize to CCW (positive signed area)
+    signed2x = sum(
+        pts[i][0] * pts[(i + 1) % n][1] - pts[(i + 1) % n][0] * pts[i][1]
+        for i in range(n)
+    )
+    poly = list(pts) if signed2x > 0 else list(reversed(pts))
+
+    def point_in_tri(p, a, b, c):
+        d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+    tris: list[list[tuple[float, float]]] = []
+    guard = 0
+    while len(poly) > 3:
+        guard += 1
+        if guard > 10000:
+            raise ValueError("triangulate: not a simple polygon?")
+        m = len(poly)
+        clipped = False
+        for i in range(m):
+            a, b, c = poly[i - 1], poly[i], poly[(i + 1) % m]
+            if cross(a, b, c) <= 0:  # reflex or collinear: not an ear
+                continue
+            if any(
+                point_in_tri(q, a, b, c)
+                for q in poly
+                if q not in (a, b, c)
+            ):
+                continue
+            tris.append([a, b, c])
+            poly.pop(i)
+            clipped = True
+            break
+        if not clipped:
+            raise ValueError("triangulate: no ear found (degenerate input)")
+    tris.append(list(poly))
+    return tris
+
+
+def convex_piece_edges(
+    piece: list[tuple[float, float]]
+) -> list[tuple[tuple[float, float], tuple[float, float]]]:
+    """CCW directed-edge list of one convex piece — the
+    ``clip_ring_convex`` input form."""
+    n = len(piece)
+    return [(piece[i], piece[(i + 1) % n]) for i in range(n)]
+
+
+def clip_area2x_pieces(wkt: str | Column, pieces) -> Column:
+    """Doubled polygon∩AOI area for an AOI given as DISJOINT convex
+    pieces (vertex lists, CCW or any orientation per
+    ``triangulate_simple_polygon`` output): Σ over pieces of the
+    holes-aware convex clip — the fully-general concave-AOI form
+    (rectilinear AOIs should prefer ``clip_area2x_rectilinear``'s
+    fewer, axis-aligned pieces). Map-only; plan ∝ Σ piece edges."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    rings = _let(
+        F.regexp_replace(
+            F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1), r"^\(|\)$", ""
+        ),
+        lambda body: F.split(body, r"\)\s*,\s*\("),
+    )
+    if not pieces:
+        return F.lit(0).cast("long")
+
+    def total(rb: Column) -> Column:
+        s = None
+        for piece in pieces:
+            term = _rings_clip_area2x_convex(rb, convex_piece_edges(piece))
+            s = term if s is None else s + term
+        return s
+
+    return F.round(_let(rings, total)).cast("long")
+
+
 def clip_area2x_rectilinear(
     wkt: str | Column, pieces: list[tuple[float, float, float, float]]
 ) -> Column:

@@ -3231,6 +3231,51 @@ SELECT g.okey,
 FROM g LEFT JOIN c ON g.okey = c.okey
 """
 
+# round 10: concave-diagonal AOI — the oracle computes the clip on
+# the UNION's closed form (bottom rect [10,90]x[5,25] + top piece
+# [10,50]x[25,45] cut by x+y<=75), never seeing the triangulation
+ORACLES["clip_concave_diagonal_aoi"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole
+  FROM customer),
+r AS (
+  SELECT okey, 1 AS sgn, x0 AS sx0, y0 AS sy0,
+         x0 + w AS sx1, y0 + h AS sy1 FROM g
+  UNION ALL
+  SELECT okey, -1, x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh
+  FROM g WHERE has_hole),
+c AS (
+  SELECT okey,
+         SUM(sgn * (
+           2 * GREATEST(0, LEAST(sx1, 90) - GREATEST(sx0, 10))
+             * GREATEST(0, LEAST(sy1, 25) - GREATEST(sy0, 5))
+           + CASE WHEN LEAST(sx1, 50) > GREATEST(sx0, 10)
+                   AND LEAST(sy1, 45) > GREATEST(sy0, 25) THEN
+               2 * (LEAST(sx1, 50) - GREATEST(sx0, 10))
+                 * (LEAST(sy1, 45) - GREATEST(sy0, 25))
+               - (GREATEST(0, LEAST(sx1, 50) + LEAST(sy1, 45) - 75)
+                    * GREATEST(0, LEAST(sx1, 50) + LEAST(sy1, 45) - 75)
+                  - GREATEST(0, GREATEST(sx0, 10) + LEAST(sy1, 45) - 75)
+                    * GREATEST(0, GREATEST(sx0, 10) + LEAST(sy1, 45) - 75)
+                  - GREATEST(0, LEAST(sx1, 50) + GREATEST(sy0, 25) - 75)
+                    * GREATEST(0, LEAST(sx1, 50) + GREATEST(sy0, 25) - 75)
+                  + GREATEST(0, GREATEST(sx0, 10) + GREATEST(sy0, 25) - 75)
+                    * GREATEST(0, GREATEST(sx0, 10) + GREATEST(sy0, 25) - 75))
+             ELSE 0 END)) AS clip2x
+  FROM r GROUP BY okey)
+SELECT g.okey,
+       CAST(2 * w * h
+            - CASE WHEN has_hole THEN 2 * hw * hh ELSE 0 END AS BIGINT)
+         AS poly_a2x,
+       CAST(COALESCE(c.clip2x, 0) AS BIGINT) AS clip_a2x
+FROM g LEFT JOIN c ON g.okey = c.okey
+"""
+
 # round 10: NLCD snap arithmetic recomputed with DIFFERENT algebra —
 # double TRUNC / ROUND here vs the Spark side's integral mod division
 # (both equal the reference's Python-2 int()/round() semantics)

@@ -933,6 +933,88 @@ def clip_convex_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: concave AOI with a DIAGONAL boundary for clip_concave_diagonal_aoi:
+#: an L-shape whose notch is cut at 45° (reflex vertex at (50,25);
+#: hypotenuse on x+y=75) — the AOI shape neither the rectilinear
+#: decomposition (diagonal edge) nor a single convex edge list
+#: (reflex vertex) can take alone
+_LDIAG_AOI = [(10, 5), (90, 5), (90, 25), (50, 25), (30, 45), (10, 45)]
+
+
+def clip_concave_diagonal_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection clip against a concave AOI with a DIAGONAL
+    boundary — the last AOI shape class of arcpy.Clip_analysis
+    (gSSURGO_Clip.py:160): concave (reflex vertex) AND non-rectilinear
+    (45° hypotenuse), so neither prior decomposition applies alone.
+    The AOI is EAR-CLIPPED into disjoint convex triangles driver-side
+    (functions/geometry.py:triangulate_simple_polygon — AOI is
+    broadcast-scale metadata) and the clipped area is Σ over triangles
+    of the general-edge convex clip (clip_area2x_pieces): disjoint
+    pieces ⇒ areas add; triangle-internal diagonals introduce only
+    ulp-level double noise on piece areas whose SUM is the exact
+    integer the final round recovers (boundary edges are axis/45°, so
+    the union's true area is integer). The oracle never decomposes:
+    it computes the clip on the union's closed form — bottom-rect
+    overlap + (top-box overlap − x+y≥75 corner inclusion–exclusion
+    cut). A build-time assertion pins Σ triangle areas == AOI
+    shoelace area. Map-only, zero shuffles."""
+    from .functions.geometry import (
+        clip_area2x_pieces,
+        triangulate_simple_polygon,
+    )
+
+    tris = triangulate_simple_polygon(_LDIAG_AOI)
+    n = len(_LDIAG_AOI)
+    aoi_a2x = abs(sum(
+        _LDIAG_AOI[i][0] * _LDIAG_AOI[(i + 1) % n][1]
+        - _LDIAG_AOI[(i + 1) % n][0] * _LDIAG_AOI[i][1]
+        for i in range(n)
+    ))
+    tri_a2x = sum(
+        abs(
+            (t[1][0] - t[0][0]) * (t[2][1] - t[0][1])
+            - (t[2][0] - t[0][0]) * (t[1][1] - t[0][1])
+        )
+        for t in tris
+    )
+    assert tri_a2x == aoi_a2x and len(tris) == n - 2, (tris, aoi_a2x)
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            F.lit("("),
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+            F.lit(")"),
+        )
+
+    wkt = F.concat(
+        F.lit("POLYGON ("),
+        ring(x0, y0, x0 + w, y0 + h),
+        F.when(
+            has_hole,
+            F.concat(F.lit(", "),
+                     ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+        ).otherwise(F.lit("")),
+        F.lit(")"),
+    )
+    hole_a2x = F.when(has_hole, 2 * hw * hh).otherwise(F.lit(0))
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        (2 * w * h - hole_a2x).cast("long").alias("poly_a2x"),
+        clip_area2x_pieces(wkt, tris).alias("clip_a2x"),
+    )
+
+
 #: staircase AOI for clip_concave_aoi — one CONSTANT concave
 #: rectilinear polygon clipping the whole layer (the realistic shape:
 #: one watershed/tile boundary against every mapunit polygon); its

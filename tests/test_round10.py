@@ -926,3 +926,103 @@ def test_point_in_geom_vs_python(spark):
     assert sum(r["want"] for r in got) >= 20  # fixture hits insides
     for r in got:
         assert r["got"] == r["want"]
+
+
+def test_triangulate_simple_polygon_properties():
+    """Ear-clipping invariants on fixed concave shapes and seeded
+    random star-shaped polygons (simple by construction): n-2 CCW
+    triangles whose doubled areas sum to the polygon's shoelace."""
+    import math
+    import random
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        triangulate_simple_polygon,
+    )
+    from soil_data_development_tools___arcmap_spark.q_tools import _LDIAG_AOI, _STAIR_AOI
+
+    def tri_a2x(t):
+        return abs(
+            (t[1][0] - t[0][0]) * (t[2][1] - t[0][1])
+            - (t[2][0] - t[0][0]) * (t[1][1] - t[0][1])
+        )
+
+    def ccw(t):
+        return (
+            (t[1][0] - t[0][0]) * (t[2][1] - t[0][1])
+            - (t[2][0] - t[0][0]) * (t[1][1] - t[0][1])
+        ) > 0
+
+    def check(pts):
+        tris = triangulate_simple_polygon(pts)
+        assert len(tris) == len(pts) - 2
+        assert all(ccw(t) for t in tris)
+        assert sum(tri_a2x(t) for t in tris) == _py_area2x(pts)
+
+    check(_LDIAG_AOI)
+    check(_STAIR_AOI)
+    check([(0, 0), (10, 0), (10, 8), (7, 8), (7, 3), (3, 3), (3, 8),
+           (0, 8)])  # U-shape
+    # clockwise input is normalized
+    check(list(reversed(_LDIAG_AOI)))
+
+    rng = random.Random(1045)
+    for _ in range(40):
+        n = rng.randint(3, 12)
+        angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+        if len(set(angles)) < n:
+            continue
+        radii = [rng.uniform(5, 25) for _ in angles]
+        pts = [
+            (round(30 + r * math.cos(a), 3),
+             round(30 + r * math.sin(a), 3))
+            for a, r in zip(angles, radii)
+        ]
+        tris = triangulate_simple_polygon(pts)
+        assert len(tris) == n - 2
+        got = sum(tri_a2x(t) for t in tris)
+        want = _py_area2x(pts)
+        assert abs(got - want) <= 1e-6 * max(1.0, want)
+
+
+def test_clip_pieces_vs_python_sh(spark):
+    """clip_area2x_pieces over ear-clipped concave AOIs (arbitrary
+    internal diagonals) must match the Σ of pure-Python general-edge
+    SH clips per triangle, rounded — on integer-rect subjects whose
+    true union-clip areas are integers."""
+    import random
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        clip_area2x_pieces,
+        triangulate_simple_polygon,
+    )
+    from soil_data_development_tools___arcmap_spark.q_tools import _LDIAG_AOI
+
+    rng = random.Random(1046)
+    for aoi in [
+        _LDIAG_AOI,
+        [(0, 0), (40, 0), (40, 12), (22, 12), (30, 30), (12, 30),
+         (12, 18), (0, 18)],  # two reflex vertices, one diagonal edge
+    ]:
+        tris = triangulate_simple_polygon(aoi)
+        edges_per_tri = [
+            [(t[i], t[(i + 1) % 3]) for i in range(3)] for t in tris
+        ]
+        rows = []
+        for i in range(80):
+            x0, y0 = rng.randint(-5, 85), rng.randint(-5, 40)
+            w, h = rng.randint(1, 14), rng.randint(1, 9)
+            ext = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            wkt = "POLYGON ((" + ", ".join(
+                f"{x} {y}" for x, y in ext + [ext[0]]) + "))"
+            want = sum(
+                _py_area2x(_py_clip_edges(ext, e)) for e in edges_per_tri
+            )
+            rows.append((i, wkt, int(round(want))))
+        df = spark.createDataFrame(rows, "id int, wkt string, want long")
+        got = df.select(
+            "want", clip_area2x_pieces("wkt", tris).alias("got")
+        ).collect()
+        assert len(got) == 80
+        assert sum(1 for r in got if r["got"] > 0) >= 15
+        for r in got:
+            assert r["got"] == r["want"]
