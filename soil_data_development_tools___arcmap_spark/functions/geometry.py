@@ -698,6 +698,99 @@ def point_in_polygon(wkt: str | Column, px: Column, py: Column) -> Column:
     return (total % 2 == 1).cast("int")
 
 
+def normalize_ring(ring: Column) -> Column:
+    """Canonical form of an OPEN ring: drop consecutive duplicate
+    vertices (wraparound included), drop collinear vertices (cross of
+    immediate original neighbors — one pass clears straight runs),
+    then rotate so the lexicographically-smallest (x, y) vertex leads.
+    Sutherland–Hodgman emits duplicates/collinear points when subject
+    edges lie ON clip boundaries; two SH outputs of the same region —
+    or an SH output and a closed-form construction — compare equal
+    only after this normalization. Exact for the integer-coordinate
+    clip syntheses (every comparison is on exactly-represented
+    doubles). Map-only Column expression."""
+
+    def run(c: Column) -> Column:
+        n = F.size(c)
+        dedup = F.filter(
+            c,
+            lambda p, i: ~(
+                (p["x"] == c[(i + 1) % n]["x"])
+                & (p["y"] == c[(i + 1) % n]["y"])
+            ),
+        )
+
+        def drop_collinear(d: Column) -> Column:
+            m = F.size(d)
+            return F.filter(
+                d,
+                lambda p, i: (
+                    (p["x"] - d[(i + m - 1) % m]["x"])
+                    * (d[(i + 1) % m]["y"] - d[(i + m - 1) % m]["y"])
+                    - (p["y"] - d[(i + m - 1) % m]["y"])
+                    * (d[(i + 1) % m]["x"] - d[(i + m - 1) % m]["x"])
+                )
+                != 0,
+            )
+
+        def rotate(d: Column) -> Column:
+            m = F.size(d)
+            lead = F.aggregate(
+                F.sequence(F.lit(1), m - 1),
+                F.lit(0),
+                lambda best, i: F.when(
+                    (d[i]["x"] < d[best]["x"])
+                    | (
+                        (d[i]["x"] == d[best]["x"])
+                        & (d[i]["y"] < d[best]["y"])
+                    ),
+                    i,
+                ).otherwise(best),
+            )
+            return F.concat(
+                F.slice(d, lead + 1, m - lead), F.slice(d, 1, lead)
+            )
+
+        deduped = _let(dedup, lambda d: F.when(F.size(d) < 3, d).otherwise(
+            drop_collinear(d)
+        ))
+        return _let(
+            deduped,
+            lambda d: F.when(F.size(d) < 3, d).otherwise(rotate(d)),
+        )
+
+    return _let(ring, run)
+
+
+def ring_to_wkt(ring: Column) -> Column:
+    """OPEN integer-valued ring → WKT ``POLYGON ((x y, ..., x y))``
+    text with the closing vertex re-appended, or ``POLYGON EMPTY``
+    when fewer than 3 vertices remain — the geometry OUTPUT of the
+    clip (Clip_analysis returns clipped features, not areas;
+    gSSURGO_Clip.py:160). Coordinates print as BIGINT (the integer
+    clip syntheses guarantee exact integer vertices)."""
+
+    def fmt(p):
+        return F.concat(
+            p["x"].cast("long").cast("string"),
+            F.lit(" "),
+            p["y"].cast("long").cast("string"),
+        )
+
+    return _let(
+        ring,
+        lambda r: F.when(F.size(r) < 3, F.lit("POLYGON EMPTY")).otherwise(
+            F.concat(
+                F.lit("POLYGON (("),
+                F.array_join(F.transform(r, fmt), ", "),
+                F.lit(", "),
+                fmt(r[0]),
+                F.lit("))"),
+            )
+        ),
+    )
+
+
 def point_in_geom(wkt: str | Column, px: Column, py: Column) -> Column:
     """Point-in-geometry over the FULL WKT surface — ``POLYGON`` (with
     holes) or ``MULTIPOLYGON`` (multipart mapunits): the even-odd rule

@@ -3121,6 +3121,37 @@ SELECT okey,
 FROM g
 """
 
+# round 10: clipped-GEOMETRY oracle — constructs the overlap
+# rectangle's canonical WKT (CCW from the lexicographic-min vertex)
+# straight from the closed form; string equality certifies the
+# clipped vertex set, not just its area
+ORACLES["clip_polygon_wkt"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 100 + c_custkey % 13 + 1 AS x1,
+         c_custkey % 57 + c_custkey % 7 + 1 AS y1,
+         c_custkey % 100 + c_custkey % 5 - 2 AS ax0,
+         c_custkey % 57 + c_custkey % 4 - 1 AS ay0,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1 AS ax1,
+         c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1 AS ay1
+  FROM customer),
+o AS (
+  SELECT okey,
+         GREATEST(x0, ax0) AS a, LEAST(x1, ax1) AS b,
+         GREATEST(y0, ay0) AS p, LEAST(y1, ay1) AS q
+  FROM g)
+SELECT okey,
+       CASE WHEN b > a AND q > p THEN
+         'POLYGON ((' || a || ' ' || p || ', ' || b || ' ' || p || ', '
+           || b || ' ' || q || ', ' || a || ' ' || q || ', '
+           || a || ' ' || p || '))'
+       ELSE 'POLYGON EMPTY' END AS clip_wkt,
+       CAST(CASE WHEN b > a AND q > p THEN 2 * (b - a) * (q - p)
+            ELSE 0 END AS BIGINT) AS clip_a2x
+FROM o
+"""
+
 # round 10: multipart containment — truth from rectangle bounds
 # ((in ext AND NOT in hole) OR in part 2), never a ray cast
 ORACLES["clip_select_multipart"] = """

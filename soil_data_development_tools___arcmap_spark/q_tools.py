@@ -803,6 +803,53 @@ def clip_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_polygon_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clip's GEOMETRY output — Clip_analysis returns clipped
+    FEATURES, not areas (gSSURGO_Clip.py:160); the area queries cover
+    the acreage half only. Per customer: rect subject ∩ rect AOI,
+    clipped by the same Sutherland–Hodgman passes, then CANONICALIZED
+    (functions/geometry.py:normalize_ring — consecutive-duplicate and
+    collinear vertices SH emits on boundary-aligned edges dropped,
+    ring rotated to the lexicographic-min vertex) and serialized back
+    to WKT with integer coordinates (ring_to_wkt; 'POLYGON EMPTY' when
+    the intersection is empty or degenerate). The oracle CONSTRUCTS
+    the overlap rectangle's canonical WKT directly from the closed
+    form — matching strings certify the clipped vertex set itself,
+    not just its area. Orientation note: subjects are CCW and SH
+    preserves orientation, so the canonical ring runs (a p, b p, b q,
+    a q). Map-only, zero shuffles."""
+    from .functions.geometry import (
+        clip_ring_to_rect,
+        normalize_ring,
+        ring_area2x,
+        ring_to_wkt,
+    )
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    x1, y1 = x0 + w, y0 + h
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
+        sep, pt(x0, y0), F.lit("))"),
+    )
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    clipped = clip_ring_to_rect(wkt, ax0, ay0, ax1, ay1)
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        ring_to_wkt(normalize_ring(clipped)).alias("clip_wkt"),
+        F.round(ring_area2x(clipped)).cast("long").alias("clip_a2x"),
+    )
+
+
 def clip_select_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select-by-location over the FULL WKT surface — MULTIPOLYGON
     parts with interior holes plus plain POLYGON rows through one

@@ -1026,3 +1026,78 @@ def test_clip_pieces_vs_python_sh(spark):
         assert sum(1 for r in got if r["got"] > 0) >= 15
         for r in got:
             assert r["got"] == r["want"]
+
+
+def test_clip_wkt_normalization_vs_python(spark):
+    """Clipped-GEOMETRY output: normalize_ring(SH output) serialized
+    to WKT must equal the canonical form of an independent pure-Python
+    SH + normalization — with the fixture biased so subject edges
+    frequently lie EXACTLY ON AOI bounds (the duplicate/collinear
+    emission cases normalization exists for)."""
+    import random
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        clip_ring_to_rect,
+        normalize_ring,
+        ring_to_wkt,
+    )
+
+    def py_normalize(pts):
+        out = [
+            p for i, p in enumerate(pts)
+            if p != pts[(i + 1) % len(pts)]
+        ]
+        if len(out) >= 3:
+            m = len(out)
+            out = [
+                p for i, p in enumerate(out)
+                if (p[0] - out[i - 1][0]) * (out[(i + 1) % m][1] - out[i - 1][1])
+                - (p[1] - out[i - 1][1]) * (out[(i + 1) % m][0] - out[i - 1][0])
+                != 0
+            ]
+        if len(out) < 3:
+            return "POLYGON EMPTY"
+        lead = min(range(len(out)), key=lambda i: out[i])
+        out = out[lead:] + out[:lead]
+        body = ", ".join(f"{int(x)} {int(y)}" for x, y in out)
+        first = f"{int(out[0][0])} {int(out[0][1])}"
+        return f"POLYGON (({body}, {first}))"
+
+    rng = random.Random(1047)
+    rows = []
+    for i in range(300):
+        x0, y0 = rng.randint(0, 40), rng.randint(0, 40)
+        w, h = rng.randint(1, 12), rng.randint(1, 12)
+        ext = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+        wkt = "POLYGON ((" + ", ".join(
+            f"{x} {y}" for x, y in ext + [ext[0]]) + "))"
+        if rng.random() < 0.5:
+            # boundary-aligned AOI: shares edges with the subject
+            ax0, ay0 = x0, y0
+            ax1 = x0 + rng.randint(0, w + 2)
+            ay1 = y0 + rng.randint(0, h + 2)
+        else:
+            ax0, ay0 = rng.randint(-5, 45), rng.randint(-5, 45)
+            ax1 = ax0 + rng.randint(1, 15)
+            ay1 = ay0 + rng.randint(1, 15)
+        want = py_normalize(
+            [(x, y) for x, y in _py_clip_rect(ext, ax0, ay0, ax1, ay1)]
+        )
+        rows.append((i, wkt, float(ax0), float(ay0), float(ax1),
+                     float(ay1), want))
+    df = spark.createDataFrame(
+        rows,
+        "id int, wkt string, ax0 double, ay0 double, ax1 double,"
+        " ay1 double, want string",
+    )
+    got = df.select(
+        "want",
+        ring_to_wkt(normalize_ring(clip_ring_to_rect(
+            "wkt", F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")
+        ))).alias("got"),
+    ).collect()
+    assert len(got) == 300
+    n_empty = sum(1 for r in got if r["got"] == "POLYGON EMPTY")
+    assert 10 <= n_empty <= 290  # both outcomes genuinely exercised
+    for r in got:
+        assert r["got"] == r["want"], r
