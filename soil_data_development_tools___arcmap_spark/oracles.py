@@ -3152,6 +3152,58 @@ SELECT okey,
 FROM o
 """
 
+# round 10: multi-ring clipped-geometry oracle — both overlap rects
+# constructed in canonical form; EMPTY when the exterior's clip dies
+# or the hole's clip fills it (AOI inside the lake)
+ORACLES["clip_polygon_wkt_holes"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole,
+         c_custkey % 100 + c_custkey % 5 - 2 AS ax0,
+         c_custkey % 57 + c_custkey % 4 - 1 AS ay0,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1 AS ax1,
+         c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1 AS ay1
+  FROM customer),
+o AS (
+  SELECT okey, has_hole,
+         GREATEST(x0, ax0) AS a, LEAST(x0 + w, ax1) AS b,
+         GREATEST(y0, ay0) AS p, LEAST(y0 + h, ay1) AS q,
+         GREATEST(x0 + 1, ax0) AS ja, LEAST(x0 + 1 + hw, ax1) AS jb,
+         GREATEST(y0 + 1, ay0) AS jp, LEAST(y0 + 1 + hh, ay1) AS jq
+  FROM g),
+d AS (
+  SELECT okey, a, b, p, q, ja, jb, jp, jq,
+         (b > a AND q > p) AS e_ok,
+         (has_hole AND jb > ja AND jq > jp) AS h_ok
+  FROM o)
+SELECT okey,
+       CASE
+         WHEN NOT e_ok THEN 'POLYGON EMPTY'
+         WHEN h_ok AND ja = a AND jb = b AND jp = p AND jq = q
+           THEN 'POLYGON EMPTY'
+         WHEN NOT h_ok THEN
+           'POLYGON ((' || a || ' ' || p || ', ' || b || ' ' || p || ', '
+             || b || ' ' || q || ', ' || a || ' ' || q || ', '
+             || a || ' ' || p || '))'
+         ELSE
+           'POLYGON ((' || a || ' ' || p || ', ' || b || ' ' || p || ', '
+             || b || ' ' || q || ', ' || a || ' ' || q || ', '
+             || a || ' ' || p || '), ('
+             || ja || ' ' || jp || ', ' || jb || ' ' || jp || ', '
+             || jb || ' ' || jq || ', ' || ja || ' ' || jq || ', '
+             || ja || ' ' || jp || '))'
+       END AS clip_wkt,
+       CAST(CASE WHEN NOT e_ok THEN 0 ELSE
+         2 * (b - a) * (q - p)
+         - CASE WHEN h_ok THEN 2 * (jb - ja) * (jq - jp) ELSE 0 END
+       END AS BIGINT) AS clip_a2x
+FROM d
+"""
+
 # round 10: multipart containment — truth from rectangle bounds
 # ((in ext AND NOT in hole) OR in part 2), never a ray cast
 ORACLES["clip_select_multipart"] = """

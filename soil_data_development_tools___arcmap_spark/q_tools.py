@@ -850,6 +850,88 @@ def clip_polygon_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_polygon_wkt_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-geometry output WITH interior rings — the multi-ring
+    half of Clip_analysis's feature output (clip_polygon_wkt covers
+    exterior-only). Exterior and hole clip independently; the output
+    polygon keeps a hole ring only when its clip survives, collapses
+    to the exterior alone when the hole misses the AOI, and is EMPTY
+    outright when the hole's clip fills the exterior's (AOI inside
+    the lake — area equality is rect equality here since hole ⊆
+    exterior). Both rings canonicalized (normalize_ring) so the
+    oracle can CONSTRUCT the exact string from overlap closed forms.
+    Map-only, zero shuffles."""
+    from .functions.geometry import (
+        _ring_pts,
+        _clip_halfplane,
+        normalize_ring,
+        ring_area2x,
+        ring_to_wkt,
+    )
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+        )
+
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+
+    def clip(ring_body):
+        out = _clip_halfplane(_ring_pts(ring_body), "x", ax0, keep_ge=True)
+        out = _clip_halfplane(out, "x", ax1, keep_ge=False)
+        out = _clip_halfplane(out, "y", ay0, keep_ge=True)
+        return normalize_ring(
+            _clip_halfplane(out, "y", ay1, keep_ge=False)
+        )
+
+    ext = clip(ring(x0, y0, x0 + w, y0 + h))
+    hole = F.when(
+        has_hole,
+        clip(ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+    ).otherwise(
+        F.array().cast("array<struct<x:double,y:double>>")
+    )
+    ext_wkt, hole_wkt = ring_to_wkt(ext), ring_to_wkt(hole)
+    ea, ha = ring_area2x(ext), ring_area2x(hole)
+    out_wkt = (
+        F.when(ext_wkt == "POLYGON EMPTY", F.lit("POLYGON EMPTY"))
+        .when(
+            (hole_wkt != "POLYGON EMPTY") & (ea == ha),
+            F.lit("POLYGON EMPTY"),  # AOI entirely inside the lake
+        )
+        .when(hole_wkt == "POLYGON EMPTY", ext_wkt)
+        .otherwise(
+            F.concat(
+                F.regexp_replace(ext_wkt, r"\)\)$", ")"),
+                F.lit(", "),
+                F.regexp_replace(hole_wkt, r"^POLYGON \(", ""),
+            )
+        )
+    )
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        out_wkt.alias("clip_wkt"),
+        F.round(
+            F.when(ea == ha, F.lit(0.0)).otherwise(ea - ha)
+        ).cast("long").alias("clip_a2x"),
+    )
+
+
 def clip_select_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select-by-location over the FULL WKT surface — MULTIPOLYGON
     parts with interior holes plus plain POLYGON rows through one
