@@ -3204,6 +3204,76 @@ SELECT okey,
 FROM d
 """
 
+# round 10: multipart clipped-geometry oracle — each surviving part
+# constructed from overlap closed forms, then the same canonical
+# collapse (EMPTY / POLYGON / MULTIPOLYGON by surviving part count)
+ORACLES["clip_multipolygon_wkt"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole,
+         c_custkey % 4 + 1 AS pw, c_custkey % 3 + 1 AS ph,
+         (c_custkey % 3 = 0) AS plain,
+         c_custkey % 100 + c_custkey % 5 - 2 AS ax0,
+         c_custkey % 57 + c_custkey % 4 - 1 AS ay0,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 29 + 1 AS ax1,
+         c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1 AS ay1
+  FROM customer),
+o AS (
+  SELECT okey, has_hole, plain,
+         GREATEST(x0, ax0) AS a, LEAST(x0 + w, ax1) AS b,
+         GREATEST(y0, ay0) AS p, LEAST(y0 + h, ay1) AS q,
+         GREATEST(x0 + 1, ax0) AS ja, LEAST(x0 + 1 + hw, ax1) AS jb,
+         GREATEST(y0 + 1, ay0) AS jp, LEAST(y0 + 1 + hh, ay1) AS jq,
+         GREATEST(x0 + 20, ax0) AS pa, LEAST(x0 + 20 + pw, ax1) AS pb,
+         GREATEST(y0, ay0) AS pp, LEAST(y0 + ph, ay1) AS pq
+  FROM g),
+d AS (
+  SELECT *,
+         (b > a AND q > p) AS e_ok,
+         (has_hole AND jb > ja AND jq > jp) AS h_ok,
+         (NOT plain AND pb > pa AND pq > pp) AS p2_ok
+  FROM o),
+parts AS (
+  SELECT okey,
+         CASE WHEN e_ok
+               AND NOT (h_ok AND ja = a AND jb = b AND jp = p AND jq = q)
+         THEN '((' || a || ' ' || p || ', ' || b || ' ' || p || ', '
+              || b || ' ' || q || ', ' || a || ' ' || q || ', '
+              || a || ' ' || p || ')'
+              || CASE WHEN h_ok THEN
+                   ', (' || ja || ' ' || jp || ', ' || jb || ' ' || jp
+                   || ', ' || jb || ' ' || jq || ', ' || ja || ' ' || jq
+                   || ', ' || ja || ' ' || jp || ')'
+                 ELSE '' END || ')'
+         END AS part1,
+         CASE WHEN p2_ok
+         THEN '((' || pa || ' ' || pp || ', ' || pb || ' ' || pp || ', '
+              || pb || ' ' || pq || ', ' || pa || ' ' || pq || ', '
+              || pa || ' ' || pp || '))'
+         END AS part2,
+         CASE WHEN e_ok
+               AND NOT (h_ok AND ja = a AND jb = b AND jp = p AND jq = q)
+         THEN 2 * (b - a) * (q - p)
+              - CASE WHEN h_ok THEN 2 * (jb - ja) * (jq - jp) ELSE 0 END
+         ELSE 0 END
+         + CASE WHEN p2_ok THEN 2 * (pb - pa) * (pq - pp) ELSE 0 END
+           AS a2x
+  FROM d)
+SELECT okey,
+       CASE
+         WHEN part1 IS NULL AND part2 IS NULL THEN 'POLYGON EMPTY'
+         WHEN part2 IS NULL THEN 'POLYGON ' || part1
+         WHEN part1 IS NULL THEN 'POLYGON ' || part2
+         ELSE 'MULTIPOLYGON (' || part1 || ', ' || part2 || ')'
+       END AS clip_wkt,
+       CAST(a2x AS BIGINT) AS clip_a2x
+FROM parts
+"""
+
 # round 10: multipart containment — truth from rectangle bounds
 # ((in ext AND NOT in hole) OR in part 2), never a ray cast
 ORACLES["clip_select_multipart"] = """

@@ -932,6 +932,113 @@ def clip_polygon_wkt_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_multipolygon_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-geometry output over the MULTIPOLYGON input surface —
+    completing the feature-output family (exterior-only, holes, now
+    multipart): each part clips independently (part 1 = the holes
+    polygon, part 2 = the east rectangle; plain-POLYGON rows carry no
+    part 2), dead parts drop, and the result canonicalizes to
+    'POLYGON EMPTY' / plain 'POLYGON' / 'MULTIPOLYGON' by surviving
+    part count — the natural canonical form a feature sink would
+    store. Rings normalized as in clip_polygon_wkt_holes; the oracle
+    constructs every surviving part from overlap closed forms and
+    applies the same collapse. Map-only, zero shuffles."""
+    from .functions.geometry import (
+        _ring_pts,
+        _clip_halfplane,
+        normalize_ring,
+        ring_area2x,
+        ring_to_wkt,
+    )
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pw, ph = k % 4 + 1, k % 3 + 1
+    plain = k % 3 == 0
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+        )
+
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 29 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+
+    def clip(ring_body):
+        out = _clip_halfplane(_ring_pts(ring_body), "x", ax0, keep_ge=True)
+        out = _clip_halfplane(out, "x", ax1, keep_ge=False)
+        out = _clip_halfplane(out, "y", ay0, keep_ge=True)
+        return normalize_ring(
+            _clip_halfplane(out, "y", ay1, keep_ge=False)
+        )
+
+    def ring_body_or_null(r):
+        # "(x y, ...)" or NULL when the ring died
+        return F.when(
+            F.size(r) >= 3,
+            F.regexp_replace(ring_to_wkt(r), r"^POLYGON \(|\)$", ""),
+        )
+
+    ext = clip(ring(x0, y0, x0 + w, y0 + h))
+    hole = F.when(
+        has_hole,
+        clip(ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+    ).otherwise(F.array().cast("array<struct<x:double,y:double>>"))
+    p2 = F.when(
+        ~plain, clip(ring(x0 + 20, y0, x0 + 20 + pw, y0 + ph))
+    ).otherwise(F.array().cast("array<struct<x:double,y:double>>"))
+    ea, ha, pa = ring_area2x(ext), ring_area2x(hole), ring_area2x(p2)
+    eb, hb, pb = (
+        ring_body_or_null(ext), ring_body_or_null(hole),
+        ring_body_or_null(p2),
+    )
+    # part 1 dies when its exterior does OR the hole's clip fills it
+    part1 = F.when(
+        eb.isNotNull() & ~(hb.isNotNull() & (ea == ha)),
+        F.concat(
+            F.lit("("), eb,
+            F.when(hb.isNotNull(), F.concat(F.lit(", "), hb))
+            .otherwise(F.lit("")),
+            F.lit(")"),
+        ),
+    )
+    part2 = F.when(pb.isNotNull(), F.concat(F.lit("("), pb, F.lit(")")))
+    n_parts = (
+        part1.isNotNull().cast("int") + part2.isNotNull().cast("int")
+    )
+    out_wkt = (
+        F.when(n_parts == 0, F.lit("POLYGON EMPTY"))
+        .when(
+            n_parts == 1,
+            F.concat(F.lit("POLYGON "), F.coalesce(part1, part2)),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("MULTIPOLYGON ("), part1, F.lit(", "), part2,
+                F.lit(")"),
+            )
+        )
+    )
+    a1 = F.when(part1.isNotNull(), ea - ha).otherwise(F.lit(0.0))
+    a2 = F.when(part2.isNotNull(), pa).otherwise(F.lit(0.0))
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        out_wkt.alias("clip_wkt"),
+        F.round(a1 + a2).cast("long").alias("clip_a2x"),
+    )
+
+
 def clip_select_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select-by-location over the FULL WKT surface — MULTIPOLYGON
     parts with interior holes plus plain POLYGON rows through one
