@@ -899,36 +899,53 @@ def clip_polygon_wkt_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
             _clip_halfplane(out, "y", ay1, keep_ge=False)
         )
 
-    ext = clip(ring(x0, y0, x0 + w, y0 + h))
-    hole = F.when(
-        has_hole,
-        clip(ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
-    ).otherwise(
-        F.array().cast("array<struct<x:double,y:double>>")
-    )
-    ext_wkt, hole_wkt = ring_to_wkt(ext), ring_to_wkt(hole)
-    ea, ha = ring_area2x(ext), ring_area2x(hole)
-    out_wkt = (
-        F.when(ext_wkt == "POLYGON EMPTY", F.lit("POLYGON EMPTY"))
-        .when(
-            (hole_wkt != "POLYGON EMPTY") & (ea == ha),
-            F.lit("POLYGON EMPTY"),  # AOI entirely inside the lake
-        )
-        .when(hole_wkt == "POLYGON EMPTY", ext_wkt)
-        .otherwise(
-            F.concat(
-                F.regexp_replace(ext_wkt, r"\)\)$", ")"),
-                F.lit(", "),
-                F.regexp_replace(hole_wkt, r"^POLYGON \(", ""),
+    from .functions.geometry import _let
+
+    # bind each clipped ring ONCE (_let): ext/hole feed the WKT, the
+    # area, and the CASE conditions — naive reuse re-inlines the whole
+    # SH+normalize subtree per reference and the multiplied expression
+    # falls out of practical codegen (measured 8× slower before this)
+    def assemble(ext: Column, hole: Column) -> Column:
+        ext_wkt, hole_wkt = ring_to_wkt(ext), ring_to_wkt(hole)
+        ea, ha = ring_area2x(ext), ring_area2x(hole)
+        out_wkt = (
+            F.when(ext_wkt == "POLYGON EMPTY", F.lit("POLYGON EMPTY"))
+            .when(
+                (hole_wkt != "POLYGON EMPTY") & (ea == ha),
+                F.lit("POLYGON EMPTY"),  # AOI entirely inside the lake
+            )
+            .when(hole_wkt == "POLYGON EMPTY", ext_wkt)
+            .otherwise(
+                F.concat(
+                    F.regexp_replace(ext_wkt, r"\)\)$", ")"),
+                    F.lit(", "),
+                    F.regexp_replace(hole_wkt, r"^POLYGON \(", ""),
+                )
             )
         )
+        a2x = F.round(
+            F.when(ea == ha, F.lit(0.0)).otherwise(ea - ha)
+        ).cast("long")
+        return F.struct(
+            out_wkt.alias("clip_wkt"), a2x.alias("clip_a2x")
+        )
+
+    out = _let(
+        clip(ring(x0, y0, x0 + w, y0 + h)),
+        lambda ext: _let(
+            F.when(
+                has_hole,
+                clip(ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+            ).otherwise(
+                F.array().cast("array<struct<x:double,y:double>>")
+            ),
+            lambda hole: assemble(ext, hole),
+        ),
     )
     return _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("okey"),
-        out_wkt.alias("clip_wkt"),
-        F.round(
-            F.when(ea == ha, F.lit(0.0)).otherwise(ea - ha)
-        ).cast("long").alias("clip_a2x"),
+        out["clip_wkt"].alias("clip_wkt"),
+        out["clip_a2x"].alias("clip_a2x"),
     )
 
 
@@ -990,52 +1007,81 @@ def clip_multipolygon_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(ring_to_wkt(r), r"^POLYGON \(|\)$", ""),
         )
 
-    ext = clip(ring(x0, y0, x0 + w, y0 + h))
-    hole = F.when(
-        has_hole,
-        clip(ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
-    ).otherwise(F.array().cast("array<struct<x:double,y:double>>"))
-    p2 = F.when(
-        ~plain, clip(ring(x0 + 20, y0, x0 + 20 + pw, y0 + ph))
-    ).otherwise(F.array().cast("array<struct<x:double,y:double>>"))
-    ea, ha, pa = ring_area2x(ext), ring_area2x(hole), ring_area2x(p2)
-    eb, hb, pb = (
-        ring_body_or_null(ext), ring_body_or_null(hole),
-        ring_body_or_null(p2),
-    )
-    # part 1 dies when its exterior does OR the hole's clip fills it
-    part1 = F.when(
-        eb.isNotNull() & ~(hb.isNotNull() & (ea == ha)),
-        F.concat(
-            F.lit("("), eb,
-            F.when(hb.isNotNull(), F.concat(F.lit(", "), hb))
-            .otherwise(F.lit("")),
-            F.lit(")"),
-        ),
-    )
-    part2 = F.when(pb.isNotNull(), F.concat(F.lit("("), pb, F.lit(")")))
-    n_parts = (
-        part1.isNotNull().cast("int") + part2.isNotNull().cast("int")
-    )
-    out_wkt = (
-        F.when(n_parts == 0, F.lit("POLYGON EMPTY"))
-        .when(
-            n_parts == 1,
-            F.concat(F.lit("POLYGON "), F.coalesce(part1, part2)),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("MULTIPOLYGON ("), part1, F.lit(", "), part2,
-                F.lit(")"),
+    from .functions.geometry import _let
+
+    # every clipped ring AND each assembled part is _let-bound once:
+    # the naive form re-inlined the SH+normalize subtrees per reference
+    # (parts referenced 3× in the collapse CASE), multiplying the
+    # expression ~20× and dropping throughput ~50× (measured) — the
+    # same Catalyst-tree discipline _let exists for in geometry.py
+    def assemble(ext: Column, hole: Column, p2: Column) -> Column:
+        ea, ha, pa = ring_area2x(ext), ring_area2x(hole), ring_area2x(p2)
+
+        def collapse(part1: Column, part2: Column) -> Column:
+            n_parts = (
+                part1.isNotNull().cast("int")
+                + part2.isNotNull().cast("int")
             )
+            out_wkt = (
+                F.when(n_parts == 0, F.lit("POLYGON EMPTY"))
+                .when(
+                    n_parts == 1,
+                    F.concat(F.lit("POLYGON "), F.coalesce(part1, part2)),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("MULTIPOLYGON ("), part1, F.lit(", "),
+                        part2, F.lit(")"),
+                    )
+                )
+            )
+            a1 = F.when(part1.isNotNull(), ea - ha).otherwise(F.lit(0.0))
+            a2 = F.when(part2.isNotNull(), pa).otherwise(F.lit(0.0))
+            return F.struct(
+                out_wkt.alias("clip_wkt"),
+                F.round(a1 + a2).cast("long").alias("clip_a2x"),
+            )
+
+        eb, hb, pb = (
+            ring_body_or_null(ext), ring_body_or_null(hole),
+            ring_body_or_null(p2),
         )
+        # part 1 dies when its exterior does OR the hole's clip fills it
+        part1 = F.when(
+            eb.isNotNull() & ~(hb.isNotNull() & (ea == ha)),
+            F.concat(
+                F.lit("("), eb,
+                F.when(hb.isNotNull(), F.concat(F.lit(", "), hb))
+                .otherwise(F.lit("")),
+                F.lit(")"),
+            ),
+        )
+        part2 = F.when(
+            pb.isNotNull(), F.concat(F.lit("("), pb, F.lit(")"))
+        )
+        return _let(
+            F.struct(part1.alias("p1"), part2.alias("p2")),
+            lambda s: collapse(s["p1"], s["p2"]),
+        )
+
+    empty = F.array().cast("array<struct<x:double,y:double>>")
+    # one struct binding for all three rings (nesting _let 5 deep hits
+    # the analyzer's lambda-resolution iteration cap)
+    rings3 = F.struct(
+        clip(ring(x0, y0, x0 + w, y0 + h)).alias("e"),
+        F.when(
+            has_hole,
+            clip(ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+        ).otherwise(empty).alias("h"),
+        F.when(
+            ~plain, clip(ring(x0 + 20, y0, x0 + 20 + pw, y0 + ph))
+        ).otherwise(empty).alias("p"),
     )
-    a1 = F.when(part1.isNotNull(), ea - ha).otherwise(F.lit(0.0))
-    a2 = F.when(part2.isNotNull(), pa).otherwise(F.lit(0.0))
+    out = _let(rings3, lambda s: assemble(s["e"], s["h"], s["p"]))
     return _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("okey"),
-        out_wkt.alias("clip_wkt"),
-        F.round(a1 + a2).cast("long").alias("clip_a2x"),
+        out["clip_wkt"].alias("clip_wkt"),
+        out["clip_a2x"].alias("clip_a2x"),
     )
 
 
