@@ -1192,6 +1192,8 @@ def clip_convex_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit(")"),
     )
+    from .functions.geometry import _let
+
     ax0 = (x0 + k % 5 - 2).cast("double")
     ay0 = (y0 + k % 4 - 1).cast("double")
     ax1 = ax0 + (k % 11 + 1).cast("double")
@@ -1200,18 +1202,28 @@ def clip_convex_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leg-(k%4) triangle (0 = line through the corner, cuts nothing —
     # the tangent edge case goes through the same pass)
     cc = ax1 + ay1 - (k % 4).cast("double")
-    edges = [
-        ((ax0, ay0), (ax1, ay0)),          # y >= ay0
-        ((ax1, ay0), (ax1, ay1)),          # x <= ax1
-        ((cc, F.lit(0.0)), (cc - 1, F.lit(1.0))),  # x + y <= cc
-        ((ax1, ay1), (ax0, ay1)),          # y <= ay1
-        ((ax0, ay1), (ax0, ay0)),          # x >= ax0
-    ]
+
+    # bind the per-row AOI bounds ONCE (_let): each of the five SH
+    # passes re-evaluates every referenced bound per vertex otherwise
+    def clip_bound(b: Column) -> Column:
+        edges = [
+            ((b["x0"], b["y0"]), (b["x1"], b["y0"])),   # y >= ay0
+            ((b["x1"], b["y0"]), (b["x1"], b["y1"])),   # x <= ax1
+            ((b["c"], F.lit(0.0)), (b["c"] - 1, F.lit(1.0))),  # x+y <= cc
+            ((b["x1"], b["y1"]), (b["x0"], b["y1"])),   # y <= ay1
+            ((b["x0"], b["y1"]), (b["x0"], b["y0"])),   # x >= ax0
+        ]
+        return clip_area2x_convex(wkt, edges)
+
+    bounds = F.struct(
+        ax0.alias("x0"), ay0.alias("y0"), ax1.alias("x1"),
+        ay1.alias("y1"), cc.alias("c"),
+    )
     hole_a2x = F.when(has_hole, 2 * hw * hh).otherwise(F.lit(0))
     return _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("okey"),
         (2 * w * h - hole_a2x).cast("long").alias("poly_a2x"),
-        clip_area2x_convex(wkt, edges).alias("clip_a2x"),
+        _let(bounds, clip_bound).alias("clip_a2x"),
     )
 
 
