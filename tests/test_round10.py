@@ -1101,3 +1101,139 @@ def test_clip_wkt_normalization_vs_python(spark):
     assert 10 <= n_empty <= 290  # both outcomes genuinely exercised
     for r in got:
         assert r["got"] == r["want"], r
+
+
+# --- hypothesis layer for the pure-Python geometry cores ---------------------
+
+
+def test_hypothesis_rectilinear_decompose():
+    """Hypothesis-driven decomposition invariants on generated
+    monotone staircases: Σ piece areas == shoelace, pairwise interior
+    disjointness, pieces inside the bbox."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        rectilinear_decompose,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        widths=st.lists(
+            st.integers(min_value=1, max_value=50),
+            min_size=1, max_size=7, unique=True,
+        ),
+        heights=st.lists(
+            st.integers(min_value=1, max_value=40),
+            min_size=2, max_size=8, unique=True,
+        ),
+    )
+    def run(widths, heights):
+        steps = min(len(widths), len(heights) - 1)
+        ws = sorted(widths, reverse=True)[:steps]
+        ys = sorted(heights)[: steps + 1]
+        pts = [(0, ys[0]), (ws[0], ys[0])]
+        for s in range(steps):
+            pts.append((ws[s], ys[s + 1]))
+            if s + 1 < steps:
+                pts.append((ws[s + 1], ys[s + 1]))
+        pts.append((0, ys[-1]))
+        rects = rectilinear_decompose(pts)
+        assert sum(
+            2 * (x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in rects
+        ) == _py_area2x(pts)
+        for i in range(len(rects)):
+            for j in range(i + 1, len(rects)):
+                a, b = rects[i], rects[j]
+                assert (
+                    a[2] <= b[0] or b[2] <= a[0]
+                    or a[3] <= b[1] or b[3] <= a[1]
+                )
+        for x0, y0, x1, y1 in rects:
+            assert 0 <= x0 < x1 <= ws[0] and ys[0] <= y0 < y1 <= ys[-1]
+
+    run()
+
+
+def test_hypothesis_triangulation():
+    """Hypothesis-driven ear-clipping invariants on generated
+    star-shaped polygons (simple by construction): n−2 CCW triangles,
+    areas summing to the shoelace."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        triangulate_simple_polygon,
+    )
+
+    def tri_a2x(t):
+        return abs(
+            (t[1][0] - t[0][0]) * (t[2][1] - t[0][1])
+            - (t[2][0] - t[0][0]) * (t[1][1] - t[0][1])
+        )
+
+    from hypothesis import assume
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        polar=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3599),
+                st.integers(min_value=50, max_value=250),
+            ),
+            min_size=3, max_size=14,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def run(polar):
+        pts = [
+            (round(300 + r * math.cos(math.radians(a / 10)), 2),
+             round(300 + r * math.sin(math.radians(a / 10)), 2))
+            for a, r in sorted(polar)
+        ]
+        # rounding can break the star-shape simplicity guarantee:
+        # require the ROUNDED points to still be strictly angle-sorted
+        # (star-shaped ⇒ simple) with no collinear triple (every
+        # vertex eligible to become an ear) — found by hypothesis
+        assume(len(set(pts)) == len(pts))
+        n = len(pts)
+
+        # brute-force simplicity check (the function's actual input
+        # contract): no two non-adjacent edges may intersect — angular
+        # sorting alone does NOT guarantee this for narrow-fan slivers
+        # (found by hypothesis: anchor outside the polygon)
+        def seg_x(p1, p2, p3, p4):
+            def o(a, b, c):
+                v = (b[0] - a[0]) * (c[1] - a[1]) \
+                    - (b[1] - a[1]) * (c[0] - a[0])
+                return 0 if v == 0 else (1 if v > 0 else -1)
+
+            if o(p1, p2, p3) == o(p1, p2, p4) != 0:
+                return False
+            if o(p3, p4, p1) == o(p3, p4, p2) != 0:
+                return False
+            return True
+
+        assume(not any(
+            seg_x(pts[i], pts[(i + 1) % n], pts[j], pts[(j + 1) % n])
+            for i in range(n)
+            for j in range(i + 2, n)
+            if (j + 1) % n != i
+        ))
+        assume(all(
+            (pts[i][0] - pts[i - 1][0])
+            * (pts[(i + 1) % n][1] - pts[i - 1][1])
+            - (pts[i][1] - pts[i - 1][1])
+            * (pts[(i + 1) % n][0] - pts[i - 1][0])
+            != 0
+            for i in range(n)
+        ))
+        tris = triangulate_simple_polygon(pts)
+        assert len(tris) == n - 2
+        got = sum(tri_a2x(t) for t in tris)
+        want = _py_area2x(pts)
+        assert abs(got - want) <= 1e-6 * max(1.0, want)
+
+    run()
