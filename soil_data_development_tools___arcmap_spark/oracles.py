@@ -3274,6 +3274,41 @@ SELECT okey,
 FROM parts
 """
 
+# round 10: composed clip → acreage workflow — per-polygon closed-form
+# overlap (exterior − hole) summed per musym, one acre conversion per
+# group mirroring acres_e4 (floor(sum · convAcres / 2 · 1e4))
+ORACLES["clip_acreage_summary"] = """
+WITH g AS (
+  SELECT c_custkey % 7 AS musym,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole,
+         c_custkey % 100 + c_custkey % 5 - 2 AS ax0,
+         c_custkey % 57 + c_custkey % 4 - 1 AS ay0,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1 AS ax1,
+         c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1 AS ay1
+  FROM customer),
+p AS (
+  SELECT musym,
+         2 * GREATEST(0, LEAST(x0 + w, ax1) - GREATEST(x0, ax0))
+           * GREATEST(0, LEAST(y0 + h, ay1) - GREATEST(y0, ay0))
+         - CASE WHEN has_hole THEN
+             2 * GREATEST(0, LEAST(x0 + 1 + hw, ax1) - GREATEST(x0 + 1, ax0))
+               * GREATEST(0, LEAST(y0 + 1 + hh, ay1) - GREATEST(y0 + 1, ay0))
+           ELSE 0 END AS a2x
+  FROM g)
+SELECT CAST(musym AS INTEGER) AS musym,
+       COUNT(*) AS n_polys,
+       CAST(SUM(CASE WHEN a2x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(SUM(a2x) AS BIGINT) AS clip_a2x,
+       CAST(FLOOR(SUM(a2x) * 0.000247104393 / 2.0 * 10000.0) AS BIGINT)
+         AS acres_e4
+FROM p GROUP BY musym
+"""
+
 # round 10: multipart containment — truth from rectangle bounds
 # ((in ext AND NOT in hole) OR in part 2), never a ray cast
 ORACLES["clip_select_multipart"] = """

@@ -1085,6 +1085,64 @@ def clip_multipolygon_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_acreage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual clip WORKFLOW, composed in one plan:
+    gSSURGO_Clip.py clips to the AOI and the clipped features feed
+    gSSURGO_AcreageReport (SHAPE_Area → acres per mapunit symbol).
+    Here: holes-aware rect clip per polygon (map-only) → groupBy a
+    synthetic musym → Σ doubled area → one exact acre conversion per
+    GROUP (acres_e4 after the integer sum, not per polygon — the
+    float op count is group-count, not row-count). One scan, one
+    shuffle, partial aggregation map-side; the oracle sums the same
+    closed-form overlaps and converts identically."""
+    from .functions.geometry import acres_e4, clip_area2x_rect_holes
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            F.lit("("),
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+            F.lit(")"),
+        )
+
+    wkt = F.concat(
+        F.lit("POLYGON ("),
+        ring(x0, y0, x0 + w, y0 + h),
+        F.when(
+            has_hole,
+            F.concat(F.lit(", "),
+                     ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+        ).otherwise(F.lit("")),
+        F.lit(")"),
+    )
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    per_poly = _t(spark, sf_dir, "customer").select(
+        (k % 7).cast("int").alias("musym"),
+        clip_area2x_rect_holes(wkt, ax0, ay0, ax1, ay1).alias("a2x"),
+    )
+    return per_poly.groupBy("musym").agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        F.sum(F.when(F.col("a2x") > 0, 1).otherwise(0))
+        .cast("long").alias("n_clipped"),
+        F.sum("a2x").alias("clip_a2x"),
+        acres_e4(F.sum("a2x")).alias("acres_e4"),
+    )
+
+
 def clip_select_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select-by-location over the FULL WKT surface — MULTIPOLYGON
     parts with interior holes plus plain POLYGON rows through one
