@@ -33,8 +33,8 @@ def ring_coords(wkt: str | Column) -> Column:
     return F.transform(
         F.split(ring, r",\s*"),
         lambda p: F.struct(
-            F.split(F.trim(p), " ").getItem(0).cast("long").alias("x"),
-            F.split(F.trim(p), " ").getItem(1).cast("long").alias("y"),
+            F.split(F.trim(p), r"\s+").getItem(0).cast("long").alias("x"),
+            F.split(F.trim(p), r"\s+").getItem(1).cast("long").alias("y"),
         ),
     )
 
@@ -248,8 +248,8 @@ def all_rings_coords(wkt: str | Column) -> Column:
             F.transform(
                 F.split(ring, r",\s*"),
                 lambda p: F.struct(
-                    F.split(F.trim(p), " ").getItem(0).cast("double").alias("x"),
-                    F.split(F.trim(p), " ").getItem(1).cast("double").alias("y"),
+                    F.split(F.trim(p), r"\s+").getItem(0).cast("double").alias("x"),
+                    F.split(F.trim(p), r"\s+").getItem(1).cast("double").alias("y"),
                 ),
             ),
             lambda cc: F.slice(cc, 1, F.size(cc) - 1),
@@ -301,8 +301,8 @@ def _ring_pts(ring_str: Column) -> Column:
         F.transform(
             F.split(ring_str, r",\s*"),
             lambda p: F.struct(
-                F.split(F.trim(p), " ").getItem(0).cast("double").alias("x"),
-                F.split(F.trim(p), " ").getItem(1).cast("double").alias("y"),
+                F.split(F.trim(p), r"\s+").getItem(0).cast("double").alias("x"),
+                F.split(F.trim(p), r"\s+").getItem(1).cast("double").alias("y"),
             ),
         ),
         lambda cc: F.slice(cc, 1, F.size(cc) - 1),

@@ -1237,3 +1237,33 @@ def test_hypothesis_triangulation():
         assert abs(got - want) <= 1e-6 * max(1.0, want)
 
     run()
+
+
+def test_wkt_parse_whitespace_tolerance(spark):
+    """Formatting variants of the same polygon — no space after
+    POLYGON, no spaces after commas, multiple spaces between
+    coordinates — must parse to identical areas and containment."""
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        clip_area2x_geom,
+        point_in_geom,
+        shoelace_area2x,
+    )
+
+    variants = [
+        "POLYGON ((0 0, 10 0, 10 8, 0 8, 0 0))",
+        "POLYGON((0 0,10 0,10 8,0 8,0 0))",
+        "POLYGON (( 0  0 , 10  0 , 10  8 , 0  8 , 0  0 ))",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(variants)], "id int, wkt string"
+    )
+    got = df.select(
+        shoelace_area2x("wkt").alias("a2x"),
+        clip_area2x_geom("wkt", 2.0, 2.0, 50.0, 50.0).alias("clip"),
+        point_in_geom("wkt", F.lit(5), F.lit(5)).alias("inside"),
+        point_in_geom("wkt", F.lit(11), F.lit(5)).alias("outside"),
+    ).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r["a2x"] == 160 and r["clip"] == 2 * 8 * 6
+        assert r["inside"] == 1 and r["outside"] == 0
