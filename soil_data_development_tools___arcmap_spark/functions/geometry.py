@@ -559,6 +559,13 @@ def triangulate_simple_polygon(
     poly = list(pts) if signed2x > 0 else list(reversed(pts))
 
     def point_in_tri(p, a, b, c):
+        # INCLUSIVE containment (>= 0): a vertex ON the ear's edge
+        # must BLOCK the ear — clipping such an ear pinches the
+        # remainder polygon (the new closing edge passes through that
+        # vertex) and later ears double-count area. (A strict-interior
+        # test was tried and is unsound: see
+        # tests/test_round11.py::test_triangulate_boundary_touching_reflex,
+        # where it returns 160 for a 120-area2x L-shape.)
         d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
         return d1 >= 0 and d2 >= 0 and d3 >= 0
 
@@ -574,10 +581,16 @@ def triangulate_simple_polygon(
             a, b, c = poly[i - 1], poly[i], poly[(i + 1) % m]
             if cross(a, b, c) <= 0:  # reflex or collinear: not an ear
                 continue
+            # iterate candidate blockers by INDEX (a distinct vertex
+            # that coordinate-equals an ear corner must still be
+            # visited), but exempt corner-COINCIDENT points: a vertex
+            # sitting exactly on a corner touches the ear, it cannot
+            # pierce it
+            ear_idx = {(i - 1) % m, i, (i + 1) % m}
             if any(
-                point_in_tri(q, a, b, c)
-                for q in poly
-                if q not in (a, b, c)
+                point_in_tri(poly[j], a, b, c)
+                for j in range(m)
+                if j not in ear_idx and poly[j] not in (a, b, c)
             ):
                 continue
             tris.append([a, b, c])
@@ -657,6 +670,58 @@ def clip_area2x_rectilinear(
     return F.round(_let(rings, total)).cast("long")
 
 
+def bands_to_ring(bands: Column) -> Column:
+    """Rectilinear DISSOLVE: merge per-band clipped rectangles back
+    into the boundary ring of their union — the step arcpy's clip
+    implies when a decomposed AOI's piece-wise clips are one connected
+    feature (gSSURGO_Clip.py:160 returns whole clipped features, not
+    decomposition pieces). Input: ``array<struct<lx,lo,rx,hi>>`` of
+    surviving bands, y-ascending, vertically adjacent (band i's hi =
+    band i+1's lo), sharing a COMMON LEFT EDGE lx — exactly what a
+    rectangle subject clipped by a left-aligned staircase
+    decomposition produces (x-survival is monotone when band rights
+    decrease with height, so survivors stay contiguous). Output: the
+    union's OPEN CCW ring, canonical by construction (starts at the
+    lexicographic-min vertex (lx, lo₀); equal-right neighbors emit no
+    step, so no collinear vertices); empty array when no band
+    survived. Map-only Column expression."""
+
+    def pt(x: Column, y: Column) -> Column:
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    empty = F.array().cast("array<struct<x:double,y:double>>")
+
+    def run(bs: Column) -> Column:
+        n = F.size(bs)
+        bottom = F.array(
+            pt(bs[0]["lx"], bs[0]["lo"]), pt(bs[0]["rx"], bs[0]["lo"])
+        )
+        steps = F.when(
+            n >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.when(
+                        bs[i + 1]["rx"] != bs[i]["rx"],
+                        F.array(
+                            pt(bs[i]["rx"], bs[i]["hi"]),
+                            pt(bs[i + 1]["rx"], bs[i]["hi"]),
+                        ),
+                    ).otherwise(empty),
+                )
+            ),
+        ).otherwise(empty)
+        top = F.array(
+            pt(bs[n - 1]["rx"], bs[n - 1]["hi"]),
+            pt(bs[0]["lx"], bs[n - 1]["hi"]),
+        )
+        return F.when(n < 1, empty).otherwise(
+            F.concat(bottom, steps, top)
+        )
+
+    return _let(bands, run)
+
+
 def point_in_polygon(wkt: str | Column, px: Column, py: Column) -> Column:
     """Point-in-polygon over ALL rings (even-odd rule summed across
     exterior + holes, so a point inside a lake tests OUTSIDE — the
@@ -708,7 +773,17 @@ def normalize_ring(ring: Column) -> Column:
     or an SH output and a closed-form construction — compare equal
     only after this normalization. Exact for the integer-coordinate
     clip syntheses (every comparison is on exactly-represented
-    doubles). Map-only Column expression."""
+    doubles). Map-only Column expression.
+
+    PRECONDITION: the input must be a SINGLE-COMPONENT ring from
+    clipping a CONVEX subject (or a subject whose intersection with
+    the clip window is connected). SH on a concave subject split into
+    disconnected pieces by the window emits spike/bridge vertex
+    patterns; this single dedup-then-collinear pass can then leave
+    NON-consecutive duplicates and ``ring_to_wkt`` would serialize a
+    self-touching ring. Concave subjects must go through a
+    decomposition (``rectilinear_decompose`` /
+    ``triangulate_simple_polygon``) before per-piece clipping."""
 
     def run(c: Column) -> Column:
         n = F.size(c)
@@ -760,6 +835,26 @@ def normalize_ring(ring: Column) -> Column:
         )
 
     return _let(ring, run)
+
+
+def snap_ring_ints(ring: Column) -> Column:
+    """Round every ring coordinate to the nearest integer (kept as
+    double). General-edge Sutherland–Hodgman intersections
+    (``_clip_halfplane_edge``) compute t = side/(side−side) and
+    interpolate — up to ~1 ulp of double rounding even when the TRUE
+    intersection is integral (axis/45° AOI edges against integer
+    subjects guarantee that here). Area consumers absorb the ulp with
+    one final round; geometry OUTPUT (normalize → WKT text) must snap
+    FIRST, or normalize_ring's exact-equality dedup misses
+    ulp-separated duplicates and ring_to_wkt's cast truncates
+    6.999… to 6. Only valid when intersections are integral by
+    construction — the integer-grid clip syntheses."""
+    return F.transform(
+        ring,
+        lambda p: F.struct(
+            F.round(p["x"]).alias("x"), F.round(p["y"]).alias("y")
+        ),
+    )
 
 
 def ring_to_wkt(ring: Column) -> Column:
@@ -847,6 +942,91 @@ def point_in_geom(wkt: str | Column, px: Column, py: Column) -> Column:
         lambda acc, v: acc + v,
     )
     return (total % 2 == 1).cast("int")
+
+
+def linestring_stats(wkt: str | Column) -> Column:
+    """Per-feature polyline statistics over ``LINESTRING`` /
+    ``MULTILINESTRING`` WKT — the line-FC half of the spatial append
+    (SSURGO_Convert_to_Geodatabase.py:1677-1818 appends MULINE /
+    FEATLINE per survey; the GIS-maintained SHAPE_Length the reports
+    read is re-derived here from coordinates). Returns
+    struct(n_parts, n_vertices, len_e4): parts, total vertex count,
+    and Σ over segments of floor(10⁴·√(dx²+dy²)) — each segment
+    quantized BEFORE the sum, so the figure is an exact
+    order-independent BIGINT (IEEE sqrt is correctly rounded in every
+    engine; summing raw doubles would be order-sensitive).
+    LINESTRING bodies have no inner parens, so the unanchored parse
+    (strip paren runs, split on ``)+, (+``) handles both forms in one
+    pass — same trick as ``point_in_geom``. Map-only."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    parts = F.split(
+        F.regexp_replace(
+            F.regexp_extract(c, r"LINESTRING\s*\((.*)\)", 1),
+            r"^\(+|\)+$",
+            "",
+        ),
+        r"\)+\s*,\s*\(+",
+    )
+
+    def part_pts(part: Column) -> Column:
+        # ALL vertices kept — polylines have no closing-vertex dup
+        return F.transform(
+            F.split(part, r",\s*"),
+            lambda p: F.struct(
+                F.split(F.trim(p), r"\s+").getItem(0)
+                .cast("double").alias("x"),
+                F.split(F.trim(p), r"\s+").getItem(1)
+                .cast("double").alias("y"),
+            ),
+        )
+
+    def part_len(ps: Column) -> Column:
+        def run(q: Column) -> Column:
+            n = F.size(q)
+            segs = F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.floor(
+                    F.sqrt(
+                        (q[i + 1]["x"] - q[i]["x"])
+                        * (q[i + 1]["x"] - q[i]["x"])
+                        + (q[i + 1]["y"] - q[i]["y"])
+                        * (q[i + 1]["y"] - q[i]["y"])
+                    )
+                    * 10000.0
+                ).cast("long"),
+            )
+            total = F.aggregate(
+                segs, F.lit(0).cast("long"), lambda acc, v: acc + v
+            )
+            return F.when(n < 2, F.lit(0).cast("long")).otherwise(total)
+
+        return _let(ps, run)
+
+    stats = _let(
+        F.transform(
+            parts,
+            lambda part: _let(
+                part_pts(part),
+                lambda ps: F.struct(
+                    F.size(ps).alias("nv"), part_len(ps).alias("ln")
+                ),
+            ),
+        ),
+        lambda arr: F.struct(
+            F.size(arr).alias("n_parts"),
+            F.aggregate(
+                F.transform(arr, lambda s: s["nv"]),
+                F.lit(0),
+                lambda a, v: a + v,
+            ).alias("n_vertices"),
+            F.aggregate(
+                F.transform(arr, lambda s: s["ln"]),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ).alias("len_e4"),
+        ),
+    )
+    return stats
 
 
 def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:

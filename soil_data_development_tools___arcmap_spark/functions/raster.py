@@ -92,6 +92,107 @@ def rating_raster_cells(
     )
 
 
+def polygon_cell_inventory(
+    polys: DataFrame,
+    wkt_col: str = "wkt",
+    cell_size: int = 2,
+    tile_cells: int = 64,
+) -> DataFrame:
+    """Real polygon→cell rasterization — ``PolygonToRaster …
+    CELL_CENTER`` (SSURGO_ExportMuRaster.py:1434): every lattice cell
+    whose CENTER lies inside the polygon belongs to it. Replaces the
+    synthetic per-mukey cell inventory (round ≤10) with containment
+    derived from the geometry itself.
+
+    Two-level explode, all Column expressions (no UDF, no shuffle):
+
+    1. bbox → TILE explode: the polygon's vertex bbox (parsed from the
+       WKT across all rings of all parts) snaps to a coarse tile grid
+       of ``tile_cells`` × ``tile_cells`` cells; one row per
+       (polygon, tile). This is the 100 TB row-blow-up guard: a
+       CONUS-sized polygon becomes many bounded (polygon, tile) rows
+       that spread across tasks instead of one task exploding an
+       unbounded cell range — the same salt/tile discipline as
+       ``banded_buckets`` in dedup.
+    2. tile → CELL explode: cells inside tile ∩ bbox (≤ tile_cells²
+       rows per input row, a hard per-row bound), keeping centers with
+       ``point_in_geom(wkt, cx, cy) = 1`` (even-odd across all rings,
+       so lake cells drop and multipart mapunits work in one pass).
+
+    Exactness contract: with geometry vertices on the EVEN integer
+    grid and an even ``cell_size``, centers land on ODD integers —
+    never edge-incident — so every containment decision is exact
+    BIGINT arithmetic (the same even-grid/odd-probe discipline as the
+    select-by-location queries). Coordinates must be ≥ 0 (integral
+    truncating division = floor). Output: input columns (minus the
+    WKT) + (tile_x, tile_y, col, row, cx, cy), one row per cell."""
+    from .geometry import point_in_geom
+
+    c = F.col(wkt_col)
+    half = cell_size // 2
+    rings = F.split(
+        F.regexp_replace(
+            F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1), r"^\(+|\)+$", ""
+        ),
+        r"\)+\s*,\s*\(+",
+    )
+    pts = F.flatten(
+        F.transform(
+            rings,
+            lambda r: F.transform(
+                F.split(r, r",\s*"),
+                lambda p: F.struct(
+                    F.split(F.trim(p), r"\s+").getItem(0)
+                    .cast("long").alias("x"),
+                    F.split(F.trim(p), r"\s+").getItem(1)
+                    .cast("long").alias("y"),
+                ),
+            ),
+        )
+    )
+    xs = F.transform(pts, lambda p: p["x"])
+    ys = F.transform(pts, lambda p: p["y"])
+    # candidate center indices: center(i) = i·cs + cs/2 ∈ [min, max]
+    with_bbox = polys.withColumn(
+        "_i0", ((F.array_min(xs) - half + cell_size - 1) / cell_size).cast("long")
+    ).withColumn(
+        "_i1", ((F.array_max(xs) - half) / cell_size).cast("long")
+    ).withColumn(
+        "_j0", ((F.array_min(ys) - half + cell_size - 1) / cell_size).cast("long")
+    ).withColumn(
+        "_j1", ((F.array_max(ys) - half) / cell_size).cast("long")
+    )
+    t = F.lit(tile_cells)
+    tiles = with_bbox.withColumn(
+        "tile_x",
+        F.explode(F.sequence((F.col("_i0") / t).cast("long"),
+                             (F.col("_i1") / t).cast("long"))),
+    ).withColumn(
+        "tile_y",
+        F.explode(F.sequence((F.col("_j0") / t).cast("long"),
+                             (F.col("_j1") / t).cast("long"))),
+    )
+    cells = tiles.withColumn(
+        "col",
+        F.explode(F.sequence(
+            F.greatest(F.col("_i0"), F.col("tile_x") * t),
+            F.least(F.col("_i1"), F.col("tile_x") * t + t - 1),
+        )),
+    ).withColumn(
+        "row",
+        F.explode(F.sequence(
+            F.greatest(F.col("_j0"), F.col("tile_y") * t),
+            F.least(F.col("_j1"), F.col("tile_y") * t + t - 1),
+        )),
+    ).withColumn(
+        "cx", F.col("col") * cell_size + half
+    ).withColumn(
+        "cy", F.col("row") * cell_size + half
+    )
+    inside = cells.where(point_in_geom(c, F.col("cx"), F.col("cy")) == 1)
+    return inside.drop(wkt_col, "_i0", "_i1", "_j0", "_j1")
+
+
 # --------------------------------------------------------------------
 # NLCD snap-grid alignment (round 10): SSURGO_ExportMuRaster.py:175-335
 # SnapToNLCD. The reference aligns every exported raster extent to the

@@ -492,6 +492,27 @@ WHERE rn = 1
 
 # ---- synthesized SSURGO-shaped tables (queries.ssurgo_synth twins) ----
 
+# round 11: per-mapunit polygon synthesis twin (q_tools._mu_polygon_wkt)
+# — cell-grid parameters only; the oracles derive every cell figure
+# from arithmetic-series closed forms, never parsing WKT. col0/row0
+# are absolute CELL indices (geometry is ×2 on the even grid).
+_MUG = """
+mug AS (
+  SELECT c_custkey AS mukey,
+         c_custkey % 100 AS col0, c_custkey % 57 AS row0,
+         (c_custkey % 100) * 2 AS x0, (c_custkey % 57) * 2 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole,
+         c_custkey % 4 + 1 AS pw, c_custkey % 3 + 1 AS ph,
+         (c_custkey % 3 = 0) AS plain
+  FROM customer)"""
+
+#: CELL_CENTER cell count of one synthesized mapunit geometry
+_MUG_NCELLS = """(w * h - CASE WHEN has_hole THEN hw * hh ELSE 0 END
+         + CASE WHEN plain THEN 0 ELSE pw * ph END)"""
+
 _SYN = """
 syn_co AS (
   SELECT o_custkey AS mukey, o_orderkey AS cokey,
@@ -6150,4 +6171,240 @@ SELECT st.doc_id AS did, st.fp, CAST(24 AS INTEGER) AS n_windows,
             WHEN st.doc_id = st.first_did THEN NULL
             ELSE st.first_did END AS match_did
 FROM st LEFT JOIN idx i ON st.fp = i.fp
+"""
+
+# round 11: real polygon→cell rasterization — cell count and the
+# coordinate sums of the CELL_CENTER set from arithmetic-series
+# closed forms (centers x0+1+2i: Σ = w·x0 + w², etc.); never parses
+# WKT, never rasterizes, never ray-casts
+ORACLES["raster_polygon_cells"] = f"""
+WITH {_MUG}
+SELECT mukey AS okey,
+       CAST({_MUG_NCELLS} AS BIGINT) AS n_cells,
+       CAST(h * (w * x0 + w * w)
+            - CASE WHEN has_hole
+                   THEN hh * (hw * (x0 + 2) + hw * hw) ELSE 0 END
+            + CASE WHEN plain THEN 0
+                   ELSE ph * (pw * (x0 + 40) + pw * pw) END
+         AS BIGINT) AS sum_cx,
+       CAST(w * (h * y0 + h * h)
+            - CASE WHEN has_hole
+                   THEN hw * (hh * (y0 + 2) + hh * hh) ELSE 0 END
+            + CASE WHEN plain THEN 0
+                   ELSE pw * (ph * y0 + ph * ph) END
+         AS BIGINT) AS sum_cy
+FROM mug
+"""
+
+# round 11: rating raster over the REAL cell inventory — dominant
+# drainage class per mapunit × closed-form cell counts
+ORACLES["raster_rating_cells_geom"] = f"""
+WITH {_SYN},
+{_MUG},
+rated AS (
+  SELECT mukey, drainagecl AS rating
+  FROM (SELECT mukey, drainagecl,
+               row_number() OVER (PARTITION BY mukey
+                 ORDER BY comppct_r DESC, cokey ASC) AS rn
+        FROM syn_co)
+  WHERE rn = 1),
+j AS (
+  SELECT rating, r.mukey, {_MUG_NCELLS} AS n_cells
+  FROM rated r JOIN mug g ON r.mukey = g.mukey)
+SELECT rating, COUNT(DISTINCT mukey) AS n_mapunits,
+       CAST(SUM(n_cells) AS BIGINT) AS n_cells,
+       CAST(floor(SUM(n_cells) * 4.0 * 0.000247104393 * 10000.0)
+         AS BIGINT) AS acres_e4
+FROM j GROUP BY rating
+"""
+
+# round 11: tile manifest facts from the enumerated cell set — cells
+# materialized via bounded generate_series + membership closed forms
+# (ext minus hole, plus part 2), deduped across overlapping polygons,
+# grouped by the 16-cell tile lattice
+ORACLES["raster_tile_export_geom"] = f"""
+WITH {_MUG},
+ext AS (
+  SELECT col0 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 12) i(i), generate_series(0, 6) j(j)
+  WHERE i.i <= w - 1 AND j.j <= h - 1
+    AND NOT (has_hole AND i.i >= 1 AND i.i <= hw
+             AND j.j >= 1 AND j.j <= hh)),
+p2 AS (
+  SELECT col0 + 20 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 3) i(i), generate_series(0, 2) j(j)
+  WHERE NOT plain AND i.i <= pw - 1 AND j.j <= ph - 1),
+cells AS (
+  SELECT DISTINCT colx, rowy
+  FROM (SELECT * FROM ext UNION ALL SELECT * FROM p2)),
+tiles AS (
+  SELECT colx // 16 AS tx, rowy // 16 AS ty, COUNT(*) AS n
+  FROM cells GROUP BY 1, 2)
+SELECT CAST(ty * 1000 + tx AS BIGINT) AS tile_id,
+       CAST(256 AS INTEGER) AS n_pixels,
+       CAST(256 - n AS INTEGER) AS n_nodata
+FROM tiles
+"""
+
+# round 11: Reclassify composed onto real cells — the oracle bins by
+# a CASE-WHEN break chain (no interval join) and counts cells by the
+# arithmetic closed form (no rasterization)
+ORACLES["raster_reclassify_cells"] = f"""
+WITH {_MUG},
+rated AS (
+  SELECT o_custkey AS mukey, MAX(o_orderkey % 97 + 3) AS v
+  FROM orders GROUP BY 1),
+mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM rated),
+cls AS (
+  SELECT mukey, v, mn, mx,
+         CASE WHEN v < mn + ((mx - mn) * 1) // 5 THEN 0
+              WHEN v < mn + ((mx - mn) * 2) // 5 THEN 1
+              WHEN v < mn + ((mx - mn) * 3) // 5 THEN 2
+              WHEN v < mn + ((mx - mn) * 4) // 5 THEN 3
+              ELSE 4 END AS class_idx
+  FROM rated, mm),
+j AS (
+  SELECT class_idx, mn, mx, c.mukey, {_MUG_NCELLS} AS n_cells
+  FROM cls c JOIN mug g ON c.mukey = g.mukey)
+SELECT CAST(class_idx AS INTEGER) AS class_idx,
+       CAST(mn + ((mx - mn) * class_idx) // 5 AS BIGINT) AS lo,
+       CAST(CASE WHEN class_idx = 4 THEN mx
+            ELSE mn + ((mx - mn) * (class_idx + 1)) // 5 END
+         AS BIGINT) AS hi,
+       COUNT(DISTINCT mukey) AS n_mapunits,
+       CAST(SUM(n_cells) AS BIGINT) AS n_cells,
+       CAST(floor(SUM(n_cells) * 4.0 * 0.000247104393 * 10000.0)
+         AS BIGINT) AS acres_e4
+FROM j GROUP BY class_idx, mn, mx
+"""
+
+# round 11: convex-pentagon clipped GEOMETRY — canonical vertex list
+# constructed from the closed-form case analysis of
+# rect ∩ rect ∩ {x+y <= cc} (rectangle / pentagon / quad / triangle /
+# empty); never clips a vertex
+ORACLES["clip_convex_aoi_wkt"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         GREATEST(c_custkey % 100,
+                  c_custkey % 100 + c_custkey % 5 - 2) AS a,
+         LEAST(c_custkey % 100 + c_custkey % 13 + 1,
+               c_custkey % 100 + c_custkey % 5 - 2
+                 + c_custkey % 11 + 1) AS b,
+         GREATEST(c_custkey % 57,
+                  c_custkey % 57 + c_custkey % 4 - 1) AS p,
+         LEAST(c_custkey % 57 + c_custkey % 7 + 1,
+               c_custkey % 57 + c_custkey % 4 - 1
+                 + c_custkey % 6 + 1) AS q,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1
+           + c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1
+           - c_custkey % 4 AS cc
+  FROM customer),
+d AS (SELECT *, (b > a AND q > p AND cc > a + p) AS ok FROM g)
+SELECT okey,
+  CASE WHEN NOT ok THEN 'POLYGON EMPTY'
+       WHEN cc >= b + q THEN
+         'POLYGON ((' || a || ' ' || p || ', ' || b || ' ' || p || ', '
+           || b || ' ' || q || ', ' || a || ' ' || q || ', '
+           || a || ' ' || p || '))'
+       ELSE
+         'POLYGON ((' || a || ' ' || p
+         || ', ' || CASE WHEN cc >= b + p THEN b || ' ' || p
+                         ELSE (cc - p) || ' ' || p END
+         || CASE WHEN cc > b + p
+                 THEN ', ' || b || ' ' || (cc - b) ELSE '' END
+         || CASE WHEN cc > a + q
+                 THEN ', ' || (cc - q) || ' ' || q ELSE '' END
+         || ', ' || CASE WHEN cc >= a + q THEN a || ' ' || q
+                         ELSE a || ' ' || (cc - a) END
+         || ', ' || a || ' ' || p || '))'
+  END AS clip_wkt,
+  CAST(CASE WHEN b > a AND q > p THEN
+    2 * (b - a) * (q - p)
+    - (GREATEST(0, b + q - cc) * GREATEST(0, b + q - cc)
+       - GREATEST(0, a + q - cc) * GREATEST(0, a + q - cc)
+       - GREATEST(0, b + p - cc) * GREATEST(0, b + p - cc)
+       + GREATEST(0, a + p - cc) * GREATEST(0, a + p - cc))
+    ELSE 0 END AS BIGINT) AS clip_a2x
+FROM d
+"""
+
+# round 11: concave-staircase clipped GEOMETRY — the dissolved union
+# ring from band overlap closed forms (first/last survivor CASEs +
+# per-boundary step pieces); never clips, never dissolves
+ORACLES["clip_concave_aoi_wkt"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 100 + c_custkey % 13 + 1 AS x1,
+         c_custkey % 57 + c_custkey % 7 + 1 AS y1
+  FROM customer),
+b AS (
+  SELECT okey, GREATEST(x0, 10) AS lx,
+         LEAST(x1, 95) AS r0, GREATEST(y0, 5)  AS lo0,
+         LEAST(y1, 20) AS hi0,
+         LEAST(x1, 70) AS r1, GREATEST(y0, 20) AS lo1,
+         LEAST(y1, 35) AS hi1,
+         LEAST(x1, 45) AS r2, GREATEST(y0, 35) AS lo2,
+         LEAST(y1, 50) AS hi2
+  FROM g),
+s AS (
+  SELECT *,
+         (r0 > lx AND hi0 > lo0) AS s0,
+         (r1 > lx AND hi1 > lo1) AS s1,
+         (r2 > lx AND hi2 > lo2) AS s2
+  FROM b),
+v AS (
+  SELECT *,
+         CASE WHEN s0 THEN lo0 WHEN s1 THEN lo1 ELSE lo2 END AS lof,
+         CASE WHEN s0 THEN r0 WHEN s1 THEN r1 ELSE r2 END AS rf,
+         CASE WHEN s2 THEN r2 WHEN s1 THEN r1 ELSE r0 END AS rl,
+         CASE WHEN s2 THEN hi2 WHEN s1 THEN hi1 ELSE hi0 END AS hil
+  FROM s)
+SELECT okey,
+  CASE WHEN NOT (s0 OR s1 OR s2) THEN 'POLYGON EMPTY'
+  ELSE 'POLYGON ((' || lx || ' ' || lof || ', ' || rf || ' ' || lof
+    || CASE WHEN s0 AND s1 AND r1 <> r0
+            THEN ', ' || r0 || ' ' || hi0 || ', ' || r1 || ' ' || hi0
+            ELSE '' END
+    || CASE WHEN s1 AND s2 AND r2 <> r1
+            THEN ', ' || r1 || ' ' || hi1 || ', ' || r2 || ' ' || hi1
+            ELSE '' END
+    || ', ' || rl || ' ' || hil || ', ' || lx || ' ' || hil
+    || ', ' || lx || ' ' || lof || '))'
+  END AS clip_wkt,
+  CAST(CASE WHEN s0 THEN 2 * (r0 - lx) * (hi0 - lo0) ELSE 0 END
+     + CASE WHEN s1 THEN 2 * (r1 - lx) * (hi1 - lo1) ELSE 0 END
+     + CASE WHEN s2 THEN 2 * (r2 - lx) * (hi2 - lo2) ELSE 0 END
+     AS BIGINT) AS clip_a2x
+FROM v
+"""
+
+# round 11: line-FC report — segment lengths from the synthesis
+# deltas directly (floor(1e4·sqrt(dx²+dy²)) per segment, exact
+# integer sum); never parses WKT
+ORACLES["featline_length_report"] = """
+WITH g AS (
+  SELECT 'AS' || CAST(c_custkey % 7 AS VARCHAR) AS areasymbol,
+         c_custkey % 5 + 3 AS dx1,
+         c_custkey % 6 AS dy2,
+         c_custkey % 4 + 1 AS pw, c_custkey % 3 AS ph,
+         (c_custkey % 3 = 0) AS plain
+  FROM customer),
+f AS (
+  SELECT areasymbol,
+         CASE WHEN plain THEN 1 ELSE 2 END AS n_parts,
+         CASE WHEN plain THEN 3 ELSE 5 END AS n_vertices,
+         CAST(floor(sqrt(CAST(dx1 * dx1 + 16 AS DOUBLE)) * 10000.0)
+              AS BIGINT)
+         + CAST(floor(sqrt(CAST(dy2 * dy2 AS DOUBLE)) * 10000.0)
+                AS BIGINT)
+         + CASE WHEN plain THEN 0
+                ELSE CAST(floor(sqrt(CAST(pw * pw + ph * ph AS DOUBLE))
+                                * 10000.0) AS BIGINT) END AS len_e4
+  FROM g)
+SELECT areasymbol, COUNT(*) AS n_lines,
+       CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+       CAST(SUM(n_vertices) AS BIGINT) AS n_vertices,
+       CAST(SUM(len_e4) AS BIGINT) AS len_e4
+FROM f GROUP BY areasymbol
 """

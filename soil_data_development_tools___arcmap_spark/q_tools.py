@@ -842,11 +842,22 @@ def clip_polygon_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ay0 = (y0 + k % 4 - 1).cast("double")
     ax1 = ax0 + (k % 11 + 1).cast("double")
     ay1 = ay0 + (k % 6 + 1).cast("double")
-    clipped = clip_ring_to_rect(wkt, ax0, ay0, ax1, ay1)
+    from .functions.geometry import _let
+
+    # bind the 4-pass SH subtree ONCE (_let); WKT and area both read
+    # the binding — same expression-blowup discipline as the holes /
+    # multipolygon variants
+    out = _let(
+        clip_ring_to_rect(wkt, ax0, ay0, ax1, ay1),
+        lambda clipped: F.struct(
+            ring_to_wkt(normalize_ring(clipped)).alias("clip_wkt"),
+            F.round(ring_area2x(clipped)).cast("long").alias("clip_a2x"),
+        ),
+    )
     return _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("okey"),
-        ring_to_wkt(normalize_ring(clipped)).alias("clip_wkt"),
-        F.round(ring_area2x(clipped)).cast("long").alias("clip_a2x"),
+        out["clip_wkt"].alias("clip_wkt"),
+        out["clip_a2x"].alias("clip_a2x"),
     )
 
 
@@ -1285,6 +1296,81 @@ def clip_convex_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_convex_aoi_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-GEOMETRY output for the convex pentagon AOI — the
+    feature half of arcpy.Clip_analysis for non-rectangular AOIs
+    (gSSURGO_Clip.py:160 returns clipped features; clip_convex_aoi
+    covers only their area). Rect subjects clip against the AOI
+    rectangle + 45° corner cut via the general half-plane passes
+    (clip_ring_convex), coordinates SNAP back to the exact integer
+    grid (snap_ring_ints — axis/45° edges on integer subjects
+    guarantee integral intersections; the snap removes the ~1 ulp the
+    general-edge interpolation can carry), then canonicalize
+    (normalize_ring) and serialize (ring_to_wkt). The oracle
+    CONSTRUCTS the clipped polygon's canonical vertex list from the
+    closed-form case analysis of rect ∩ rect ∩ {x+y ≤ cc} — triangle
+    / quad / pentagon / rectangle / empty — and never clips a vertex:
+    matching strings certify the general-edge SH pipeline's exact
+    vertex output. Map-only, zero shuffles."""
+    from .functions.geometry import (
+        _let,
+        _ring_pts,
+        clip_ring_convex,
+        normalize_ring,
+        ring_area2x,
+        ring_to_wkt,
+        snap_ring_ints,
+    )
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    x1, y1 = x0 + w, y0 + h
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    ring_body = F.concat(
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
+        sep, pt(x0, y0),
+    )
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    cc = ax1 + ay1 - (k % 4).cast("double")
+
+    def clip_bound(b: Column) -> Column:
+        edges = [
+            ((b["x0"], b["y0"]), (b["x1"], b["y0"])),          # y >= ay0
+            ((b["x1"], b["y0"]), (b["x1"], b["y1"])),          # x <= ax1
+            ((b["c"], F.lit(0.0)), (b["c"] - 1, F.lit(1.0))),  # x+y <= cc
+            ((b["x1"], b["y1"]), (b["x0"], b["y1"])),          # y <= ay1
+            ((b["x0"], b["y1"]), (b["x0"], b["y0"])),          # x >= ax0
+        ]
+        clipped = snap_ring_ints(
+            clip_ring_convex(_ring_pts(ring_body), edges)
+        )
+        return _let(
+            clipped,
+            lambda cr: F.struct(
+                ring_to_wkt(normalize_ring(cr)).alias("clip_wkt"),
+                F.round(ring_area2x(cr)).cast("long").alias("clip_a2x"),
+            ),
+        )
+
+    bounds = F.struct(
+        ax0.alias("x0"), ay0.alias("y0"), ax1.alias("x1"),
+        ay1.alias("y1"), cc.alias("c"),
+    )
+    out = _let(bounds, clip_bound)
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        out["clip_wkt"].alias("clip_wkt"),
+        out["clip_a2x"].alias("clip_a2x"),
+    )
+
+
 #: concave AOI with a DIAGONAL boundary for clip_concave_diagonal_aoi:
 #: an L-shape whose notch is cut at 45° (reflex vertex at (50,25);
 #: hypotenuse on x+y=75) — the AOI shape neither the rectilinear
@@ -1435,6 +1521,149 @@ def clip_concave_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_concave_aoi_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-GEOMETRY output for the CONCAVE staircase AOI —
+    completing the feature-output family (rect / holes / multipart /
+    convex WKT already certified): per decomposition piece the
+    axis-aligned SH clip runs as before (exact — no general edges, so
+    no snap needed), each surviving piece reduces to its band
+    rectangle, and the rectilinear DISSOLVE (geometry.py:
+    bands_to_ring) merges the bands back into ONE boundary ring —
+    what Clip_analysis returns for a connected clip
+    (gSSURGO_Clip.py:160), not the decomposition artifacts. Output
+    collapses to the canonical rectangle when only one band survives
+    (or rights align), 'POLYGON EMPTY' when none does. The oracle
+    constructs the staircase vertex chain from band overlap closed
+    forms (first/last survivor CASEs + per-boundary step pieces) and
+    never clips or dissolves. Map-only, zero shuffles."""
+    from .functions.geometry import (
+        _clip_halfplane,
+        _let,
+        _ring_pts,
+        bands_to_ring,
+        normalize_ring,
+        rectilinear_decompose,
+        ring_area2x,
+        ring_to_wkt,
+    )
+
+    pieces = rectilinear_decompose(_STAIR_AOI)
+    assert len(pieces) == 3 and all(
+        p[0] == pieces[0][0] for p in pieces
+    ), pieces  # left-aligned bands: the bands_to_ring precondition
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    x1, y1 = x0 + w, y0 + h
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    ring_body = F.concat(
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
+        sep, pt(x0, y0),
+    )
+
+    def band_of(piece) -> Column:
+        px0, py0, px1, py1 = piece
+        out = _clip_halfplane(_ring_pts(ring_body), "x", px0, keep_ge=True)
+        out = _clip_halfplane(out, "x", px1, keep_ge=False)
+        out = _clip_halfplane(out, "y", py0, keep_ge=True)
+        out = _clip_halfplane(out, "y", py1, keep_ge=False)
+        return _let(
+            out,
+            lambda cr: F.when(
+                F.size(cr) >= 3,
+                F.struct(
+                    F.array_min(
+                        F.transform(cr, lambda p: p["x"])
+                    ).alias("lx"),
+                    F.array_min(
+                        F.transform(cr, lambda p: p["y"])
+                    ).alias("lo"),
+                    F.array_max(
+                        F.transform(cr, lambda p: p["x"])
+                    ).alias("rx"),
+                    F.array_max(
+                        F.transform(cr, lambda p: p["y"])
+                    ).alias("hi"),
+                ),
+            ),
+        )
+
+    bands = F.filter(
+        F.array(*[band_of(p) for p in pieces]),
+        lambda b: b.isNotNull()
+        & (b["rx"] > b["lx"])
+        & (b["hi"] > b["lo"]),
+    )
+    ring = bands_to_ring(bands)
+    out = _let(
+        ring,
+        lambda r: F.struct(
+            ring_to_wkt(normalize_ring(r)).alias("clip_wkt"),
+            F.round(ring_area2x(r)).cast("long").alias("clip_a2x"),
+        ),
+    )
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        out["clip_wkt"].alias("clip_wkt"),
+        out["clip_a2x"].alias("clip_a2x"),
+    )
+
+
+def featline_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line feature-class coverage — MULINE / FEATLINE
+    (SSURGO_Convert_to_Geodatabase.py:1677-1818 appends all six FCs
+    per survey; the line layers' report figure is the GIS-maintained
+    SHAPE_Length, re-derived here from coordinates): per-survey
+    polyline report over synthesized LINESTRING / MULTILINESTRING
+    features (two-part features for two thirds of keys — multipart
+    polylines are routine in FEATLINE), parsed and measured by ONE
+    Column expression (geometry.py:linestring_stats — per-segment
+    floor(10⁴·√(dx²+dy²)) quantization makes the length an exact
+    order-independent BIGINT both engines reproduce). Output per
+    areasymbol: feature/part/vertex counts and total length. The
+    oracle computes segment lengths straight from the synthesis
+    deltas — it never sees WKT. One scan, one partial-aggregated
+    exchange."""
+    from .functions.geometry import linestring_stats
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    dx1 = k % 5 + 3
+    dy2 = k % 6
+    pw, ph = k % 4 + 1, k % 3
+    plain = k % 3 == 0
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    part1 = F.concat(
+        pt(x0, y0), sep, pt(x0 + dx1, y0 + 4), sep,
+        pt(x0 + dx1, y0 + 4 + dy2),
+    )
+    part2 = F.concat(pt(x0 + 50, y0), sep, pt(x0 + 50 + pw, y0 + ph))
+    wkt = F.when(
+        plain, F.concat(F.lit("LINESTRING ("), part1, F.lit(")"))
+    ).otherwise(
+        F.concat(
+            F.lit("MULTILINESTRING (("), part1, F.lit("), ("), part2,
+            F.lit("))"),
+        )
+    )
+    feats = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("AS"), (k % 7).cast("string")).alias("areasymbol"),
+        linestring_stats(wkt).alias("s"),
+    )
+    return feats.groupBy("areasymbol").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("s")["n_parts"]).alias("n_parts"),
+        F.sum(F.col("s")["n_vertices"]).alias("n_vertices"),
+        F.sum(F.col("s")["len_e4"]).alias("len_e4"),
+    )
+
+
 def raster_snap_nlcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NLCD snap-grid alignment (SnapToNLCD,
     SSURGO_ExportMuRaster.py:175-335): the fixed-national-grid extent
@@ -1464,6 +1693,210 @@ def raster_snap_nlcd(spark: SparkSession, sf_dir: str) -> DataFrame:
         x1.alias("x1"), y1.alias("y1"), x2.alias("x2"), y2.alias("y2"),
         *[v.alias(n) for n, v in snapped.items()],
         (snapped["n_rows"] * 3).alias("n_rows_i10"),
+    )
+
+
+def _mu_polygon_wkt(k: Column) -> Column:
+    """Per-mapunit polygon synthesis on the EVEN integer grid (cell
+    centers land on odd coordinates — never edge-incident, so every
+    CELL_CENTER containment decision is exact BIGINT arithmetic):
+    exterior w×h cells at (2(k%100), 2(k%57)), an interior hole when
+    the exterior is ≥3 cells each way, and a second MULTIPOLYGON part
+    40 m east for two thirds of keys (k%3≠0 — the clip_multipolygon
+    convention). Shared by the round-11 rasterization queries so the
+    oracle closed forms derive from one synthesis."""
+    x0, y0 = (k % 100) * 2, (k % 57) * 2
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pw, ph = k % 4 + 1, k % 3 + 1
+    plain = k % 3 == 0
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            F.lit("("), pt(ax0, ay0), sep, pt(ax1, ay0), sep,
+            pt(ax1, ay1), sep, pt(ax0, ay1), sep, pt(ax0, ay0),
+            F.lit(")"),
+        )
+
+    part1 = F.concat(
+        ring(x0, y0, x0 + 2 * w, y0 + 2 * h),
+        F.when(
+            has_hole,
+            F.concat(
+                F.lit(", "),
+                ring(x0 + 2, y0 + 2, x0 + 2 + 2 * hw, y0 + 2 + 2 * hh),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    part2 = ring(x0 + 40, y0, x0 + 40 + 2 * pw, y0 + 2 * ph)
+    return F.when(
+        plain, F.concat(F.lit("POLYGON ("), part1, F.lit(")"))
+    ).otherwise(
+        F.concat(
+            F.lit("MULTIPOLYGON (("), part1, F.lit("), ("), part2,
+            F.lit("))"),
+        )
+    )
+
+
+def raster_polygon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real polygon→cell rasterization — ``PolygonToRaster …
+    CELL_CENTER`` (SSURGO_ExportMuRaster.py:1434) — replacing the
+    synthetic cell inventory of rounds ≤10: cells derive from the
+    GEOMETRY via bbox→tile→cell explode + point_in_geom containment
+    (functions/raster.py:polygon_cell_inventory), exercising holes
+    (lake cells drop) and MULTIPOLYGON parts through one pass.
+    tile_cells=8 forces multi-tile polygons (w up to 13 cells), so
+    the 100 TB tile-split guard runs in the certified plan. Output
+    per polygon: cell count and the coordinate sums of the cell-center
+    set (Σcx, Σcy certify the exact CELL SET, not just its size). The
+    oracle derives every figure from arithmetic-series closed forms —
+    it never rasterizes, parses WKT, or ray-casts. Plan: scan →
+    generate (tile, cell) → filter → one partial-aggregated exchange
+    on okey."""
+    from .functions.raster import polygon_cell_inventory
+
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=8)
+    return cells.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cx").alias("sum_cx"),
+        F.sum("cy").alias("sum_cy"),
+    )
+
+
+def raster_rating_cells_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rating-raster sink over the REAL cell inventory — the composed
+    MuRaster workflow (SSURGO_ExportMuRaster.py:1434 PolygonToRaster
+    CELL_CENTER → gSSURGO_ExportRasters.py:720-1746 rating Lookup):
+    dominant-component drainage class per mapunit joined onto the
+    geometry-derived cells (broadcast — the rated-mapunit side is the
+    CONUS ≈300k-row dimension next to the cell table), then the
+    per-rating raster attribute summary with acreage = cell count ×
+    cell_area × convAcres (2 m cells here: the synthesis grid unit).
+    The raster acreage a user exports is now derivable from geometry —
+    closing the round-10 'synthetic cells' gap."""
+    from .functions.geometry import ACRES_PER_SQM
+    from .functions.raster import polygon_cell_inventory
+
+    co = ssurgo_synth(spark, sf_dir)["component"]
+    w = Window.partitionBy("mukey").orderBy(
+        F.col("comppct_r").desc(), F.col("cokey").asc()
+    )
+    rated = (
+        co.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("mukey", F.col("drainagecl").alias("rating"))
+    )
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=8)
+    joined = cells.join(F.broadcast(rated), "mukey")
+    return joined.groupBy("rating").agg(
+        F.countDistinct("mukey").alias("n_mapunits"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.floor(
+            F.count(F.lit(1)) * F.lit(4.0) * F.lit(ACRES_PER_SQM)
+            * F.lit(10000.0)
+        ).cast("long").alias("acres_e4"),
+    )
+
+
+def raster_tile_export_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed raster export from REAL geometry, end-to-end: the
+    polygon→cell inventory (CELL_CENTER) lands in per-tile GeoTIFFs
+    encoded and written ON THE EXECUTORS (write_raster_tiles — pixels
+    never visit the driver). tile_cells=16 matches the sink's tile
+    size so inventory tiles map 1:1 onto files; overlapping polygons
+    resolve deterministically (max mukey per cell — one keyed
+    exchange, the reference's last-polygon-wins made reproducible).
+    Output the manifest facts derivable from the cell table (per-tile
+    pixel/nodata counts); byte exactness of the TIFFs is pinned by the
+    round-trip decoder tests."""
+    import tempfile
+
+    from .functions.raster import polygon_cell_inventory, write_raster_tiles
+
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=16)
+    # cell codes are 1-based: nodata is 0, so a raw key of 0 would
+    # vanish into the nodata fill — the precise reason the reference
+    # assigns CELLVALUEs through a 1-based Lookup table
+    # (SSURGO_ExportMuRaster.py:1288-1300)
+    dedup = cells.groupBy("tile_x", "tile_y", "col", "row").agg(
+        (F.max("mukey") + 1).alias("cellvalue")
+    )
+    tiled = dedup.select(
+        (F.col("tile_y") * 1000 + F.col("tile_x")).alias("tile_id"),
+        (F.col("row") - F.col("tile_y") * 16).alias("row"),
+        (F.col("col") - F.col("tile_x") * 16).alias("col"),
+        "cellvalue",
+    )
+    out = write_raster_tiles(tiled, tempfile.mkdtemp(prefix="sddt_geotiles_"))
+    return out.select("tile_id", "n_pixels", "n_nodata")
+
+
+def raster_reclassify_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reclassify fallback for continuous-rating rasters
+    (gSSURGO_ExportRasters.py:1168: when a rating is continuous the
+    export Reclassifies it into class-break bins before the raster
+    write): equal-interval breaks (functions/legend.py:
+    equal_interval_breaks — exact integer arithmetic) over the
+    per-mapunit dominant component percent, turned into [lo, hi)
+    intervals (last class closed) via a lead window over the 6-row
+    break table, range-joined (broadcast) onto the rated mapunits,
+    then composed with the REAL geometry-derived cell inventory for
+    the per-class raster summary. Oracle machinery differs end to
+    end: a CASE-WHEN break chain and arithmetic-series cell counts —
+    no interval join, no rasterization."""
+    from .functions.geometry import ACRES_PER_SQM
+    from .functions.legend import equal_interval_breaks
+    from .functions.raster import polygon_cell_inventory
+
+    co = ssurgo_synth(spark, sf_dir)["component"]
+    rated = co.groupBy("mukey").agg(F.max("comppct_r").alias("v"))
+    breaks = equal_interval_breaks(rated, "v", 5)
+    wl = Window.orderBy("class_idx")  # 6 rows: bounded by design
+    iv = (
+        breaks.withColumn("hi", F.lead("brk").over(wl))
+        .where(F.col("hi").isNotNull())
+        .select("class_idx", F.col("brk").alias("lo"), "hi")
+    )
+    classed = rated.join(
+        F.broadcast(iv),
+        (F.col("v") >= F.col("lo"))
+        & (
+            (F.col("v") < F.col("hi"))
+            | ((F.col("class_idx") == 4) & (F.col("v") <= F.col("hi")))
+        ),
+    ).select("mukey", "class_idx", "lo", "hi")
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=8)
+    joined = cells.join(F.broadcast(classed), "mukey")
+    return joined.groupBy("class_idx", "lo", "hi").agg(
+        F.countDistinct("mukey").alias("n_mapunits"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.floor(
+            F.count(F.lit(1)) * F.lit(4.0) * F.lit(ACRES_PER_SQM)
+            * F.lit(10000.0)
+        ).cast("long").alias("acres_e4"),
     )
 
 

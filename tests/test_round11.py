@@ -1,0 +1,220 @@
+"""Round 11: real polygon→cell rasterization (CELL_CENTER), the
+rating/tile/Reclassify paths composed onto it, and the ADVICE.md
+robustness fixes (triangulation index-based ear test).
+
+Reference parity targets: SSURGO_ExportMuRaster.py:1434
+(PolygonToRaster … CELL_CENTER), gSSURGO_ExportRasters.py:1168
+(Reclassify fallback)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+import soil_data_development_tools___arcmap_spark.queries as Q
+from soil_data_development_tools___arcmap_spark.functions.geometry import (
+    triangulate_simple_polygon,
+)
+from soil_data_development_tools___arcmap_spark.functions.raster import (
+    polygon_cell_inventory,
+)
+
+
+# ---- polygon→cell inventory vs an independent pure-Python rasterizer
+
+
+def _pp_inside(rings, px, py):
+    """Even-odd containment from RING LISTS (never parses WKT) — the
+    independent truth for the brute-force rasterizer."""
+    crossings = 0
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                xi = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                if px < xi:
+                    crossings += 1
+    return crossings % 2 == 1
+
+
+def _pp_cells(rings, cell=2):
+    xs = [p[0] for r in rings for p in r]
+    ys = [p[1] for r in rings for p in r]
+    out = set()
+    for i in range(min(xs) // cell, max(xs) // cell + 1):
+        for j in range(min(ys) // cell, max(ys) // cell + 1):
+            cx, cy = i * cell + cell // 2, j * cell + cell // 2
+            if _pp_inside(rings, cx, cy):
+                out.add((i, j, cx, cy))
+    return out
+
+
+def _ring_wkt(ring):
+    pts = ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
+    return f"({pts})"
+
+
+CASES = [
+    # (name, list of parts, each part = list of rings (ext first))
+    ("single_cell", [[[(0, 0), (2, 0), (2, 2), (0, 2)]]]),
+    ("rect", [[[(4, 6), (14, 6), (14, 12), (4, 12)]]]),
+    ("rect_hole", [[[(0, 0), (12, 0), (12, 10), (0, 10)],
+                    [(2, 2), (8, 2), (8, 6), (2, 6)]]]),
+    ("multipart", [[[(0, 0), (6, 0), (6, 4), (0, 4)]],
+                   [[(20, 0), (26, 0), (26, 6), (20, 6)]]]),
+    ("l_shape", [[[(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10)]]]),
+]
+
+
+def test_polygon_cell_inventory_matches_bruteforce(spark):
+    rows = []
+    for name, parts in CASES:
+        if len(parts) == 1:
+            wkt = "POLYGON (" + ", ".join(_ring_wkt(r) for r in parts[0]) + ")"
+        else:
+            wkt = "MULTIPOLYGON (" + ", ".join(
+                "(" + ", ".join(_ring_wkt(r) for r in p) + ")" for p in parts
+            ) + ")"
+        rows.append((name, wkt))
+    df = spark.createDataFrame(rows, "name string, wkt string")
+    got = {}
+    for r in polygon_cell_inventory(df, tile_cells=4).collect():
+        got.setdefault(r["name"], set()).add(
+            (r["col"], r["row"], r["cx"], r["cy"])
+        )
+    for name, parts in CASES:
+        rings = [ring for part in parts for ring in part]
+        want = _pp_cells(rings)
+        assert got.get(name, set()) == want, name
+
+
+def test_polygon_cell_inventory_tile_invariants(spark):
+    """Every emitted cell sits inside its tile's index window and the
+    center arithmetic holds (cx = 2·col+1 on the even grid) — the
+    invariant that makes the tile-split guard safe to partition on."""
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 40 0, 40 30, 0 30, 0 0))")],
+        "k int, wkt string",
+    )
+    t = 4
+    rows = polygon_cell_inventory(df, tile_cells=t).collect()
+    assert len(rows) == 20 * 15
+    for r in rows:
+        assert r["tile_x"] * t <= r["col"] < (r["tile_x"] + 1) * t
+        assert r["tile_y"] * t <= r["row"] < (r["tile_y"] + 1) * t
+        assert r["cx"] == 2 * r["col"] + 1
+        assert r["cy"] == 2 * r["row"] + 1
+
+
+# ---- ADVICE.md: triangulation robustness (index-based ear test)
+
+
+def _tri_area2x(t):
+    (ax, ay), (bx, by), (cx, cy) = t
+    return abs((bx - ax) * (cy - ay) - (cx - ax) * (by - ay))
+
+
+def _poly_area2x(pts):
+    n = len(pts)
+    return abs(sum(
+        pts[i][0] * pts[(i + 1) % n][1] - pts[(i + 1) % n][0] * pts[i][1]
+        for i in range(n)
+    ))
+
+
+def test_triangulate_collinear_boundary_vertex():
+    # square with a redundant collinear vertex mid-edge: the inclusive
+    # containment test used to see it inside every candidate ear and
+    # dead-end with 'no ear found'
+    pts = [(0, 0), (5, 0), (10, 0), (10, 10), (0, 10)]
+    tris = triangulate_simple_polygon(pts)
+    assert sum(_tri_area2x(t) for t in tris) == _poly_area2x(pts)
+
+
+def test_triangulate_boundary_touching_reflex():
+    # concave polygon whose reflex vertex is collinear with an ear
+    # edge (touches the candidate ear's boundary, never its interior)
+    pts = [(0, 0), (10, 0), (10, 4), (5, 4), (5, 8), (0, 8)]
+    tris = triangulate_simple_polygon(pts)
+    assert sum(_tri_area2x(t) for t in tris) == _poly_area2x(pts)
+    assert len(tris) == len(pts) - 2
+
+
+def test_triangulate_repeated_coordinates_distinct_vertices():
+    # a plus-shape: vertex coordinates never repeat here, but the key
+    # regression is EXCLUSION BY INDEX — build a polygon where one
+    # vertex coordinate-equals an ear corner's reflection; the old
+    # `q not in (a, b, c)` value test skipped the wrong vertex
+    pts = [(0, 0), (4, 0), (4, -4), (8, -4), (8, 0), (12, 0),
+           (12, 4), (0, 4)]
+    tris = triangulate_simple_polygon(pts)
+    assert sum(_tri_area2x(t) for t in tris) == _poly_area2x(pts)
+
+
+# ---- composed raster paths: partitioning + plan shape
+
+
+def test_reclassify_classes_partition(spark):
+    """Every rated mapunit lands in exactly ONE break class (the
+    interval join is a partition of [mn, mx]) and class cell totals
+    reconcile with the per-polygon inventory."""
+    out = Q.raster_reclassify_cells(spark, SF_SMOKE).collect()
+    per_poly = {
+        r["okey"]: r["n_cells"]
+        for r in Q.raster_polygon_cells(spark, SF_SMOKE).collect()
+    }
+    import duckdb
+
+    rated = duckdb.sql(
+        f"SELECT DISTINCT o_custkey FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    rated_mukeys = {r[0] for r in rated}
+    assert sum(r["n_mapunits"] for r in out) == len(rated_mukeys)
+    assert sum(r["n_cells"] for r in out) == sum(
+        n for k, n in per_poly.items() if k in rated_mukeys
+    )
+    los = sorted(r["lo"] for r in out)
+    his = sorted(r["hi"] for r in out)
+    assert los == sorted(set(los)) and his == sorted(set(his))
+
+
+def test_polygon_cells_plan_pinned(spark):
+    """Scale invariant for the first row-multiplying operator since
+    banded_buckets: the cell inventory is map-only (explodes +
+    filter), the per-polygon summary adds exactly ONE keyed exchange,
+    and nothing cartesian or Python-row-at-a-time appears."""
+    df = Q.raster_polygon_cells(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+
+
+def test_tile_export_geom_manifest_consistency(spark):
+    out = Q.raster_tile_export_geom(spark, SF_SMOKE).collect()
+    assert all(r["n_pixels"] == 256 for r in out)
+    assert all(0 <= r["n_nodata"] < 256 for r in out)
+    # total non-nodata pixels == distinct cells across all polygons
+    per_poly = Q.raster_polygon_cells(spark, SF_SMOKE)
+    total_cells = sum(
+        256 - r["n_nodata"] for r in out
+    )
+    from soil_data_development_tools___arcmap_spark.q_tools import (
+        _mu_polygon_wkt,
+        _t,
+    )
+
+    polys = _t(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("mukey"),
+        _mu_polygon_wkt(F.col("c_custkey")).alias("wkt"),
+    )
+    distinct_cells = (
+        polygon_cell_inventory(polys, tile_cells=16)
+        .select("col", "row").distinct().count()
+    )
+    assert total_cells == distinct_cells
+    assert per_poly.count() > 0

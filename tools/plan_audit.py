@@ -116,6 +116,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "legend_color_ramp",
     # page numbering over already-aggregated report rows
     "report_pagination",
+    # lead over the 6-row equal-interval break table (class count + 1)
+    "raster_reclassify_cells",
 }
 
 
