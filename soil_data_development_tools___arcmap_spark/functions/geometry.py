@@ -886,6 +886,81 @@ def ring_to_wkt(ring: Column) -> Column:
     )
 
 
+def parse_geom_rings(wkt: str | Column) -> Column:
+    """ALL rings of ALL parts of a WKT POLYGON / MULTIPOLYGON as
+    ``array<array<struct<x:bigint,y:bigint>>>`` (open rings, closing
+    vertex dropped) — the parse half of ``point_in_geom`` split out so
+    row-multiplying consumers (the cell-inventory explode) parse each
+    polygon ONCE and test containment per row against the parsed
+    arrays instead of re-running regex/split/cast per cell."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    rings = F.split(
+        F.regexp_replace(
+            F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1),
+            r"^\(+|\)+$",
+            "",
+        ),
+        r"\)+\s*,\s*\(+",
+    )
+    return F.transform(
+        rings,
+        lambda r: _let(
+            F.transform(
+                F.split(r, r",\s*"),
+                lambda p: F.struct(
+                    F.split(F.trim(p), r"\s+").getItem(0)
+                    .cast("long").alias("x"),
+                    F.split(F.trim(p), r"\s+").getItem(1)
+                    .cast("long").alias("y"),
+                ),
+            ),
+            lambda cc: F.slice(cc, 1, F.size(cc) - 1),
+        ),
+    )
+
+
+def point_in_rings(rings: Column, px: Column, py: Column) -> Column:
+    """Even-odd containment against PRE-PARSED rings
+    (``parse_geom_rings`` output) — the same exact cross-multiplied
+    crossing arithmetic as ``point_in_geom`` without the per-call WKT
+    parse. Map-only."""
+
+    def ring_crossings(cc: Column) -> Column:
+        def one(c2):
+            n = F.size(c2)
+            return F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.when(
+                        (c2[i]["y"] > py) != (c2[(i + 1) % n]["y"] > py),
+                        F.when(
+                            (
+                                (px - c2[i]["x"])
+                                * (c2[(i + 1) % n]["y"] - c2[i]["y"])
+                                < (c2[(i + 1) % n]["x"] - c2[i]["x"])
+                                * (py - c2[i]["y"])
+                            )
+                            == (c2[(i + 1) % n]["y"] > c2[i]["y"]),
+                            F.lit(1),
+                        ).otherwise(F.lit(0)),
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+
+        return _let(
+            cc, lambda c2: F.when(F.size(c2) < 3, F.lit(0)).otherwise(one(c2))
+        )
+
+    total = F.aggregate(
+        F.transform(rings, ring_crossings),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (total % 2 == 1).cast("int")
+
+
 def point_in_geom(wkt: str | Column, px: Column, py: Column) -> Column:
     """Point-in-geometry over the FULL WKT surface — ``POLYGON`` (with
     holes) or ``MULTIPOLYGON`` (multipart mapunits): the even-odd rule

@@ -60,7 +60,11 @@ def rating_raster_cells(
     (SURVEY §2.8). Writing the TIFF stays GIS-bound; the computation a
     rating raster carries — per-rating cell counts and acreage from a
     synthetic cell inventory (mukey % 7 + 1 cells per mapunit) — is
-    re-expressed here. Input: one row per mukey with its rating.
+    re-expressed here. Kept as the geometry-free fast path; the REAL
+    cell inventory (CELL_CENTER containment over the polygon layer)
+    is ``polygon_cell_inventory`` below, composed in
+    ``raster_rating_cells_geom`` (round 11).
+    Input: one row per mukey with its rating.
     Output: per rating, mapunit count, cell count, acres in exact
     floor(x·10⁴) quantization (count is an exact integer; the one
     float op is the final count × cellsize² × convAcres per group).
@@ -97,6 +101,7 @@ def polygon_cell_inventory(
     wkt_col: str = "wkt",
     cell_size: int = 2,
     tile_cells: int = 64,
+    redistribute: bool = False,
 ) -> DataFrame:
     """Real polygon→cell rasterization — ``PolygonToRaster …
     CELL_CENTER`` (SSURGO_ExportMuRaster.py:1434): every lattice cell
@@ -125,35 +130,31 @@ def polygon_cell_inventory(
     BIGINT arithmetic (the same even-grid/odd-probe discipline as the
     select-by-location queries). Coordinates must be ≥ 0 (integral
     truncating division = floor). Output: input columns (minus the
-    WKT) + (tile_x, tile_y, col, row, cx, cy), one row per cell."""
-    from .geometry import point_in_geom
+    WKT) + (tile_x, tile_y, col, row, cx, cy), one row per cell.
 
-    c = F.col(wkt_col)
+    ``redistribute=True`` adds ONE hash exchange on (tile_x, tile_y)
+    between the tile and cell explodes — the SKEW escape hatch: the
+    default map-only plan keeps each polygon's tiles in its input
+    split, so a layer dominated by a few giant polygons serializes
+    their cell explodes onto few tasks; redistribution spreads a
+    giant polygon's tiles across the cluster at the cost of
+    shuffling the (polygon, tile) rows (each still carries the WKT —
+    only worth it when per-polygon tile counts are very skewed)."""
+    from .geometry import parse_geom_rings, point_in_rings
+
     half = cell_size // 2
-    rings = F.split(
-        F.regexp_replace(
-            F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1), r"^\(+|\)+$", ""
-        ),
-        r"\)+\s*,\s*\(+",
-    )
-    pts = F.flatten(
-        F.transform(
-            rings,
-            lambda r: F.transform(
-                F.split(r, r",\s*"),
-                lambda p: F.struct(
-                    F.split(F.trim(p), r"\s+").getItem(0)
-                    .cast("long").alias("x"),
-                    F.split(F.trim(p), r"\s+").getItem(1)
-                    .cast("long").alias("y"),
-                ),
-            ),
-        )
-    )
+    # parse the WKT ONCE per polygon (regex/split/cast) — every cell
+    # row downstream tests containment against the parsed arrays; at
+    # ~100 cells/polygon re-parsing per cell would burn ~100× the
+    # parse cost for identical results
+    parsed = polys.withColumn(
+        "_rings", parse_geom_rings(F.col(wkt_col))
+    ).drop(wkt_col)
+    pts = F.flatten(F.col("_rings"))
     xs = F.transform(pts, lambda p: p["x"])
     ys = F.transform(pts, lambda p: p["y"])
     # candidate center indices: center(i) = i·cs + cs/2 ∈ [min, max]
-    with_bbox = polys.withColumn(
+    with_bbox = parsed.withColumn(
         "_i0", ((F.array_min(xs) - half + cell_size - 1) / cell_size).cast("long")
     ).withColumn(
         "_i1", ((F.array_max(xs) - half) / cell_size).cast("long")
@@ -172,6 +173,8 @@ def polygon_cell_inventory(
         F.explode(F.sequence((F.col("_j0") / t).cast("long"),
                              (F.col("_j1") / t).cast("long"))),
     )
+    if redistribute:
+        tiles = tiles.repartition("tile_x", "tile_y")
     cells = tiles.withColumn(
         "col",
         F.explode(F.sequence(
@@ -189,8 +192,10 @@ def polygon_cell_inventory(
     ).withColumn(
         "cy", F.col("row") * cell_size + half
     )
-    inside = cells.where(point_in_geom(c, F.col("cx"), F.col("cy")) == 1)
-    return inside.drop(wkt_col, "_i0", "_i1", "_j0", "_j1")
+    inside = cells.where(
+        point_in_rings(F.col("_rings"), F.col("cx"), F.col("cy")) == 1
+    )
+    return inside.drop("_rings", "_i0", "_i1", "_j0", "_j1")
 
 
 # --------------------------------------------------------------------

@@ -266,3 +266,37 @@ def test_ivf_parallel_init_is_deterministic_and_k_seeds(spark):
     b = ivf_topk(emb, train=True, init="parallel").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_clip_wkt_plans_map_only(spark):
+    """The round-11 clipped-geometry queries stay ZERO-exchange
+    map-only plans like the rest of the clip family (PLANS_AUDIT
+    invariant: clip work is embarrassingly parallel per polygon)."""
+    for q in (Q.clip_convex_aoi_wkt, Q.clip_concave_aoi_wkt):
+        plan = q(spark, SF_SMOKE)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_polygon_cell_redistribute_same_cells_one_exchange(spark):
+    """redistribute=True (the giant-polygon skew escape hatch) adds
+    exactly one hash exchange on the tile key and changes NOTHING
+    about the cell set."""
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 40 0, 40 30, 0 30, 0 0))"),
+         (2, "POLYGON ((4 6, 14 6, 14 12, 4 12, 4 6))")],
+        "k int, wkt string",
+    )
+    base = polygon_cell_inventory(df, tile_cells=4)
+    redis = polygon_cell_inventory(df, tile_cells=4, redistribute=True)
+    # read the pre-AQE plan BEFORE collecting (post-run toString
+    # appends the Initial Plan section, double-counting nodes)
+    p0 = base._jdf.queryExecution().executedPlan().toString()
+    p1 = redis._jdf.queryExecution().executedPlan().toString()
+    cells = lambda d: sorted(  # noqa: E731
+        (r["k"], r["col"], r["row"]) for r in d.collect()
+    )
+    assert cells(base) == cells(redis)
+    assert "Exchange" not in p0
+    assert p1.count("Exchange hashpartitioning") == 1
