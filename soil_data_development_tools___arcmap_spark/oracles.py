@@ -6408,3 +6408,74 @@ SELECT areasymbol, COUNT(*) AS n_lines,
        CAST(SUM(len_e4) AS BIGINT) AS len_e4
 FROM f GROUP BY areasymbol
 """
+
+# round 11: multi-ring convex-AOI clipped geometry — the pentagon-case
+# canonical ring constructed PER RING from the closed-form case
+# analysis, then the same EMPTY / exterior-only / two-ring collapse
+ORACLES["clip_convex_aoi_wkt_holes"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 13 + 1 AS w, c_custkey % 7 + 1 AS h,
+         LEAST(c_custkey % 13 + 1 - 2, c_custkey % 3 + 1) AS hw,
+         LEAST(c_custkey % 7 + 1 - 2, c_custkey % 2 + 1) AS hh,
+         (c_custkey % 13 + 1 >= 3 AND c_custkey % 7 + 1 >= 3) AS has_hole,
+         c_custkey % 100 + c_custkey % 5 - 2 AS ax0,
+         c_custkey % 57 + c_custkey % 4 - 1 AS ay0,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1 AS ax1,
+         c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1 AS ay1,
+         c_custkey % 100 + c_custkey % 5 - 2 + c_custkey % 11 + 1
+           + c_custkey % 57 + c_custkey % 4 - 1 + c_custkey % 6 + 1
+           - c_custkey % 4 AS cc
+  FROM customer),
+r AS (
+  SELECT okey, 'e' AS kind, x0 AS sx0, y0 AS sy0,
+         x0 + w AS sx1, y0 + h AS sy1, ax0, ay0, ax1, ay1, cc FROM g
+  UNION ALL
+  SELECT okey, 'h', x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh,
+         ax0, ay0, ax1, ay1, cc FROM g WHERE has_hole),
+o AS (
+  SELECT okey, kind,
+         GREATEST(sx0, ax0) AS a, LEAST(sx1, ax1) AS b,
+         GREATEST(sy0, ay0) AS p, LEAST(sy1, ay1) AS q, cc FROM r),
+rb AS (
+  SELECT okey, kind,
+    CASE WHEN NOT (b > a AND q > p AND cc > a + p) THEN NULL
+         WHEN cc >= b + q THEN
+           '(' || a || ' ' || p || ', ' || b || ' ' || p || ', '
+             || b || ' ' || q || ', ' || a || ' ' || q || ', '
+             || a || ' ' || p || ')'
+         ELSE
+           '(' || a || ' ' || p
+           || ', ' || CASE WHEN cc >= b + p THEN b || ' ' || p
+                           ELSE (cc - p) || ' ' || p END
+           || CASE WHEN cc > b + p
+                   THEN ', ' || b || ' ' || (cc - b) ELSE '' END
+           || CASE WHEN cc > a + q
+                   THEN ', ' || (cc - q) || ' ' || q ELSE '' END
+           || ', ' || CASE WHEN cc >= a + q THEN a || ' ' || q
+                           ELSE a || ' ' || (cc - a) END
+           || ', ' || a || ' ' || p || ')'
+    END AS body,
+    CASE WHEN b > a AND q > p THEN
+      2 * (b - a) * (q - p)
+      - (GREATEST(0, b + q - cc) * GREATEST(0, b + q - cc)
+         - GREATEST(0, a + q - cc) * GREATEST(0, a + q - cc)
+         - GREATEST(0, b + p - cc) * GREATEST(0, b + p - cc)
+         + GREATEST(0, a + p - cc) * GREATEST(0, a + p - cc))
+      ELSE 0 END AS a2x
+  FROM o),
+e AS (SELECT okey, body AS eb, a2x AS ea FROM rb WHERE kind = 'e'),
+hx AS (SELECT okey, body AS hb, a2x AS ha FROM rb WHERE kind = 'h')
+SELECT g.okey,
+  CASE WHEN e.eb IS NULL THEN 'POLYGON EMPTY'
+       WHEN hx.hb IS NOT NULL AND e.ea = hx.ha THEN 'POLYGON EMPTY'
+       WHEN hx.hb IS NULL THEN 'POLYGON (' || e.eb || ')'
+       ELSE 'POLYGON (' || e.eb || ', ' || hx.hb || ')'
+  END AS clip_wkt,
+  CAST(CASE WHEN e.eb IS NULL THEN 0
+            WHEN hx.hb IS NOT NULL AND e.ea = hx.ha THEN 0
+            ELSE e.ea - COALESCE(hx.ha, 0) END AS BIGINT) AS clip_a2x
+FROM g JOIN e ON g.okey = e.okey
+LEFT JOIN hx ON g.okey = hx.okey
+"""

@@ -1371,6 +1371,116 @@ def clip_convex_aoi_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_convex_aoi_wkt_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring clipped-geometry output under the convex pentagon
+    AOI — the last cell of the feature-output matrix (rect×ext,
+    rect×holes, rect×multipart, convex×ext, concave-rectilinear now
+    all WKT-certified): exterior and hole each clip through the five
+    general half-plane passes, snap to the integer grid, and
+    canonicalize; the polygon keeps the hole ring only when its clip
+    survives, collapses to the exterior alone when it misses, and is
+    EMPTY outright when the hole's clip fills the exterior's (area
+    equality ⇔ region equality under hole ⊆ exterior — AOI-shape
+    independent). Oracle: the pentagon-case canonical ring CONSTRUCTED
+    per ring from the closed-form case analysis, assembled by the same
+    three-way collapse. Map-only, zero shuffles."""
+    from .functions.geometry import (
+        _let,
+        _ring_pts,
+        clip_ring_convex,
+        normalize_ring,
+        ring_area2x,
+        ring_to_wkt,
+        snap_ring_ints,
+    )
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    hw = F.least(w - 2, k % 3 + 1)
+    hh = F.least(h - 2, k % 2 + 1)
+    has_hole = (w >= 3) & (h >= 3)
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+
+    def ring(ax0, ay0, ax1, ay1):
+        return F.concat(
+            pt(ax0, ay0), sep, pt(ax1, ay0), sep, pt(ax1, ay1), sep,
+            pt(ax0, ay1), sep, pt(ax0, ay0),
+        )
+
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    cc = ax1 + ay1 - (k % 4).cast("double")
+
+    empty = F.array().cast("array<struct<x:double,y:double>>")
+
+    def assemble(ext: Column, hole: Column) -> Column:
+        ext_wkt, hole_wkt = ring_to_wkt(ext), ring_to_wkt(hole)
+        ea, ha = ring_area2x(ext), ring_area2x(hole)
+        out_wkt = (
+            F.when(ext_wkt == "POLYGON EMPTY", F.lit("POLYGON EMPTY"))
+            .when(
+                (hole_wkt != "POLYGON EMPTY") & (ea == ha),
+                F.lit("POLYGON EMPTY"),
+            )
+            .when(hole_wkt == "POLYGON EMPTY", ext_wkt)
+            .otherwise(
+                F.concat(
+                    F.regexp_replace(ext_wkt, r"\)\)$", ")"),
+                    F.lit(", "),
+                    F.regexp_replace(hole_wkt, r"^POLYGON \(", ""),
+                )
+            )
+        )
+        a2x = F.round(
+            F.when(ea == ha, F.lit(0.0)).otherwise(ea - ha)
+        ).cast("long")
+        return F.struct(
+            out_wkt.alias("clip_wkt"), a2x.alias("clip_a2x")
+        )
+
+    def out_of(b: Column) -> Column:
+        edges = [
+            ((b["x0"], b["y0"]), (b["x1"], b["y0"])),
+            ((b["x1"], b["y0"]), (b["x1"], b["y1"])),
+            ((b["c"], F.lit(0.0)), (b["c"] - 1, F.lit(1.0))),
+            ((b["x1"], b["y1"]), (b["x0"], b["y1"])),
+            ((b["x0"], b["y1"]), (b["x0"], b["y0"])),
+        ]
+
+        def clip(ring_body: Column) -> Column:
+            return normalize_ring(
+                snap_ring_ints(
+                    clip_ring_convex(_ring_pts(ring_body), edges)
+                )
+            )
+
+        rings2 = F.struct(
+            clip(ring(x0, y0, x0 + w, y0 + h)).alias("e"),
+            F.when(
+                has_hole,
+                clip(ring(x0 + 1, y0 + 1, x0 + 1 + hw, y0 + 1 + hh)),
+            ).otherwise(empty).alias("h"),
+        )
+        return _let(rings2, lambda s: assemble(s["e"], s["h"]))
+
+    bounds = F.struct(
+        ax0.alias("x0"), ay0.alias("y0"), ax1.alias("x1"),
+        ay1.alias("y1"), cc.alias("c"),
+    )
+    out = _let(bounds, out_of)
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        out["clip_wkt"].alias("clip_wkt"),
+        out["clip_a2x"].alias("clip_a2x"),
+    )
+
+
 #: concave AOI with a DIAGONAL boundary for clip_concave_diagonal_aoi:
 #: an L-shape whose notch is cut at 45° (reflex vertex at (50,25);
 #: hypotenuse on x+y=75) — the AOI shape neither the rectilinear

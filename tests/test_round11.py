@@ -272,7 +272,8 @@ def test_clip_wkt_plans_map_only(spark):
     """The round-11 clipped-geometry queries stay ZERO-exchange
     map-only plans like the rest of the clip family (PLANS_AUDIT
     invariant: clip work is embarrassingly parallel per polygon)."""
-    for q in (Q.clip_convex_aoi_wkt, Q.clip_concave_aoi_wkt):
+    for q in (Q.clip_convex_aoi_wkt, Q.clip_concave_aoi_wkt,
+              Q.clip_convex_aoi_wkt_holes):
         plan = q(spark, SF_SMOKE)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "Exchange" not in plan, q.__name__
