@@ -301,3 +301,62 @@ def test_polygon_cell_redistribute_same_cells_one_exchange(spark):
     assert cells(base) == cells(redis)
     assert "Exchange" not in p0
     assert p1.count("Exchange hashpartitioning") == 1
+
+
+def test_polygon_cell_inventory_random_property(spark):
+    """Seeded random property layer over the brute-force comparison:
+    60 random even-grid shapes — rects, rects with interior holes,
+    two-part multipolygons, rectilinear L/U shapes — rasterized in ONE
+    Spark job and compared cell-for-cell against the pure-Python
+    even-odd rasterizer (which never parses WKT)."""
+    import random
+
+    rng = random.Random(1106)
+    fixtures = []
+    for i in range(60):
+        x0, y0 = rng.randrange(0, 50) * 2, rng.randrange(0, 30) * 2
+        w, h = rng.randrange(1, 12) * 2, rng.randrange(1, 8) * 2
+        kind = i % 4
+        ext = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+        parts = [[ext]]
+        if kind == 1 and w >= 6 and h >= 6:
+            hw = rng.randrange(1, w // 2 - 1) * 2
+            hh = rng.randrange(1, h // 2 - 1) * 2
+            parts = [[ext, [(x0 + 2, y0 + 2), (x0 + 2 + hw, y0 + 2),
+                            (x0 + 2 + hw, y0 + 2 + hh),
+                            (x0 + 2, y0 + 2 + hh)]]]
+        elif kind == 2:
+            off = w + rng.randrange(2, 10) * 2
+            pw, ph = rng.randrange(1, 5) * 2, rng.randrange(1, 4) * 2
+            parts = [[ext], [[(x0 + off, y0), (x0 + off + pw, y0),
+                              (x0 + off + pw, y0 + ph),
+                              (x0 + off, y0 + ph)]]]
+        elif kind == 3 and w >= 4 and h >= 4:
+            # rectilinear L: notch cut from the top-right corner
+            nx = rng.randrange(1, w // 2) * 2
+            ny = rng.randrange(1, h // 2) * 2
+            parts = [[[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h - ny),
+                       (x0 + w - nx, y0 + h - ny), (x0 + w - nx, y0 + h),
+                       (x0, y0 + h)]]]
+        if len(parts) == 1:
+            wkt = "POLYGON (" + ", ".join(
+                _ring_wkt(r) for r in parts[0]) + ")"
+        else:
+            wkt = "MULTIPOLYGON (" + ", ".join(
+                "(" + ", ".join(_ring_wkt(r) for r in p) + ")"
+                for p in parts) + ")"
+        fixtures.append((i, wkt, parts))
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w, _ in fixtures], "fid int, wkt string"
+    )
+    got = {}
+    for r in polygon_cell_inventory(df, tile_cells=8).collect():
+        got.setdefault(r["fid"], set()).add((r["col"], r["row"]))
+    mismatches = []
+    for i, _, parts in fixtures:
+        rings = [ring for part in parts for ring in part]
+        want = {(c, rr) for c, rr, _, _ in _pp_cells(rings)}
+        if got.get(i, set()) != want:
+            mismatches.append(i)
+    assert not mismatches, mismatches
