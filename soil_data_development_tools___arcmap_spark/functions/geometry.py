@@ -1104,6 +1104,91 @@ def linestring_stats(wkt: str | Column) -> Column:
     return stats
 
 
+def linestring_clip_len_e4(
+    wkt: str | Column, ax0, ay0, ax1, ay1
+) -> Column:
+    """Polyline ∩ AOI-rectangle clipped length — the line-FC half of
+    the clip tool (gSSURGO_Clip.py:160 clips every layer, MULINE /
+    FEATLINE included; the downstream report reads the clipped
+    SHAPE_Length). Per segment the classic Liang–Barsky parametric
+    clip in symmetric tmin/tmax form: per axis the entry/exit
+    parameters least/greatest((bound−x₁)/dx), axis skipped when the
+    segment is parallel (then the fixed ordinate must lie inside);
+    clipped length = √(dx²+dy²)·(t₁−t₀), floor-quantized ×10⁴ PER
+    SEGMENT so the feature total is an exact order-independent BIGINT.
+    Every arithmetic step (division, least/greatest, sqrt, the two
+    products, floor) is a single IEEE operation mirrored verbatim in
+    the oracle SQL — bit-identical cross-engine. Map-only Column
+    expression over LINESTRING / MULTILINESTRING WKT."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    bx0 = F.lit(float(ax0)) if not isinstance(ax0, Column) else ax0
+    by0 = F.lit(float(ay0)) if not isinstance(ay0, Column) else ay0
+    bx1 = F.lit(float(ax1)) if not isinstance(ax1, Column) else ax1
+    by1 = F.lit(float(ay1)) if not isinstance(ay1, Column) else ay1
+    parts = F.split(
+        F.regexp_replace(
+            F.regexp_extract(c, r"LINESTRING\s*\((.*)\)", 1),
+            r"^\(+|\)+$",
+            "",
+        ),
+        r"\)+\s*,\s*\(+",
+    )
+
+    def part_pts(part: Column) -> Column:
+        return F.transform(
+            F.split(part, r",\s*"),
+            lambda p: F.struct(
+                F.split(F.trim(p), r"\s+").getItem(0)
+                .cast("double").alias("x"),
+                F.split(F.trim(p), r"\s+").getItem(1)
+                .cast("double").alias("y"),
+            ),
+        )
+
+    def seg_len(a: Column, b: Column) -> Column:
+        dx, dy = b["x"] - a["x"], b["y"] - a["y"]
+
+        def axis(v1, d, lo, hi):
+            tmin = F.when(d != 0, F.least((lo - v1) / d, (hi - v1) / d)) \
+                .otherwise(F.lit(0.0))
+            tmax = F.when(d != 0, F.greatest((lo - v1) / d, (hi - v1) / d)) \
+                .otherwise(F.lit(1.0))
+            ok = (d != 0) | ((v1 >= lo) & (v1 <= hi))
+            return tmin, tmax, ok
+
+        tx0, tx1, okx = axis(a["x"], dx, bx0, bx1)
+        ty0, ty1, oky = axis(a["y"], dy, by0, by1)
+        t0 = F.greatest(F.lit(0.0), tx0, ty0)
+        t1 = F.least(F.lit(1.0), tx1, ty1)
+        ok = okx & oky & (t1 > t0)
+        return F.when(
+            ok,
+            F.floor(
+                F.sqrt(dx * dx + dy * dy) * (t1 - t0) * 10000.0
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    def part_clip(ps: Column) -> Column:
+        def run(q: Column) -> Column:
+            n = F.size(q)
+            segs = F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: seg_len(q[i], q[i + 1]),
+            )
+            total = F.aggregate(
+                segs, F.lit(0).cast("long"), lambda acc, v: acc + v
+            )
+            return F.when(n < 2, F.lit(0).cast("long")).otherwise(total)
+
+        return _let(ps, run)
+
+    return F.aggregate(
+        F.transform(parts, lambda part: part_clip(part_pts(part))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:
     """Ray-casting point-in-polygon over the exterior WKT ring — the
     select-by-location core of the clip tool (gSSURGO_Clip.py runs the

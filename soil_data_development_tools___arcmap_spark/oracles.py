@@ -6479,3 +6479,80 @@ SELECT g.okey,
 FROM g JOIN e ON g.okey = e.okey
 LEFT JOIN hx ON g.okey = hx.okey
 """
+
+# round 11: point-FC select-by-location — direct bound comparisons on
+# the synthesis formulas (no WKT, no ray cast)
+ORACLES["featpoint_select_report"] = """
+WITH g AS (
+  SELECT 'AS' || CAST(c_custkey % 7 AS VARCHAR) AS areasymbol,
+         (c_custkey % 100) * 2 + (c_custkey % 23) * 2 - 9 AS cx,
+         (c_custkey % 57) * 2 + (c_custkey % 19) * 2 - 7 AS cy
+  FROM customer)
+SELECT areasymbol, COUNT(*) AS n_points,
+       CAST(SUM(CASE WHEN cx > 30 AND cx < 130 AND cy > 20 AND cy < 80
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       CAST(SUM(CASE WHEN cx > 30 AND cx < 130 AND cy > 20 AND cy < 80
+                THEN cx ELSE 0 END) AS BIGINT) AS sum_cx_inside
+FROM g GROUP BY areasymbol
+"""
+
+# round 11: line-FC clip — the same Liang–Barsky parametric algebra
+# applied to the SYNTHESIS deltas (never parses WKT); every float op
+# mirrors the engine expression verbatim
+ORACLES["featline_clip_length"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 100 AS x0, c_custkey % 57 AS y0,
+         c_custkey % 5 + 3 AS dx1, c_custkey % 6 AS dy2,
+         c_custkey % 4 + 1 AS pw, c_custkey % 3 AS ph,
+         (c_custkey % 3 = 0) AS plain,
+         CAST(c_custkey % 100 + c_custkey % 5 - 2 AS DOUBLE) AS ax0,
+         CAST(c_custkey % 57 + c_custkey % 4 - 1 AS DOUBLE) AS ay0,
+         CAST(c_custkey % 100 + c_custkey % 5 - 2
+              + c_custkey % 11 + 1 AS DOUBLE) AS ax1,
+         CAST(c_custkey % 57 + c_custkey % 4 - 1
+              + c_custkey % 6 + 1 AS DOUBLE) AS ay1
+  FROM customer),
+segs AS (
+  SELECT okey, CAST(x0 AS DOUBLE) AS sx, CAST(y0 AS DOUBLE) AS sy,
+         CAST(dx1 AS DOUBLE) AS dx, CAST(4 AS DOUBLE) AS dy,
+         ax0, ay0, ax1, ay1 FROM g
+  UNION ALL
+  SELECT okey, CAST(x0 + dx1 AS DOUBLE), CAST(y0 + 4 AS DOUBLE),
+         CAST(0 AS DOUBLE), CAST(dy2 AS DOUBLE),
+         ax0, ay0, ax1, ay1 FROM g
+  UNION ALL
+  SELECT okey, CAST(x0 + 50 AS DOUBLE), CAST(y0 AS DOUBLE),
+         CAST(pw AS DOUBLE), CAST(ph AS DOUBLE),
+         ax0, ay0, ax1, ay1 FROM g WHERE NOT plain),
+t AS (
+  SELECT okey, dx, dy,
+    CASE WHEN dx <> 0
+         THEN LEAST((ax0 - sx) / dx, (ax1 - sx) / dx)
+         ELSE 0.0 END AS tx0,
+    CASE WHEN dx <> 0
+         THEN GREATEST((ax0 - sx) / dx, (ax1 - sx) / dx)
+         ELSE 1.0 END AS tx1,
+    (dx <> 0 OR (sx >= ax0 AND sx <= ax1)) AS okx,
+    CASE WHEN dy <> 0
+         THEN LEAST((ay0 - sy) / dy, (ay1 - sy) / dy)
+         ELSE 0.0 END AS ty0,
+    CASE WHEN dy <> 0
+         THEN GREATEST((ay0 - sy) / dy, (ay1 - sy) / dy)
+         ELSE 1.0 END AS ty1,
+    (dy <> 0 OR (sy >= ay0 AND sy <= ay1)) AS oky
+  FROM segs),
+c AS (
+  SELECT okey,
+    CAST(FLOOR(SQRT(dx * dx + dy * dy) * 10000.0) AS BIGINT) AS seg_len,
+    CASE WHEN okx AND oky
+          AND LEAST(1.0, tx1, ty1) > GREATEST(0.0, tx0, ty0)
+         THEN CAST(FLOOR(SQRT(dx * dx + dy * dy)
+                   * (LEAST(1.0, tx1, ty1) - GREATEST(0.0, tx0, ty0))
+                   * 10000.0) AS BIGINT)
+         ELSE 0 END AS seg_clip
+  FROM t)
+SELECT okey, CAST(SUM(seg_len) AS BIGINT) AS len_e4,
+       CAST(SUM(seg_clip) AS BIGINT) AS clip_len_e4
+FROM c GROUP BY okey
+"""

@@ -1774,6 +1774,107 @@ def featline_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def featline_clip_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-FC CLIP — Clip_analysis over MULINE/FEATLINE
+    (gSSURGO_Clip.py:160 clips every layer; the clipped line report
+    reads SHAPE_Length of the intersection): the featline synthesis
+    (LINESTRING / two-part MULTILINESTRING) clipped to a per-customer
+    AOI rectangle by the Liang–Barsky parametric expression
+    (geometry.py:linestring_clip_len_e4 — per-segment floor-quantized
+    clipped lengths summing to an exact BIGINT). Output per feature:
+    total and clipped length (clip ≤ total by construction — the
+    property layer asserts it). Oracle: the same per-segment
+    parametric algebra on the SYNTHESIS deltas — it never parses WKT.
+    Map-only, zero shuffles."""
+    from .functions.geometry import linestring_clip_len_e4, linestring_stats
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    dx1 = k % 5 + 3
+    dy2 = k % 6
+    pw, ph = k % 4 + 1, k % 3
+    plain = k % 3 == 0
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    part1 = F.concat(
+        pt(x0, y0), sep, pt(x0 + dx1, y0 + 4), sep,
+        pt(x0 + dx1, y0 + 4 + dy2),
+    )
+    part2 = F.concat(pt(x0 + 50, y0), sep, pt(x0 + 50 + pw, y0 + ph))
+    wkt = F.when(
+        plain, F.concat(F.lit("LINESTRING ("), part1, F.lit(")"))
+    ).otherwise(
+        F.concat(
+            F.lit("MULTILINESTRING (("), part1, F.lit("), ("), part2,
+            F.lit("))"),
+        )
+    )
+    ax0 = (x0 + k % 5 - 2).cast("double")
+    ay0 = (y0 + k % 4 - 1).cast("double")
+    ax1 = ax0 + (k % 11 + 1).cast("double")
+    ay1 = ay0 + (k % 6 + 1).cast("double")
+    feats = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        wkt.alias("wkt"),
+        ax0.alias("ax0"), ay0.alias("ay0"),
+        ax1.alias("ax1"), ay1.alias("ay1"),
+    )
+    return feats.select(
+        "okey",
+        linestring_stats(F.col("wkt"))["len_e4"].alias("len_e4"),
+        linestring_clip_len_e4(
+            F.col("wkt"), F.col("ax0"), F.col("ay0"),
+            F.col("ax1"), F.col("ay1"),
+        ).alias("clip_len_e4"),
+    )
+
+
+def featpoint_select_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point feature-class coverage — MUPOINT / FEATPOINT
+    (SSURGO_Convert_to_Geodatabase.py:1677-1818 appends the point FCs;
+    gSSURGO_Clip.py's select-by-location applies to them like any
+    layer): per-survey point report with AOI containment — POINT WKT
+    parsed by Column regex, containment via the SAME generic
+    ray-casting expression the polygon layers use (point_in_ring
+    against the constant AOI rectangle — odd-grid points, even-grid
+    AOI: never edge-incident, exact BIGINT decisions). Output per
+    areasymbol: point count, points inside the AOI, and the Σcx of
+    inside points (certifying the coordinate parse, not just the
+    flag). Oracle: direct bound comparisons on the synthesis formulas
+    — no WKT, no ray cast."""
+    from .functions.geometry import point_in_ring
+
+    k = F.col("c_custkey")
+    px = (k % 100) * 2 + (k % 23) * 2 - 9
+    py = (k % 57) * 2 + (k % 19) * 2 - 7
+    wkt = F.concat(
+        F.lit("POINT ("), px.cast("string"), F.lit(" "),
+        py.cast("string"), F.lit(")"),
+    )
+    aoi = "POLYGON ((30 20, 130 20, 130 80, 30 80, 30 20))"
+    pts = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("AS"), (k % 7).cast("string")).alias("areasymbol"),
+        wkt.alias("wkt"),
+    ).select(
+        "areasymbol",
+        F.regexp_extract(F.col("wkt"), r"POINT \((-?\d+) (-?\d+)\)", 1)
+        .cast("long").alias("cx"),
+        F.regexp_extract(F.col("wkt"), r"POINT \((-?\d+) (-?\d+)\)", 2)
+        .cast("long").alias("cy"),
+    ).select(
+        "areasymbol", "cx", "cy",
+        point_in_ring(F.lit(aoi), F.col("cx"), F.col("cy")).alias("inside"),
+    )
+    return pts.groupBy("areasymbol").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("inside").cast("long").alias("n_inside"),
+        F.sum(F.when(F.col("inside") == 1, F.col("cx")).otherwise(0))
+        .alias("sum_cx_inside"),
+    )
+
+
 def raster_snap_nlcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NLCD snap-grid alignment (SnapToNLCD,
     SSURGO_ExportMuRaster.py:175-335): the fixed-national-grid extent

@@ -360,3 +360,33 @@ def test_polygon_cell_inventory_random_property(spark):
         if got.get(i, set()) != want:
             mismatches.append(i)
     assert not mismatches, mismatches
+
+
+def test_featline_clip_properties(spark):
+    """Clip invariants per feature: 0 ≤ clipped ≤ total length; a
+    covering AOI returns the full length; a disjoint AOI returns 0 —
+    checked through the registered query plus direct helper calls."""
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        linestring_clip_len_e4,
+        linestring_stats,
+    )
+
+    rows = Q.featline_clip_length(spark, SF_SMOKE).collect()
+    assert rows and all(0 <= r["clip_len_e4"] <= r["len_e4"] for r in rows)
+    df = spark.createDataFrame(
+        [("MULTILINESTRING ((0 0, 3 4, 3 10), (50 0, 54 3))",)],
+        "wkt string",
+    )
+    out = df.select(
+        linestring_stats(F.col("wkt"))["len_e4"].alias("full"),
+        linestring_clip_len_e4(F.col("wkt"), -100, -100, 100, 100)
+        .alias("cover"),
+        linestring_clip_len_e4(F.col("wkt"), 200, 200, 300, 300)
+        .alias("miss"),
+        linestring_clip_len_e4(F.col("wkt"), 0, 0, 3, 4).alias("half"),
+    ).collect()[0]
+    # 3-4-5 first segment + 6 vertical + 5 part2 = 160000 total
+    assert out["full"] == 160000
+    assert out["cover"] == 160000
+    assert out["miss"] == 0
+    assert out["half"] == 50000  # exactly the first 3-4-5 segment
