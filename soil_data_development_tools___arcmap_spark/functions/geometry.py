@@ -892,8 +892,34 @@ def parse_geom_rings(wkt: str | Column) -> Column:
     vertex dropped) — the parse half of ``point_in_geom`` split out so
     row-multiplying consumers (the cell-inventory explode) parse each
     polygon ONCE and test containment per row against the parsed
-    arrays instead of re-running regex/split/cast per cell."""
+    arrays instead of re-running regex/split/cast per cell.
+
+    Coordinates FAIL LOUDLY when off the integer contract: each token
+    parses as double first and a non-integral (or unparseable) value
+    raises at runtime via ``raise_error`` rather than silently casting
+    to NULL — a ``'1.5 2.5'`` vertex would otherwise make
+    ``polygon_cell_inventory`` drop the polygon with zero cells."""
     c = F.col(wkt) if isinstance(wkt, str) else wkt
+
+    def to_int(tok: Column, axis: str) -> Column:
+        # try_cast: unparseable -> NULL -> the raise_error branch with
+        # OUR message, identically under ANSI-on (Spark 4 default) and
+        # ANSI-off sessions (a plain cast would throw CAST_INVALID_INPUT
+        # first under ANSI, bypassing the contract message)
+        d = tok.try_cast("double")
+        return F.when(d == F.round(d, 0), d.cast("long")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "parse_geom_rings: non-integral or unparseable "
+                        + axis + " coordinate '"
+                    ),
+                    F.coalesce(tok, F.lit("<null>")),
+                    F.lit("' (integer-grid contract)"),
+                )
+            ).cast("long")
+        )
+
     rings = F.split(
         F.regexp_replace(
             F.regexp_extract(c, r"POLYGON\s*\((.*)\)", 1),
@@ -908,10 +934,12 @@ def parse_geom_rings(wkt: str | Column) -> Column:
             F.transform(
                 F.split(r, r",\s*"),
                 lambda p: F.struct(
-                    F.split(F.trim(p), r"\s+").getItem(0)
-                    .cast("long").alias("x"),
-                    F.split(F.trim(p), r"\s+").getItem(1)
-                    .cast("long").alias("y"),
+                    to_int(
+                        F.split(F.trim(p), r"\s+").getItem(0), "x"
+                    ).alias("x"),
+                    to_int(
+                        F.split(F.trim(p), r"\s+").getItem(1), "y"
+                    ).alias("y"),
                 ),
             ),
             lambda cc: F.slice(cc, 1, F.size(cc) - 1),

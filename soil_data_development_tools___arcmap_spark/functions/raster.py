@@ -49,59 +49,13 @@ def attach_cellvalues(
     return fact.join(F.broadcast(lookup), key)
 
 
-def rating_raster_cells(
-    rated_mukeys: DataFrame,
-    rating_col: str = "rating",
-    cellsize_m: float = 30.0,
-) -> DataFrame:
-    """Rating-raster core (gSSURGO_ExportRasters.py:720-1746
-    CreateRasterLayers): the reference Lookup()s each rating onto the
-    mapunit raster and the raster's acreage = cell count × cellsize²
-    (SURVEY §2.8). Writing the TIFF stays GIS-bound; the computation a
-    rating raster carries — per-rating cell counts and acreage from a
-    synthetic cell inventory (mukey % 7 + 1 cells per mapunit) — is
-    re-expressed here. Kept as the geometry-free fast path; the REAL
-    cell inventory (CELL_CENTER containment over the polygon layer)
-    is ``polygon_cell_inventory`` below, composed in
-    ``raster_rating_cells_geom`` (round 11).
-    Input: one row per mukey with its rating.
-    Output: per rating, mapunit count, cell count, acres in exact
-    floor(x·10⁴) quantization (count is an exact integer; the one
-    float op is the final count × cellsize² × convAcres per group).
-
-    Scale: the explode multiplies only the per-MAPUNIT inventory (CONUS
-    ≈ 300k rows), never a fact table, and collapses straight into a
-    per-rating partial aggregate — one exchange of a rating-sized
-    table."""
-    from .geometry import ACRES_PER_SQM
-
-    cells = rated_mukeys.select(
-        rating_col,
-        "mukey",
-        F.explode(
-            F.sequence(F.lit(1), (F.col("mukey") % 7 + 1).cast("int"))
-        ).alias("cell"),
-    )
-    return cells.groupBy(rating_col).agg(
-        F.countDistinct("mukey").alias("n_mapunits"),
-        F.count(F.lit(1)).alias("n_cells"),
-        F.floor(
-            F.count(F.lit(1))
-            * F.lit(cellsize_m * cellsize_m)
-            * F.lit(ACRES_PER_SQM)
-            * 10000.0
-        )
-        .cast("long")
-        .alias("acres_e4"),
-    )
-
-
 def polygon_cell_inventory(
     polys: DataFrame,
     wkt_col: str = "wkt",
     cell_size: int = 2,
     tile_cells: int = 64,
-    redistribute: bool = False,
+    redistribute: bool | None = None,
+    redistribute_tile_threshold: int = 256,
 ) -> DataFrame:
     """Real polygon→cell rasterization — ``PolygonToRaster …
     CELL_CENTER`` (SSURGO_ExportMuRaster.py:1434): every lattice cell
@@ -139,7 +93,18 @@ def polygon_cell_inventory(
     their cell explodes onto few tasks; redistribution spreads a
     giant polygon's tiles across the cluster at the cost of
     shuffling the (polygon, tile) rows (each still carries the WKT —
-    only worth it when per-polygon tile counts are very skewed)."""
+    only worth it when per-polygon tile counts are very skewed).
+
+    ``redistribute=None`` (the default) decides AUTOMATICALLY: one
+    cheap pre-explode aggregate computes the maximum per-polygon tile
+    count from the bbox arithmetic alone (no explode, no containment
+    test — just the parsed vertex min/max), and the exchange turns on
+    iff that max is ≥ ``redistribute_tile_threshold`` tiles (a
+    ≥ threshold·tile_cells² cell explode for one input row). This
+    closes the scale trap where a single-split input with one giant
+    polygon silently serializes the whole rasterization onto one task
+    unless the caller remembered the flag; pass an explicit bool to
+    override the heuristic either way."""
     from .geometry import parse_geom_rings, point_in_rings
 
     half = cell_size // 2
@@ -164,26 +129,47 @@ def polygon_cell_inventory(
         "_j1", ((F.array_max(ys) - half) / cell_size).cast("long")
     )
     t = F.lit(tile_cells)
+
+    # degenerate-bbox guard: with cell_size > 2 a polygon bbox may
+    # straddle no cell CENTER along an axis (_i0 > _i1); Spark's
+    # sequence(start, stop) DESCENDS when start > stop, which would
+    # emit spurious out-of-bbox rows saved only by the containment
+    # filter. Emit an empty sequence by construction instead.
+    def seq(lo: Column, hi: Column) -> Column:
+        return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    # per-polygon tile count from bbox arithmetic alone (pre-explode)
+    n_tiles = F.when(
+        (F.col("_i0") <= F.col("_i1")) & (F.col("_j0") <= F.col("_j1")),
+        ((F.col("_i1") / t).cast("long") - (F.col("_i0") / t).cast("long") + 1)
+        * ((F.col("_j1") / t).cast("long") - (F.col("_j0") / t).cast("long") + 1),
+    ).otherwise(F.lit(0))
+    if redistribute is None:
+        mx = with_bbox.select(F.max(n_tiles).alias("m")).first()["m"]
+        redistribute = mx is not None and mx >= redistribute_tile_threshold
+
     tiles = with_bbox.withColumn(
         "tile_x",
-        F.explode(F.sequence((F.col("_i0") / t).cast("long"),
-                             (F.col("_i1") / t).cast("long"))),
+        F.explode(seq((F.col("_i0") / t).cast("long"),
+                      (F.col("_i1") / t).cast("long"))),
     ).withColumn(
         "tile_y",
-        F.explode(F.sequence((F.col("_j0") / t).cast("long"),
-                             (F.col("_j1") / t).cast("long"))),
+        F.explode(seq((F.col("_j0") / t).cast("long"),
+                      (F.col("_j1") / t).cast("long"))),
     )
     if redistribute:
         tiles = tiles.repartition("tile_x", "tile_y")
     cells = tiles.withColumn(
         "col",
-        F.explode(F.sequence(
+        F.explode(seq(
             F.greatest(F.col("_i0"), F.col("tile_x") * t),
             F.least(F.col("_i1"), F.col("tile_x") * t + t - 1),
         )),
     ).withColumn(
         "row",
-        F.explode(F.sequence(
+        F.explode(seq(
             F.greatest(F.col("_j0"), F.col("tile_y") * t),
             F.least(F.col("_j1"), F.col("tile_y") * t + t - 1),
         )),

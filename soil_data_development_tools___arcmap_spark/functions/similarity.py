@@ -392,7 +392,7 @@ def train_ivf_centroids(
         # batched pick allows). This is the k-grows upgrade path the
         # round-10 verdict asked for: job count O(rounds), not O(k).
         rounds = 4
-        ell = max(1, -(-2 * n_centroids) // rounds)
+        ell = max(1, -(-2 * n_centroids // rounds))
         first = v.orderBy("did").limit(1).collect()
         cand = [(first[0]["did"], list(first[0]["v"]))] if first else []
         for _ in range(rounds):

@@ -2864,25 +2864,6 @@ FROM n2 e JOIN kept k ON e.cl = k.cl
 GROUP BY e.cl, k.n_kept
 """
 
-ORACLES["raster_rating_cells"] = f"""
-WITH {_SYN},
-rated AS (
-  SELECT mukey, drainagecl AS rating
-  FROM (SELECT mukey, drainagecl,
-               row_number() OVER (PARTITION BY mukey
-                 ORDER BY comppct_r DESC, cokey ASC) AS rn
-        FROM syn_co)
-  WHERE rn = 1),
-cells AS (
-  SELECT rating, mukey, gs.cell
-  FROM rated, generate_series(1, 7) gs(cell)
-  WHERE gs.cell <= mukey % 7 + 1)
-SELECT rating, COUNT(DISTINCT mukey) AS n_mapunits, COUNT(*) AS n_cells,
-       CAST(floor(COUNT(*) * 900.0 * 0.000247104393 * 10000.0) AS BIGINT)
-         AS acres_e4
-FROM cells GROUP BY rating
-"""
-
 ORACLES["report_pagination"] = """
 WITH rows_ AS (
   SELECT o_orderkey AS okey,

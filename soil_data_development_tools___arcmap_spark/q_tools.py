@@ -445,27 +445,6 @@ def map_offset_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def raster_rating_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rating-raster sink core (gSSURGO_ExportRasters.py:720-1746):
-    dominant-component drainage class per mapunit (row_number over
-    comppct desc) Lookup()ed onto the synthetic cell inventory; output
-    the per-rating raster attribute summary — mapunit count, cell
-    count, raster acreage (count × cellsize² × convAcres, SURVEY
-    §2.8's raster-acres formula)."""
-    from .functions.raster import rating_raster_cells
-
-    co = ssurgo_synth(spark, sf_dir)["component"]
-    w = Window.partitionBy("mukey").orderBy(
-        F.col("comppct_r").desc(), F.col("cokey").asc()
-    )
-    rated = (
-        co.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("mukey", F.col("drainagecl").alias("rating"))
-    )
-    return rating_raster_cells(rated)
-
-
 def report_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Report layout core (gSSURGO_TabularReport.py:140-260 picks the
     .rlf template and hands rows to the ArcGIS report engine): the
@@ -1658,9 +1637,21 @@ def clip_concave_aoi_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pieces = rectilinear_decompose(_STAIR_AOI)
+    # the FULL bands_to_ring precondition (geometry.py:673-687), not
+    # just left alignment: y-ascending vertically-ADJACENT bands
+    # (band i's hi == band i+1's lo) with monotonically DECREASING
+    # rights, all sharing one left edge — a future change to
+    # _STAIR_AOI or the decomposition order would otherwise silently
+    # dissolve into a self-intersecting ring.
     assert len(pieces) == 3 and all(
         p[0] == pieces[0][0] for p in pieces
-    ), pieces  # left-aligned bands: the bands_to_ring precondition
+    ), pieces
+    assert all(
+        pieces[i][3] == pieces[i + 1][1] for i in range(len(pieces) - 1)
+    ), pieces  # y-ascending, vertically adjacent
+    assert all(
+        pieces[i][2] > pieces[i + 1][2] for i in range(len(pieces) - 1)
+    ), pieces  # strictly decreasing rights with height
     k = F.col("c_custkey")
     x0, y0 = k % 100, k % 57
     w, h = k % 13 + 1, k % 7 + 1

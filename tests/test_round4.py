@@ -118,13 +118,15 @@ def test_semdedup_counts_consistent(spark):
 
 
 def test_raster_rating_cells_consistency(spark):
-    rows = Q.raster_rating_cells(spark, SF_SMOKE).collect()
+    # round 12: the synthetic (mukey % 7 + 1) cell inventory is
+    # retired — the registry's rating-raster summary is the
+    # geometry-derived one (real CELL_CENTER containment)
+    rows = Q.raster_rating_cells_geom(spark, SF_SMOKE).collect()
     assert {r["rating"] for r in rows} == {
         "Poorly drained", "Very poorly drained", "Well drained"
     }
     for r in rows:
-        # 1..8 cells per mapunit
-        assert r["n_mapunits"] <= r["n_cells"] <= 8 * r["n_mapunits"]
+        assert r["n_mapunits"] <= r["n_cells"]
         assert r["acres_e4"] > 0
 
 
