@@ -6199,6 +6199,35 @@ SELECT rating, COUNT(DISTINCT mukey) AS n_mapunits,
 FROM j GROUP BY rating
 """
 
+# round 12: raster attribute table + missing-mapunit reconciliation
+# (SSURGO_ExportMuRaster.py:1543-1590) — cells enumerated per mapunit,
+# deduped max-mukey across overlaps, left-joined back to the layer
+ORACLES["raster_rat"] = f"""
+WITH {_MUG},
+ext AS (
+  SELECT mukey, col0 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 12) i(i), generate_series(0, 6) j(j)
+  WHERE i.i <= w - 1 AND j.j <= h - 1
+    AND NOT (has_hole AND i.i >= 1 AND i.i <= hw
+             AND j.j >= 1 AND j.j <= hh)),
+p2 AS (
+  SELECT mukey, col0 + 20 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 3) i(i), generate_series(0, 2) j(j)
+  WHERE NOT plain AND i.i <= pw - 1 AND j.j <= ph - 1),
+ded AS (
+  SELECT colx, rowy, MAX(mukey) AS mukey
+  FROM (SELECT * FROM ext UNION ALL SELECT * FROM p2)
+  GROUP BY 1, 2),
+rat AS (SELECT mukey, COUNT(*) AS n FROM ded GROUP BY 1)
+SELECT CAST(g.mukey AS BIGINT) AS mukey,
+       CAST(g.mukey + 1 AS BIGINT) AS cellvalue,
+       CAST(COALESCE(r.n, 0) AS BIGINT) AS n_cells,
+       CAST(floor(COALESCE(r.n, 0) * 4.0 * 0.000247104393 * 10000.0)
+         AS BIGINT) AS acres_e4,
+       r.n IS NOT NULL AS in_raster
+FROM mug g LEFT JOIN rat r ON g.mukey = r.mukey
+"""
+
 # round 11: tile manifest facts from the enumerated cell set — cells
 # materialized via bounded generate_series + membership closed forms
 # (ext minus hole, plus part 2), deduped across overlapping polygons,

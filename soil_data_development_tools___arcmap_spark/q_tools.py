@@ -2015,6 +2015,48 @@ def raster_rating_cells_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raster_rat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster attribute table — BuildRasterAttributeTable + the MUKEY
+    attach + the missing-mapunit reconciliation in one pass
+    (SSURGO_ExportMuRaster.py:1543 builds the RAT, :1548-1552 copies
+    VALUE into a MUKEY field, :1561-1590 compares the polygon layer's
+    mukey set against the raster's and reports mapunits that
+    rasterized away — 'usually thin polygons along survey
+    boundaries'). One row per mapunit in the POLYGON layer: its
+    1-based CELLVALUE (the Lookup convention shared with
+    raster_tile_export_geom — nodata is 0), its cell count in the
+    deduplicated raster (overlaps resolve max-mukey, the
+    deterministic last-polygon-wins), raster acreage, and whether it
+    survived rasterization at all (in_raster=false IS the reference's
+    missingList). Plan: cell inventory → one (col,row) dedup exchange
+    → one mukey-keyed partial-aggregated exchange → broadcast-scale
+    left join back to the mapunit dimension."""
+    from .functions.geometry import ACRES_PER_SQM
+    from .functions.raster import polygon_cell_inventory
+
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=8)
+    ded = cells.groupBy("col", "row").agg(F.max("mukey").alias("mukey"))
+    rat = ded.groupBy("mukey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        polys.select("mukey")
+        .join(rat, "mukey", "left")
+        .select(
+            F.col("mukey").cast("long").alias("mukey"),
+            (F.col("mukey") + 1).cast("long").alias("cellvalue"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_cells"),
+            F.floor(
+                F.coalesce(F.col("n"), F.lit(0))
+                * F.lit(4.0) * F.lit(ACRES_PER_SQM) * F.lit(10000.0)
+            ).cast("long").alias("acres_e4"),
+            F.col("n").isNotNull().alias("in_raster"),
+        )
+    )
+
+
 def raster_tile_export_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed raster export from REAL geometry, end-to-end: the
     polygon→cell inventory (CELL_CENTER) lands in per-tile GeoTIFFs

@@ -101,3 +101,24 @@ def test_auto_redistribute_same_cells(spark):
     )
     assert cells(auto) == cells(off)
     assert len(cells(auto)) == 130 * 130
+
+
+def test_raster_rat_invariants(spark):
+    """RAT (SSURGO_ExportMuRaster.py:1543-1590): cellvalue is the
+    1-based lookup of mukey; total RAT cells equal the deduplicated
+    raster's cell count; mapunits that rasterized away (overlap
+    shadowing) carry n_cells=0/in_raster=false — the reference's
+    missing-mapunit report."""
+    import soil_data_development_tools___arcmap_spark.queries as Q
+
+    rows = Q.raster_rat(spark, SF_SMOKE).collect()
+    assert all(r["cellvalue"] == r["mukey"] + 1 for r in rows)
+    assert all((r["n_cells"] == 0) == (not r["in_raster"]) for r in rows)
+    # (shadowing needs denser overlaps than sf0.001 provides; the
+    # sf0.01 oracle run certifies 813 in_raster=false mapunits)
+    # cross-check against the tile-export manifest: same dedup rule,
+    # so total pixels minus nodata equals the RAT's cell total
+    tiles = Q.raster_tile_export_geom(spark, SF_SMOKE).collect()
+    assert sum(r["n_cells"] for r in rows) == sum(
+        t["n_pixels"] - t["n_nodata"] for t in tiles
+    )
