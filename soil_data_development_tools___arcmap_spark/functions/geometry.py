@@ -781,8 +781,10 @@ def normalize_ring(ring: Column) -> Column:
     disconnected pieces by the window emits spike/bridge vertex
     patterns; this single dedup-then-collinear pass can then leave
     NON-consecutive duplicates and ``ring_to_wkt`` would serialize a
-    self-touching ring. Concave subjects must go through a
-    decomposition (``rectilinear_decompose`` /
+    self-touching ring. Concave subjects go through
+    ``split_bridged_ring_y`` (round 12) — which splits the SH output
+    into components at the window-bottom bridge line and normalizes
+    each part — or a decomposition (``rectilinear_decompose`` /
     ``triangulate_simple_polygon``) before per-piece clipping."""
 
     def run(c: Column) -> Column:
@@ -1245,3 +1247,214 @@ def point_in_ring(wkt: str | Column, px: Column, py: Column) -> Column:
     )
     total = F.aggregate(crossings, F.lit(0), lambda acc, v: acc + v)
     return (total % 2 == 1).cast("int")
+
+
+# ---------------------------------------------------------------- round 12 --
+# Dissolve + multi-component machinery completing the clipped-GEOMETRY
+# output surface (arcpy.Clip_analysis returns clipped FEATURES for any
+# AOI/subject shape — gSSURGO_Clip.py:160): (1) stacked-band dissolve
+# so a diagonal-concave AOI decomposed into convex horizontal bands
+# re-emits ONE boundary ring, and (2) bridge-splitting so a CONCAVE
+# SUBJECT whose window intersection is disconnected emits MULTIPOLYGON
+# parts instead of a self-touching ring (the normalize_ring
+# single-component precondition, lifted).
+
+
+def _rotate_open_ring(ring: Column, lead: Column) -> Column:
+    """Rotate an OPEN ring so index ``lead`` (0-based) comes first."""
+    return _let(
+        ring,
+        lambda d: F.concat(
+            F.slice(d, lead + 1, F.size(d) - lead), F.slice(d, 1, lead)
+        ),
+    )
+
+
+def stack_band_rings(lower: Column, upper: Column, ysplit) -> Column:
+    """Dissolve TWO vertically-adjacent band clips into the boundary
+    ring of their union — the convex-band generalization of
+    ``bands_to_ring`` (which dissolves axis-aligned rectangles only):
+    an AOI with a diagonal boundary decomposes into convex horizontal
+    BANDS (not triangles: triangle pieces share diagonal edges whose
+    per-piece clip vertices interleave, while a horizontal split puts
+    the entire shared boundary on ONE line y=ysplit, making the
+    dissolve a deterministic stitch).
+
+    PRECONDITIONS (the band-decomposed-AOI × rect-subject contract):
+    ``lower`` is the clip against the lower band — an axis-aligned
+    RECTANGLE ring with top edge exactly on y=ysplit; ``upper`` is a
+    CONVEX ring with bottom edge on y=ysplit, LEFT-ANCHORED at the
+    same x as ``lower`` (both bands clip the same subject's left
+    constraint, and every upper cross-section starts at that x), with
+    upper's bottom span contained in lower's top span. Both rings are
+    OPEN, CCW, snapped to exact values. Either ring may be
+    empty/degenerate — the caller branches on area and only calls
+    this when BOTH have positive area.
+
+    Output: the union's OPEN ring = [(A,P), (B,P), (B,ysplit)] ++
+    upper rotated to start at its bottom-RIGHT vertex. The shared
+    segment [A, upper_right] on y=ysplit cancels (it is interior);
+    the leftover lower-top piece [upper_right, B] survives as a step;
+    ``normalize_ring`` downstream removes the duplicate when the
+    spans coincide and the collinear (A, ysplit) on the left edge.
+    Map-only Column expression."""
+    ys = F.lit(float(ysplit)) if not isinstance(ysplit, Column) else ysplit
+
+    def run(lo: Column) -> Column:
+        ax = F.array_min(F.transform(lo, lambda p: p["x"]))
+        bx = F.array_max(F.transform(lo, lambda p: p["x"]))
+        py = F.array_min(F.transform(lo, lambda p: p["y"]))
+        prefix = F.array(
+            F.struct(ax.alias("x"), py.alias("y")),
+            F.struct(bx.alias("x"), py.alias("y")),
+            F.struct(bx.alias("x"), ys.alias("y")),
+        )
+
+        def rot(u: Column) -> Column:
+            m = F.size(u)
+            lead = F.aggregate(
+                F.sequence(F.lit(1), m - 1),
+                F.lit(0),
+                lambda best, i: F.when(
+                    (u[i]["y"] < u[best]["y"])
+                    | (
+                        (u[i]["y"] == u[best]["y"])
+                        & (u[i]["x"] > u[best]["x"])
+                    ),
+                    i,
+                ).otherwise(best),
+            )
+            return _rotate_open_ring(u, lead)
+
+        return F.concat(prefix, _let(upper, rot))
+
+    return _let(lower, run)
+
+
+def split_bridged_ring_y(ring: Column, ylo) -> Column:
+    """Split one Sutherland–Hodgman output ring into its connected
+    COMPONENTS at the horizontal line y=ylo — the window-bottom line
+    where SH leaves bridge edges when the window DISCONNECTS a
+    concave subject (the exact pattern normalize_ring's precondition
+    excludes: clipping a U-shaped subject above its notch bottom
+    yields one ring that walks arm 1, bridges along y=ylo across the
+    notch, walks arm 2, and closes along y=ylo — the bridge segments
+    overlap with zero width, so even-odd area is right but the ring
+    self-touches).
+
+    CONTRACT: every ring vertex with y == ylo is a component
+    endpoint — a START (next vertex strictly above the line) or an
+    END (next vertex also on the line, i.e. a bridge edge follows);
+    components lie strictly above the line between consecutive
+    contacts, and each component's closing edge runs along y=ylo
+    (its own bottom edge — the part of the bridge line it actually
+    bounds). Exact equality tests: integer-grid synthesis only
+    (coordinates snapped first).
+
+    Output ``array<array<struct<x,y>>>`` of OPEN component rings; a
+    ring with no START vertex (window bottom below the subject, or
+    no line contact) returns as a single component. O(n²) per ring
+    in the vertex count — rings are tiny (≤ ~16 vertices); data
+    never leaves the executor. Map-only Column expression."""
+    yl = F.lit(float(ylo)) if not isinstance(ylo, Column) else ylo
+    empty_parts = F.array().cast(
+        "array<array<struct<x:double,y:double>>>"
+    )
+
+    def run(c: Column) -> Column:
+        n = F.size(c)
+
+        def is_start(d: Column, i) -> Column:
+            return (d[i]["y"] == yl) & (d[(i + 1) % n]["y"] > yl)
+
+        lead = F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit(-1),
+            lambda best, i: F.when(
+                (best == -1) & is_start(c, i), i
+            ).otherwise(best),
+        )
+        rotated = _rotate_open_ring(c, F.greatest(lead, F.lit(0)))
+
+        def components(d: Column) -> Column:
+            comp = F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.size(
+                    F.filter(
+                        F.sequence(F.lit(0), i),
+                        lambda j: is_start(d, j),
+                    )
+                ),
+            )
+            return _let(
+                comp,
+                lambda cid: F.transform(
+                    F.sequence(F.lit(1), cid[n - 1]),
+                    lambda k: F.filter(
+                        d, lambda p, i: cid[i] == k
+                    ),
+                ),
+            )
+
+        return F.when(n < 3, empty_parts).otherwise(
+            F.when(lead == -1, F.array(c)).otherwise(
+                _let(rotated, components)
+            )
+        )
+
+    return _let(ring, run)
+
+
+def rings_to_multiwkt(parts: Column) -> Column:
+    """Serialize an array of OPEN component rings as canonical WKT:
+    each part normalizes (``normalize_ring``) and keeps only positive
+    doubled area; parts sort by their leading vertex (which IS the
+    part's lexicographic minimum after normalization) so the text is
+    deterministic; 0 parts → ``POLYGON EMPTY``, 1 part → ``POLYGON``,
+    n parts → ``MULTIPOLYGON (((...)), ((...)))`` — the multi-feature
+    output arcpy.Clip_analysis produces when the AOI disconnects a
+    subject (gSSURGO_Clip.py:160). Integer coordinates (print as
+    BIGINT) — same contract as ``ring_to_wkt``."""
+
+    def fmt(p):
+        return F.concat(
+            p["x"].cast("long").cast("string"),
+            F.lit(" "),
+            p["y"].cast("long").cast("string"),
+        )
+
+    def body(r: Column) -> Column:
+        return F.concat(
+            F.lit("(("),
+            F.array_join(F.transform(r, fmt), ", "),
+            F.lit(", "),
+            fmt(r[0]),
+            F.lit("))"),
+        )
+
+    kept = _let(
+        F.transform(parts, normalize_ring),
+        lambda ps: F.filter(
+            ps, lambda r: (F.size(r) >= 3) & (ring_area2x(r) > 0)
+        ),
+    )
+    ordered = F.array_sort(
+        kept,
+        lambda a, b: F.when(a[0]["x"] < b[0]["x"], F.lit(-1))
+        .when(a[0]["x"] > b[0]["x"], F.lit(1))
+        .when(a[0]["y"] < b[0]["y"], F.lit(-1))
+        .when(a[0]["y"] > b[0]["y"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return _let(
+        ordered,
+        lambda ps: F.when(F.size(ps) == 0, F.lit("POLYGON EMPTY"))
+        .when(F.size(ps) == 1, ring_to_wkt(ps[0]))
+        .otherwise(
+            F.concat(
+                F.lit("MULTIPOLYGON ("),
+                F.array_join(F.transform(ps, body), ", "),
+                F.lit(")"),
+            )
+        ),
+    )

@@ -6199,6 +6199,118 @@ SELECT rating, COUNT(DISTINCT mukey) AS n_mapunits,
 FROM j GROUP BY rating
 """
 
+# round 12: clipped-geometry WKT for the diagonal-concave AOI — the
+# canonical ring constructed from the closed-form case tree of
+# rect' ∩ ({y<=25} ∪ {x+y<=75}), rect' = subject ∩ AOI bbox; never
+# clips or dissolves a vertex
+ORACLES["clip_concave_diagonal_aoi_wkt"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         GREATEST(c_custkey % 100, 10) AS a,
+         LEAST(c_custkey % 100 + c_custkey % 13 + 1, 90) AS b,
+         GREATEST(c_custkey % 57, 5) AS p,
+         LEAST(c_custkey % 57 + c_custkey % 7 + 1, 45) AS q
+  FROM customer),
+d AS (SELECT *, (b > a AND q > p AND (p < 25 OR a + p < 75)) AS ok
+      FROM g)
+SELECT okey,
+  CASE WHEN NOT ok THEN 'POLYGON EMPTY'
+       WHEN p >= 25 THEN
+         CASE WHEN 75 >= b + q THEN
+           'POLYGON ((' || a || ' ' || p || ', ' || b || ' ' || p
+             || ', ' || b || ' ' || q || ', ' || a || ' ' || q
+             || ', ' || a || ' ' || p || '))'
+         ELSE
+           'POLYGON ((' || a || ' ' || p
+           || ', ' || CASE WHEN 75 >= b + p THEN b || ' ' || p
+                           ELSE (75 - p) || ' ' || p END
+           || CASE WHEN 75 > b + p
+                   THEN ', ' || b || ' ' || (75 - b) ELSE '' END
+           || CASE WHEN 75 > a + q
+                   THEN ', ' || (75 - q) || ' ' || q ELSE '' END
+           || ', ' || CASE WHEN 75 >= a + q THEN a || ' ' || q
+                           ELSE a || ' ' || (75 - a) END
+           || ', ' || a || ' ' || p || '))'
+         END
+       WHEN q <= 25 OR b + q <= 75 THEN
+         'POLYGON ((' || a || ' ' || p || ', ' || b || ' ' || p
+           || ', ' || b || ' ' || q || ', ' || a || ' ' || q
+           || ', ' || a || ' ' || p || '))'
+       ELSE
+         'POLYGON ((' || a || ' ' || p || ', ' || b || ' ' || p
+         || ', ' || b || ' ' || GREATEST(25, 75 - b)
+         || CASE WHEN a < 50 AND b > 50 THEN ', 50 25' ELSE '' END
+         || CASE WHEN a >= 50 THEN ', ' || a || ' 25'
+                 WHEN a + q < 75 THEN
+                   ', ' || (75 - q) || ' ' || q || ', ' || a || ' ' || q
+                 WHEN a + q = 75 THEN ', ' || a || ' ' || q
+                 ELSE ', ' || a || ' ' || (75 - a) END
+         || ', ' || a || ' ' || p || '))'
+  END AS clip_wkt,
+  CAST(CASE WHEN b > a THEN
+    2 * (b - a) * GREATEST(0, LEAST(q, 25) - p)
+    + CASE WHEN q > GREATEST(p, 25) THEN
+        2 * (b - a) * (q - GREATEST(p, 25))
+        - (GREATEST(0, b + q - 75) * GREATEST(0, b + q - 75)
+           - GREATEST(0, a + q - 75) * GREATEST(0, a + q - 75)
+           - GREATEST(0, b + GREATEST(p, 25) - 75)
+             * GREATEST(0, b + GREATEST(p, 25) - 75)
+           + GREATEST(0, a + GREATEST(p, 25) - 75)
+             * GREATEST(0, a + GREATEST(p, 25) - 75))
+      ELSE 0 END
+    ELSE 0 END AS BIGINT) AS clip_a2x
+FROM d
+"""
+
+# round 12: concave-SUBJECT clip — MULTIPOLYGON when the window
+# disconnects the U-shaped subject; one- or two-part canonical string
+# from the closed-form case tree (empty / split arms / rect / U-bite)
+ORACLES["clip_concave_subject_wkt"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 50 AS x0, c_custkey % 31 AS y0,
+         c_custkey % 12 + 5 AS w, c_custkey % 7 + 4 AS h,
+         c_custkey % 2 AS k2, c_custkey % 3 AS k3,
+         c_custkey % 5 AS k5, c_custkey % 6 AS k6
+  FROM customer),
+d AS (
+  SELECT okey,
+         x0 + 2 AS nx0,
+         x0 + 2 + LEAST(k2 + 1, w - 4) AS nx1,
+         y0 + LEAST(k3 + 1, h - 1) AS ny0,
+         x0 + k2 AS wx0, x0 + w - k2 AS wx1,
+         GREATEST(y0, y0 - 1 + k6) AS yb,
+         LEAST(y0 + h, y0 - 1 + k6 + 2 + k5) AS yt
+  FROM g)
+SELECT okey,
+  CASE WHEN yt <= yb THEN 'POLYGON EMPTY'
+       WHEN yb >= ny0 THEN
+         'MULTIPOLYGON (((' || wx0 || ' ' || yb || ', ' || nx0 || ' '
+           || yb || ', ' || nx0 || ' ' || yt || ', ' || wx0 || ' '
+           || yt || ', ' || wx0 || ' ' || yb || ')), ((' || nx1
+           || ' ' || yb || ', ' || wx1 || ' ' || yb || ', ' || wx1
+           || ' ' || yt || ', ' || nx1 || ' ' || yt || ', ' || nx1
+           || ' ' || yb || ')))'
+       WHEN yt <= ny0 THEN
+         'POLYGON ((' || wx0 || ' ' || yb || ', ' || wx1 || ' ' || yb
+           || ', ' || wx1 || ' ' || yt || ', ' || wx0 || ' ' || yt
+           || ', ' || wx0 || ' ' || yb || '))'
+       ELSE
+         'POLYGON ((' || wx0 || ' ' || yb || ', ' || wx1 || ' ' || yb
+           || ', ' || wx1 || ' ' || yt || ', ' || nx1 || ' ' || yt
+           || ', ' || nx1 || ' ' || ny0 || ', ' || nx0 || ' ' || ny0
+           || ', ' || nx0 || ' ' || yt || ', ' || wx0 || ' ' || yt
+           || ', ' || wx0 || ' ' || yb || '))'
+  END AS clip_wkt,
+  CAST(CASE WHEN yt <= yb THEN 0
+       WHEN yb >= ny0 THEN
+         2 * ((nx0 - wx0) + (wx1 - nx1)) * (yt - yb)
+       WHEN yt <= ny0 THEN 2 * (wx1 - wx0) * (yt - yb)
+       ELSE 2 * ((wx1 - wx0) * (yt - yb) - (nx1 - nx0) * (yt - ny0))
+  END AS BIGINT) AS clip_a2x
+FROM d
+"""
+
 # round 12: raster attribute table + missing-mapunit reconciliation
 # (SSURGO_ExportMuRaster.py:1543-1590) — cells enumerated per mapunit,
 # deduped max-mukey across overlaps, left-joined back to the layer

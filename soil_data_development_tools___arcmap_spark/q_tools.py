@@ -1713,6 +1713,190 @@ def clip_concave_aoi_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_concave_diagonal_aoi_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-GEOMETRY output for the DIAGONAL-boundary concave AOI —
+    the last AOI shape class still emitting areas only
+    (gSSURGO_Clip.py:160 returns clipped features for ANY AOI;
+    clip_concave_diagonal_aoi covers the area). The AOI (_LDIAG_AOI:
+    reflex vertex at (50,25), 45° hypotenuse on x+y=75) decomposes
+    into TWO CONVEX HORIZONTAL BANDS — the bottom rectangle
+    [10,90]×[5,25] and the top trapezoid (10,25)(50,25)(30,45)(10,45)
+    — instead of the area query's triangles: triangle pieces share
+    DIAGONAL edges whose per-piece clip vertices interleave, while
+    the band split puts the entire shared boundary on the single line
+    y=25, so the dissolve is the deterministic band stitch
+    (geometry.py:stack_band_rings, the convex-band generalization of
+    bands_to_ring). Per subject rectangle: the lower clip runs four
+    exact axis half-plane passes, the upper runs the general-edge
+    convex passes + integer snap; whichever pieces survive (area > 0)
+    merge — both → stitched union ring, one → that ring alone — then
+    canonicalize and serialize. The oracle CONSTRUCTS the canonical
+    ring from the closed-form case tree of
+    rect ∩ ({y ≤ 25} ∪ {x+y ≤ 75}) within the AOI bbox — rectangle /
+    apex-notch / diagonal-cut / pentagon / empty — and never clips or
+    dissolves a vertex. Map-only, zero shuffles."""
+    from .functions.geometry import (
+        _clip_halfplane,
+        _let,
+        _ring_pts,
+        clip_ring_convex,
+        normalize_ring,
+        ring_area2x,
+        ring_to_wkt,
+        snap_ring_ints,
+        stack_band_rings,
+    )
+
+    # convex horizontal-band decomposition of _LDIAG_AOI, split at the
+    # reflex vertex's y: areas must tile the AOI exactly
+    n = len(_LDIAG_AOI)
+    aoi_a2x = abs(sum(
+        _LDIAG_AOI[i][0] * _LDIAG_AOI[(i + 1) % n][1]
+        - _LDIAG_AOI[(i + 1) % n][0] * _LDIAG_AOI[i][1]
+        for i in range(n)
+    ))
+    band_rect = (10, 5, 90, 25)  # x0, y0, x1, y1
+    trap = [(10.0, 25.0), (50.0, 25.0), (30.0, 45.0), (10.0, 45.0)]
+    trap_a2x = abs(sum(
+        trap[i][0] * trap[(i + 1) % 4][1]
+        - trap[(i + 1) % 4][0] * trap[i][1]
+        for i in range(4)
+    ))
+    rect_a2x = 2 * (band_rect[2] - band_rect[0]) * (
+        band_rect[3] - band_rect[1]
+    )
+    assert rect_a2x + trap_a2x == aoi_a2x, (rect_a2x, trap_a2x, aoi_a2x)
+    trap_edges = [
+        (trap[i], trap[(i + 1) % 4]) for i in range(4)
+    ]
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 100, k % 57
+    w, h = k % 13 + 1, k % 7 + 1
+    x1, y1 = x0 + w, y0 + h
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    ring_body = F.concat(
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
+        sep, pt(x0, y0),
+    )
+
+    def run(pts: Column) -> Column:
+        lo = _clip_halfplane(pts, "x", float(band_rect[0]), keep_ge=True)
+        lo = _clip_halfplane(lo, "x", float(band_rect[2]), keep_ge=False)
+        lo = _clip_halfplane(lo, "y", float(band_rect[1]), keep_ge=True)
+        lo = snap_ring_ints(
+            _clip_halfplane(lo, "y", float(band_rect[3]), keep_ge=False)
+        )
+        up = snap_ring_ints(clip_ring_convex(pts, trap_edges))
+        empty = F.array().cast("array<struct<x:double,y:double>>")
+
+        def merge(lo_b: Column) -> Column:
+            def inner(up_b: Column) -> Column:
+                la = F.round(ring_area2x(lo_b)).cast("long")
+                ua = F.round(ring_area2x(up_b)).cast("long")
+                ring = (
+                    F.when(
+                        (la > 0) & (ua > 0),
+                        stack_band_rings(lo_b, up_b, 25.0),
+                    )
+                    .when(la > 0, lo_b)
+                    .when(ua > 0, up_b)
+                    .otherwise(empty)
+                )
+                return F.struct(
+                    ring_to_wkt(normalize_ring(ring)).alias("clip_wkt"),
+                    (la + ua).alias("clip_a2x"),
+                )
+
+            return _let(up, inner)
+
+        return _let(lo, merge)
+
+    out = _let(_ring_pts(ring_body), run)
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        out["clip_wkt"].alias("clip_wkt"),
+        out["clip_a2x"].alias("clip_a2x"),
+    )
+
+
+def clip_concave_subject_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-GEOMETRY output for a CONCAVE SUBJECT — lifting
+    normalize_ring's single-component precondition
+    (geometry.py:normalize_ring PRECONDITION note): real MUPOLYGON
+    parts are frequently concave, and arcpy.Clip_analysis
+    (gSSURGO_Clip.py:160) emits MULTI-part features when the AOI
+    window disconnects one. Subjects are U-shaped (notch cut downward
+    from the top edge — the canonical concave part); the AOI window
+    is a per-feature rectangle that lands below, across, or above the
+    notch bottom. Sutherland–Hodgman against the window leaves the
+    classic bridge pattern along the window-bottom line when the clip
+    disconnects; geometry.py:split_bridged_ring_y splits the ring
+    into components at that line, and rings_to_multiwkt normalizes
+    each, drops zero-area slivers, sorts parts canonically, and
+    serializes POLYGON / MULTIPOLYGON / EMPTY. The oracle constructs
+    the one- or two-part canonical string from the closed-form case
+    tree (empty / split arms / rectangle / notch-bite U) and never
+    clips, splits, or dissolves. Map-only, zero shuffles."""
+    from .functions.geometry import (
+        _clip_halfplane,
+        _let,
+        _ring_pts,
+        ring_area2x,
+        rings_to_multiwkt,
+        snap_ring_ints,
+        split_bridged_ring_y,
+    )
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 50, k % 31
+    w, h = k % 12 + 5, k % 7 + 4
+    x1, y1 = x0 + w, y0 + h
+    nw = F.least(k % 2 + 1, w - 4)
+    nx0, ny0 = x0 + 2, y0 + F.least(k % 3 + 1, h - 1)
+    nx1 = nx0 + nw
+    wx0, wx1 = x0 + k % 2, x1 - k % 2
+    wy0 = y0 - 1 + k % 6
+    wy1 = wy0 + 2 + k % 5
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    # CCW U-ring: bottom, right side, top-right, down-into-notch,
+    # across, up, top-left, left side
+    ring_body = F.concat(
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep,
+        pt(nx1, y1), sep, pt(nx1, ny0), sep, pt(nx0, ny0), sep,
+        pt(nx0, y1), sep, pt(x0, y1), sep, pt(x0, y0),
+    )
+
+    def run(b: Column) -> Column:
+        c = _clip_halfplane(_ring_pts(ring_body), "y", b["wy0"], keep_ge=True)
+        c = _clip_halfplane(c, "y", b["wy1"], keep_ge=False)
+        c = _clip_halfplane(c, "x", b["wx0"], keep_ge=True)
+        c = _clip_halfplane(c, "x", b["wx1"], keep_ge=False)
+        snapped = snap_ring_ints(c)
+        parts = split_bridged_ring_y(snapped, b["wy0"])
+        return F.struct(
+            rings_to_multiwkt(parts).alias("clip_wkt"),
+            F.round(ring_area2x(snapped)).cast("long").alias("clip_a2x"),
+        )
+
+    bounds = F.struct(
+        wx0.cast("double").alias("wx0"), wx1.cast("double").alias("wx1"),
+        wy0.cast("double").alias("wy0"), wy1.cast("double").alias("wy1"),
+    )
+    out = _let(bounds, run)
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        out["clip_wkt"].alias("clip_wkt"),
+        out["clip_a2x"].alias("clip_a2x"),
+    )
+
+
 def featline_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line feature-class coverage — MULINE / FEATLINE
     (SSURGO_Convert_to_Geodatabase.py:1677-1818 appends all six FCs
