@@ -1878,11 +1878,17 @@ def clip_concave_subject_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = _clip_halfplane(c, "y", b["wy1"], keep_ge=False)
         c = _clip_halfplane(c, "x", b["wx0"], keep_ge=True)
         c = _clip_halfplane(c, "x", b["wx1"], keep_ge=False)
-        snapped = snap_ring_ints(c)
-        parts = split_bridged_ring_y(snapped, b["wy0"])
-        return F.struct(
-            rings_to_multiwkt(parts).alias("clip_wkt"),
-            F.round(ring_area2x(snapped)).cast("long").alias("clip_a2x"),
+        # bind the snapped SH output ONCE — the WKT chain and the area
+        # would otherwise each re-inline the whole 4-pass clip subtree
+        # (the _let lesson, SCALING.md round 10: 2x tree, 2x CPU)
+        return _let(
+            snap_ring_ints(c),
+            lambda snapped: F.struct(
+                rings_to_multiwkt(
+                    split_bridged_ring_y(snapped, b["wy0"])
+                ).alias("clip_wkt"),
+                F.round(ring_area2x(snapped)).cast("long").alias("clip_a2x"),
+            ),
         )
 
     bounds = F.struct(
