@@ -6311,6 +6311,77 @@ SELECT okey,
 FROM d
 """
 
+# round 12: multipart concave subject — per-part closed-form case
+# trees assembled into the canonical POLYGON/MULTIPOLYGON/EMPTY text
+# with DuckDB list functions (0-3 parts per feature)
+ORACLES["clip_concave_multipart_wkt"] = """
+WITH g AS (
+  SELECT c_custkey AS okey,
+         c_custkey % 50 AS x0, c_custkey % 31 AS y0,
+         c_custkey % 12 + 5 AS w, c_custkey % 7 + 4 AS h,
+         c_custkey % 2 AS k2, c_custkey % 3 AS k3,
+         c_custkey % 4 AS k4, c_custkey % 5 AS k5,
+         c_custkey % 6 AS k6
+  FROM customer),
+d AS (
+  SELECT okey,
+         x0 + 2 AS nx0,
+         x0 + 2 + LEAST(k2 + 1, w - 4) AS nx1,
+         y0 + LEAST(k3 + 1, h - 1) AS ny0,
+         x0 + w AS x1u,
+         x0 + w + 2 AS p2x0,
+         LEAST(x0 + w + 2 + k4 + 1,
+               x0 + w + 2 + k4 + 1
+                 - CASE WHEN k5 = 0 THEN 1 ELSE 0 END) AS p2x1w,
+         x0 + k2 AS wx0,
+         GREATEST(y0, y0 - 1 + k6) AS yb,
+         LEAST(y0 + h, y0 - 1 + k6 + 2 + k5) AS yt,
+         LEAST(y0 + k4 + 2, y0 - 1 + k6 + 2 + k5) AS yt2
+  FROM g),
+parts AS (
+  SELECT okey,
+    CASE WHEN yt <= yb THEN []::VARCHAR[]
+         WHEN yb >= ny0 THEN [
+           wx0 || ' ' || yb || ', ' || nx0 || ' ' || yb || ', '
+             || nx0 || ' ' || yt || ', ' || wx0 || ' ' || yt || ', '
+             || wx0 || ' ' || yb,
+           nx1 || ' ' || yb || ', ' || x1u || ' ' || yb || ', '
+             || x1u || ' ' || yt || ', ' || nx1 || ' ' || yt || ', '
+             || nx1 || ' ' || yb]
+         WHEN yt <= ny0 THEN [
+           wx0 || ' ' || yb || ', ' || x1u || ' ' || yb || ', '
+             || x1u || ' ' || yt || ', ' || wx0 || ' ' || yt || ', '
+             || wx0 || ' ' || yb]
+         ELSE [
+           wx0 || ' ' || yb || ', ' || x1u || ' ' || yb || ', '
+             || x1u || ' ' || yt || ', ' || nx1 || ' ' || yt || ', '
+             || nx1 || ' ' || ny0 || ', ' || nx0 || ' ' || ny0 || ', '
+             || nx0 || ' ' || yt || ', ' || wx0 || ' ' || yt || ', '
+             || wx0 || ' ' || yb]
+    END
+    || CASE WHEN yt2 > yb AND p2x1w > p2x0 THEN [
+           p2x0 || ' ' || yb || ', ' || p2x1w || ' ' || yb || ', '
+             || p2x1w || ' ' || yt2 || ', ' || p2x0 || ' ' || yt2
+             || ', ' || p2x0 || ' ' || yb]
+       ELSE []::VARCHAR[] END AS ps,
+    CASE WHEN yt <= yb THEN 0
+         WHEN yb >= ny0 THEN
+           2 * ((nx0 - wx0) + (x1u - nx1)) * (yt - yb)
+         WHEN yt <= ny0 THEN 2 * (x1u - wx0) * (yt - yb)
+         ELSE 2 * ((x1u - wx0) * (yt - yb) - (nx1 - nx0) * (yt - ny0))
+    END
+    + 2 * GREATEST(0, p2x1w - p2x0) * GREATEST(0, yt2 - yb) AS a2x
+  FROM d)
+SELECT okey,
+  CASE WHEN len(ps) = 0 THEN 'POLYGON EMPTY'
+       WHEN len(ps) = 1 THEN 'POLYGON ((' || ps[1] || '))'
+       ELSE 'MULTIPOLYGON (' || array_to_string(
+              list_transform(ps, x -> '((' || x || '))'), ', ') || ')'
+  END AS clip_wkt,
+  CAST(a2x AS BIGINT) AS clip_a2x
+FROM parts
+"""
+
 # round 12: raster attribute table + missing-mapunit reconciliation
 # (SSURGO_ExportMuRaster.py:1543-1590) — cells enumerated per mapunit,
 # deduped max-mukey across overlaps, left-joined back to the layer

@@ -1903,6 +1903,101 @@ def clip_concave_subject_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_concave_multipart_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped-geometry output for MULTIPART CONCAVE subjects — the
+    composition real MUPOLYGON features actually are (multipart AND
+    concave; SSURGO_Convert_to_Geodatabase.py appends multipart
+    mapunit features routinely, and arcpy.Clip_analysis
+    gSSURGO_Clip.py:160 returns however many parts survive): part 1
+    is the U-shaped subject of clip_concave_subject_wkt, part 2 a
+    detached rectangle east of it. Each part's ring clips through the
+    window independently (parts never bridge to each other — bridges
+    only form within one ring), each splits at the window-bottom line
+    (split_bridged_ring_y), and ONE rings_to_multiwkt serializes the
+    union: 0–3 parts per feature (the U may disconnect into two arms
+    while the rectangle survives whole). The oracle constructs the
+    part list from the closed-form case trees (U: empty/arms/rect/
+    bite; rectangle: overlap box) and assembles the same canonical
+    POLYGON / MULTIPOLYGON / EMPTY text with DuckDB list functions.
+    Map-only, zero shuffles."""
+    from .functions.geometry import (
+        _clip_halfplane,
+        _let,
+        _ring_pts,
+        ring_area2x,
+        rings_to_multiwkt,
+        snap_ring_ints,
+        split_bridged_ring_y,
+    )
+
+    k = F.col("c_custkey")
+    x0, y0 = k % 50, k % 31
+    w, h = k % 12 + 5, k % 7 + 4
+    x1, y1 = x0 + w, y0 + h
+    nw = F.least(k % 2 + 1, w - 4)
+    nx0, ny0 = x0 + 2, y0 + F.least(k % 3 + 1, h - 1)
+    nx1 = nx0 + nw
+    p2x0 = x1 + 2
+    p2x1 = p2x0 + k % 4 + 1
+    p2y1 = y0 + k % 4 + 2  # taller than the notch bottom for some keys,
+    # so a disconnected U can coexist with a surviving part 2 (3 parts)
+    wx0 = x0 + k % 2
+    wx1 = p2x1 - F.when(k % 5 == 0, 1).otherwise(0)
+    wy0 = y0 - 1 + k % 6
+    wy1 = wy0 + 2 + k % 5
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    ring_u = F.concat(
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep,
+        pt(nx1, y1), sep, pt(nx1, ny0), sep, pt(nx0, ny0), sep,
+        pt(nx0, y1), sep, pt(x0, y1), sep, pt(x0, y0),
+    )
+    ring_p2 = F.concat(
+        pt(p2x0, y0), sep, pt(p2x1, y0), sep, pt(p2x1, p2y1), sep,
+        pt(p2x0, p2y1), sep, pt(p2x0, y0),
+    )
+
+    # flatten across PROJECTION stages instead of nesting _lets: each
+    # select materializes named columns the next stage references as
+    # plain attributes — the analyzer resolves lambda variables per
+    # stage, so the combined depth stays under its iteration cap
+    # (the fully-nested form tripped "Max iterations (100) reached")
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("okey"),
+        wx0.cast("double").alias("wx0"), wx1.cast("double").alias("wx1"),
+        wy0.cast("double").alias("wy0"), wy1.cast("double").alias("wy1"),
+        ring_u.alias("ring_u"), ring_p2.alias("ring_p2"),
+    )
+
+    def clip4(body: Column) -> Column:
+        c = _clip_halfplane(_ring_pts(body), "y", F.col("wy0"), keep_ge=True)
+        c = _clip_halfplane(c, "y", F.col("wy1"), keep_ge=False)
+        c = _clip_halfplane(c, "x", F.col("wx0"), keep_ge=True)
+        c = _clip_halfplane(c, "x", F.col("wx1"), keep_ge=False)
+        return snap_ring_ints(c)
+
+    clipped = base.select(
+        "okey", "wy0",
+        clip4(F.col("ring_u")).alias("s1"),
+        clip4(F.col("ring_p2")).alias("s2"),
+    )
+    return clipped.select(
+        "okey",
+        rings_to_multiwkt(
+            F.concat(
+                split_bridged_ring_y(F.col("s1"), F.col("wy0")),
+                split_bridged_ring_y(F.col("s2"), F.col("wy0")),
+            )
+        ).alias("clip_wkt"),
+        (
+            F.round(ring_area2x(F.col("s1")))
+            + F.round(ring_area2x(F.col("s2")))
+        ).cast("long").alias("clip_a2x"),
+    )
+
+
 def featline_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line feature-class coverage — MULINE / FEATLINE
     (SSURGO_Convert_to_Geodatabase.py:1677-1818 appends all six FCs

@@ -129,7 +129,8 @@ def test_clip_wkt_round12_plans_map_only(spark):
     zero-exchange map-only plan invariant."""
     import soil_data_development_tools___arcmap_spark.queries as Q
 
-    for q in (Q.clip_concave_diagonal_aoi_wkt, Q.clip_concave_subject_wkt):
+    for q in (Q.clip_concave_diagonal_aoi_wkt, Q.clip_concave_subject_wkt,
+              Q.clip_concave_multipart_wkt):
         plan = q(spark, SF_SMOKE)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "Exchange" not in plan, q.__name__
