@@ -36,6 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = [
     "clip_concave_diagonal_aoi_wkt",
     "clip_concave_subject_wkt",
+    "clip_concave_multipart_wkt",
 ]
 
 
