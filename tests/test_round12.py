@@ -196,3 +196,33 @@ def test_stack_band_rings_degenerate_spans(spark):
     # upper sliver keeps the stitch consistent
     run_case("20 10, 60 10, 60 26, 20 26, 20 10",
              "POLYGON ((20 10, 60 10, 60 25, 50 25, 49 26, 20 26, 20 10))")
+
+
+def test_auto_redistribute_decision_cached(spark):
+    """The auto heuristic's pre-pass runs ONCE per (semantic input,
+    params): the second build reads the cached decision — proven by
+    mutating the cache entry and observing the next plan obey it."""
+    from soil_data_development_tools___arcmap_spark.functions import raster
+
+    giant = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 260 0, 260 260, 0 260, 0 0))")],
+        "k int, wkt string",
+    )
+    raster._REDISTRIBUTE_DECISIONS.clear()
+    p1 = polygon_cell_inventory(giant, tile_cells=4)._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" in p1
+    assert len(raster._REDISTRIBUTE_DECISIONS) == 1
+    key = next(iter(raster._REDISTRIBUTE_DECISIONS))
+    # flip the cached decision: if the second build re-ran the
+    # aggregate it would overwrite/ignore this — obeying it proves
+    # the cache hit
+    raster._REDISTRIBUTE_DECISIONS[key] = False
+    p2 = polygon_cell_inventory(giant, tile_cells=4)._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in p2
+    raster._REDISTRIBUTE_DECISIONS.clear()
+    # different params -> different key -> fresh decision
+    polygon_cell_inventory(giant, tile_cells=8)
+    polygon_cell_inventory(giant, tile_cells=4)
+    assert len(raster._REDISTRIBUTE_DECISIONS) == 2
