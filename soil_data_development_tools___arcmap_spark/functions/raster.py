@@ -176,6 +176,12 @@ def polygon_cell_inventory(
                 mx is not None and mx >= redistribute_tile_threshold
             )
             if key is not None:
+                # bound the cache for long-lived drivers: entries are
+                # tiny but a notebook building thousands of distinct
+                # inputs shouldn't leak — dropping ALL simply re-runs
+                # the pre-pass on the next auto call
+                if len(_REDISTRIBUTE_DECISIONS) >= 1024:
+                    _REDISTRIBUTE_DECISIONS.clear()
                 _REDISTRIBUTE_DECISIONS[key] = redistribute
 
     tiles = with_bbox.withColumn(
