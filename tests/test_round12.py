@@ -226,3 +226,155 @@ def test_auto_redistribute_decision_cached(spark):
     polygon_cell_inventory(giant, tile_cells=8)
     polygon_cell_inventory(giant, tile_cells=4)
     assert len(raster._REDISTRIBUTE_DECISIONS) == 2
+
+
+def _py_clip_split_wkt(ring, wx0, wx1, wy0, wy1):
+    """Pure-Python reference: SH clip an open ring by the window,
+    snap, split components at y=wy0, normalize each, serialize —
+    independent of every Column expression under test."""
+    def clip_half(pts, axis, bound, keep_ge):
+        if not pts:
+            return pts
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            ia = a[axis] >= bound if keep_ge else a[axis] <= bound
+            ib = b[axis] >= bound if keep_ge else b[axis] <= bound
+            if ia and ib:
+                out.append(b)
+            elif ia != ib:
+                t = (bound - a[axis]) / (b[axis] - a[axis])
+                o = a[1 - axis] + (b[1 - axis] - a[1 - axis]) * t
+                p = (bound, o) if axis == 0 else (o, bound)
+                out.append(p)
+                if ib:
+                    out.append(b)
+        return out
+
+    c = clip_half(ring, 1, wy0, True)
+    c = clip_half(c, 1, wy1, False)
+    c = clip_half(c, 0, wx0, True)
+    c = clip_half(c, 0, wx1, False)
+    c = [(round(x), round(y)) for x, y in c]
+    n = len(c)
+    if n < 3:
+        return "POLYGON EMPTY"
+    starts = [i for i in range(n) if c[i][1] == wy0 and c[(i + 1) % n][1] > wy0]
+    if not starts:
+        comps = [c]
+    else:
+        r = c[starts[0]:] + c[:starts[0]]
+        comps, cur = [], []
+        for i in range(n):
+            if r[i][1] == wy0 and r[(i + 1) % n][1] > wy0 and cur:
+                comps.append(cur)
+                cur = []
+            cur.append(r[i])
+        comps.append(cur)
+
+    def norm(p):
+        q = [v for i, v in enumerate(p) if v != p[(i + 1) % len(p)]]
+        if len(q) < 3:
+            return None
+        m = len(q)
+        r2 = []
+        for i in range(m):
+            a, b, d = q[(i - 1) % m], q[i], q[(i + 1) % m]
+            cross = (b[0] - a[0]) * (d[1] - a[1]) - (b[1] - a[1]) * (d[0] - a[0])
+            if cross != 0:
+                r2.append(b)
+        if len(r2) < 3:
+            return None
+        area2 = sum(
+            r2[i][0] * r2[(i + 1) % len(r2)][1]
+            - r2[(i + 1) % len(r2)][0] * r2[i][1]
+            for i in range(len(r2))
+        )
+        if area2 <= 0:
+            return None
+        lead = min(range(len(r2)), key=lambda i: r2[i])
+        return r2[lead:] + r2[:lead]
+
+    parts = sorted([p for p in (norm(x) for x in comps) if p],
+                   key=lambda p: p[0])
+    fmt = lambda p: ", ".join(f"{x} {y}" for x, y in p + [p[0]])  # noqa: E731
+    if not parts:
+        return "POLYGON EMPTY"
+    if len(parts) == 1:
+        return f"POLYGON (({fmt(parts[0])}))"
+    return "MULTIPOLYGON (" + ", ".join(
+        f"(({fmt(p)}))" for p in parts) + ")"
+
+
+def test_concave_subject_clip_random_property(spark):
+    """80 seeded random U/W/rect subjects × windows: the full Spark
+    pipeline (SH → snap → split_bridged_ring_y → rings_to_multiwkt)
+    string-matches the pure-Python reference on every case."""
+    import random
+
+    from pyspark.sql import functions as F
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        _clip_halfplane, _ring_pts, rings_to_multiwkt, snap_ring_ints,
+        split_bridged_ring_y,
+    )
+
+    rng = random.Random(1207)
+    cases = []
+    for i in range(80):
+        x0, y0 = rng.randrange(0, 30), rng.randrange(0, 30)
+        w, h = rng.randrange(6, 18), rng.randrange(5, 12)
+        kind = i % 3
+        if kind == 0:  # plain rect
+            ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+        elif kind == 1:  # U: one notch from top
+            nx0 = x0 + rng.randrange(1, w - 3)
+            nx1 = nx0 + rng.randrange(1, min(3, x0 + w - nx0 - 1) + 1)
+            ny = y0 + rng.randrange(1, h - 1)
+            ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                    (nx1, y0 + h), (nx1, ny), (nx0, ny),
+                    (nx0, y0 + h), (x0, y0 + h)]
+        else:  # W: two notches from top (w >= 8 guaranteed? force)
+            w = max(w, 9)
+            a0 = x0 + 1
+            a1 = a0 + 1
+            b0 = a1 + 2
+            b1 = b0 + 1
+            ny = y0 + rng.randrange(1, h - 1)
+            ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                    (b1, y0 + h), (b1, ny), (b0, ny), (b0, y0 + h),
+                    (a1, y0 + h), (a1, ny), (a0, ny), (a0, y0 + h),
+                    (x0, y0 + h)]
+        wy0 = y0 - 1 + rng.randrange(0, h + 2)
+        wy1 = wy0 + rng.randrange(1, 8)
+        wx0 = x0 - 1 + rng.randrange(0, 3)
+        wx1 = x0 + w + 1 - rng.randrange(0, 3)
+        cases.append((i, ring, wx0, wx1, wy0, wy1))
+
+    df = spark.createDataFrame(
+        [(i, ", ".join(f"{x} {y}" for x, y in ring + [ring[0]]),
+          float(wx0), float(wx1), float(wy0), float(wy1))
+         for i, ring, wx0, wx1, wy0, wy1 in cases],
+        "i int, rb string, wx0 double, wx1 double, wy0 double, wy1 double",
+    )
+    c = _clip_halfplane(_ring_pts(F.col("rb")), "y", F.col("wy0"), True)
+    c = _clip_halfplane(c, "y", F.col("wy1"), False)
+    c = _clip_halfplane(c, "x", F.col("wx0"), True)
+    c = _clip_halfplane(c, "x", F.col("wx1"), False)
+    got = {
+        r["i"]: r["w"]
+        for r in df.select(
+            "i",
+            rings_to_multiwkt(
+                split_bridged_ring_y(snap_ring_ints(c), F.col("wy0"))
+            ).alias("w"),
+        ).collect()
+    }
+    bad = []
+    for i, ring, wx0, wx1, wy0, wy1 in cases:
+        want = _py_clip_split_wkt(
+            [(float(x), float(y)) for x, y in ring], wx0, wx1, wy0, wy1
+        )
+        if got[i] != want:
+            bad.append((i, got[i], want))
+    assert not bad, bad[:3]
