@@ -6749,3 +6749,59 @@ SELECT okey, CAST(SUM(seg_len) AS BIGINT) AS len_e4,
        CAST(SUM(seg_clip) AS BIGINT) AS clip_len_e4
 FROM c GROUP BY okey
 """
+
+# round 12: layer x layer spatial joins — truth derived from the
+# synthetic rectangle bounds / closed forms via naive inequality joins
+# (affordable at sf0.01; the Spark side is the PBSM grid-bucketed plan
+# that survives 100 TB). Certifies bucketing + ray-cast / SH refine.
+ORACLES["spatial_join_points"] = """
+WITH p AS (
+  SELECT c_custkey AS okey,
+         (c_custkey % 100) * 2 AS x0, (c_custkey % 57) * 2 AS y0,
+         (c_custkey % 100) * 2 + (c_custkey % 13 + 1) * 2 AS x1,
+         (c_custkey % 57) * 2 + (c_custkey % 7 + 1) * 2 AS y1
+  FROM customer),
+q AS (
+  SELECT o_orderkey AS pkey,
+         2 * (o_orderkey % 101) + 1 AS px,
+         2 * (o_orderkey % 59) + 1 AS py
+  FROM orders WHERE o_orderkey % 4 = 0)
+SELECT okey, pkey, px, py
+FROM p JOIN q ON px > x0 AND px < x1 AND py > y0 AND py < y1
+"""
+
+ORACLES["spatial_join_overlap"] = """
+WITH a AS (
+  SELECT c_custkey AS akey,
+         (c_custkey % 100) * 2 AS ax0, (c_custkey % 57) * 2 AS ay0,
+         (c_custkey % 100) * 2 + (c_custkey % 13 + 1) * 2 AS ax1,
+         (c_custkey % 57) * 2 + (c_custkey % 7 + 1) * 2 AS ay1
+  FROM customer),
+b AS (
+  SELECT p_partkey AS bkey,
+         (p_partkey % 97) * 2 AS bx0, (p_partkey % 53) * 2 AS by0,
+         (p_partkey % 97) * 2 + (p_partkey % 11 + 1) * 2 AS bx1,
+         (p_partkey % 53) * 2 + (p_partkey % 5 + 1) * 2 AS by1
+  FROM part WHERE p_partkey % 7 = 0)
+SELECT akey, bkey,
+       CAST(2 * (LEAST(ax1, bx1) - GREATEST(ax0, bx0))
+              * (LEAST(ay1, by1) - GREATEST(ay0, by0)) AS BIGINT) AS ov_a2x
+FROM a JOIN b
+  ON LEAST(ax1, bx1) > GREATEST(ax0, bx0)
+ AND LEAST(ay1, by1) > GREATEST(ay0, by0)
+"""
+
+ORACLES["spatial_join_within_distance"] = """
+WITH s AS (
+  SELECT c_custkey AS skey,
+         c_custkey % 199 AS sx, c_custkey % 113 AS sy
+  FROM customer),
+q AS (
+  SELECT o_orderkey AS pkey,
+         o_orderkey % 211 AS px, o_orderkey % 127 AS py
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT skey, pkey,
+       CAST((sx - px) * (sx - px) + (sy - py) * (sy - py) AS BIGINT) AS dist2
+FROM s JOIN q
+  ON (sx - px) * (sx - px) + (sy - py) * (sy - py) <= 25
+"""

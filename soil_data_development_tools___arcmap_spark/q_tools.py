@@ -3574,3 +3574,219 @@ def nightly_gssurgo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.read.parquet(result_dir)
+
+
+# ---------------------------------------------------------------------------
+# round 12: layer x layer spatial joins (PBSM grid bucketing)
+# ---------------------------------------------------------------------------
+
+
+def _even_grid_rects(src: DataFrame, key: str):
+    """The even-coordinate rectangle layer the clip family synthesizes
+    (one closed rect per row, same parametrization as
+    clip_select_by_location so the two certifications compose):
+    returns (okey, x0, y0, x1, y1, wkt)."""
+    k = F.col(key)
+    x0, y0 = (k % 100) * 2, (k % 57) * 2
+    x1 = x0 + (k % 13 + 1) * 2
+    y1 = y0 + (k % 7 + 1) * 2
+    pt = lambda x, y: F.concat(  # noqa: E731
+        x.cast("string"), F.lit(" "), y.cast("string")
+    )
+    sep = F.lit(", ")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
+        sep, pt(x0, y0),
+        F.lit("))"),
+    )
+    return src.select(
+        k.alias("okey"),
+        x0.cast("long").alias("x0"),
+        y0.cast("long").alias("y0"),
+        x1.cast("long").alias("x1"),
+        y1.cast("long").alias("y1"),
+        wkt.alias("wkt"),
+    )
+
+
+def spatial_join_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SelectLayerByLocation as a TWO-LAYER join — the reference's
+    ``arcpy.SelectLayerByLocation_management(targetLayer, "INTERSECT",
+    extentLayer)`` (gSSURGO_Clip.py:144, SSURGO_gSSURGO_byTile.py:267)
+    selects features of one layer against the features of ANOTHER
+    layer, not a constant AOI; every other clip/select query in this
+    registry tests constant AOIs, so this is the genuine join form.
+
+    Polygon layer: one even-grid rectangle per customer (the
+    clip_select_by_location parametrization). Point layer: odd-grid
+    probe points from orders (never edge-incident). Plan (PBSM,
+    functions/spatial.py): polygons replicate onto the grid cells
+    their bbox touches (<= 3x2 cells at cell_size=16), points map to
+    their single cell, one equi-join on the cell struct, then the
+    exact refine runs the GENERAL even-odd ray cast over the parsed
+    WKT ring (point_in_rings) — the same code path a concave multipart
+    subject would take. A point lives in exactly one cell, so each
+    (polygon, point) pair meets exactly once: no dedup shuffle. The
+    oracle derives truth independently from the rectangle bounds.
+
+    At 100 TB: both explodes are map-side and bounded; the only
+    exchange is the (cx, cy) equi-join, AQE-splittable on hot cells;
+    no CartesianProduct."""
+    from .functions.geometry import parse_geom_rings, point_in_rings
+    from .functions.spatial import bbox_cells, point_cell
+
+    cs = 16
+    polys = _even_grid_rects(_t(spark, sf_dir, "customer"), "c_custkey")
+    polys = polys.select(
+        "okey", "wkt",
+        F.explode(
+            bbox_cells(
+                F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), cs
+            )
+        ).alias("cell"),
+    ).withColumn("rings", parse_geom_rings("wkt"))
+    j = F.col("o_orderkey")
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .where(j % 4 == 0)
+        .select(
+            j.alias("pkey"),
+            (2 * (j % 101) + 1).cast("long").alias("px"),
+            (2 * (j % 59) + 1).cast("long").alias("py"),
+        )
+        .withColumn("cell", point_cell(F.col("px"), F.col("py"), cs))
+    )
+    return (
+        polys.join(pts, "cell")
+        .where(point_in_rings(F.col("rings"), F.col("px"), F.col("py")) == 1)
+        .select("okey", "pkey", "px", "py")
+    )
+
+
+def spatial_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersect_analysis as a TWO-LAYER overlay join — the reference's
+    ``arcpy.Intersect_analysis([outputFC, aoiLayer], outputClip)``
+    (SSURGO_gSSURGO_byTile.py:296) intersects every feature of one
+    class with every overlapping feature of another. Layer A: the
+    customer even-grid rectangles; layer B: a second rectangle layer
+    from part. Plan: both layers replicate onto their bbox grid cells
+    (cell_size=32 → <= 2x2 cells/feature), one cell equi-join, then
+    PBSM's reporting-cell rule (report_cell_filter) keeps each
+    candidate pair in exactly ONE shared cell — duplicate elimination
+    with zero extra shuffle (no distinct). The refine computes the
+    EXACT intersection area by running the Sutherland–Hodgman clip of
+    A's parsed WKT ring against B's bbox window (clip_area2x_rect) —
+    the general vertex-clip machinery, not a rect shortcut — and keeps
+    pairs with positive area (edge-touching pairs drop). Oracle:
+    closed-form rect∩rect overlap, never a vertex clip, certifying the
+    bucketing + SH pipeline end-to-end."""
+    from .functions.geometry import clip_area2x_rect
+    from .functions.spatial import bbox_cells, report_cell_filter
+
+    cs = 32
+    a = _even_grid_rects(_t(spark, sf_dir, "customer"), "c_custkey").select(
+        F.col("okey").alias("akey"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        "wkt",
+    )
+    a = a.select(
+        "*",
+        F.explode(
+            bbox_cells(
+                F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1"), cs
+            )
+        ).alias("cell"),
+    )
+    jb = F.col("p_partkey")
+    bx0, by0 = (jb % 97) * 2, (jb % 53) * 2
+    bx1 = bx0 + (jb % 11 + 1) * 2
+    by1 = by0 + (jb % 5 + 1) * 2
+    b = (
+        _t(spark, sf_dir, "part")
+        .where(jb % 7 == 0)
+        .select(
+            jb.alias("bkey"),
+            bx0.cast("long").alias("bx0"), by0.cast("long").alias("by0"),
+            bx1.cast("long").alias("bx1"), by1.cast("long").alias("by1"),
+        )
+    )
+    b = b.select(
+        "*",
+        F.explode(
+            bbox_cells(
+                F.col("bx0"), F.col("by0"), F.col("bx1"), F.col("by1"), cs
+            )
+        ).alias("cell"),
+    )
+    return (
+        a.join(b, "cell")
+        .where(
+            report_cell_filter(
+                F.col("cell"),
+                F.col("ax0"), F.col("ay0"),
+                F.col("bx0"), F.col("by0"),
+                cs,
+            )
+        )
+        .select(
+            "akey",
+            "bkey",
+            clip_area2x_rect(
+                "wkt",
+                F.col("bx0").cast("double"), F.col("by0").cast("double"),
+                F.col("bx1").cast("double"), F.col("by1").cast("double"),
+            ).alias("ov_a2x"),
+        )
+        .where(F.col("ov_a2x") > 0)
+    )
+
+
+def spatial_join_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance (proximity) join — the third canonical spatial
+    join: all (site, point) pairs with Euclidean distance <= R. The
+    reference reaches this shape whenever a workflow relates features
+    by proximity rather than containment (the same
+    SelectLayerByLocation call family supports WITHIN_A_DISTANCE); it
+    is also the geo form of the training-pipeline near-dup join. Plan:
+    sites replicate onto the 3x3 cell neighborhood of their own cell
+    (cell_size=8 >= R=5, so one ring suffices), points keep their
+    single cell, one equi-join, exact integer dist² refine. The
+    point's cell is unique → each qualifying pair meets exactly once,
+    no dedup. Oracle: the naive inequality join DuckDB can afford at
+    sf0.01 — the Spark plan is the one that survives 100 TB."""
+    from .functions.spatial import neighborhood_cells, point_cell
+
+    cs, r2 = 8, 25
+    k = F.col("c_custkey")
+    sites = _t(spark, sf_dir, "customer").select(
+        k.alias("skey"),
+        (k % 199).cast("long").alias("sx"),
+        (k % 113).cast("long").alias("sy"),
+    )
+    sites = sites.select(
+        "*",
+        F.explode(
+            neighborhood_cells(F.col("sx"), F.col("sy"), cs)
+        ).alias("cell"),
+    )
+    j = F.col("o_orderkey")
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .where(j % 3 == 0)
+        .select(
+            j.alias("pkey"),
+            (j % 211).cast("long").alias("px"),
+            (j % 127).cast("long").alias("py"),
+        )
+        .withColumn("cell", point_cell(F.col("px"), F.col("py"), cs))
+    )
+    d2 = (F.col("sx") - F.col("px")) * (F.col("sx") - F.col("px")) + (
+        F.col("sy") - F.col("py")
+    ) * (F.col("sy") - F.col("py"))
+    return (
+        sites.join(pts, "cell")
+        .where(d2 <= r2)
+        .select("skey", "pkey", d2.cast("long").alias("dist2"))
+    )
