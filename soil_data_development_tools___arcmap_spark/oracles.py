@@ -6805,3 +6805,23 @@ SELECT skey, pkey,
 FROM s JOIN q
   ON (sx - px) * (sx - px) + (sy - py) * (sy - py) <= 25
 """
+
+# round 12: geofence (stream-static spatial join) — same oracle
+# certifies the batch twin and the stateless streaming form
+ORACLES["events_geofence"] = """
+WITH p AS (
+  SELECT c_custkey AS okey,
+         (c_custkey % 100) * 2 AS x0, (c_custkey % 57) * 2 AS y0,
+         (c_custkey % 100) * 2 + (c_custkey % 13 + 1) * 2 AS x1,
+         (c_custkey % 57) * 2 + (c_custkey % 7 + 1) * 2 AS y1
+  FROM customer),
+e AS (
+  SELECT event_id,
+         2 * (event_id % 101) + 1 AS px,
+         2 * (event_id % 59) + 1 AS py
+  FROM events WHERE event_id % 16 = 0)
+SELECT e.event_id, p.okey, e.px, e.py
+FROM p JOIN e ON px > x0 AND px < x1 AND py > y0 AND py < y1
+"""
+
+ORACLES["events_stream_geofence"] = ORACLES["events_geofence"]

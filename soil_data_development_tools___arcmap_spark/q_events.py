@@ -1355,3 +1355,28 @@ def events_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
     )
     return exact_order_stats(ev, ["event_type"], "v_c")
+
+
+def events_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static GEOFENCE join: which events
+    (odd-grid points derived from event_id) fall inside which fence
+    polygons (the customer even-grid rectangle layer) — the PBSM
+    grid-cell join of functions/spatial.py with the broadcast
+    dimension layer of streaming/events.py:geofence_layer. Oracle
+    derives truth from the rectangle bounds."""
+    from .streaming.events import geofence_layer, geofence_pairs
+
+    return geofence_pairs(
+        _t(spark, sf_dir, "events"), geofence_layer(spark, sf_dir)
+    )
+
+
+def events_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SPATIAL join through Structured Streaming: the
+    pre-exploded, ring-parsed fence layer broadcasts into every
+    micro-batch; per event = one cell hash probe + exact ray cast;
+    STATELESS (append mode, no watermark) so the stream is certified
+    by the SAME oracle as the batch events_geofence."""
+    from .streaming.events import run_geofence_stream
+
+    return run_geofence_stream(spark, sf_dir)

@@ -23,6 +23,7 @@ from .operators.horizon_agg import _member_sums, clipped_thickness
 
 from ._qcore import (
     VALU1_RANGES,
+    _even_grid_rects,
     _t,
     cents,
     li_component,
@@ -3579,35 +3580,6 @@ def nightly_gssurgo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # round 12: layer x layer spatial joins (PBSM grid bucketing)
 # ---------------------------------------------------------------------------
-
-
-def _even_grid_rects(src: DataFrame, key: str):
-    """The even-coordinate rectangle layer the clip family synthesizes
-    (one closed rect per row, same parametrization as
-    clip_select_by_location so the two certifications compose):
-    returns (okey, x0, y0, x1, y1, wkt)."""
-    k = F.col(key)
-    x0, y0 = (k % 100) * 2, (k % 57) * 2
-    x1 = x0 + (k % 13 + 1) * 2
-    y1 = y0 + (k % 7 + 1) * 2
-    pt = lambda x, y: F.concat(  # noqa: E731
-        x.cast("string"), F.lit(" "), y.cast("string")
-    )
-    sep = F.lit(", ")
-    wkt = F.concat(
-        F.lit("POLYGON (("),
-        pt(x0, y0), sep, pt(x1, y0), sep, pt(x1, y1), sep, pt(x0, y1),
-        sep, pt(x0, y0),
-        F.lit("))"),
-    )
-    return src.select(
-        k.alias("okey"),
-        x0.cast("long").alias("x0"),
-        y0.cast("long").alias("y0"),
-        x1.cast("long").alias("x1"),
-        y1.cast("long").alias("y1"),
-        wkt.alias("wkt"),
-    )
 
 
 def spatial_join_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1265,3 +1265,87 @@ def run_quantile_sketch_stream(
             "p50_est", "p95_est", "p99_est",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12: streaming geofence — stream-static SPATIAL join
+# ---------------------------------------------------------------------------
+
+
+def geofence_layer(
+    spark: SparkSession, sf_dir: str, cell_size: int = 16
+) -> DataFrame:
+    """Static geofence polygon layer for the stream-static spatial
+    join: the customer even-grid rectangles, pre-exploded onto their
+    bbox grid cells (functions/spatial.py:bbox_cells) with the
+    exterior ring pre-parsed ONCE (parse_geom_rings) — the layer is
+    dimension-sized, so Structured Streaming broadcasts it into every
+    micro-batch and the per-event work is a hash probe + ray cast."""
+    from .._qcore import _even_grid_rects, _t
+    from ..functions.geometry import parse_geom_rings
+    from ..functions.spatial import bbox_cells
+
+    rects = _even_grid_rects(_t(spark, sf_dir, "customer"), "c_custkey")
+    return rects.select(
+        "okey",
+        F.explode(
+            bbox_cells(
+                F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), cell_size
+            )
+        ).alias("cell"),
+        parse_geom_rings("wkt").alias("rings"),
+    )
+
+
+def geofence_pairs(
+    events: DataFrame, layer: DataFrame, cell_size: int = 16
+) -> DataFrame:
+    """(event, geofence-polygon) containment pairs via the PBSM grid
+    join: the event maps to its single grid cell, the broadcast layer
+    is probed on that cell, and the exact even-odd ray cast refines.
+    Works identically over a batch or streaming events DataFrame — a
+    stream-static inner join is STATELESS (no watermark, micro-batch
+    invariant), so the streaming twin is hash-checked against the
+    batch oracle. Event coordinates derive from event_id on the odd
+    grid (never edge-incident on the even-grid fences)."""
+    from ..functions.geometry import point_in_rings
+    from ..functions.spatial import point_cell
+
+    j = F.col("event_id")
+    pts = (
+        events.where(j % 16 == 0)
+        .select(
+            j.alias("event_id"),
+            (2 * (j % 101) + 1).cast("long").alias("px"),
+            (2 * (j % 59) + 1).cast("long").alias("py"),
+        )
+        .withColumn("cell", point_cell(F.col("px"), F.col("py"), cell_size))
+    )
+    return (
+        pts.join(F.broadcast(layer), "cell")
+        .where(point_in_rings(F.col("rings"), F.col("px"), F.col("py")) == 1)
+        .select("event_id", "okey", "px", "py")
+    )
+
+
+def run_geofence_stream(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Run the geofence enrichment to completion (availableNow + memory
+    sink, append mode — the join is stateless) and return the result
+    table. ``source`` overrides the default single-file reader
+    (multi-batch replay test)."""
+    name = "events_geofence_" + uuid.uuid4().hex[:8]
+    q = (
+        geofence_pairs(
+            source if source is not None else read_events_stream(spark, sf_dir),
+            geofence_layer(spark, sf_dir),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -217,3 +217,57 @@ def test_spatial_join_plan_invariants(spark, qname):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Deduplicate" not in plan and "HashAggregate" not in plan
+
+
+def test_geofence_stream_equals_batch(spark):
+    """The stateless stream-static spatial join must equal its batch
+    twin exactly (same oracle certifies both in the registry)."""
+    batch = sorted(
+        (r["event_id"], r["okey"])
+        for r in Q.events_geofence(spark, SF_SMOKE).collect()
+    )
+    stream = sorted(
+        (r["event_id"], r["okey"])
+        for r in Q.events_stream_geofence(spark, SF_SMOKE).collect()
+    )
+    assert batch == stream and len(batch) > 0
+
+
+def test_geofence_stream_multibatch(spark, tmp_path):
+    """Split the events into per-day files, one file per trigger: the
+    broadcast fence layer must re-apply in EVERY micro-batch and the
+    appended union must equal the batch twin."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark.queries import read_events
+    from soil_data_development_tools___arcmap_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        _ts_ns,
+        run_geofence_stream,
+    )
+
+    ev = read_events(spark, SF_SMOKE).withColumn(
+        "day_num", F.expr("(ts div 1000) div 86400000000")
+    )
+    days = sorted(r[0] for r in ev.select("day_num").distinct().collect())
+    src = str(tmp_path / "geo_stream")
+    os.makedirs(src, exist_ok=True)
+    for d in days:
+        ev.where(F.col("day_num") == d).drop("day_num").withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        ).coalesce(1).write.mode("append").parquet(src)
+    source = _ts_ns(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = sorted(
+        (r["event_id"], r["okey"])
+        for r in run_geofence_stream(spark, SF_SMOKE, source=source).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["okey"])
+        for r in Q.events_geofence(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(days) > 1
