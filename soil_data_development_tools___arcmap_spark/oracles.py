@@ -6825,3 +6825,25 @@ FROM p JOIN e ON px > x0 AND px < x1 AND py > y0 AND py < y1
 """
 
 ORACLES["events_stream_geofence"] = ORACLES["events_geofence"]
+
+ORACLES["spatial_join_nearest"] = """
+WITH s AS (
+  SELECT c_custkey AS skey,
+         c_custkey % 199 AS sx, c_custkey % 113 AS sy
+  FROM customer),
+q AS (
+  SELECT o_orderkey AS pkey,
+         o_orderkey % 211 AS px, o_orderkey % 127 AS py
+  FROM orders WHERE o_orderkey % 3 = 0),
+cand AS (
+  SELECT pkey, skey,
+         CAST((sx - px) * (sx - px) + (sy - py) * (sy - py) AS BIGINT)
+           AS dist2
+  FROM s JOIN q
+    ON (sx - px) * (sx - px) + (sy - py) * (sy - py) <= 25)
+SELECT pkey, skey, dist2 FROM (
+  SELECT pkey, skey, dist2,
+         ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY dist2, skey) AS rn
+  FROM cand)
+WHERE rn = 1
+"""

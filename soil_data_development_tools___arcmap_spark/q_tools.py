@@ -3762,3 +3762,57 @@ def spatial_join_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(d2 <= r2)
         .select("skey", "pkey", d2.cast("long").alias("dist2"))
     )
+
+
+def spatial_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-feature join (the ``arcpy.Near_analysis`` shape with a
+    search radius): for each point, the closest site within R=5 —
+    ties broken by the smaller site key, exactly as Near's lowest-OID
+    rule. Composition: the PBSM within-distance candidate join
+    (bounded 3x3 cell replication, one keyed exchange) followed by a
+    per-point argmin window (row_number over dist2, skey) — candidates
+    per point are bounded by the radius-density product, so the window
+    partitions stay small at any scale; no global sort, no cartesian.
+    Oracle: naive join + window in SQL."""
+    from pyspark.sql import Window
+
+    from .functions.spatial import neighborhood_cells, point_cell
+
+    cs, r2 = 8, 25
+    k = F.col("c_custkey")
+    sites = _t(spark, sf_dir, "customer").select(
+        k.alias("skey"),
+        (k % 199).cast("long").alias("sx"),
+        (k % 113).cast("long").alias("sy"),
+    )
+    sites = sites.select(
+        "*",
+        F.explode(
+            neighborhood_cells(F.col("sx"), F.col("sy"), cs)
+        ).alias("cell"),
+    )
+    j = F.col("o_orderkey")
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .where(j % 3 == 0)
+        .select(
+            j.alias("pkey"),
+            (j % 211).cast("long").alias("px"),
+            (j % 127).cast("long").alias("py"),
+        )
+        .withColumn("cell", point_cell(F.col("px"), F.col("py"), cs))
+    )
+    d2 = (F.col("sx") - F.col("px")) * (F.col("sx") - F.col("px")) + (
+        F.col("sy") - F.col("py")
+    ) * (F.col("sy") - F.col("py"))
+    cand = (
+        sites.join(pts, "cell")
+        .where(d2 <= r2)
+        .select("pkey", "skey", d2.cast("long").alias("dist2"))
+    )
+    w = Window.partitionBy("pkey").orderBy("dist2", "skey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

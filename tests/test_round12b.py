@@ -206,7 +206,12 @@ def test_grid_distance_join_vs_bruteforce(spark):
 
 @pytest.mark.parametrize(
     "qname",
-    ["spatial_join_points", "spatial_join_overlap", "spatial_join_within_distance"],
+    [
+        "spatial_join_points",
+        "spatial_join_overlap",
+        "spatial_join_within_distance",
+        "spatial_join_nearest",
+    ],
 )
 def test_spatial_join_plan_invariants(spark, qname):
     """The registry queries must stay keyed joins: no CartesianProduct,
@@ -271,3 +276,49 @@ def test_geofence_stream_multibatch(spark, tmp_path):
         for r in Q.events_geofence(spark, SF_SMOKE).collect()
     )
     assert got == want and len(days) > 1
+
+
+def test_grid_nearest_join_vs_bruteforce(spark):
+    """Nearest-within-radius: per-point argmin over the candidate join,
+    ties broken by the smaller site key (Near's lowest-OID rule) —
+    checked against a pure-Python scan that applies the same rule."""
+    from pyspark.sql import Window
+
+    rng = random.Random(2026)
+    s = [(i, rng.randrange(0, 60), rng.randrange(0, 60)) for i in range(120)]
+    p = [(j, rng.randrange(0, 60), rng.randrange(0, 60)) for j in range(200)]
+    cs, r2 = 8, 25
+    sdf = spark.createDataFrame(s, "sk int, sx long, sy long").select(
+        "*", F.explode(neighborhood_cells(F.col("sx"), F.col("sy"), cs)).alias("cell")
+    )
+    pdf = spark.createDataFrame(p, "pk int, px long, py long").withColumn(
+        "cell", point_cell(F.col("px"), F.col("py"), cs)
+    )
+    d2 = (F.col("sx") - F.col("px")) * (F.col("sx") - F.col("px")) + (
+        F.col("sy") - F.col("py")
+    ) * (F.col("sy") - F.col("py"))
+    w = Window.partitionBy("pk").orderBy("d2", "sk")
+    got = {
+        r["pk"]: (r["sk"], r["d2"])
+        for r in sdf.join(pdf, "cell").where(d2 <= r2)
+        .select("pk", "sk", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .collect()
+    }
+    want = {}
+    for j, px, py in p:
+        best = None
+        for i, sx, sy in s:
+            dd = (sx - px) ** 2 + (sy - py) ** 2
+            if dd <= r2 and (best is None or (dd, i) < best):
+                best = (dd, i)
+        if best is not None:
+            want[j] = (best[1], best[0])
+    assert got == want and len(want) > 0
+    # the dense seed must exercise a tie (two sites at equal distance)
+    ties = 0
+    for j, px, py in p:
+        ds = sorted((sx - px) ** 2 + (sy - py) ** 2 for _, sx, sy in s)
+        if len(ds) > 1 and ds[0] == ds[1] and ds[0] <= r2:
+            ties += 1
+    assert ties > 0
