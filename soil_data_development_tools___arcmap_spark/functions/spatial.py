@@ -126,3 +126,51 @@ def report_cell_filter(
     return (
         cell["cx"] == cell_index(F.greatest(ax0, bx0), cell_size)
     ) & (cell["cy"] == cell_index(F.greatest(ay0, by0), cell_size))
+
+
+def salted_point_cell(
+    px: Column, py: Column, key: Column, cell_size: int, n_salt: int
+) -> Column:
+    """Hot-cell skew guard for the probe side of a grid join: the
+    point's cell extended with ``salt = pmod(hash(key), n_salt)`` so a
+    pathological cell (every point of a city block in one cell) splits
+    into ``n_salt`` shuffle keys. Pair coverage is preserved because
+    the replicated side enumerates every salt (``salted_bbox_cells``);
+    each (region, point) pair still meets exactly once — the point
+    carries ONE salt and the region carries all of them. Prefer AQE's
+    skew-join split when it applies (sort-merge joins); this is the
+    deterministic fallback for broadcast/hash plans and for stable
+    pre-partitioned layouts, same trade as the LSH bucket salt-split
+    in functions/dedup.py."""
+    return F.struct(
+        cell_index(px, cell_size).alias("cx"),
+        cell_index(py, cell_size).alias("cy"),
+        F.pmod(F.hash(key), F.lit(n_salt)).alias("s"),
+    )
+
+
+def salted_bbox_cells(
+    x0: Column,
+    y0: Column,
+    x1: Column,
+    y1: Column,
+    cell_size: int,
+    n_salt: int,
+) -> Column:
+    """Replication side of the skew-guarded grid join: every covering
+    cell x every salt value — replication grows n_salt-fold, which is
+    the explicit price of splitting a hot cell; keep n_salt small
+    (4-8) and apply only when a cell histogram says so."""
+    return F.flatten(
+        F.transform(
+            bbox_cells(x0, y0, x1, y1, cell_size),
+            lambda c: F.transform(
+                F.sequence(F.lit(0), F.lit(n_salt - 1)),
+                lambda s: F.struct(
+                    c["cx"].alias("cx"),
+                    c["cy"].alias("cy"),
+                    s.cast("int").alias("s"),
+                ),
+            ),
+        )
+    )

@@ -322,3 +322,62 @@ def test_grid_nearest_join_vs_bruteforce(spark):
         if len(ds) > 1 and ds[0] == ds[1] and ds[0] <= r2:
             ties += 1
     assert ties > 0
+
+
+def test_salted_grid_join_equals_unsalted(spark):
+    """Hot-cell salting must be result-invariant: the salted
+    containment join (probe carries one salt, replication side
+    enumerates all) returns exactly the unsalted pair set, still with
+    no duplicate pairs — even when every point piles into ONE cell
+    (the skew case the salt exists for)."""
+    from soil_data_development_tools___arcmap_spark.functions.spatial import (
+        salted_bbox_cells,
+        salted_point_cell,
+    )
+
+    rng = random.Random(31337)
+    rects = _rand_rects(rng, 80, span=24, wmax=20)   # all within 2 cells
+    pts = [(j, rng.randrange(0, 14), rng.randrange(0, 14)) for j in range(300)]
+    cs, ns = 16, 4  # cell (0,0) holds nearly every point: max skew
+    rdf = spark.createDataFrame(rects, "rk int, x0 long, y0 long, x1 long, y1 long")
+    pdf = spark.createDataFrame(pts, "pk int, px long, py long")
+    inside = (
+        (F.col("px") > F.col("x0")) & (F.col("px") < F.col("x1"))
+        & (F.col("py") > F.col("y0")) & (F.col("py") < F.col("y1"))
+    )
+    salted = (
+        rdf.select(
+            "*",
+            F.explode(
+                salted_bbox_cells(
+                    F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), cs, ns
+                )
+            ).alias("cell"),
+        )
+        .join(
+            pdf.withColumn(
+                "cell", salted_point_cell(F.col("px"), F.col("py"), F.col("pk"), cs, ns)
+            ),
+            "cell",
+        )
+        .where(inside)
+        .select("rk", "pk")
+        .collect()
+    )
+    got = sorted((r["rk"], r["pk"]) for r in salted)
+    assert len(got) == len(set(got)), "salting duplicated a pair"
+    want = sorted(
+        (i, j)
+        for i, x0, y0, x1, y1 in rects
+        for j, px, py in pts
+        if x0 < px < x1 and y0 < py < y1
+    )
+    assert got == want and len(want) > 0
+    # the probe side must actually spread across several salt keys
+    n_salts = (
+        pdf.withColumn(
+            "cell", salted_point_cell(F.col("px"), F.col("py"), F.col("pk"), cs, ns)
+        )
+        .select("cell.s").distinct().count()
+    )
+    assert n_salts == ns
