@@ -6847,3 +6847,20 @@ SELECT pkey, skey, dist2 FROM (
   FROM cand)
 WHERE rn = 1
 """
+
+# round 12: spatial lake pruning — pruning is lossless by the padded
+# min-corner construction, so the oracle is the UNpruned closed-form
+# intersect + rect∩rect overlap over the whole layer
+ORACLES["spatial_lake_prune"] = """
+WITH a AS (
+  SELECT c_custkey AS okey,
+         (c_custkey % 100) * 2 AS x0, (c_custkey % 57) * 2 AS y0,
+         (c_custkey % 100) * 2 + (c_custkey % 13 + 1) * 2 AS x1,
+         (c_custkey % 57) * 2 + (c_custkey % 7 + 1) * 2 AS y1
+  FROM customer)
+SELECT okey,
+       CAST(2 * (LEAST(x1, 140) - GREATEST(x0, 60))
+              * (LEAST(y1, 90) - GREATEST(y0, 30)) AS BIGINT) AS ov_a2x
+FROM a
+WHERE x0 < 140 AND x1 > 60 AND y0 < 90 AND y1 > 30
+"""

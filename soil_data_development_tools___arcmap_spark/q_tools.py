@@ -3816,3 +3816,80 @@ def spatial_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def spatial_lake_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-partitioned SPATIAL lake + AOI partition pruning — the
+    spatial data-layout story (partitioned_sink_prune covers the time
+    axis; this is the tile scheme the reference's per-tile builds
+    imply, SSURGO_gSSURGO_byTile.py:267 selecting soils per tile
+    layer). Each polygon lands in exactly ONE coarse-cell directory
+    keyed by its bbox MIN corner (``pcx=<c>/pcy=<c>/`` — no storage
+    duplication), and an AOI query reads only the cell directories of
+    the AOI bbox PADDED left/down by the maximum feature extent (26 x
+    14 here, << the 64-unit cell): any feature intersecting the AOI
+    has its min corner inside the padded range, so pruning is lossless
+    by construction and resolves against the file LISTING
+    (PartitionFilters in the scan, plan-asserted in tests) — a 100 TB
+    polygon lake answers a county-sized AOI with a county-sized scan.
+    The refine runs the Sutherland–Hodgman clip for the exact overlap
+    area. Same content-keyed + staging/atomic-rename write discipline
+    as partitioned_sink_prune."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .functions.geometry import clip_area2x_rect
+    from .functions.spatial import cell_index
+
+    pcell = 64
+    src = os.path.join(os.path.abspath(sf_dir), "customer.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), f"sddt_spatlake_{tag}", "polys"
+    )
+    if not os.path.exists(out):
+        staging = tempfile.mkdtemp(prefix="sddt_spatlake_stage_")
+        stage_out = os.path.join(staging, "polys")
+        (
+            _even_grid_rects(_t(spark, sf_dir, "customer"), "c_custkey")
+            .withColumn("pcx", cell_index(F.col("x0"), pcell))
+            .withColumn("pcy", cell_index(F.col("y0"), pcell))
+            .write.mode("overwrite")
+            .partitionBy("pcx", "pcy")
+            .parquet(stage_out)
+        )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.rename(stage_out, out)  # atomic: complete iff present
+        except OSError:
+            if not os.path.exists(out):  # lost the race -> reuse winner
+                raise
+        shutil.rmtree(staging, ignore_errors=True)
+    # AOI window; max feature extent is (13+1)*2 x (7+1)*2 = 26 x 14
+    ax0, ay0, ax1, ay1 = 60, 30, 140, 90
+    max_w, max_h = 26, 14
+    lake = spark.read.parquet(out)
+    pruned = lake.where(
+        (F.col("pcx") >= (ax0 - max_w) // pcell)
+        & (F.col("pcx") <= ax1 // pcell)
+        & (F.col("pcy") >= (ay0 - max_h) // pcell)
+        & (F.col("pcy") <= ay1 // pcell)
+    )
+    return (
+        pruned.where(
+            (F.col("x0") < ax1) & (F.col("x1") > ax0)
+            & (F.col("y0") < ay1) & (F.col("y1") > ay0)
+        )
+        .select(
+            "okey",
+            clip_area2x_rect(
+                "wkt",
+                F.lit(float(ax0)), F.lit(float(ay0)),
+                F.lit(float(ax1)), F.lit(float(ay1)),
+            ).alias("ov_a2x"),
+        )
+    )

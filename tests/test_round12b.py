@@ -381,3 +381,30 @@ def test_salted_grid_join_equals_unsalted(spark):
         .select("cell.s").distinct().count()
     )
     assert n_salts == ns
+
+
+def test_spatial_lake_prune_partition_filters_and_lossless(spark):
+    """The AOI read must prune at the FILE LISTING (PartitionFilters on
+    pcx/pcy in the scan), and the padded min-corner pruning must be
+    lossless: the result equals the unpruned closed-form intersect over
+    the whole layer."""
+    df = Q.spatial_lake_prune(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "pcx" in pf and "pcy" in pf
+    got = {r["okey"]: r["ov_a2x"] for r in df.collect()}
+    ax0, ay0, ax1, ay1 = 60, 30, 140, 90
+    from soil_data_development_tools___arcmap_spark._qcore import (
+        _even_grid_rects,
+        _t,
+    )
+    want = {}
+    for r in _even_grid_rects(
+        _t(spark, SF_SMOKE, "customer"), "c_custkey"
+    ).collect():
+        if r["x0"] < ax1 and r["x1"] > ax0 and r["y0"] < ay1 and r["y1"] > ay0:
+            want[r["okey"]] = 2 * (
+                min(r["x1"], ax1) - max(r["x0"], ax0)
+            ) * (min(r["y1"], ay1) - max(r["y0"], ay0))
+    assert got == want and len(want) > 0
