@@ -505,3 +505,57 @@ def write_raster_tiles(
         one_tile,
         "tile_id long, path string, n_pixels int, n_nodata int, content_md5 string",
     )
+
+
+def block_majority(
+    cells: DataFrame,
+    factor: int,
+    col: str = "col",
+    row: str = "row",
+    val: str = "cellvalue",
+) -> DataFrame:
+    """cellFactor MAJORITY block resample of a sparse cell raster —
+    the portable core of ``Aggregate(luRas, cellFactor, "MAJORITY",
+    "EXPAND", "DATA")`` (gSSURGO_ExportRasters.py:1285) and
+    ``BlockStatistics(..., NbrRectangle(f, f, "CELL"), "MAJORITY",
+    "DATA")`` (:1192-1193). Input: one row per DATA cell (nodata
+    cells simply absent — "DATA" ignore-nodata semantics are
+    structural). Output one row per non-empty factor x factor block:
+
+    - ``n_data``            — data cells in the block;
+    - ``agg_majority``      — most frequent value, ties to the LOWEST
+      (the deterministic Aggregate re-expression);
+    - ``blockstat_majority``— same, but the NODATA code 0 on ties
+      (the reference's own BlockStatistics footnote: "the majority
+      value calculated by BlockStatistics will be NoData for ties").
+
+    Both tie rules come from ONE block-keyed exchange: a tie→lowest
+    argbest (max of struct(cnt, -value)) and a tie→highest argbest
+    (max of struct(cnt, value)) disagree on the value iff the top
+    count is shared — no window, no second shuffle, partial-combined
+    on both aggregation levels. Requires non-negative cell indices
+    (cast-truncation == floor; the CELL_CENTER inventories guarantee
+    it)."""
+    c, r, v = F.col(col), F.col(row), F.col(val)
+    per_val = (
+        cells.withColumn("bcol", (c / factor).cast("long"))
+        .withColumn("brow", (r / factor).cast("long"))
+        .groupBy("bcol", "brow", val)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lo = F.max(F.struct(F.col("cnt"), (-F.col(val)).alias("nv")))
+    hi = F.max(F.struct(F.col("cnt"), F.col(val).alias("v")))
+    return (
+        per_val.groupBy("bcol", "brow")
+        .agg(F.sum("cnt").alias("n_data"), lo.alias("_lo"), hi.alias("_hi"))
+        .select(
+            "bcol",
+            "brow",
+            F.col("n_data").cast("long").alias("n_data"),
+            (-F.col("_lo.nv")).cast("long").alias("agg_majority"),
+            F.when(-F.col("_lo.nv") == F.col("_hi.v"), -F.col("_lo.nv"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("blockstat_majority"),
+        )
+    )

@@ -6864,3 +6864,133 @@ SELECT okey,
 FROM a
 WHERE x0 < 140 AND x1 > 60 AND y0 < 90 AND y1 > 30
 """
+
+# round 12b: Intersect_analysis geometry output — the oracle never
+# clips; it CONSTRUCTS each intersection rectangle's canonical WKT
+# (lexicographic-min-first CCW, the normalize_ring convention) from
+# the two rects' closed-form bounds
+ORACLES["spatial_join_overlap_wkt"] = """
+WITH a AS (
+  SELECT c_custkey AS akey,
+         (c_custkey % 100) * 2 AS ax0, (c_custkey % 57) * 2 AS ay0,
+         (c_custkey % 100) * 2 + (c_custkey % 13 + 1) * 2 AS ax1,
+         (c_custkey % 57) * 2 + (c_custkey % 7 + 1) * 2 AS ay1
+  FROM customer),
+b AS (
+  SELECT p_partkey AS bkey,
+         (p_partkey % 97) * 2 AS bx0, (p_partkey % 53) * 2 AS by0,
+         (p_partkey % 97) * 2 + (p_partkey % 11 + 1) * 2 AS bx1,
+         (p_partkey % 53) * 2 + (p_partkey % 5 + 1) * 2 AS by1
+  FROM part WHERE p_partkey % 7 = 0),
+o AS (
+  SELECT akey, bkey,
+         GREATEST(ax0, bx0) AS xa, LEAST(ax1, bx1) AS xb,
+         GREATEST(ay0, by0) AS yp, LEAST(ay1, by1) AS yq
+  FROM a JOIN b
+    ON LEAST(ax1, bx1) > GREATEST(ax0, bx0)
+   AND LEAST(ay1, by1) > GREATEST(ay0, by0))
+SELECT akey, bkey,
+       'POLYGON ((' || xa || ' ' || yp || ', ' || xb || ' ' || yp || ', '
+         || xb || ' ' || yq || ', ' || xa || ' ' || yq || ', '
+         || xa || ' ' || yp || '))' AS clip_wkt,
+       CAST(2 * (xb - xa) * (yq - yp) AS BIGINT) AS ov_a2x
+FROM o
+"""
+
+# round 12b: the shared deduplicated mu raster (CELL_CENTER inventory
+# of the _MUG synthesis, max-mukey overlap resolution, 1-based
+# CELLVALUE) as a reusable CTE fragment
+_MU_DED = f"""
+{_MUG},
+ext AS (
+  SELECT mukey, col0 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 12) i(i), generate_series(0, 6) j(j)
+  WHERE i.i <= w - 1 AND j.j <= h - 1
+    AND NOT (has_hole AND i.i >= 1 AND i.i <= hw
+             AND j.j >= 1 AND j.j <= hh)),
+p2 AS (
+  SELECT mukey, col0 + 20 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 3) i(i), generate_series(0, 2) j(j)
+  WHERE NOT plain AND i.i <= pw - 1 AND j.j <= ph - 1),
+ded AS (
+  SELECT colx, rowy, MAX(mukey) + 1 AS cellvalue
+  FROM (SELECT * FROM ext UNION ALL SELECT * FROM p2)
+  GROUP BY 1, 2)"""
+
+# Aggregate/BlockStatistics MAJORITY resample: per-block value counts,
+# tie→lowest for the Aggregate column, tie→nodata(0) for the
+# BlockStatistics column — derived via rank over (cnt DESC, value ASC)
+# plus a top-count tie tally
+ORACLES["raster_block_aggregate"] = f"""
+WITH {_MU_DED},
+pv AS (
+  SELECT CAST(floor(colx / 3.0) AS BIGINT) AS bcol,
+         CAST(floor(rowy / 3.0) AS BIGINT) AS brow,
+         cellvalue, COUNT(*) AS cnt
+  FROM ded GROUP BY 1, 2, 3),
+rk AS (
+  SELECT bcol, brow, cellvalue, cnt,
+         ROW_NUMBER() OVER (PARTITION BY bcol, brow
+                            ORDER BY cnt DESC, cellvalue ASC) AS rn,
+         COUNT(*) FILTER (WHERE TRUE)
+           OVER (PARTITION BY bcol, brow) AS nv,
+         MAX(cnt) OVER (PARTITION BY bcol, brow) AS topc,
+         SUM(cnt) OVER (PARTITION BY bcol, brow) AS n_data
+  FROM pv),
+ties AS (
+  SELECT bcol, brow, COUNT(*) AS n_top
+  FROM rk WHERE cnt = topc GROUP BY 1, 2)
+SELECT r.bcol, r.brow,
+       CAST(r.n_data AS BIGINT) AS n_data,
+       CAST(r.cellvalue AS BIGINT) AS agg_majority,
+       CAST(CASE WHEN t.n_top > 1 THEN 0 ELSE r.cellvalue END
+         AS BIGINT) AS blockstat_majority
+FROM rk r JOIN ties t ON r.bcol = t.bcol AND r.brow = t.brow
+WHERE r.rn = 1
+"""
+
+# NEAREST pyramid levels: level L keeps the block-origin cells
+# (colx % 2^L = 0 AND rowy % 2^L = 0) — a pure filter per level
+ORACLES["raster_pyramid_levels"] = f"""
+WITH {_MU_DED}
+SELECT CAST(lv.l AS BIGINT) AS level, cellvalue,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM ded, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) lv(l, s)
+WHERE colx % lv.s = 0 AND rowy % lv.s = 0
+GROUP BY 1, 2
+"""
+
+# ZonalStatisticsAsTable (categorical): count / variety / majority
+# (tie→lowest) / min / max mukey per zone rectangle, cell membership
+# by the odd CENTER coordinate strictly inside the even-edged zone
+ORACLES["raster_zonal_stats"] = f"""
+WITH {_MU_DED},
+z AS (
+  SELECT p_partkey AS zone,
+         (p_partkey % 97) * 2 AS zx0, (p_partkey % 53) * 2 AS zy0,
+         (p_partkey % 97) * 2 + (p_partkey % 11 + 1) * 2 AS zx1,
+         (p_partkey % 53) * 2 + (p_partkey % 5 + 1) * 2 AS zy1
+  FROM part WHERE p_partkey % 7 = 0),
+pm AS (
+  SELECT z.zone, d.cellvalue - 1 AS mukey, COUNT(*) AS cnt
+  FROM z JOIN ded d
+    ON 2 * d.colx + 1 > z.zx0 AND 2 * d.colx + 1 < z.zx1
+   AND 2 * d.rowy + 1 > z.zy0 AND 2 * d.rowy + 1 < z.zy1
+  GROUP BY 1, 2),
+rk AS (
+  SELECT zone, mukey, cnt,
+         ROW_NUMBER() OVER (PARTITION BY zone
+                            ORDER BY cnt DESC, mukey ASC) AS rn,
+         SUM(cnt) OVER (PARTITION BY zone) AS n_cells,
+         COUNT(*) OVER (PARTITION BY zone) AS variety,
+         MIN(mukey) OVER (PARTITION BY zone) AS min_mukey,
+         MAX(mukey) OVER (PARTITION BY zone) AS max_mukey
+  FROM pm)
+SELECT zone,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(variety AS BIGINT) AS variety,
+       CAST(mukey AS BIGINT) AS majority_mukey,
+       CAST(min_mukey AS BIGINT) AS min_mukey,
+       CAST(max_mukey AS BIGINT) AS max_mukey
+FROM rk WHERE rn = 1
+"""

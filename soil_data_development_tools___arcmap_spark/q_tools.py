@@ -3893,3 +3893,279 @@ def spatial_lake_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ov_a2x"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12b: overlay geometry output + raster resample/pyramid/zonal
+# ---------------------------------------------------------------------------
+
+
+def spatial_join_overlap_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersect_analysis GEOMETRY output — the overlay join's missing
+    half. ``arcpy.Intersect_analysis([outputFC, aoiLayer], outputClip)``
+    (SSURGO_gSSURGO_byTile.py:296) writes a feature class whose rows
+    ARE the pairwise intersection polygons; ``spatial_join_overlap``
+    certifies the pair set and the areas, this query emits the clipped
+    GEOMETRY per pair. Same PBSM plan (bbox-cell replication on both
+    sides, one cell equi-join, reporting-cell dedup with no extra
+    shuffle), but the refine serializes the Sutherland–Hodgman output:
+    A's parsed ring clipped by B's bbox window, canonicalized
+    (normalize_ring — SH's boundary-aligned duplicate/collinear
+    vertices dropped, rotation to the lexicographic-min vertex) and
+    written back to integer WKT. Pairs whose intersection is empty or
+    degenerate (edge-touching) drop, exactly the positive-area rule of
+    the area twin, and the clipped area rides along so one hash pins
+    both the vertex text and the acreage figure.
+
+    The oracle never clips: it CONSTRUCTS each intersection rectangle's
+    canonical WKT closed-form from the two rects' bounds — matching
+    strings certify the join, the dedup rule, and the SH+normalize
+    vertex set end-to-end. 100 TB posture: identical to the area twin —
+    both explodes bounded and map-side, ONE keyed exchange, zero
+    cartesian; the WKT serialization is per-surviving-pair Column work
+    inside codegen."""
+    from .functions.geometry import (
+        _let,
+        clip_ring_to_rect,
+        normalize_ring,
+        ring_area2x,
+        ring_to_wkt,
+    )
+    from .functions.spatial import bbox_cells, report_cell_filter
+
+    cs = 32
+    a = _even_grid_rects(_t(spark, sf_dir, "customer"), "c_custkey").select(
+        F.col("okey").alias("akey"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        "wkt",
+    )
+    a = a.select(
+        "*",
+        F.explode(
+            bbox_cells(
+                F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1"), cs
+            )
+        ).alias("cell"),
+    )
+    jb = F.col("p_partkey")
+    bx0, by0 = (jb % 97) * 2, (jb % 53) * 2
+    bx1 = bx0 + (jb % 11 + 1) * 2
+    by1 = by0 + (jb % 5 + 1) * 2
+    b = (
+        _t(spark, sf_dir, "part")
+        .where(jb % 7 == 0)
+        .select(
+            jb.alias("bkey"),
+            bx0.cast("long").alias("bx0"), by0.cast("long").alias("by0"),
+            bx1.cast("long").alias("bx1"), by1.cast("long").alias("by1"),
+        )
+    )
+    b = b.select(
+        "*",
+        F.explode(
+            bbox_cells(
+                F.col("bx0"), F.col("by0"), F.col("bx1"), F.col("by1"), cs
+            )
+        ).alias("cell"),
+    )
+    clipped = _let(
+        clip_ring_to_rect(
+            "wkt",
+            F.col("bx0").cast("double"), F.col("by0").cast("double"),
+            F.col("bx1").cast("double"), F.col("by1").cast("double"),
+        ),
+        lambda c: F.struct(
+            ring_to_wkt(normalize_ring(c)).alias("clip_wkt"),
+            F.round(ring_area2x(c)).cast("long").alias("ov_a2x"),
+        ),
+    )
+    return (
+        a.join(b, "cell")
+        .where(
+            report_cell_filter(
+                F.col("cell"),
+                F.col("ax0"), F.col("ay0"),
+                F.col("bx0"), F.col("by0"),
+                cs,
+            )
+        )
+        .select("akey", "bkey", clipped["clip_wkt"].alias("clip_wkt"),
+                clipped["ov_a2x"].alias("ov_a2x"))
+        .where(F.col("ov_a2x") > 0)
+    )
+
+
+def _mu_raster_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated mu raster shared by the resample/pyramid/zonal
+    queries: the real CELL_CENTER inventory of the synthesized mapunit
+    polygons (holes + MULTIPOLYGON parts), overlaps resolved max-mukey
+    (the tile-export last-polygon-wins convention), 1-based CELLVALUE.
+    Returns (col, row, cellvalue) — one keyed dedup exchange on the
+    cell coordinate."""
+    from .functions.raster import polygon_cell_inventory
+
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=8)
+    return cells.groupBy("col", "row").agg(
+        (F.max("mukey") + 1).alias("cellvalue")
+    )
+
+
+def raster_block_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cellFactor MAJORITY resample — the reference's coarse-resolution
+    export path: ``Aggregate(luRas, cellFactor, aggMethod, "EXPAND",
+    "DATA")`` with aggMethod = MAJORITY for categorical rasters
+    (gSSURGO_ExportRasters.py:1081-1091, :1285) and the
+    ``BlockStatistics(tmpRas, NbrRectangle(cellFactor, cellFactor,
+    "CELL"), "MAJORITY", "DATA")`` variant whose majority "will be
+    NoData for ties" (:1192-1193 and the reference's own comment).
+    Both semantics come out of ONE pass over per-block value counts:
+
+    - ``agg_majority`` — most frequent CELLVALUE in each cellFactor x
+      cellFactor block, ties to the LOWEST value (the deterministic
+      re-expression; argbest struct-max, the component_agg discipline);
+    - ``blockstat_majority`` — same, but the NODATA code 0 when the
+      top count is shared (the BlockStatistics tie→NoData footnote;
+      0 is nodata in the 1-based CELLVALUE convention). Tie detection
+      compares the tie→lowest argbest against a tie→highest argbest:
+      they differ iff a tie exists — no second exchange, no window.
+
+    "DATA" ignore-nodata semantics fall out structurally: nodata cells
+    simply have no row. Plan: dedup exchange (shared cell raster) →
+    per-(block, value) partial-aggregated count → ONE block-keyed
+    struct-max exchange (functions/raster.py:block_majority). All
+    integer Column math; at CONUS scale every exchange is keyed and
+    combiner-backed."""
+    from .functions.raster import block_majority
+
+    ded = _mu_raster_dedup_cells(spark, sf_dir)
+    return block_majority(ded, factor=3)
+
+
+def raster_pyramid_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster pyramids, NEAREST resampling — ``arcpy.
+    BuildPyramids_management(outputRaster, "-1", "NONE", "NEAREST",
+    ...)`` (SSURGO_ExportMuRaster.py:1534, env.pyramid = "PYRAMIDS -1
+    NEAREST" :1511). A NEAREST pyramid level picks ONE representative
+    source cell per 2^L x 2^L block; the deterministic re-expression
+    anchors the representative at the block ORIGIN (col % 2^L == 0 and
+    row % 2^L == 0 — the grid-aligned nearest sample, nodata when that
+    position is nodata). Each level is therefore a pure FILTER of the
+    level-0 cell table — the pyramid costs no shuffle beyond the
+    shared dedup and the final per-(level, value) count; contrast
+    raster_block_aggregate, where MAJORITY genuinely needs per-block
+    aggregation. Output: the per-level raster attribute summary
+    (level, cellvalue, n_cells) for levels 0-3 — what the reference's
+    pyramid + RAT step persists per overview.
+
+    100 TB posture: ONE pass — each cell emits the (bounded, ≤ 4)
+    array of levels it represents via a map-side filtered explode, so
+    the dedup'd raster is scanned once, never cached or unioned, and
+    the only new exchange is the per-(level, value) count aggregate,
+    partial-combined. A cell at the block origin of level L is also
+    the origin for every level below it — the explode IS the pyramid
+    recurrence."""
+    ded = _mu_raster_dedup_cells(spark, sf_dir)
+    lv_scale = F.array(
+        *[
+            F.struct(F.lit(i).alias("l"), F.lit(1 << i).alias("s"))
+            for i in range(4)
+        ]
+    )
+    lv = F.explode(
+        F.filter(
+            lv_scale,
+            lambda p: (F.col("col") % p["s"] == 0)
+            & (F.col("row") % p["s"] == 0),
+        )
+    )
+    return (
+        ded.select(lv.alias("_lv"), "cellvalue")
+        .select(F.col("_lv.l").cast("long").alias("level"), "cellvalue")
+        .groupBy("level", "cellvalue")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    )
+
+
+def raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZonalStatisticsAsTable over the mu raster — the canonical
+    companion analysis every gSSURGO user runs on the exported raster
+    (zones x categorical value raster; the reference builds the raster
+    and its RAT, the zonal table is the first thing consumed
+    downstream). Zones: the part-derived rectangle layer (the overlay
+    join's B side). For each zone, the categorical zonal figures:
+    cell COUNT, VARIETY (distinct mapunits), MAJORITY (most frequent
+    mukey, ties to the lowest — deterministic), MIN and MAX mukey.
+
+    Plan (the zonal join at scale): zone rects replicate onto their
+    bbox grid cells (bounded, map-side), raster cells map to their
+    single cell via the CENTER coordinate (cx = 2·col + 1 — centers
+    are odd, zone edges even, so containment is strict and exact),
+    ONE cell equi-join, exact center-in-rect refine, then
+    per-(zone, mukey) partial counts feed ONE zone-keyed argbest
+    struct-max — count/variety/majority/min/max in a single exchange,
+    no countDistinct rewrite, no window. A zone has bounded bbox
+    replication and AQE splits hot cells; nothing scales worse than
+    the pair count."""
+    from .functions.spatial import bbox_cells, point_cell
+
+    cs = 32
+    ded = _mu_raster_dedup_cells(spark, sf_dir)
+    cells = ded.select(
+        (F.col("cellvalue") - 1).alias("mukey"),
+        (F.col("col") * 2 + 1).cast("long").alias("cx"),
+        (F.col("row") * 2 + 1).cast("long").alias("cy"),
+    ).withColumn("cell", point_cell(F.col("cx"), F.col("cy"), cs))
+    jb = F.col("p_partkey")
+    bx0, by0 = (jb % 97) * 2, (jb % 53) * 2
+    bx1 = bx0 + (jb % 11 + 1) * 2
+    by1 = by0 + (jb % 5 + 1) * 2
+    zones = (
+        _t(spark, sf_dir, "part")
+        .where(jb % 7 == 0)
+        .select(
+            jb.alias("zone"),
+            bx0.cast("long").alias("zx0"), by0.cast("long").alias("zy0"),
+            bx1.cast("long").alias("zx1"), by1.cast("long").alias("zy1"),
+        )
+    )
+    zones = zones.select(
+        "*",
+        F.explode(
+            bbox_cells(
+                F.col("zx0"), F.col("zy0"), F.col("zx1"), F.col("zy1"), cs
+            )
+        ).alias("cell"),
+    )
+    per_mu = (
+        zones.join(cells, "cell")
+        .where(
+            (F.col("cx") > F.col("zx0")) & (F.col("cx") < F.col("zx1"))
+            & (F.col("cy") > F.col("zy0")) & (F.col("cy") < F.col("zy1"))
+        )
+        .groupBy("zone", "mukey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = F.max(F.struct(F.col("cnt"), (-F.col("mukey")).alias("nm")))
+    return (
+        per_mu.groupBy("zone")
+        .agg(
+            F.sum("cnt").alias("n_cells"),
+            F.count(F.lit(1)).alias("variety"),
+            best.alias("_b"),
+            F.min("mukey").alias("min_mukey"),
+            F.max("mukey").alias("max_mukey"),
+        )
+        .select(
+            "zone",
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("variety").cast("long").alias("variety"),
+            (-F.col("_b.nm")).cast("long").alias("majority_mukey"),
+            F.col("min_mukey").cast("long").alias("min_mukey"),
+            F.col("max_mukey").cast("long").alias("max_mukey"),
+        )
+    )

@@ -1,0 +1,159 @@
+"""Round-12b additions: overlay geometry output, MAJORITY block
+resample, NEAREST pyramid levels, zonal statistics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from soil_data_development_tools___arcmap_spark import queries as Q
+from soil_data_development_tools___arcmap_spark.functions.raster import (
+    block_majority,
+)
+
+from conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# block_majority mechanism (constructed fixtures — tie semantics)
+# ---------------------------------------------------------------------------
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(rows, "col long, row long, cellvalue long")
+
+
+def test_block_majority_no_tie(spark):
+    # block (0,0) at factor 2: value 7 twice, value 9 once
+    out = block_majority(
+        _cells(spark, [(0, 0, 7), (1, 0, 7), (0, 1, 9)]), factor=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.bcol, r.brow, r.n_data) == (0, 0, 3)
+    assert r.agg_majority == 7
+    assert r.blockstat_majority == 7
+
+
+def test_block_majority_tie_semantics(spark):
+    # 2-2 tie between values 5 and 9: Aggregate takes the LOWEST (5),
+    # BlockStatistics goes to nodata (0) — the reference's own comment
+    # at gSSURGO_ExportRasters.py:1192-1193
+    out = block_majority(
+        _cells(spark, [(0, 0, 9), (1, 0, 9), (0, 1, 5), (1, 1, 5)]),
+        factor=2,
+    ).collect()
+    r = out[0]
+    assert r.n_data == 4
+    assert r.agg_majority == 5
+    assert r.blockstat_majority == 0
+
+
+def test_block_majority_blocks_partition_independently(spark):
+    # two blocks at factor 2; empty blocks emit nothing ("DATA")
+    out = {
+        (r.bcol, r.brow): r
+        for r in block_majority(
+            _cells(spark, [(0, 0, 3), (4, 4, 8), (5, 5, 8), (4, 5, 2)]),
+            factor=2,
+        ).collect()
+    }
+    assert set(out) == {(0, 0), (2, 2)}
+    assert out[(0, 0)].agg_majority == 3
+    assert out[(2, 2)].agg_majority == 8
+    assert out[(2, 2)].blockstat_majority == 8
+
+
+def test_block_majority_singleton_counts_tie_on_values(spark):
+    # every value appears once: top count 1 is shared by 3 values —
+    # Aggregate takes the lowest (2), BlockStatistics nodata
+    out = block_majority(
+        _cells(spark, [(0, 0, 4), (1, 0, 2), (0, 1, 6)]), factor=2
+    ).collect()[0]
+    assert out.agg_majority == 2
+    assert out.blockstat_majority == 0
+
+
+# ---------------------------------------------------------------------------
+# registry-query invariants at sf0.001 (oracle hash-match is the
+# primary gate; these pin CROSS-query consistency the oracle can't see)
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_wkt_pairs_match_area_twin(spark):
+    """The WKT variant must produce exactly the area twin's pair set
+    with identical areas — same join, same dedup rule, refine widened
+    to geometry output."""
+    area = Q.spatial_join_overlap(spark, SF_SMOKE).select(
+        "akey", "bkey", "ov_a2x"
+    )
+    wkt = Q.spatial_join_overlap_wkt(spark, SF_SMOKE).select(
+        "akey", "bkey", F.col("ov_a2x").alias("w_a2x"), "clip_wkt"
+    )
+    joined = area.join(wkt, ["akey", "bkey"], "full_outer").collect()
+    assert len(joined) == area.count() == wkt.count()
+    for r in joined:
+        assert r.ov_a2x is not None and r.w_a2x is not None
+        assert r.ov_a2x == r.w_a2x, (r.akey, r.bkey)
+
+
+def test_overlap_wkt_geometry_closes_the_loop(spark):
+    """Self-consistency through an independent code path: parse each
+    emitted WKT back and shoelace it — must reproduce ov_a2x. Runs the
+    parser/area machinery, not the SH clip that produced the text."""
+    from soil_data_development_tools___arcmap_spark.functions.geometry import (
+        parse_geom_rings,
+        shoelace_area2x,
+    )
+
+    out = Q.spatial_join_overlap_wkt(spark, SF_SMOKE)
+    bad = (
+        out.withColumn("rings", parse_geom_rings("clip_wkt"))
+        .withColumn("re_a2x", shoelace_area2x("clip_wkt"))
+        .where(F.col("re_a2x") != F.col("ov_a2x"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pyramid_levels_nest(spark):
+    """Level-L cells are a subset of level-(L-1) cells, so the total
+    count per level must be non-increasing, and level 0 must equal the
+    deduplicated raster's size."""
+    from soil_data_development_tools___arcmap_spark.q_tools import (
+        _mu_raster_dedup_cells,
+    )
+
+    out = Q.raster_pyramid_levels(spark, SF_SMOKE)
+    per_level = {
+        r.level: r.n
+        for r in out.groupBy("level")
+        .agg(F.sum("n_cells").alias("n"))
+        .collect()
+    }
+    assert set(per_level) == {0, 1, 2, 3}
+    assert per_level[0] >= per_level[1] >= per_level[2] >= per_level[3]
+    assert per_level[3] >= 1
+    assert per_level[0] == _mu_raster_dedup_cells(spark, SF_SMOKE).count()
+
+
+def test_zonal_stats_invariants(spark):
+    rows = Q.raster_zonal_stats(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.variety <= r.n_cells
+        assert r.min_mukey <= r.majority_mukey <= r.max_mukey
+
+
+def test_block_aggregate_conserves_cells(spark):
+    """Σ n_data over blocks == deduplicated cell count (every data
+    cell lands in exactly one block)."""
+    from soil_data_development_tools___arcmap_spark.q_tools import (
+        _mu_raster_dedup_cells,
+    )
+
+    total = (
+        Q.raster_block_aggregate(spark, SF_SMOKE)
+        .agg(F.sum("n_data"))
+        .collect()[0][0]
+    )
+    assert total == _mu_raster_dedup_cells(spark, SF_SMOKE).count()
