@@ -6994,3 +6994,28 @@ SELECT zone,
        CAST(max_mukey AS BIGINT) AS max_mukey
 FROM rk WHERE rn = 1
 """
+
+# MEAN resample branch (continuous ratings): dominant-component
+# comppct joined onto the cell raster, per-block exact integer sum +
+# one float division rounded once
+ORACLES["raster_block_mean"] = f"""
+WITH {_SYN},
+{_MU_DED},
+rated AS (
+  SELECT mukey, comppct_r AS val
+  FROM (SELECT mukey, comppct_r,
+               row_number() OVER (PARTITION BY mukey
+                 ORDER BY comppct_r DESC, cokey ASC) AS rn
+        FROM syn_co)
+  WHERE rn = 1),
+b AS (
+  SELECT CAST(floor(colx / 3.0) AS BIGINT) AS bcol,
+         CAST(floor(rowy / 3.0) AS BIGINT) AS brow,
+         r.val
+  FROM ded d JOIN rated r ON d.cellvalue - 1 = r.mukey)
+SELECT bcol, brow,
+       CAST(COUNT(*) AS BIGINT) AS n_data,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(floor(SUM(val) * 10000.0 / COUNT(*)) AS BIGINT) AS mean_e4
+FROM b GROUP BY 1, 2
+"""

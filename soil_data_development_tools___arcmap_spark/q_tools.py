@@ -4169,3 +4169,51 @@ def raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_mukey").cast("long").alias("max_mukey"),
         )
     )
+
+
+def raster_block_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cellFactor MEAN resample — the CONTINUOUS-rating branch of the
+    reference's coarse-resolution export: ``aggMethod = "MEAN"`` when
+    the rating is numeric (gSSURGO_ExportRasters.py:1081, fed to
+    Aggregate/BlockStatistics exactly like the MAJORITY path). The
+    continuous per-cell value is the dominant component's comppct for
+    its mapunit (the Lookup convention: a VALUE raster joined from the
+    rating table; mapunits absent from the component table get no
+    value row — they are nodata, dropped by the join like the
+    reference's Lookup nodata cells). Per non-empty block: data-cell
+    count, exact integer value sum, and mean_e4 = floor(sum·10⁴ / n) —
+    one float division of exact integers, rounded once (the
+    cross-engine determinism contract).
+
+    Plan: shared dedup exchange → broadcast join to the ~per-mapunit
+    rating dimension (CONUS ≈300k rows next to a cell table) → ONE
+    block-keyed partial-aggregated exchange."""
+    ded = _mu_raster_dedup_cells(spark, sf_dir)
+    co = ssurgo_synth(spark, sf_dir)["component"]
+    w = Window.partitionBy("mukey").orderBy(
+        F.col("comppct_r").desc(), F.col("cokey").asc()
+    )
+    rated = (
+        co.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("mukey", F.col("comppct_r").cast("long").alias("val"))
+    )
+    factor = 3
+    cells = ded.select(
+        (F.col("cellvalue") - 1).alias("mukey"),
+        (F.col("col") / factor).cast("long").alias("bcol"),
+        (F.col("row") / factor).cast("long").alias("brow"),
+    ).join(F.broadcast(rated), "mukey")
+    return (
+        cells.groupBy("bcol", "brow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_data"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+        .withColumn(
+            "mean_e4",
+            F.floor(
+                F.col("sum_val") * F.lit(10000.0) / F.col("n_data")
+            ).cast("long"),
+        )
+    )

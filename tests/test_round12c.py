@@ -157,3 +157,23 @@ def test_block_aggregate_conserves_cells(spark):
         .collect()[0][0]
     )
     assert total == _mu_raster_dedup_cells(spark, SF_SMOKE).count()
+
+
+def test_block_mean_invariants(spark):
+    """MEAN branch: mean_e4 sits inside the comppct value range
+    (3..99 scaled), sum/count reconcile, and the block set is a subset
+    of the MAJORITY query's blocks (rated-join can only drop cells)."""
+    mean = Q.raster_block_mean(spark, SF_SMOKE)
+    rows = mean.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_data
+        assert 3 * 10000 <= r.mean_e4 <= 99 * 10000 + 9999
+        lo = r.sum_val * 10000 // r.n_data
+        assert abs(r.mean_e4 - lo) <= 1  # float-floor vs int-floor ulp
+    blocks_mean = {(r.bcol, r.brow) for r in rows}
+    blocks_all = {
+        (r.bcol, r.brow)
+        for r in Q.raster_block_aggregate(spark, SF_SMOKE).collect()
+    }
+    assert blocks_mean <= blocks_all
