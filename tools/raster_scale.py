@@ -124,6 +124,102 @@ def giant_polygon_guard(spark) -> dict:
     }
 
 
+def cell_plane(spark, n_cells: int):
+    """Dense synthetic cell raster of ~n_cells on a square plane whose
+    SIDE grows as sqrt(n) — constant value density at every factor
+    (the spatial_scale discipline: a fixed-modulus lattice would make
+    downstream block composition a fixture artifact, not a measure).
+    Values are a deterministic integer hash in 1..1000."""
+    side = int(n_cells ** 0.5) + 1
+    base = spark.range(side).select(F.col("id").alias("col"))
+    return base.repartition(64).select(
+        "col",
+        F.explode(F.sequence(F.lit(0), F.lit(side - 1))).alias("row"),
+    ).select(
+        "col",
+        "row",
+        # value from the 4x4 REGION hash: factor-3 blocks straddle
+        # region borders, so most blocks have a true majority and a
+        # realistic minority of ties — a per-cell hash would tie
+        # every block (9 singletons) and measure only the tie branch
+        (
+            (
+                (F.col("col") / 4).cast("long") * 2654435761
+                + (F.col("row") / 4).cast("long") * 40503
+            )
+            % 1000
+            + 1
+        ).alias("cellvalue"),
+    )
+
+
+def measure_resample(spark, factor: int) -> dict:
+    """Round-12b downstream ops over the cell raster: cellFactor
+    MAJORITY resample (block_majority — two partial-aggregated keyed
+    exchanges) and the NEAREST pyramid levels 0-3 (map-side filtered
+    explode + one count exchange)."""
+    from soil_data_development_tools___arcmap_spark.functions.raster import (
+        block_majority,
+    )
+
+    cells = cell_plane(spark, 500_000 * factor)
+    n = cells.count()
+    out = {"factor": factor, "n_cells": n}
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        blocks = (
+            block_majority(cells, factor=3)
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum(
+                    (F.col("blockstat_majority") == 0).cast("long")
+                ).alias("n_ties"),
+            )
+            .collect()[0]
+        )
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out.update(
+        resample_sec=round(best, 2),
+        n_blocks=int(blocks["n_blocks"]),
+        n_tie_blocks=int(blocks["n_ties"]),
+        resample_cells_per_s=int(n / best),
+    )
+    lv_scale = F.array(
+        *[
+            F.struct(F.lit(i).alias("l"), F.lit(1 << i).alias("s"))
+            for i in range(4)
+        ]
+    )
+    lv = F.explode(
+        F.filter(
+            lv_scale,
+            lambda p: (F.col("col") % p["s"] == 0)
+            & (F.col("row") % p["s"] == 0),
+        )
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        pyr = (
+            cells.select(lv.alias("_lv"), "cellvalue")
+            .groupBy(F.col("_lv.l").alias("level"), "cellvalue")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("level")
+            .agg(F.sum("n").alias("n"))
+            .count()
+        )
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out.update(
+        pyramid_sec=round(best, 2),
+        pyramid_levels=int(pyr),
+        pyramid_cells_per_s=int(n / best),
+    )
+    return out
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark(
@@ -134,6 +230,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for f in factors:
         print(measure(spark, f), flush=True)
+        print(measure_resample(spark, f), flush=True)
     print({"giant_polygon": giant_polygon_guard(spark)}, flush=True)
 
 
