@@ -7019,3 +7019,54 @@ SELECT bcol, brow,
        CAST(floor(SUM(val) * 10000.0 / COUNT(*)) AS BIGINT) AS mean_e4
 FROM b GROUP BY 1, 2
 """
+
+# MosaicToNewRaster MAXIMUM: per-(mukey%5)-tile max-resolved rasters,
+# mosaic = cross-tile MAX + seam tally
+ORACLES["raster_mosaic_max"] = f"""
+WITH {_MUG},
+ext AS (
+  SELECT mukey, col0 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 12) i(i), generate_series(0, 6) j(j)
+  WHERE i.i <= w - 1 AND j.j <= h - 1
+    AND NOT (has_hole AND i.i >= 1 AND i.i <= hw
+             AND j.j >= 1 AND j.j <= hh)),
+p2 AS (
+  SELECT mukey, col0 + 20 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 3) i(i), generate_series(0, 2) j(j)
+  WHERE NOT plain AND i.i <= pw - 1 AND j.j <= ph - 1),
+tiled AS (
+  SELECT mukey % 5 AS tile, colx, rowy, MAX(mukey) + 1 AS cellvalue
+  FROM (SELECT * FROM ext UNION ALL SELECT * FROM p2)
+  GROUP BY 1, 2, 3),
+mos AS (
+  SELECT colx, rowy, MAX(cellvalue) AS cellvalue,
+         COUNT(*) AS n_tiles
+  FROM tiled GROUP BY 1, 2)
+SELECT cellvalue, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n_tiles > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seam_cells
+FROM mos GROUP BY cellvalue
+"""
+
+# CalculateStatistics with skip factors: exact integer moments per
+# sampled lattice, mean/var scaled and floored once
+ORACLES["raster_statistics"] = f"""
+WITH {_MU_DED},
+s AS (
+  SELECT 1 AS x_skip, 1 AS y_skip, cellvalue FROM ded
+  UNION ALL
+  SELECT 4, 2, cellvalue FROM ded WHERE colx % 4 = 0 AND rowy % 2 = 0)
+SELECT CAST(x_skip AS BIGINT) AS x_skip,
+       CAST(y_skip AS BIGINT) AS y_skip,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(cellvalue) AS BIGINT) AS min_val,
+       CAST(MAX(cellvalue) AS BIGINT) AS max_val,
+       CAST(SUM(cellvalue) AS BIGINT) AS sum_val,
+       CAST(SUM(cellvalue * cellvalue) AS BIGINT) AS sumsq_val,
+       CAST(floor(SUM(cellvalue) * 10000.0 / COUNT(*)) AS BIGINT)
+         AS mean_e4,
+       CAST(floor((COUNT(*) * SUM(cellvalue * cellvalue)
+                   - SUM(cellvalue) * SUM(cellvalue)) * 10000.0
+                  / (COUNT(*) * COUNT(*))) AS BIGINT) AS var_e4
+FROM s GROUP BY 1, 2
+"""

@@ -4217,3 +4217,115 @@ def raster_block_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+def raster_mosaic_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MosaicToNewRaster with MAXIMUM overlap resolution — the
+    reference's per-tile build merges the survey-tile rasters into one
+    CONUS raster with ``arcpy.MosaicToNewRaster_management(rasterList,
+    ..., 1, "MAXIMUM")`` (SSURGO_ExportMuRaster.py:1443): where tile
+    rasters overlap at seams, the MAXIMUM pixel wins. Re-expression:
+    each tile rasterizes ITS OWN polygon subset independently (tile =
+    a deterministic mukey partition here, the by-survey split of the
+    reference's tiled path; within a tile, overlaps resolve max-mukey
+    exactly as the single-raster path does), the mosaic is the UNION
+    of tile cell tables with one (col,row)-keyed MAX exchange, and the
+    output reports the mosaic RAT per CELLVALUE plus how many of its
+    cells were SEAM cells (cells covered by ≥2 tiles — the rows where
+    the MAXIMUM rule actually adjudicated).
+
+    Plan: the tile split adds no work (one pass, tile id is a column);
+    union is a no-shuffle concatenation; the only exchanges are the
+    per-tile dedup and the mosaic MAX — both keyed, partial-combined.
+    At CONUS scale this is exactly the reference's mosaic except the
+    tiles never materialize as files."""
+    from .functions.raster import polygon_cell_inventory
+
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=8)
+    # per-tile rasters: tile = mukey % 5; within a tile, last-polygon
+    # (max mukey) wins — each tile raster is what its survey's export
+    # would have written
+    tile_rasters = (
+        cells.withColumn("tile", (F.col("mukey") % 5).cast("long"))
+        .groupBy("tile", "col", "row")
+        .agg((F.max("mukey") + 1).alias("cellvalue"))
+    )
+    mosaic = tile_rasters.groupBy("col", "row").agg(
+        F.max("cellvalue").alias("cellvalue"),
+        F.count(F.lit(1)).alias("n_tiles"),
+    )
+    return (
+        mosaic.groupBy("cellvalue")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum((F.col("n_tiles") > 1).cast("long"))
+            .cast("long")
+            .alias("n_seam_cells"),
+        )
+    )
+
+
+def raster_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalculateStatistics — the raster post-processing step the
+    reference retries twice (SSURGO_ExportMuRaster.py:1513
+    ``CalculateStatistics_management(outputRaster, 1, 1, ...,
+    "OVERWRITE")`` under ``env.rasterStatistics = 'STATISTICS 100
+    100'`` :1512): per-band MIN / MAX / MEAN / STD over the raster,
+    computed over every x-skip-th column and y-skip-th row. Two rows
+    out: the full scan (skip 1,1 — the explicit arguments at :1513)
+    and a sampled pass (skip 4,2 — the skip-factor semantics of the
+    env setting, exercised at factors the synthesis grid actually
+    thins). All moments are exact integer aggregates (sum, sum of
+    squares); mean_e4 = floor(sum·10⁴/n) and var_e4 =
+    floor((n·sumsq − sum²)·10⁴/n²) are single float divisions of
+    exact integers, rounded once — the cross-engine contract. One
+    map-side filter + one partial-aggregated exchange per row; at
+    CONUS scale the sampled pass reads 1/8th of the cells."""
+    ded = _mu_raster_dedup_cells(spark, sf_dir)
+    skips = F.array(
+        F.struct(F.lit(1).alias("sx"), F.lit(1).alias("sy")),
+        F.struct(F.lit(4).alias("sx"), F.lit(2).alias("sy")),
+    )
+    sampled = ded.select(
+        "cellvalue",
+        F.explode(
+            F.filter(
+                skips,
+                lambda s: (F.col("col") % s["sx"] == 0)
+                & (F.col("row") % s["sy"] == 0),
+            )
+        ).alias("_s"),
+    )
+    return (
+        sampled.groupBy(
+            F.col("_s.sx").cast("long").alias("x_skip"),
+            F.col("_s.sy").cast("long").alias("y_skip"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("cellvalue").cast("long").alias("min_val"),
+            F.max("cellvalue").cast("long").alias("max_val"),
+            F.sum("cellvalue").cast("long").alias("sum_val"),
+            F.sum(F.col("cellvalue") * F.col("cellvalue"))
+            .cast("long")
+            .alias("sumsq_val"),
+        )
+        .select(
+            "*",
+            F.floor(
+                F.col("sum_val") * F.lit(10000.0) / F.col("n_cells")
+            ).cast("long").alias("mean_e4"),
+            F.floor(
+                (
+                    F.col("n_cells") * F.col("sumsq_val")
+                    - F.col("sum_val") * F.col("sum_val")
+                )
+                * F.lit(10000.0)
+                / (F.col("n_cells") * F.col("n_cells"))
+            ).cast("long").alias("var_e4"),
+        )
+    )

@@ -177,3 +177,43 @@ def test_block_mean_invariants(spark):
         for r in Q.raster_block_aggregate(spark, SF_SMOKE).collect()
     }
     assert blocks_mean <= blocks_all
+
+
+def test_mosaic_max_equals_single_raster(spark):
+    """MAXIMUM mosaic of per-tile max-resolved rasters must equal the
+    single-raster global max-resolve — max is associative, so tiling
+    cannot change the mosaic (the invariant the reference's tiled and
+    untiled paths rely on to be interchangeable)."""
+    from soil_data_development_tools___arcmap_spark.q_tools import (
+        _mu_raster_dedup_cells,
+    )
+
+    mosaic = {
+        r.cellvalue: r.n_cells
+        for r in Q.raster_mosaic_max(spark, SF_SMOKE).collect()
+    }
+    single = {
+        r.cellvalue: r.n
+        for r in _mu_raster_dedup_cells(spark, SF_SMOKE)
+        .groupBy("cellvalue")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert mosaic == single
+
+
+def test_raster_statistics_sample_consistency(spark):
+    """The sampled pass is a sublattice of the full pass: bounds nest,
+    counts shrink by ~the skip product, and the full-scan moments
+    reconcile against the exact variance identity."""
+    rows = {
+        (r.x_skip, r.y_skip): r
+        for r in Q.raster_statistics(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {(1, 1), (4, 2)}
+    full, samp = rows[(1, 1)], rows[(4, 2)]
+    assert samp.n_cells < full.n_cells
+    assert full.min_val <= samp.min_val <= samp.max_val <= full.max_val
+    assert full.var_e4 >= 0 and samp.var_e4 >= 0
+    # var identity on exact integers: n*sumsq - sum^2 >= 0 always
+    assert full.n_cells * full.sumsq_val - full.sum_val**2 >= 0
