@@ -7070,3 +7070,39 @@ SELECT CAST(x_skip AS BIGINT) AS x_skip,
                   / (COUNT(*) * COUNT(*))) AS BIGINT) AS var_e4
 FROM s GROUP BY 1, 2
 """
+
+# MakeGraph data half: domain-ordered acreage bar series + the
+# reference's own layout-scalar formulas
+ORACLES["acreage_graph_series"] = f"""
+WITH {_SYN},
+{_MU_DED},
+rated AS (
+  SELECT mukey, drainagecl AS rating
+  FROM (SELECT mukey, drainagecl,
+               row_number() OVER (PARTITION BY mukey
+                 ORDER BY comppct_r DESC, cokey ASC) AS rn
+        FROM syn_co)
+  WHERE rn = 1),
+allc AS (
+  SELECT mukey, colx, rowy FROM ext
+  UNION ALL SELECT mukey, colx, rowy FROM p2),
+summary AS (
+  SELECT r.rating,
+         CASE r.rating WHEN 'Very poorly drained' THEN 1
+                       WHEN 'Poorly drained' THEN 2
+                       WHEN 'Well drained' THEN 3 END AS bar_index,
+         CAST(floor(COUNT(*) * 4.0 * 0.000247104393 * 10000.0)
+           AS BIGINT) AS acres_e4,
+         LENGTH(r.rating) AS label_len
+  FROM allc c JOIN rated r ON c.mukey = r.mukey
+  GROUP BY 1),
+tot AS (
+  SELECT CAST((SUM(label_len) + 10) * 8 AS BIGINT) AS graph_width,
+         CAST(500 AS BIGINT) AS graph_height,
+         CAST(SUM(acres_e4) AS BIGINT) AS total_acres_e4
+  FROM summary)
+SELECT rating, CAST(bar_index AS BIGINT) AS bar_index, acres_e4,
+       CAST(label_len AS BIGINT) AS label_len,
+       graph_width, graph_height, total_acres_e4
+FROM summary CROSS JOIN tot
+"""

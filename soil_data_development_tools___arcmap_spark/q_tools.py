@@ -4329,3 +4329,83 @@ def raster_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("var_e4"),
         )
     )
+
+
+def acreage_graph_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acreage bar graph's DATA half — the reference renders a
+    vertical bar graph of the per-rating acreage summary
+    (gSSURGO_AcreageReport.py:328-363: ``graph.addSeriesBarVertical
+    (outputTbl, "ACRES", OBJECTID, resultField)``, then
+    ``MakeGraph_management`` + ``SaveGraph_management``). The EMF
+    render is GIS-bound; everything the graph is MADE OF is portable:
+    the domain-ordered series rows and the layout scalars the
+    reference computes itself — ``graphWidth = (Σ len(str(val)) +
+    valWidth) · 8.0`` (:346-349, valWidth=10 here), height 500, and
+    the total-acres subtitle figure (:352).
+
+    Series: dominant-condition drainage rating per mapunit (the
+    rating-raster convention) × the mapunit's geometry-derived cell
+    acreage. bar_index comes from a BROADCAST-joined domain dimension
+    (the mdstat choicesequence pattern — how domain order actually
+    reaches a rating table; no global window). The layout scalars ride
+    on every row via a broadcast cross join of the 1-row totals —
+    map-only after the two keyed aggregates. Acres stay in the
+    acres_e4 integer convention (the reference's round(dAcres, 0)
+    would zero out the synthesis grid's 4 m² cells)."""
+    from .functions.geometry import ACRES_PER_SQM
+    from .functions.raster import polygon_cell_inventory
+
+    co = ssurgo_synth(spark, sf_dir)["component"]
+    w = Window.partitionBy("mukey").orderBy(
+        F.col("comppct_r").desc(), F.col("cokey").asc()
+    )
+    rated = (
+        co.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("mukey", F.col("drainagecl").alias("rating"))
+    )
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=8)
+    domain = spark.createDataFrame(
+        [
+            ("Very poorly drained", 1),
+            ("Poorly drained", 2),
+            ("Well drained", 3),
+        ],
+        "rating string, bar_index int",
+    )
+    summary = (
+        cells.join(F.broadcast(rated), "mukey")
+        .groupBy("rating")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .join(F.broadcast(domain), "rating")
+        .select(
+            "rating",
+            F.col("bar_index").cast("long").alias("bar_index"),
+            F.floor(
+                F.col("n_cells") * F.lit(4.0) * F.lit(ACRES_PER_SQM)
+                * F.lit(10000.0)
+            ).cast("long").alias("acres_e4"),
+            F.length("rating").alias("label_len"),
+        )
+    )
+    totals = summary.agg(
+        F.sum("label_len").alias("sum_chars"),
+        F.sum("acres_e4").alias("total_acres_e4"),
+    ).select(
+        ((F.col("sum_chars") + 10) * 8).cast("long").alias("graph_width"),
+        F.lit(500).cast("long").alias("graph_height"),
+        F.col("total_acres_e4").cast("long").alias("total_acres_e4"),
+    )
+    return summary.crossJoin(F.broadcast(totals)).select(
+        "rating",
+        "bar_index",
+        "acres_e4",
+        F.col("label_len").cast("long").alias("label_len"),
+        "graph_width",
+        "graph_height",
+        "total_acres_e4",
+    )
