@@ -4284,7 +4284,15 @@ def raster_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor((n·sumsq − sum²)·10⁴/n²) are single float divisions of
     exact integers, rounded once — the cross-engine contract. One
     map-side filter + one partial-aggregated exchange per row; at
-    CONUS scale the sampled pass reads 1/8th of the cells."""
+    CONUS scale the sampled pass reads 1/8th of the cells.
+
+    Precision bound: the n·sumsq identity stays inside int64 while
+    n·max_val² < 2⁶³ — ~10¹² cells at CONUS CELLVALUE cardinality
+    (~10⁵), comfortably past the 9-billion-cell 10 m CONUS raster;
+    past that, compute the moments per TILE first and combine the
+    (n, sum, sumsq) triples, which keeps every partial within
+    range — the aggregation is already partial-combined, so the tile
+    split is a repartition, not a new algorithm."""
     ded = _mu_raster_dedup_cells(spark, sf_dir)
     skips = F.array(
         F.struct(F.lit(1).alias("sx"), F.lit(1).alias("sy")),
