@@ -7106,3 +7106,107 @@ SELECT rating, CAST(bar_index AS BIGINT) AS bar_index, acres_e4,
        graph_width, graph_height, total_acres_e4
 FROM summary CROSS JOIN tot
 """
+
+# ClassBreaksJSON layer-definition string, rebuilt closed-form: the
+# same 2-decimal integer-hundredths formatting, label scheme, color
+# order, and key order as functions/legend.py:class_breaks_layer_json
+ORACLES["legend_class_breaks_json"] = """
+WITH s AS (
+  SELECT MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS mn,
+         MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS mx
+  FROM orders),
+p AS (
+  SELECT mn, mx,
+         CASE WHEN mn = mx THEN 1 ELSE 5 END AS n,
+         CAST(round((mx - mn)
+           / (CASE WHEN mn = mx THEN 1.0 ELSE 5.0 END)) AS BIGINT) AS step
+  FROM s),
+cls AS (
+  SELECT p.mn, p.mx, p.n, i.i,
+         p.mn + i.i * p.step AS low,
+         p.mn + (i.i + 1) * p.step AS high
+  FROM p, generate_series(0, 4) i(i) WHERE i.i < p.n),
+fm AS (
+  SELECT *,
+         CAST(low // 100 AS VARCHAR) || '.'
+           || lpad(CAST(low % 100 AS VARCHAR), 2, '0') AS flow,
+         CAST(high // 100 AS VARCHAR) || '.'
+           || lpad(CAST(high % 100 AS VARCHAR), 2, '0') AS fhigh,
+         CASE i WHEN 0 THEN '[255, 0, 0, 255]'
+                WHEN 1 THEN '[255, 255, 0, 255]'
+                WHEN 2 THEN '[0, 255, 0, 255]'
+                WHEN 3 THEN '[0, 255, 255, 255]'
+                ELSE '[0, 0, 255, 255]' END AS color
+  FROM cls),
+oj AS (
+  SELECT '{"type": "esriSLS", "style": "esriSLSSolid", '
+         || '"color": [0, 0, 0, 0], "width": 0.4}' AS o),
+infos AS (
+  SELECT fm.mn, fm.mx,
+         string_agg(
+           '{"classMinValue": ' || flow
+           || ', "classMaxValue": ' || fhigh
+           || ', "label": "'
+           || CASE WHEN i = 0 THEN '<= ' || fhigh
+                   ELSE '> ' || flow || ' and <= ' || fhigh END
+           || '", "description": "", "outline": ' || oj.o
+           || ', "symbol": {"type": "esriSFS", "style": "esriSFSSolid", '
+           || '"color": ' || color || ', "outline": ' || oj.o || '}}',
+           ', ' ORDER BY i) AS body
+  FROM fm, oj GROUP BY fm.mn, fm.mx)
+SELECT 'SDV_pricing.rating_c' AS field,
+       mn AS min_e2, mx AS max_e2,
+       CAST(mn // 100 AS VARCHAR) || '.'
+         || lpad(CAST(mn % 100 AS VARCHAR), 2, '0') AS min_txt,
+       '{"drawingInfo": {"renderer": {"type": "classBreaks", '
+       || '"classificationMethod": "esriClassifyManual", '
+       || '"field": "SDV_pricing.rating_c", "minValue": '
+       || CAST(mn // 100 AS VARCHAR) || '.'
+       || lpad(CAST(mn % 100 AS VARCHAR), 2, '0')
+       || ', "classBreakInfos": [' || body || ']}}}' AS legend_json
+FROM infos
+"""
+
+# UniqueValuesJSON layer-definition string: same sorted domain, color
+# cycling, gray 'Not rated'/'<Null>' items, and envelope key order as
+# functions/legend.py:unique_values_layer_json
+ORACLES["legend_unique_values_json"] = f"""
+WITH vals AS (
+  SELECT DISTINCT rating FROM ({ORACLES["sdv_dcp_categorical"]})
+  WHERE rating IS NOT NULL),
+rk AS (
+  SELECT rating, row_number() OVER (ORDER BY rating) - 1 AS i FROM vals),
+items AS (
+  SELECT string_agg(
+    '{{"value": "' || rating || '", "description": "", "label": "'
+    || rating || '", "symbol": {{"type": "esriSFS", "style": '
+    || '"esriSFSSolid", "color": '
+    || CASE i % 5 WHEN 0 THEN '[255, 0, 0, 255]'
+                  WHEN 1 THEN '[255, 255, 0, 255]'
+                  WHEN 2 THEN '[0, 255, 0, 255]'
+                  WHEN 3 THEN '[0, 255, 255, 255]'
+                  ELSE '[0, 0, 255, 255]' END
+    || ', "outline": {{"color": [0, 0, 0, 0], "width": 0.4, '
+    || '"style": "esriSLSSolid", "type": "esriSLS"}}}}}}',
+    ', ' ORDER BY i) AS body,
+    COUNT(*) AS n
+  FROM rk)
+SELECT 'SDV_drainage.rating' AS field1,
+       CAST(n AS BIGINT) AS n_values,
+       '{{"drawingInfo": {{"renderer": {{"uniqueValueInfos": ['
+       || body
+       || ', {{"value": "Not rated", "description": "", '
+       || '"label": "Not rated", "symbol": {{"type": "esriSFS", '
+       || '"style": "esriSFSSolid", "color": [110, 110, 110, 255], '
+       || '"outline": {{"color": [0, 0, 0, 0], "width": 0.0, '
+       || '"style": "esriSLSSolid", "type": "esriSLS"}}}}}}'
+       || ', {{"value": "<Null>", "description": "", "label": "Null", '
+       || '"symbol": {{"type": "esriSFS", "style": "esriSFSSolid", '
+       || '"color": [175, 175, 175, 255], '
+       || '"outline": {{"color": [0, 0, 0, 0], "width": 0.0, '
+       || '"style": "esriSLSSolid", "type": "esriSLS"}}}}}}'
+       || '], "type": "uniqueValue", "field1": "SDV_drainage.rating", '
+       || '"field2": "", "field3": "", "fielddelimiter": ";"}}}}}}'
+       AS legend_json
+FROM items
+"""

@@ -4417,3 +4417,68 @@ def acreage_graph_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graph_height",
         "total_acres_e4",
     )
+
+
+def legend_class_breaks_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classified legend's esriJSON layer definition — the LAST
+    portable piece of the reference's soil-map layer sink.
+    ClassBreaksJSON (gSSURGO_CreateSoilMap.py:2088-2340) builds the
+    drawingInfo/renderer dict the layer file carries; everything in it
+    is data (breaks, labels, colors, outline), so the repo emits the
+    STRING itself (functions/legend.py:class_breaks_layer_json) and
+    the oracle rebuilds the identical text closed-form in SQL — a hash
+    match certifies every break value, label, and symbol byte. Only
+    the .lyr/.mxd binary containers remain out of scope.
+
+    Plan: min/max aggregate over the rating (2-row partial-combined
+    exchange) → one map-side string construction. The JSON validity
+    and break arithmetic are additionally pinned by unit tests
+    (json.loads round-trip, constant-rating single-class branch)."""
+    from .functions.legend import class_breaks_layer_json, fmt_e2
+
+    rating = _t(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("rating_c")
+    )
+    agg = rating.agg(
+        F.min("rating_c").alias("mn"), F.max("rating_c").alias("mx")
+    )
+    return agg.select(
+        F.lit("SDV_pricing.rating_c").alias("field"),
+        F.col("mn").cast("long").alias("min_e2"),
+        F.col("mx").cast("long").alias("max_e2"),
+        fmt_e2(F.col("mn")).alias("min_txt"),
+        class_breaks_layer_json(
+            F.lit("SDV_pricing.rating_c"), F.col("mn"), F.col("mx")
+        ).alias("legend_json"),
+    )
+
+
+def legend_unique_values_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categorical legend's esriJSON layer definition —
+    UniqueValuesJSON (gSSURGO_CreateSoilMap.py:2341-2518) emitted as
+    the actual STRING (functions/legend.py:unique_values_layer_json)
+    over the dominant-condition categorical rating's value domain,
+    including the reference's 'Not rated' (Interpretation branch) and
+    '<Null>' gray items. The oracle rebuilds the byte-identical text
+    in SQL from the same sorted domain.
+
+    Plan: the rating domain is BOUNDED (a choice list), so distinct →
+    sort_array(collect_list) is a broadcast-sized aggregate, then one
+    map-side string construction — the same bounded-collect class as
+    the catalog reads."""
+    from .functions.legend import unique_values_layer_json
+
+    vals = (
+        sdv_dcp_categorical(spark, sf_dir)
+        .where(F.col("rating").isNotNull())
+        .select("rating")
+        .distinct()
+    )
+    agg = vals.agg(F.sort_array(F.collect_list("rating")).alias("vs"))
+    return agg.select(
+        F.lit("SDV_drainage.rating").alias("field1"),
+        F.size("vs").cast("long").alias("n_values"),
+        unique_values_layer_json(
+            F.lit("SDV_drainage.rating"), F.col("vs")
+        ).alias("legend_json"),
+    )

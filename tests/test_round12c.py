@@ -217,3 +217,85 @@ def test_raster_statistics_sample_consistency(spark):
     assert full.var_e4 >= 0 and samp.var_e4 >= 0
     # var identity on exact integers: n*sumsq - sum^2 >= 0 always
     assert full.n_cells * full.sumsq_val - full.sum_val**2 >= 0
+
+
+def test_legend_json_is_valid_and_reference_shaped(spark):
+    """The emitted esriJSON parses, and its structure matches the
+    reference's ClassBreaksJSON contract: 5 classes, standard color
+    order, first label '<= x', later labels '> a and <= b', outline
+    both at the item level and inside the symbol."""
+    import json as _json
+
+    row = Q.legend_class_breaks_json(spark, SF_SMOKE).collect()[0]
+    d = _json.loads(row.legend_json)
+    r = d["drawingInfo"]["renderer"]
+    assert r["type"] == "classBreaks"
+    assert r["classificationMethod"] == "esriClassifyManual"
+    assert r["field"] == "SDV_pricing.rating_c"
+    infos = r["classBreakInfos"]
+    assert len(infos) == 5
+    assert infos[0]["label"].startswith("<= ")
+    for it in infos[1:]:
+        assert it["label"].startswith("> ") and " and <= " in it["label"]
+    assert [it["symbol"]["color"] for it in infos] == [
+        [255, 0, 0, 255], [255, 255, 0, 255], [0, 255, 0, 255],
+        [0, 255, 255, 255], [0, 0, 255, 255],
+    ]
+    for it in infos:
+        assert it["outline"] == it["symbol"]["outline"]
+        assert it["outline"]["color"] == [0, 0, 0, 0]
+        assert it["outline"]["width"] == 0.4
+    # class intervals tile [min, min + 5*step] contiguously
+    assert float(infos[0]["classMinValue"]) == row.min_e2 / 100
+    for a, b in zip(infos, infos[1:]):
+        assert a["classMaxValue"] == b["classMinValue"]
+
+
+def test_legend_json_constant_rating_single_class(spark):
+    """min == max → classNum = 1 (gSSURGO_CreateSoilMap.py:2219-2223):
+    one class, step 0, label '<= value'."""
+    import json as _json
+
+    from soil_data_development_tools___arcmap_spark.functions.legend import (
+        class_breaks_layer_json,
+    )
+
+    df = spark.createDataFrame([(700, 700)], "mn long, mx long")
+    s = df.select(
+        class_breaks_layer_json(F.lit("t.f"), F.col("mn"), F.col("mx"))
+        .alias("j")
+    ).collect()[0].j
+    d = _json.loads(s)
+    infos = d["drawingInfo"]["renderer"]["classBreakInfos"]
+    assert len(infos) == 1
+    assert infos[0]["label"] == "<= 7.00"
+    assert infos[0]["classMinValue"] == 7.0
+    assert infos[0]["classMaxValue"] == 7.0
+
+
+def test_unique_values_json_is_valid_and_reference_shaped(spark):
+    """The unique-values esriJSON parses, carries every domain value
+    in sorted order plus the reference's 'Not rated' and '<Null>'
+    gray items, and uses the envelope fields UniqueValuesJSON sets
+    (gSSURGO_CreateSoilMap.py:2431-2438)."""
+    import json as _json
+
+    row = Q.legend_unique_values_json(spark, SF_SMOKE).collect()[0]
+    d = _json.loads(row.legend_json)
+    r = d["drawingInfo"]["renderer"]
+    assert r["type"] == "uniqueValue"
+    assert r["field1"] == "SDV_drainage.rating"
+    assert r["field2"] == "" and r["field3"] == ""
+    assert r["fielddelimiter"] == ";"
+    infos = r["uniqueValueInfos"]
+    assert len(infos) == row.n_values + 2
+    domain = [it["value"] for it in infos[: row.n_values]]
+    assert domain == sorted(domain)
+    tail = infos[-2:]
+    assert tail[0]["value"] == "Not rated"
+    assert tail[0]["symbol"]["color"] == [110, 110, 110, 255]
+    assert tail[0]["symbol"]["outline"]["width"] == 0.0
+    assert tail[1]["value"] == "<Null>" and tail[1]["label"] == "Null"
+    assert tail[1]["symbol"]["color"] == [175, 175, 175, 255]
+    for it in infos[: row.n_values]:
+        assert it["symbol"]["outline"]["width"] == 0.4
