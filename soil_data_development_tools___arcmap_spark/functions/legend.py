@@ -199,3 +199,35 @@ def unique_values_layer_json(field1, sorted_values):
         field1,
         F.lit('", "field2": "", "field3": "", "fielddelimiter": ";"}}}'),
     )
+
+
+def defined_breaks_layer_json(field, min_value, breaks):
+    """The esriJSON layer definition for DEFINED break values —
+    DefinedBreaksJSON (gSSURGO_CreateSoilMap.py:2520-2652, "Use this
+    for Hydric, pH"): unlike the computed equal-interval legend, the
+    class bounds come from the SDV metadata (maplegendxml), so they
+    arrive here as the static ``breaks`` list of (lo, hi, label)
+    integers; ``min_value`` is the data-derived renderer minValue
+    (:2583). Item key order follows the reference's insertion order
+    (:2610-2647): classMinValue, classMaxValue, label, description,
+    symbol, then the ITEM-level outline duplicate (dLegend["outline"],
+    :2646); colors cycle the standard list; the envelope is the
+    classBreaks renderer. Integer bounds render as plain JSON
+    integers (Hydric's are). Pure map-side string construction."""
+    items = []
+    for i, (lo, hi, label) in enumerate(breaks):
+        items.append(
+            '{"classMinValue": %d, "classMaxValue": %d, "label": "%s", '
+            '"description": "", "symbol": {"type": "esriSFS", "style": '
+            '"esriSFSSolid", "color": %s, "outline": %s}, "outline": %s}'
+            % (lo, hi, label, _CLASS_COLORS[i % 5],
+               _OUTLINE_JSON, _OUTLINE_JSON)
+        )
+    return F.concat(
+        F.lit('{"drawingInfo": {"renderer": {"type": "classBreaks", '
+              '"classificationMethod": "esriClassifyManual", "field": "'),
+        field,
+        F.lit('", "minValue": '),
+        min_value.cast("long").cast("string"),
+        F.lit(', "classBreakInfos": [' + ", ".join(items) + "]}}}"),
+    )

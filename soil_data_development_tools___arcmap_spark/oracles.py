@@ -7210,3 +7210,23 @@ SELECT 'SDV_drainage.rating' AS field1,
        AS legend_json
 FROM items
 """
+
+
+# DefinedBreaksJSON layer-definition string (Hydric template): static
+# metadata breaks, data-derived minValue embedded into the same text
+_DBJ_PREFIX = '{"drawingInfo": {"renderer": {"type": "classBreaks", "classificationMethod": "esriClassifyManual", "field": "SDV_hydric.rating", "minValue": '
+_DBJ_SUFFIX = ', "classBreakInfos": [{"classMinValue": 0, "classMaxValue": 20, "label": "0 - 20", "description": "", "symbol": {"type": "esriSFS", "style": "esriSFSSolid", "color": [255, 0, 0, 255], "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, {"classMinValue": 20, "classMaxValue": 40, "label": "20 - 40", "description": "", "symbol": {"type": "esriSFS", "style": "esriSFSSolid", "color": [255, 255, 0, 255], "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, {"classMinValue": 40, "classMaxValue": 60, "label": "40 - 60", "description": "", "symbol": {"type": "esriSFS", "style": "esriSFSSolid", "color": [0, 255, 0, 255], "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, {"classMinValue": 60, "classMaxValue": 80, "label": "60 - 80", "description": "", "symbol": {"type": "esriSFS", "style": "esriSFSSolid", "color": [0, 255, 255, 255], "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, {"classMinValue": 80, "classMaxValue": 100, "label": "80 - 100", "description": "", "symbol": {"type": "esriSFS", "style": "esriSFSSolid", "color": [0, 0, 255, 255], "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}, "outline": {"type": "esriSLS", "style": "esriSLSSolid", "color": [0, 0, 0, 0], "width": 0.4}}]}}}'
+ORACLES["legend_defined_breaks_json"] = (
+    "WITH m AS (SELECT MIN(rating) AS mn FROM ("
+    + ORACLES["sdv_pp_sum"]
+    + """) )
+SELECT 'SDV_hydric.rating' AS field,
+       CAST(mn AS BIGINT) AS min_value,
+       '"""
+    + _DBJ_PREFIX.replace("'", "''")
+    + """' || CAST(mn AS VARCHAR) || '"""
+    + _DBJ_SUFFIX.replace("'", "''")
+    + """' AS legend_json
+FROM m
+"""
+)

@@ -4482,3 +4482,27 @@ def legend_unique_values_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("SDV_drainage.rating"), F.col("vs")
         ).alias("legend_json"),
     )
+
+
+def legend_defined_breaks_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFINED-breaks legend's esriJSON — DefinedBreaksJSON
+    (gSSURGO_CreateSoilMap.py:2520-2652, the Hydric/pH template):
+    class bounds are SDV METADATA (the 0-100 step-20 hydric-percent
+    legend), only the renderer minValue is data-derived (min of the
+    PP_SUM hydric rating — the rating this legend classifies). The
+    oracle rebuilds the byte-identical string with the min computed
+    in SQL. Plan: one 1-row min aggregate + map-side string concat."""
+    from .functions.legend import defined_breaks_layer_json
+
+    breaks = [(i * 20, (i + 1) * 20, f"{i * 20} - {(i + 1) * 20}")
+              for i in range(5)]
+    mn = sdv_pp_sum(spark, sf_dir).agg(
+        F.min("rating").alias("mn")
+    )
+    return mn.select(
+        F.lit("SDV_hydric.rating").alias("field"),
+        F.col("mn").cast("long").alias("min_value"),
+        defined_breaks_layer_json(
+            F.lit("SDV_hydric.rating"), F.col("mn"), breaks
+        ).alias("legend_json"),
+    )

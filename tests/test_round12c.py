@@ -299,3 +299,23 @@ def test_unique_values_json_is_valid_and_reference_shaped(spark):
     assert tail[1]["symbol"]["color"] == [175, 175, 175, 255]
     for it in infos[: row.n_values]:
         assert it["symbol"]["outline"]["width"] == 0.4
+
+
+def test_defined_breaks_json_is_valid(spark):
+    """Hydric defined-breaks legend: metadata bounds 0..100 step 20,
+    data-derived minValue, item-level outline duplicate present
+    (gSSURGO_CreateSoilMap.py:2646)."""
+    import json as _json
+
+    row = Q.legend_defined_breaks_json(spark, SF_SMOKE).collect()[0]
+    d = _json.loads(row.legend_json)
+    r = d["drawingInfo"]["renderer"]
+    assert r["type"] == "classBreaks"
+    assert r["minValue"] == row.min_value
+    infos = r["classBreakInfos"]
+    assert [(it["classMinValue"], it["classMaxValue"]) for it in infos] == [
+        (0, 20), (20, 40), (40, 60), (60, 80), (80, 100)
+    ]
+    for it in infos:
+        assert it["outline"] == it["symbol"]["outline"]
+        assert it["label"] == f'{it["classMinValue"]} - {it["classMaxValue"]}'
