@@ -7230,3 +7230,70 @@ SELECT 'SDV_hydric.rating' AS field,
 FROM m
 """
 )
+
+# The composed CreateSoilMap manifest: planner rating + per-polygon
+# cell acreage + UniqueValuesJSON, assembled from the same closed
+# forms the three subsystems' own oracles use
+ORACLES["soil_map_layer_manifest"] = f"""
+WITH rat AS ({ORACLES["planner_sdv_rating"]}),
+{_MUG},
+ext AS (
+  SELECT mukey, col0 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 12) i(i), generate_series(0, 6) j(j)
+  WHERE i.i <= w - 1 AND j.j <= h - 1
+    AND NOT (has_hole AND i.i >= 1 AND i.i <= hw
+             AND j.j >= 1 AND j.j <= hh)),
+p2 AS (
+  SELECT mukey, col0 + 20 + i.i AS colx, row0 + j.j AS rowy
+  FROM mug, generate_series(0, 3) i(i), generate_series(0, 2) j(j)
+  WHERE NOT plain AND i.i <= pw - 1 AND j.j <= ph - 1),
+allc AS (
+  SELECT mukey FROM ext UNION ALL SELECT mukey FROM p2),
+cst AS (
+  SELECT COUNT(*) AS n_cells,
+         CAST(floor(COUNT(*) * 4.0 * 0.000247104393 * 10000.0) AS BIGINT)
+           AS acres_e4
+  FROM allc c JOIN rat r ON c.mukey = r.mukey),
+rst AS (
+  SELECT COUNT(*) AS n_mapunits,
+         SUM(CASE WHEN rating IS NOT NULL THEN 1 ELSE 0 END) AS n_rated
+  FROM rat),
+vals AS (SELECT DISTINCT rating FROM rat WHERE rating IS NOT NULL),
+rk AS (
+  SELECT rating, row_number() OVER (ORDER BY rating) - 1 AS i FROM vals),
+leg AS (
+  SELECT string_agg(
+    '{{"value": "' || rating || '", "description": "", "label": "'
+    || rating || '", "symbol": {{"type": "esriSFS", "style": '
+    || '"esriSFSSolid", "color": '
+    || CASE i % 5 WHEN 0 THEN '[255, 0, 0, 255]'
+                  WHEN 1 THEN '[255, 255, 0, 255]'
+                  WHEN 2 THEN '[0, 255, 0, 255]'
+                  WHEN 3 THEN '[0, 255, 255, 255]'
+                  ELSE '[0, 0, 255, 255]' END
+    || ', "outline": {{"color": [0, 0, 0, 0], "width": 0.4, '
+    || '"style": "esriSLSSolid", "type": "esriSLS"}}}}}}',
+    ', ' ORDER BY i) AS body
+  FROM rk)
+SELECT 'Hydric Rating Synth' AS attributename,
+       CAST(rst.n_mapunits AS BIGINT) AS n_mapunits,
+       CAST(rst.n_rated AS BIGINT) AS n_rated,
+       CAST(cst.n_cells AS BIGINT) AS n_cells,
+       cst.acres_e4,
+       '{{"drawingInfo": {{"renderer": {{"uniqueValueInfos": ['
+       || leg.body
+       || ', {{"value": "Not rated", "description": "", '
+       || '"label": "Not rated", "symbol": {{"type": "esriSFS", '
+       || '"style": "esriSFSSolid", "color": [110, 110, 110, 255], '
+       || '"outline": {{"color": [0, 0, 0, 0], "width": 0.0, '
+       || '"style": "esriSLSSolid", "type": "esriSLS"}}}}}}'
+       || ', {{"value": "<Null>", "description": "", "label": "Null", '
+       || '"symbol": {{"type": "esriSFS", "style": "esriSFSSolid", '
+       || '"color": [175, 175, 175, 255], '
+       || '"outline": {{"color": [0, 0, 0, 0], "width": 0.0, '
+       || '"style": "esriSLSSolid", "type": "esriSLS"}}}}}}'
+       || '], "type": "uniqueValue", "field1": "SDV_hydric.rating", '
+       || '"field2": "", "field3": "", "fielddelimiter": ";"}}}}}}'
+       AS legend_json
+FROM rst, cst, leg
+"""

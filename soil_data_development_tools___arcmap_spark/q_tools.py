@@ -4506,3 +4506,80 @@ def legend_defined_breaks_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("SDV_hydric.rating"), F.col("mn"), breaks
         ).alias("legend_json"),
     )
+
+
+def soil_map_layer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FLAGSHIP tool end-to-end in one certified row —
+    gSSURGO_CreateSoilMap produces, per run: the aggregated rating
+    table (the metadata-driven planner), the layer's acreage, and the
+    symbolized layer definition. This query composes the three
+    certified subsystems into the layer MANIFEST a soil-map run
+    publishes: the Dominant-Condition hydric rating over the full
+    planner lifecycle (plans/planner.py:create_soil_map — hydrate,
+    whereclause parser, relationship walk, DCD with DCP override),
+    the geometry-derived acreage of the rated mapunits (CELL_CENTER
+    inventory × rated join), and the UniqueValuesJSON layer string
+    over the layer's own rating domain.
+
+    One row out: attribute name, mapunit counts, rated-cell count and
+    acreage, and the legend JSON — a hash over this row certifies the
+    planner, the rasterizer, and the legend serializer AGREE on one
+    composed artifact, the way a user consumes them together.
+
+    Plan: the rating table is mapunit-grained (broadcast next to the
+    cell table), the domain collect is bounded (choice list), and the
+    final assembly is a broadcast cross join of three 1-row
+    aggregates — nothing wider than the cell inventory's own keyed
+    exchanges at any scale."""
+    from .functions.geometry import ACRES_PER_SQM
+    from .functions.legend import unique_values_layer_json
+    from .functions.raster import polygon_cell_inventory
+    from .q_sdv import planner_sdv_rating
+
+    rating = planner_sdv_rating(spark, sf_dir).select(
+        "mukey", "rating"
+    )
+    k = F.col("c_custkey")
+    polys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("mukey"), _mu_polygon_wkt(k).alias("wkt")
+    )
+    cells = polygon_cell_inventory(polys, tile_cells=8)
+    rated_cells = cells.join(F.broadcast(rating), "mukey")
+    rstats = rating.agg(
+        F.count(F.lit(1)).cast("long").alias("n_mapunits"),
+        F.sum(F.col("rating").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_rated"),
+    )
+    cstats = rated_cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    ).select(
+        "n_cells",
+        F.floor(
+            F.col("n_cells") * F.lit(4.0) * F.lit(ACRES_PER_SQM)
+            * F.lit(10000.0)
+        ).cast("long").alias("acres_e4"),
+    )
+    legend = (
+        rating.where(F.col("rating").isNotNull())
+        .select("rating")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("rating")).alias("vs"))
+        .select(
+            unique_values_layer_json(
+                F.lit("SDV_hydric.rating"), F.col("vs")
+            ).alias("legend_json")
+        )
+    )
+    return (
+        rstats.crossJoin(F.broadcast(cstats))
+        .crossJoin(F.broadcast(legend))
+        .select(
+            F.lit("Hydric Rating Synth").alias("attributename"),
+            "n_mapunits",
+            "n_rated",
+            "n_cells",
+            "acres_e4",
+            "legend_json",
+        )
+    )

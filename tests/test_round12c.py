@@ -319,3 +319,26 @@ def test_defined_breaks_json_is_valid(spark):
     for it in infos:
         assert it["outline"] == it["symbol"]["outline"]
         assert it["label"] == f'{it["classMinValue"]} - {it["classMaxValue"]}'
+
+
+def test_soil_map_manifest_composes_subsystems(spark):
+    """The manifest's figures must reconcile against the subsystems it
+    composes: mapunit counts against the planner table, the legend
+    domain against the rating's distinct values."""
+    import json as _json
+
+    from soil_data_development_tools___arcmap_spark.q_sdv import (
+        planner_sdv_rating,
+    )
+
+    row = Q.soil_map_layer_manifest(spark, SF_SMOKE).collect()[0]
+    rat = planner_sdv_rating(spark, SF_SMOKE).collect()
+    assert row.n_mapunits == len(rat)
+    assert row.n_rated == sum(1 for r in rat if r.rating is not None)
+    d = _json.loads(row.legend_json)
+    vals = [
+        it["value"]
+        for it in d["drawingInfo"]["renderer"]["uniqueValueInfos"][:-2]
+    ]
+    assert vals == sorted({r.rating for r in rat if r.rating is not None})
+    assert row.n_cells > 0 and row.acres_e4 > 0
