@@ -7297,3 +7297,51 @@ SELECT 'Hydric Rating Synth' AS attributename,
        AS legend_json
 FROM rst, cst, leg
 """
+
+# In-engine NB quality classifier: exact integer counts; one ln of an
+# exact rational per token floored into micro-units (the cosine-e6
+# quantization class)
+_NB_MODEL = """
+toks AS (
+  SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN 1 ELSE 0 END AS is_pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tok2 AS (SELECT * FROM toks WHERE token <> ''),
+per_tok AS (
+  SELECT token, SUM(is_pos) AS cnt_pos,
+         SUM(1 - is_pos) AS cnt_neg
+  FROM tok2 GROUP BY token),
+tot AS (
+  SELECT SUM(cnt_pos) AS t_pos, SUM(cnt_neg) AS t_neg,
+         COUNT(*) AS vocab
+  FROM per_tok),
+model AS (
+  SELECT token, CAST(cnt_pos AS BIGINT) AS cnt_pos,
+         CAST(cnt_neg AS BIGINT) AS cnt_neg,
+         CAST(floor(ln(
+             CAST((cnt_pos + 1) * (t_neg + vocab) AS DOUBLE)
+             / CAST((cnt_neg + 1) * (t_pos + vocab) AS DOUBLE)
+           ) * 1e6) AS BIGINT) AS w_e6
+  FROM per_tok, tot
+  WHERE cnt_pos + cnt_neg >= 3)"""
+
+ORACLES["docs_nb_train"] = f"""
+WITH {_NB_MODEL}
+SELECT * FROM model
+"""
+
+ORACLES["docs_nb_classify"] = f"""
+WITH {_NB_MODEL},
+dt AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents)
+SELECT d.doc_id, d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_model_tok,
+       CAST(SUM(m.w_e6) AS BIGINT) AS score_e6,
+       CAST(CASE WHEN SUM(m.w_e6) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM dt d JOIN model m ON d.token = m.token
+WHERE d.token <> ''
+GROUP BY d.doc_id, d.source
+"""

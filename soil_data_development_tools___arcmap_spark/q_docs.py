@@ -2544,3 +2544,98 @@ def docs_stream_audio_gate_grow_wide(
     from .streaming.docs import run_media_audio_gate_grow
 
     return run_media_audio_gate_grow(spark, sf_dir, window=4)
+
+
+def _nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes token model over the documents corpus —
+    the TRAINABLE twin of docs_quality_classifier's fixed hash
+    weights: the positive class is the curated sources (src0-src4),
+    the negative class the rest (the fastText-style
+    curated-vs-web quality classifier every web-scale corpus trains).
+    ONE pass: explode tokens → per-(token) class counts (map-side
+    combined, one exchange) → broadcast-joined 1-row totals →
+    Laplace-smoothed log-odds weight per token,
+    w_e6 = floor(10⁶·ln((cnt_pos+1)·(T_neg+V) / ((cnt_neg+1)·(T_pos+V)))).
+
+    Integer discipline: every COUNT is exact; the single float op per
+    token is one ln of an exact rational, floored once into
+    micro-units — the same quantization class as the cosine
+    micro-units the ANN family hashes cross-engine (a 1-ulp libm
+    disagreement would need the true value within ~2⁻⁴⁰ of a floor
+    boundary). Tokens with total count < 3 drop (bounds the model;
+    rare-token weights are noise anyway)."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    toks = docs.select(
+        pos.cast("long").alias("is_pos"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    per_tok = toks.groupBy("token").agg(
+        F.sum("is_pos").cast("long").alias("cnt_pos"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("cnt_neg"),
+    )
+    totals = per_tok.agg(
+        F.sum("cnt_pos").alias("t_pos"),
+        F.sum("cnt_neg").alias("t_neg"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return (
+        per_tok.where(F.col("cnt_pos") + F.col("cnt_neg") >= 3)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "cnt_pos",
+            "cnt_neg",
+            F.floor(
+                F.log(
+                    (
+                        (F.col("cnt_pos") + 1) * (F.col("t_neg") + F.col("vocab"))
+                    ).cast("double")
+                    / (
+                        (F.col("cnt_neg") + 1) * (F.col("t_pos") + F.col("vocab"))
+                    ).cast("double")
+                )
+                * 1e6
+            ).cast("long").alias("w_e6"),
+        )
+    )
+
+
+def docs_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained NB model table itself (token, class counts,
+    quantized log-odds weight) — what a pipeline persists and
+    broadcasts at serving time. See _nb_model for the plan."""
+    return _nb_model(spark, sf_dir)
+
+
+def docs_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB inference with the in-engine-trained model: per document,
+    Σ w_e6 over its tokens found in the model — an EXACT integer sum
+    once the model is fixed, so the decision (score > 0 ⇒ curated-
+    like) is deterministic with no runtime float op at all. Plan:
+    token explode → broadcast join against the classifier-sized model
+    → one doc-keyed partial-aggregated sum; the shape a 100 TB corpus
+    filter runs (model broadcast, corpus never shuffled except the
+    per-doc combine)."""
+    docs = _t(spark, sf_dir, "documents")
+    model = _nb_model(spark, sf_dir).select("token", "w_e6")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        toks.join(F.broadcast(model), "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_model_tok"),
+            F.sum("w_e6").cast("long").alias("score_e6"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_model_tok",
+            "score_e6",
+            (F.col("score_e6") > 0).cast("long").alias("keep"),
+        )
+    )

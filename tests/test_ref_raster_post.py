@@ -288,3 +288,56 @@ def test_overlap_wkt_matches_pure_python_reference(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_nb_classifier_matches_pure_python_reference(spark):
+    """The in-engine NB train/classify against an independent
+    pure-Python implementation built from the multinomial-NB
+    definition (Laplace smoothing, log-odds in floored micro-units)
+    over the same parquet — no Spark, no SQL shared."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    docs = tbl.to_pylist()
+    pos_sources = {"src0", "src1", "src2", "src3", "src4"}
+    cp, cn = Counter(), Counter()
+    for d in docs:
+        c = cp if d["source"] in pos_sources else cn
+        for t in d["text"].split(" "):
+            if t:
+                c[t] += 1
+    vocab = set(cp) | set(cn)
+    t_pos, t_neg, v = sum(cp.values()), sum(cn.values()), len(vocab)
+    model = {
+        t: math.floor(
+            math.log(
+                ((cp[t] + 1) * (t_neg + v)) / ((cn[t] + 1) * (t_pos + v))
+            )
+            * 1e6
+        )
+        for t in vocab
+        if cp[t] + cn[t] >= 3
+    }
+    from soil_data_development_tools___arcmap_spark.q_docs import (
+        docs_nb_classify,
+        docs_nb_train,
+    )
+
+    got_model = {
+        r.token: r.w_e6
+        for r in docs_nb_train(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got_model == model
+    ref_scores = {}
+    for d in docs:
+        hits = [model[t] for t in d["text"].split(" ") if t in model]
+        if hits:
+            ref_scores[d["doc_id"]] = (len(hits), sum(hits))
+    got = {
+        r.doc_id: (r.n_model_tok, r.score_e6)
+        for r in docs_nb_classify(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == ref_scores
