@@ -7345,3 +7345,20 @@ FROM dt d JOIN model m ON d.token = m.token
 WHERE d.token <> ''
 GROUP BY d.doc_id, d.source
 """
+
+# streaming NB gate: batch LEFT-join twin — every document scored
+# (missing tokens contribute 0), same keep rule
+ORACLES["docs_stream_nb_gate"] = f"""
+WITH {_NB_MODEL},
+dt AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents)
+SELECT d.doc_id, ANY_VALUE(d.source) AS source,
+       CAST(COALESCE(SUM(m.w_e6), 0) AS BIGINT) AS score_e6,
+       CAST(CASE WHEN COALESCE(SUM(m.w_e6), 0) > 0 THEN 1 ELSE 0 END
+         AS BIGINT) AS keep
+FROM dt d LEFT JOIN model m ON d.token = m.token
+WHERE d.token <> ''
+GROUP BY d.doc_id
+"""

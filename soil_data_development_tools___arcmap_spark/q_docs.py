@@ -2639,3 +2639,15 @@ def docs_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_e6") > 0).cast("long").alias("keep"),
         )
     )
+
+
+def docs_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING NB quality gate — the trained model probed by
+    arriving documents as a broadcast map with a per-row token fold
+    (streaming/docs.py:run_nb_gate_stream). Stateless append stream;
+    the oracle is the batch LEFT-join scoring over all documents
+    (docs with no model token score 0 → dropped by the gate), so one
+    hash certifies the training aggregation AND the serving fold."""
+    from .streaming.docs import run_nb_gate_stream
+
+    return run_nb_gate_stream(spark, sf_dir)

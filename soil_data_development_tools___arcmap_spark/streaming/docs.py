@@ -1694,3 +1694,68 @@ def run_video_gate_grow(
         checkpoint=checkpoint,
         bands_fn=lambda df: _video_mix_bands(df, scale),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12b: streaming NB quality gate — stream-static model probe
+# ---------------------------------------------------------------------------
+
+
+def run_nb_gate_stream(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Arriving documents scored by the in-engine-trained NB model
+    (q_docs._nb_model) — the serving-time shape of the quality
+    filter: the model collapses into ONE map column via
+    map_from_entries on a 1-row aggregate, broadcast-cross-joined
+    into every micro-batch, and each document's score is a per-ROW
+    ``F.aggregate`` fold over its own tokens (element_at map lookup,
+    missing → 0). No explode, no per-doc shuffle, NO STATE — append
+    mode, so the stream is certified by a batch LEFT-join oracle.
+    This is deliberately a different PLAN from docs_nb_classify's
+    explode+join+groupBy: same model, serving topology (model in
+    memory, corpus never shuffled at all)."""
+    import uuid as _uuid
+
+    from ..q_docs import _nb_model
+
+    model_map = _nb_model(spark, sf_dir).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "w_e6"))
+        ).alias("m")
+    ).localCheckpoint()
+    docs = (
+        source
+        if source is not None
+        else read_documents_stream(spark, sf_dir)
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    scored = (
+        docs.crossJoin(F.broadcast(model_map))
+        .select(
+            "doc_id",
+            "source",
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.coalesce(F.element_at(F.col("m"), t), F.lit(0)),
+            ).alias("score_e6"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "score_e6",
+            (F.col("score_e6") > 0).cast("long").alias("keep"),
+        )
+    )
+    name = "docs_nb_gate_" + _uuid.uuid4().hex[:8]
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -342,3 +342,50 @@ def test_soil_map_manifest_composes_subsystems(spark):
     ]
     assert vals == sorted({r.rating for r in rat if r.rating is not None})
     assert row.n_cells > 0 and row.acres_e4 > 0
+
+
+def test_nb_gate_stream_matches_batch_and_replays(spark, tmp_path):
+    """The streaming NB gate equals its batch LEFT-join twin, and a
+    multi-file replay (one file per trigger) appends to the identical
+    result — the broadcast model map re-applies per micro-batch with
+    zero state."""
+    import os
+
+    from soil_data_development_tools___arcmap_spark.streaming.docs import (
+        DOCS_SCHEMA,
+        run_nb_gate_stream,
+    )
+
+    got = {
+        r.doc_id: (r.score_e6, r.keep)
+        for r in Q.docs_stream_nb_gate(spark, SF_SMOKE).collect()
+    }
+    classify = {
+        r.doc_id: (r.score_e6, r.keep)
+        for r in Q.docs_nb_classify(spark, SF_SMOKE).collect()
+    }
+    # classify inner-joins (docs with no model token absent); the gate
+    # scores every doc — on the shared docs the figures must agree
+    for did, (s, k) in classify.items():
+        assert got[did] == (s, k)
+    assert len(got) >= len(classify)
+    # multi-file replay
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{SF_SMOKE}/documents.parquet"
+    )
+    src = str(tmp_path / "nb_stream")
+    os.makedirs(src, exist_ok=True)
+    for part in range(3):
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    source = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    replay = {
+        r.doc_id: (r.score_e6, r.keep)
+        for r in run_nb_gate_stream(spark, SF_SMOKE, source=source).collect()
+    }
+    assert replay == got
