@@ -257,8 +257,15 @@ def _jaccard_edges(ex: DataFrame, sizes: DataFrame) -> DataFrame:
     intersection over full-set union), shared by
     ``ngram_jaccard_pairs`` (the generator) and ``dup_wedge_gaps``
     (the audit), so the audited graph can never silently diverge from
-    the generated one."""
+    the generated one.
+
+    ``sizes`` feeds two joins (the i side and the j side); without
+    materialization its whole upstream pipeline — a full pass over the
+    exploded shingle table — executes twice (two HashAggregate+Exchange
+    subtrees over the checkpointed RDD in the r11 plan). One row per
+    doc, so the checkpoint is corpus-row-sized (optimization r12)."""
     inter = _shingle_pair_counts(ex)
+    sizes = sizes.localCheckpoint(eager=False)
     si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
     sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
     jac = _jac_e4(F.col("inter"), F.col("ni"), F.col("nj"))
@@ -319,6 +326,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     hasher: str = "md5",
     ex: DataFrame | None = None,
+    as_long: bool = False,
 ) -> DataFrame:
     """MinHash signature per document, ONE pass over exploded shingles.
 
@@ -337,7 +345,19 @@ def minhash_signatures(
 
     ``ex``: optional pre-built exploded (did, s) frame — pass it when
     the caller shares the shingle pipeline across stages (see
-    ngram_jaccard_pairs' reuse_shingles)."""
+    ngram_jaccard_pairs' reuse_shingles).
+
+    ``as_long``: return the md5-mode signature columns as their exact
+    numeric values (the 32-bit hex substring parsed base-16) instead
+    of hex strings. The hex→long map is a bijection on fixed-width
+    lowercase hex, so min-comparisons agree and the default hex output
+    is reconstructed EXACTLY as lower(lpad(hex(v), 8, '0')) — but a
+    LONG min aggregates in HashAggregateExec (mutable fixed-width
+    buffer) where a STRING min falls back to Sort+SortAggregate over
+    the whole exploded-shingle table, measured 1.7x slower at 20M
+    shingles (optimization r12; plans/r12/docs_minhash_signatures_*).
+    Band building only needs equality, so internal callers
+    (_minhash_bands) stay in the long domain."""
     if ex is None:
         ex = _explode_ss(shingle_sets(_spread(df, id_col), id_col, col, k))
     if hasher == "xxhash64":
@@ -365,10 +385,22 @@ def minhash_signatures(
         ],
     )
     aggs = [
-        F.min(F.substring(F.col(f"h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"mh{i}")
+        F.min(
+            F.conv(F.substring(F.col(f"h{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10)
+            .cast("long")
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return hashed.groupBy("did").agg(*aggs)
+    sig = hashed.groupBy("did").agg(*aggs)
+    if as_long:
+        return sig
+    return sig.select(
+        "did",
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"mh{i}")), 8, "0")).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def _minhash_bands(
@@ -382,9 +414,18 @@ def _minhash_bands(
     hasher: str = "md5",
 ) -> DataFrame:
     """(did, band_id, key): each document's minhash signature split
-    into ``bands`` concatenated band keys, stacked long-form."""
+    into ``bands`` concatenated band keys, stacked long-form.
+
+    Signatures stay in the long domain (``as_long=True``): band keys
+    only need equality, the hex↔long map is bijective per fixed-width
+    field and ``concat_ws('|', ...)`` of per-field-bijective values is
+    bijective, so bucket membership is IDENTICAL to the hex form while
+    the signature aggregation runs hash-based (see minhash_signatures).
+    """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, col, k, num_hashes, hasher, ex=ex)
+    sig = minhash_signatures(
+        df, id_col, col, k, num_hashes, hasher, ex=ex, as_long=True
+    )
     band_cols = [
         F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -468,7 +509,13 @@ def minhash_lsh_pairs(
         df, id_col, col, k, num_hashes, bands, ex=ex_all, hasher=hasher
     )
     buckets = banded_buckets(stacked, bucket_cap)
-    cand = _pairs_from_groups(buckets).distinct()
+    # materialize the candidate pairs (tiny: true near-dup density):
+    # cand feeds cand_ids (twice), the fi join and the fj join — without
+    # the checkpoint the whole signature+bucket pipeline (the expensive
+    # half of the query) re-executes once per consumer (~4x, visible as
+    # 4 copies of the Sort/Generate/Window subtree in the r11 physical
+    # plan — plans/r12/docs_minhash_lsh_before.txt vs _after.txt)
+    cand = _pairs_from_groups(buckets).distinct().localCheckpoint(eager=False)
     # verification: exact Jaccard, restricted to LSH candidates.
     # NOTE max_freq-capped shingles stay excluded from the intersection
     # (identical semantics to ngram_jaccard_pairs); sizes use the full
@@ -496,10 +543,21 @@ def minhash_lsh_pairs(
         sizes = shingle_sets(df, id_col, col, k).select(
             "did", F.size("ss").alias("nsh")
         )
+    # sizes feed two inner joins (si on i, sj on j), so only candidate
+    # docs' sizes are ever read: restrict with the same semi-join as fs
+    # (per-doc counts unchanged — the semi-join filters docs, not rows
+    # within a doc) and materialize, turning 2 full passes over the
+    # exploded table into 1 candidate-restricted pass
+    sizes = sizes.join(cand_ids, "did", "left_semi").localCheckpoint(
+        eager=False
+    )
+    # fs feeds both the fi and fj joins — materialize (candidate docs
+    # only, small) so the semi-join + collect_list pass runs once
     fs = (
         exf.join(cand_ids, "did", "left_semi")
         .groupBy("did")
         .agg(F.collect_list("s").alias("fss"))
+        .localCheckpoint(eager=False)
     )
     fi = fs.select(F.col("did").alias("i"), F.col("fss").alias("fi"))
     fj = fs.select(F.col("did").alias("j"), F.col("fss").alias("fj"))
