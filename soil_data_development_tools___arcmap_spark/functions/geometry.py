@@ -183,7 +183,19 @@ def clip_ring_to_rect(
     array<struct<x:double,y:double>> — empty when disjoint. The clip
     region is convex, so SH is exact for any simple subject ring
     (degenerate duplicate vertices it may emit are shoelace-neutral)."""
-    open_ring = _let(
+    return clip_ring_pts_to_rect(
+        open_ring_pts(wkt), xmin, ymin, xmax, ymax
+    )
+
+
+def open_ring_pts(wkt: str | Column) -> Column:
+    """Exterior WKT ring parsed ONCE to the OPEN double-typed ring
+    ``array<struct<x:double,y:double>>`` the clip passes consume.
+    Split out (optimization r12) so a join can parse each feature's
+    ring once BEFORE replication/pairing instead of re-parsing per
+    candidate pair — the spatial overlay join evaluated the full WKT
+    regex parse per (a, b) candidate, which dominated its runtime."""
+    return _let(
         ring_coords(wkt),
         lambda cc: F.transform(
             F.slice(cc, 1, F.size(cc) - 1),
@@ -193,6 +205,14 @@ def clip_ring_to_rect(
             ),
         ),
     )
+
+
+def clip_ring_pts_to_rect(
+    open_ring: Column, xmin, ymin, xmax, ymax
+) -> Column:
+    """Sutherland–Hodgman clip of an ALREADY-PARSED open ring (see
+    ``open_ring_pts``) against the AOI rectangle — the pts-level core
+    of ``clip_ring_to_rect``, bit-identical passes."""
     r = _clip_halfplane(open_ring, "x", xmin, keep_ge=True)
     r = _clip_halfplane(r, "x", xmax, keep_ge=False)
     r = _clip_halfplane(r, "y", ymin, keep_ge=True)
@@ -230,6 +250,18 @@ def clip_area2x_rect(
     (gSSURGO_Clip.py:160 → gSSURGO_AcreageReport SHAPE_Area)."""
     return F.round(
         ring_area2x(clip_ring_to_rect(wkt, xmin, ymin, xmax, ymax))
+    ).cast("long")
+
+
+def clip_area2x_rect_pts(
+    ring: Column, xmin, ymin, xmax, ymax
+) -> Column:
+    """``clip_area2x_rect`` over an already-parsed open ring (see
+    ``open_ring_pts``): same clip passes, same shoelace, same
+    round/cast quantization — for joins that evaluate the clip once
+    per candidate PAIR and must not re-parse the WKT each time."""
+    return F.round(
+        ring_area2x(clip_ring_pts_to_rect(ring, xmin, ymin, xmax, ymax))
     ).cast("long")
 
 

