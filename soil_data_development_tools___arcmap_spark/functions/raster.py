@@ -110,7 +110,7 @@ def polygon_cell_inventory(
     polygon silently serializes the whole rasterization onto one task
     unless the caller remembered the flag; pass an explicit bool to
     override the heuristic either way."""
-    from .geometry import parse_geom_rings, point_in_rings
+    from .geometry import parse_geom_rings, point_in_edges, rings_to_edges
 
     half = cell_size // 2
     # parse the WKT ONCE per polygon (regex/split/cast) — every cell
@@ -184,6 +184,15 @@ def polygon_cell_inventory(
                     _REDISTRIBUTE_DECISIONS.clear()
                 _REDISTRIBUTE_DECISIONS[key] = redistribute
 
+    # edge structs built ONCE per polygon, BEFORE the tile/cell
+    # explodes — the per-cell containment then folds a flat edge array
+    # with one aggregate instead of re-running per-cell index chains
+    # over the ring arrays (exact same crossing arithmetic; 1.8x on
+    # the sf0.1 inventory — optimization r12, see
+    # geometry.rings_to_edges)
+    with_bbox = with_bbox.withColumn(
+        "_edges", rings_to_edges(F.col("_rings"))
+    ).drop("_rings")
     tiles = with_bbox.withColumn(
         "tile_x",
         F.explode(seq((F.col("_i0") / t).cast("long"),
@@ -213,9 +222,9 @@ def polygon_cell_inventory(
         "cy", F.col("row") * cell_size + half
     )
     inside = cells.where(
-        point_in_rings(F.col("_rings"), F.col("cx"), F.col("cy")) == 1
+        point_in_edges(F.col("_edges"), F.col("cx"), F.col("cy")) == 1
     )
-    return inside.drop("_rings", "_i0", "_i1", "_j0", "_j1")
+    return inside.drop("_edges", "_i0", "_i1", "_j0", "_j1")
 
 
 # --------------------------------------------------------------------
