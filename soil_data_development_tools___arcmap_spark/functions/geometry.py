@@ -1038,13 +1038,16 @@ def rings_to_edges(rings: Column) -> Column:
     ring-indexed form re-evaluates per candidate cell (interpreted
     higher-order functions; measured 1.8x on the 458k-cell sf0.1
     inventory with bit-identical output)."""
-    empty = F.array().cast(
-        "array<struct<xa:bigint,ya:bigint,xb:bigint,yb:bigint>>"
-    )
+    edge_t = "array<struct<xa:bigint,ya:bigint,xb:bigint,yb:bigint>>"
+    empty = F.array().cast(edge_t)
     return F.flatten(
         F.transform(
             rings,
             lambda cc: F.when(F.size(cc) < 3, empty).otherwise(
+                # the positional cast pins the struct field names: alias
+                # resolution inside nested lambdas is context-dependent
+                # (Generate-bearing projections drop them), and the
+                # when-branch types must agree exactly
                 _let(
                     cc,
                     lambda c2: F.transform(
@@ -1056,7 +1059,7 @@ def rings_to_edges(rings: Column) -> Column:
                             c2[(i + 1) % F.size(c2)]["y"].alias("yb"),
                         ),
                     ),
-                )
+                ).cast(edge_t)
             ),
         )
     )

@@ -2915,12 +2915,27 @@ def tile_survey_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("))"),
         ),
     )
+    # parse each tile's ring ONCE in the 25-row broadcast dimension
+    # (rings_to_edges over the parsed WKT — identical crossing edge
+    # set to point_in_ring's closed-ring walk), and evaluate the
+    # anchored test ONCE per joined row: the previous form inlined the
+    # WKT parse + ray-cast into THREE aggregate expressions, i.e. 3
+    # parses per (survey, tile) pair (optimization r12; 5.6 s -> 1.0 s
+    # steady at sf0.1, hash unchanged).
+    from .functions.geometry import parse_geom_rings, point_in_edges, rings_to_edges
+
+    tiles = tiles.withColumn(
+        "tile_edges", rings_to_edges(parse_geom_rings(F.col("tile_wkt")))
+    ).drop("tile_wkt")
     j = surveys.join(
         F.broadcast(tiles),
         (F.col("x0") < F.col("tx1")) & (F.col("x1") > F.col("tx0"))
         & (F.col("y0") < F.col("ty1")) & (F.col("y1") > F.col("ty0")),
+    ).withColumn(
+        "__anch",
+        point_in_edges(F.col("tile_edges"), F.col("px"), F.col("py")),
     )
-    anchored = point_in_ring(F.col("tile_wkt"), F.col("px"), F.col("py"))
+    anchored = F.col("__anch")
     return j.groupBy("tile_id").agg(
         F.count(F.lit(1)).alias("n_intersect"),
         F.sum(anchored).alias("n_anchored"),
@@ -3623,19 +3638,23 @@ def spatial_join_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: both explodes are map-side and bounded; the only
     exchange is the (cx, cy) equi-join, AQE-splittable on hot cells;
     no CartesianProduct."""
-    from .functions.geometry import parse_geom_rings, point_in_rings
+    from .functions.geometry import parse_geom_rings, point_in_edges, rings_to_edges
     from .functions.spatial import bbox_cells, point_cell
 
     cs = 16
     polys = _even_grid_rects(_t(spark, sf_dir, "customer"), "c_custkey")
+    # parse-once hoist (optimization r12): edges built per POLYGON,
+    # before cell replication — the refine below runs per (poly, point)
+    # pair and previously walked the ring-indexed parse per pair
     polys = polys.select(
-        "okey", "wkt",
+        "okey",
+        rings_to_edges(parse_geom_rings("wkt")).alias("edges"),
         F.explode(
             bbox_cells(
                 F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), cs
             )
         ).alias("cell"),
-    ).withColumn("rings", parse_geom_rings("wkt"))
+    )
     j = F.col("o_orderkey")
     pts = (
         _t(spark, sf_dir, "orders")
@@ -3649,7 +3668,7 @@ def spatial_join_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         polys.join(pts, "cell")
-        .where(point_in_rings(F.col("rings"), F.col("px"), F.col("py")) == 1)
+        .where(point_in_edges(F.col("edges"), F.col("px"), F.col("py")) == 1)
         .select("okey", "pkey", "px", "py")
     )
 
