@@ -259,13 +259,15 @@ def _jaccard_edges(ex: DataFrame, sizes: DataFrame) -> DataFrame:
     (the audit), so the audited graph can never silently diverge from
     the generated one.
 
-    ``sizes`` feeds two joins (the i side and the j side); without
-    materialization its whole upstream pipeline — a full pass over the
-    exploded shingle table — executes twice (two HashAggregate+Exchange
-    subtrees over the checkpointed RDD in the r11 plan). One row per
-    doc, so the checkpoint is corpus-row-sized (optimization r12)."""
+    ``sizes`` feeds two joins (the i side and the j side); callers for
+    whom the sizes pipeline is a full pass over the exploded shingle
+    table should hand in a materialized frame (ngram_jaccard_pairs
+    does — one pass instead of two). NOT materialized here: the wedge
+    audits layer their own eager checkpoints on this function's
+    output, and a lazy checkpoint nested under those measured 1.8x
+    SLOWER end-to-end (docs_dup_wedge_gaps_dense 7.8 s -> 13.8 s in
+    the r12 A/B), so the decision belongs to the caller."""
     inter = _shingle_pair_counts(ex)
-    sizes = sizes.localCheckpoint(eager=False)
     si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
     sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
     jac = _jac_e4(F.col("inter"), F.col("ni"), F.col("nj"))
@@ -315,6 +317,14 @@ def ngram_jaccard_pairs(
         sizes = shingle_sets(df, id_col, col, k).select(
             "did", F.size("ss").alias("nsh")
         )
+    # sizes feeds the i-side and j-side joins in _jaccard_edges; a lazy
+    # materialization here turns two full passes over the exploded
+    # table into one (corpus-row-sized blocks; measured ~1 s on the
+    # composed docs_clean_corpus at sf0.1 — optimization r12). Scoped
+    # to THIS generator: the wedge audits, which wrap _jaccard_edges in
+    # their own eager checkpoints, regressed with it (see
+    # _jaccard_edges' docstring).
+    sizes = sizes.localCheckpoint(eager=False)
     return _jaccard_edges(ex, sizes).where(F.col("jac_e4") >= threshold_e4)
 
 
