@@ -3647,7 +3647,7 @@ def spatial_join_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before cell replication — the refine below runs per (poly, point)
     # pair and previously walked the ring-indexed parse per pair
     polys = polys.select(
-        "okey",
+        "okey", "x0", "y0", "x1", "y1",
         rings_to_edges(parse_geom_rings("wkt")).alias("edges"),
         F.explode(
             bbox_cells(
@@ -3666,9 +3666,22 @@ def spatial_join_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cell", point_cell(F.col("px"), F.col("py"), cs))
     )
+    # closed-bbox containment prefilter (codegen integer comparisons)
+    # before the interpreted ray cast: a point the even-odd rule counts
+    # inside necessarily lies within the polygon's closed bbox, so the
+    # filter is exact; it drops the bulk of same-cell candidates before
+    # the per-pair crossing fold (15.2 s -> see OPTIMIZATION_r12.md;
+    # guide §2.3 cheap-prefilter-before-expensive-refine, r12).
+    in_bbox = (
+        (F.col("px") >= F.col("x0")) & (F.col("px") <= F.col("x1"))
+        & (F.col("py") >= F.col("y0")) & (F.col("py") <= F.col("y1"))
+    )
     return (
         polys.join(pts, "cell")
-        .where(point_in_edges(F.col("edges"), F.col("px"), F.col("py")) == 1)
+        .where(
+            in_bbox
+            & (point_in_edges(F.col("edges"), F.col("px"), F.col("py")) == 1)
+        )
         .select("okey", "pkey", "px", "py")
     )
 
