@@ -26,6 +26,59 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Shared-subtree materialization under the SESSION CHECKPOINT
+    POLICY ``spark.graft.checkpoint`` (optimization r13, guide §5 —
+    the r12 verdict's fault-tolerance note made explicit):
+
+    - ``local`` (default): ``localCheckpoint`` — blocks live on
+      executor MEMORY_AND_DISK with NO recompute path, so on a real
+      cluster an executor loss mid-query fails the job instead of
+      recomputing. The right trade for a deterministic batch query
+      that simply re-runs, and the only mode with zero infrastructure
+      requirements — but it is a durability choice, hence the knob.
+    - ``reliable``: ``Dataset.checkpoint`` into the configured
+      checkpoint directory (``spark.graft.checkpoint.dir``, or a
+      directory already set via ``sparkContext.setCheckpointDir``) —
+      survives executor loss; for long-running production jobs.
+    - ``off``: no materialization — the shared subtrees re-enter the
+      plan and AQE's ReusedExchange deduplicates what it can at
+      runtime (the pre-r12 behavior).
+
+    Results are identical in every mode; only plan shape, recompute
+    semantics and storage residency change."""
+    from pyspark.sql import SparkSession
+
+    mode = "local"
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            mode = spark.conf.get("spark.graft.checkpoint", "local")
+        except Exception:
+            pass
+    if mode == "off":
+        return df
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            d = None
+            try:
+                d = df.sparkSession.conf.get(
+                    "spark.graft.checkpoint.dir", None
+                )
+            except Exception:
+                pass
+            if d is None:
+                raise ValueError(
+                    "spark.graft.checkpoint=reliable needs a checkpoint"
+                    " directory: set spark.graft.checkpoint.dir or call"
+                    " sparkContext.setCheckpointDir first"
+                )
+            sc.setCheckpointDir(d)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition before compute-heavy per-row work (shingling, md5).
 
@@ -292,18 +345,26 @@ def ngram_jaccard_pairs(
     jac_e4 = floor(10000·|∩| / (|A|+|B|−|∩|)).
 
     ``reuse_shingles``: materialize the exploded shingle table once
-    (localCheckpoint) instead of re-evaluating the tokenize+shingle
-    pipeline for each of its ~4 consumers (sizes, frequency filter,
-    bucket grouping) — measured 1.5× at sf0.1. The exploded table is
-    ~|shingles per doc|× the corpus row count; on a cluster whose
-    ephemeral storage can't hold that, pass False to trade the
-    materialization for recompute (same results either way — sizes
-    from the exploded distinct set equal size(ss), and docs shorter
-    than k tokens have no shingles so they can never reach a pair)."""
+    instead of re-evaluating the tokenize+shingle pipeline for each of
+    its ~4 consumers (sizes, frequency filter, bucket grouping) —
+    measured 1.5× at sf0.1. The exploded table is ~|shingles per doc|×
+    the corpus row count; on a cluster whose ephemeral storage can't
+    hold that, pass False to trade the materialization for recompute
+    (same results either way — sizes from the exploded distinct set
+    equal size(ss), and docs shorter than k tokens have no shingles so
+    they can never reach a pair).
+
+    HOW intermediates materialize is the session checkpoint policy
+    ``spark.graft.checkpoint`` (see ``_materialize``): the ``local``
+    default truncates lineage with executor-resident blocks — fast,
+    but an executor loss mid-query fails the job instead of
+    recomputing; set ``reliable`` for fault-tolerant checkpoints on
+    long-running clusters or ``off`` to keep pure lineage."""
     if reuse_shingles:
-        ex_all = _explode_ss(
-            shingle_sets(_spread(df, id_col), id_col, col, k)
-        ).localCheckpoint()
+        ex_all = _materialize(
+            _explode_ss(shingle_sets(_spread(df, id_col), id_col, col, k)),
+            eager=True,
+        )
         sizes = ex_all.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
         if max_freq is not None:
             freq = ex_all.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
@@ -324,7 +385,7 @@ def ngram_jaccard_pairs(
     # to THIS generator: the wedge audits, which wrap _jaccard_edges in
     # their own eager checkpoints, regressed with it (see
     # _jaccard_edges' docstring).
-    sizes = sizes.localCheckpoint(eager=False)
+    sizes = _materialize(sizes)
     return _jaccard_edges(ex, sizes).where(F.col("jac_e4") >= threshold_e4)
 
 
@@ -509,12 +570,16 @@ def minhash_lsh_pairs(
     Output matches ngram_jaccard_pairs on (i, j, jac_e4) for pairs the
     LSH recalls. ``reuse_shingles`` shares one materialized exploded
     shingle table across the signature, frequency, verification and
-    size stages (see ngram_jaccard_pairs for the scale tradeoff)."""
+    size stages (see ngram_jaccard_pairs for the scale tradeoff, and
+    for the ``spark.graft.checkpoint`` policy — local | reliable |
+    off — that governs how every intermediate here materializes and
+    its fault-tolerance consequences)."""
     ex_all = None
     if reuse_shingles:
-        ex_all = _explode_ss(
-            shingle_sets(_spread(df, id_col), id_col, col, k)
-        ).localCheckpoint()
+        ex_all = _materialize(
+            _explode_ss(shingle_sets(_spread(df, id_col), id_col, col, k)),
+            eager=True,
+        )
     stacked = _minhash_bands(
         df, id_col, col, k, num_hashes, bands, ex=ex_all, hasher=hasher
     )
@@ -525,7 +590,7 @@ def minhash_lsh_pairs(
     # half of the query) re-executes once per consumer (~4x, visible as
     # 4 copies of the Sort/Generate/Window subtree in the r11 physical
     # plan — plans/r12/docs_minhash_lsh_before.txt vs _after.txt)
-    cand = _pairs_from_groups(buckets).distinct().localCheckpoint(eager=False)
+    cand = _materialize(_pairs_from_groups(buckets).distinct())
     # verification: exact Jaccard, restricted to LSH candidates.
     # NOTE max_freq-capped shingles stay excluded from the intersection
     # (identical semantics to ngram_jaccard_pairs); sizes use the full
@@ -558,16 +623,13 @@ def minhash_lsh_pairs(
     # (per-doc counts unchanged — the semi-join filters docs, not rows
     # within a doc) and materialize, turning 2 full passes over the
     # exploded table into 1 candidate-restricted pass
-    sizes = sizes.join(cand_ids, "did", "left_semi").localCheckpoint(
-        eager=False
-    )
+    sizes = _materialize(sizes.join(cand_ids, "did", "left_semi"))
     # fs feeds both the fi and fj joins — materialize (candidate docs
     # only, small) so the semi-join + collect_list pass runs once
-    fs = (
+    fs = _materialize(
         exf.join(cand_ids, "did", "left_semi")
         .groupBy("did")
         .agg(F.collect_list("s").alias("fss"))
-        .localCheckpoint(eager=False)
     )
     fi = fs.select(F.col("did").alias("i"), F.col("fss").alias("fi"))
     fj = fs.select(F.col("did").alias("j"), F.col("fss").alias("fj"))

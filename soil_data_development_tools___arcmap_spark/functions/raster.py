@@ -204,6 +204,17 @@ def polygon_cell_inventory(
     )
     if redistribute:
         tiles = tiles.repartition("tile_x", "tile_y")
+    # optimization r13 (guide §4.2): the tile→cell explode and the
+    # per-cell containment fold run as ONE vectorized mapInArrow
+    # scanline kernel — bit-identical cells (proof + parity tests:
+    # functions/arrowgeom.py, tests/test_round13opt.py), ~O(scanlines
+    # × edges + cells) int64 numpy work instead of one interpreted
+    # Catalyst aggregate per cell. spark.graft.geom.kernel=column
+    # restores the pure-Column plan below.
+    from .arrowgeom import inventory_cells, kernel_enabled
+
+    if kernel_enabled():
+        return inventory_cells(tiles, cell_size, tile_cells)
     cells = tiles.withColumn(
         "col",
         F.explode(seq(

@@ -1964,23 +1964,33 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = arr.select("doc_id", "source", F.explode(grams).alias("g")).select(
         "doc_id", "source", (seeded_hash(F.col("g"), "dsir:") % B).alias("b")
     )
-    tgt = bg.where(F.col("source") == "src0")
     raw = bg.where(F.col("source") != "src0")
-    cp = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("c_p"))
-    cq = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_q"))
-    np_ = tgt.agg(F.count(F.lit(1)).alias("n_p"))
-    nq_ = raw.agg(F.count(F.lit(1)).alias("n_q"))
-    # every raw bigram's bucket appears in cq by construction, so the
-    # outer join + inner lookup below never drops a pool bigram
+    # BOTH per-bucket model fits in ONE pass (optimization r13, guide
+    # §2.4): the previous cp/cq/n_p/n_q formulation evaluated the
+    # tokenize+bigram+hash pipeline FOUR times (two filtered groupBys,
+    # two filtered count() totals — no shared exchange for AQE to
+    # reuse). One conditional aggregation produces the same per-bucket
+    # counts (a bucket missing from a class counts 0, exactly what the
+    # old outer join's coalesce supplied), and the class totals are the
+    # B-bounded column sums of that table (each bigram lands in exactly
+    # one bucket). Values — and therefore r_e6 and every downstream
+    # figure — are identical; the bigram pipeline now runs twice total
+    # (counts + the per-doc weight join below) instead of five times.
+    is_tgt = (F.col("source") == "src0").cast("long")
+    cnt = bg.groupBy("b").agg(
+        F.sum(is_tgt).alias("c_p"),
+        F.sum(1 - is_tgt).alias("c_q"),
+    )
+    tot = cnt.agg(
+        F.sum("c_p").alias("n_p"), F.sum("c_q").alias("n_q")
+    )
     ratio = (
-        cp.join(cq, "b", "outer")
-        .crossJoin(F.broadcast(np_))
-        .crossJoin(F.broadcast(nq_))
+        cnt.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.expr(
-                f"((coalesce(c_p, 0) + 1) * (n_q + {B}) * 1000000)"
-                f" div ((coalesce(c_q, 0) + 1) * (n_p + {B}))"
+                f"((c_p + 1) * (n_q + {B}) * 1000000)"
+                f" div ((c_q + 1) * (n_p + {B}))"
             ).alias("r_e6"),
         )
     )
@@ -1992,6 +2002,12 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(r_e6) div count(1)").alias("w_e6"),
         )
     )
+    # wdoc feeds both the pool mean and the sampler inside ONE final
+    # plan — materialize it (doc-count-sized rows; session checkpoint
+    # policy) so the bigram+ratio pipeline executes once, not twice
+    from .functions.dedup import _materialize
+
+    wdoc = _materialize(wdoc)
     pool = wdoc.agg(F.expr("sum(w_e6) div count(1)").alias("pool_mean_w_e6"))
     samp = priority_sample(wdoc, F.col("w_e6"), n, "dsir:", id_col="doc_id")
     return samp.select("doc_id", "source", "n_bg", "w_e6", "prank").crossJoin(
@@ -2404,11 +2420,14 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: one signature pass, one band-key shuffle; the
     Hamming filter is integer bit math on the joined signature pair —
     no text ever joins."""
-    from .functions.dedup import simhash16
+    from .functions.dedup import _materialize, simhash16
 
-    sig = simhash16(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ).localCheckpoint()  # one signature pass serves all 4 band joins
+    # one signature pass serves all 4 band joins; materialization
+    # follows the session checkpoint policy (spark.graft.checkpoint)
+    sig = _materialize(
+        simhash16(_t(spark, sf_dir, "documents").select("doc_id", "text")),
+        eager=True,
+    )
     bands = None
     for b in range(4):
         bd = sig.select(

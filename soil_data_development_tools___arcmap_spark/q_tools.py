@@ -3676,6 +3676,17 @@ def spatial_join_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("px") >= F.col("x0")) & (F.col("px") <= F.col("x1"))
         & (F.col("py") >= F.col("y0")) & (F.col("py") <= F.col("y1"))
     )
+    # NOT kernelized (measured negative result, optimization r13): the
+    # mapInArrow ray-cast kernel (functions/arrowgeom.py::
+    # filter_points_in_edges, kept with parity tests) LOSES here —
+    # steady 7.3 s -> 8.7 s at sf0.1. Diagnosis: 15.5 M same-cell
+    # candidates fall to 2.53 M bbox hits, and on this layer EVERY
+    # bbox hit is inside (rectangle features: bbox containment ==
+    # containment), so the boundary ships 2.5 M rows x edge arrays to
+    # filter NOTHING, while the Column fold on 4-edge rings costs ~µs
+    # per row. The kernel only pays when the refine rejects real work
+    # (overlay joins: 37 µs/pair SH clip) or batches cells per
+    # polygon (rasterizer).
     return (
         polys.join(pts, "cell")
         .where(
@@ -3759,17 +3770,30 @@ def spatial_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
         & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1"))
     )
-    return (
-        a.join(b, "cell")
-        .where(
-            report_cell_filter(
-                F.col("cell"),
-                F.col("ax0"), F.col("ay0"),
-                F.col("bx0"), F.col("by0"),
-                cs,
-            )
-            & bbox_overlap
+    cand = a.join(b, "cell").where(
+        report_cell_filter(
+            F.col("cell"),
+            F.col("ax0"), F.col("ay0"),
+            F.col("bx0"), F.col("by0"),
+            cs,
         )
+        & bbox_overlap
+    )
+    # optimization r13 (guide §4.2): the interpreted Sutherland–Hodgman
+    # refine (~37 µs/pair through Catalyst higher-order passes) moves
+    # into a vectorized mapInArrow kernel replaying the SAME double ops
+    # in the same order (bit-identical areas — see
+    # functions/arrowgeom.py and the parity tests); the JVM keeps the
+    # join, the reporting-cell dedup and the codegen bbox prefilter.
+    # spark.graft.geom.kernel=column restores the Column refine.
+    from .functions.arrowgeom import kernel_enabled, overlay_clip_rect
+
+    if kernel_enabled():
+        return overlay_clip_rect(
+            cand, "aring", "bx0", "by0", "bx1", "by1", ["akey", "bkey"]
+        )
+    return (
+        cand
         .select(
             "akey",
             "bkey",
@@ -4058,17 +4082,29 @@ def spatial_join_overlap_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
         & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1"))
     )
-    return (
-        a.join(b, "cell")
-        .where(
-            report_cell_filter(
-                F.col("cell"),
-                F.col("ax0"), F.col("ay0"),
-                F.col("bx0"), F.col("by0"),
-                cs,
-            )
-            & bbox_overlap
+    cand = a.join(b, "cell").where(
+        report_cell_filter(
+            F.col("cell"),
+            F.col("ax0"), F.col("ay0"),
+            F.col("bx0"), F.col("by0"),
+            cs,
         )
+        & bbox_overlap
+    )
+    # optimization r13: same mapInArrow SH kernel as the area twin,
+    # with the normalize_ring + ring_to_wkt serialization replayed
+    # inside the kernel (same passes, same exact comparisons — see
+    # functions/arrowgeom.py; parity tests pin string equality).
+    # spark.graft.geom.kernel=column restores the Column refine.
+    from .functions.arrowgeom import kernel_enabled, overlay_clip_rect
+
+    if kernel_enabled():
+        return overlay_clip_rect(
+            cand, "aring", "bx0", "by0", "bx1", "by1",
+            ["akey", "bkey"], emit_wkt=True,
+        )
+    return (
+        cand
         .select("akey", "bkey", clipped["clip_wkt"].alias("clip_wkt"),
                 clipped["ov_a2x"].alias("ov_a2x"))
         .where(F.col("ov_a2x") > 0)

@@ -1,8 +1,10 @@
 """Round-12 optimization: pinned equivalences for operator internals
 that were restructured for performance (results must be bit-identical).
 
-- the pipe-text export writer moved from a per-row csv.writerow loop to
-  whole-batch pandas.to_csv (guide §4.2) — byte-exactness pinned here;
+- the pipe-text export writer moved from a per-row csv.writerow loop
+  over all 109 columns to a JVM-rendered concat_ws line (QUOTE_MINIMAL
+  replicated as a Column) with only the final join + cp1252 encode in
+  Python (guide §4.1) — byte-exactness pinned here;
 - minhash signatures aggregate in the long domain (HashAggregate) and
   reconstruct the hex output — hex equivalence pinned against the
   independent row-wise formulation (array_min over hex strings).

@@ -1,8 +1,10 @@
 """Capture .explain("formatted") output for named queries into
-plans/r12/<query>_<tag>.txt (optimization-round evidence).
+plans/<round>/<query>_<tag>.txt (optimization-round evidence).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
-With no query list, captures the bench HEADLINE set.
+With no query list, captures the bench HEADLINE set. The round
+directory defaults to r13 and can be overridden with
+``SPARK_GRAFT_PLANS_ROUND``.
 """
 
 from __future__ import annotations
@@ -13,10 +15,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
+)
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__.strip(), file=sys.stderr)
+        raise SystemExit(2)
     tag = sys.argv[1]
     import __spark_entry__ as E
     from bench import HEADLINE
