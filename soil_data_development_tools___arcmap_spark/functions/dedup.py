@@ -578,7 +578,6 @@ def minhash_lsh_pairs(
     if reuse_shingles:
         ex_all = _materialize(
             _explode_ss(shingle_sets(_spread(df, id_col), id_col, col, k)),
-            eager=True,
         )
     stacked = _minhash_bands(
         df, id_col, col, k, num_hashes, bands, ex=ex_all, hasher=hasher
@@ -603,36 +602,55 @@ def minhash_lsh_pairs(
     # re-aggregate the candidate docs' (max_freq-filtered) shingles
     # into arrays and intersect per pair natively — a shingle-level
     # pair join would multiply |pairs| x |shingles| rows and blow up
-    # exactly when duplicates are dense
+    # exactly when duplicates are dense.
+    #
+    # FULL sizes and FILTERED lists come out of ONE candidate-restricted
+    # pass and ONE materialization (optimization r13 — was two passes +
+    # two checkpoints; each lazy localCheckpoint pays its subtree's
+    # physical planning at CONSTRUCTION time, ~0.7 s per site on the
+    # deep LSH plan): nsh counts every (did, s) row while collect_list
+    # skips the NULLs the when() leaves for capped shingles — exactly
+    # the rows the old inner freq join dropped. The trailing
+    # size(fss) > 0 filter reproduces the old behavior where a
+    # candidate doc whose every shingle is capped had NO fs row (inner
+    # join dropped its pairs before the threshold did).
     if ex_all is not None:
+        exc = ex_all.join(cand_ids, "did", "left_semi")
         if max_freq is not None:
             freq = ex_all.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
-            exf = ex_all.join(freq.where(F.col("f") <= max_freq), "s").select(
-                "did", "s"
+            ok = freq.where(F.col("f") <= max_freq).select(
+                "s", F.lit(True).alias("__ok")
+            )
+            fsz = (
+                exc.join(ok, "s", "left")
+                .groupBy("did")
+                .agg(
+                    F.count(F.lit(1)).alias("nsh"),
+                    F.collect_list(
+                        F.when(F.col("__ok"), F.col("s"))
+                    ).alias("fss"),
+                )
             )
         else:
-            exf = ex_all
-        sizes = ex_all.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
+            fsz = exc.groupBy("did").agg(
+                F.count(F.lit(1)).alias("nsh"),
+                F.collect_list("s").alias("fss"),
+            )
+        fsz = fsz.where(F.size("fss") > 0)
     else:
         exf = _exploded_shingles(df, id_col, col, k, max_freq)
         sizes = shingle_sets(df, id_col, col, k).select(
             "did", F.size("ss").alias("nsh")
         )
-    # sizes feed two inner joins (si on i, sj on j), so only candidate
-    # docs' sizes are ever read: restrict with the same semi-join as fs
-    # (per-doc counts unchanged — the semi-join filters docs, not rows
-    # within a doc) and materialize, turning 2 full passes over the
-    # exploded table into 1 candidate-restricted pass
-    sizes = _materialize(sizes.join(cand_ids, "did", "left_semi"))
-    # fs feeds both the fi and fj joins — materialize (candidate docs
-    # only, small) so the semi-join + collect_list pass runs once
-    fs = _materialize(
-        exf.join(cand_ids, "did", "left_semi")
-        .groupBy("did")
-        .agg(F.collect_list("s").alias("fss"))
-    )
-    fi = fs.select(F.col("did").alias("i"), F.col("fss").alias("fi"))
-    fj = fs.select(F.col("did").alias("j"), F.col("fss").alias("fj"))
+        fsz = (
+            exf.join(cand_ids, "did", "left_semi")
+            .groupBy("did")
+            .agg(F.collect_list("s").alias("fss"))
+            .join(sizes, "did")
+        )
+    fsz = _materialize(fsz)
+    fi = fsz.select(F.col("did").alias("i"), F.col("fss").alias("fi"))
+    fj = fsz.select(F.col("did").alias("j"), F.col("fss").alias("fj"))
     inter = (
         cand.join(fi, "i")
         .join(fj, "j")
@@ -640,8 +658,8 @@ def minhash_lsh_pairs(
             "i", "j", F.size(F.array_intersect("fi", "fj")).alias("inter")
         )
     )
-    si = sizes.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
-    sj = sizes.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
+    si = fsz.select(F.col("did").alias("i"), F.col("nsh").alias("ni"))
+    sj = fsz.select(F.col("did").alias("j"), F.col("nsh").alias("nj"))
     jac = F.floor(
         (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))) * 10000
     ).cast("long")

@@ -2437,23 +2437,28 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(simhash div {16 ** b}) % 16").alias("bv"),
         )
         bands = bd if bands is None else bands.unionByName(bd)
-    cand = (
+    # Hamming filter BEFORE the distinct (optimization r13, guide
+    # §2.3 shuffle-fewer-bytes): hamming = bit_count(si ^ sj) is a
+    # function of the pair's signatures, which are functionally
+    # determined by (i, j) — so distinct(i, j, hamming) equals
+    # distinct(i, j) and filtering first only removes rows the old
+    # post-distinct filter removed anyway. The distinct exchange then
+    # dedups only the ≤3-hamming survivors (narrow 3-column rows)
+    # instead of every multi-band candidate with both raw signatures.
+    return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bv"])
         .where(F.col("a.did") < F.col("b.did"))
         .select(
             F.col("a.did").alias("i"),
             F.col("b.did").alias("j"),
-            F.col("a.simhash").alias("si"),
-            F.col("b.simhash").alias("sj"),
+            F.expr("bit_count(a.simhash ^ b.simhash)")
+            .cast("int")
+            .alias("hamming"),
         )
+        .where(F.col("hamming") <= 3)
         .distinct()
     )
-    return cand.select(
-        "i",
-        "j",
-        F.expr("bit_count(si ^ sj)").cast("int").alias("hamming"),
-    ).where(F.col("hamming") <= 3)
 
 
 def docs_stream_image_gate_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
